@@ -1,0 +1,254 @@
+"""Exact k-nearest-neighbor search — the reference's core query surface.
+
+Reference operators covered (SURVEY.md §2.2):
+
+- Q1 exact kNN shard scan  (src/index/vector_shard.cc:72-94)
+- Q2 query validation      (src/index/shard_manager.cc:121-127)
+- Q3 parallel shard fan-out (src/index/shard_manager.cc:46-51)
+- Q4 top-k merge           (src/index/shard_manager.cc:129-145)
+- Q5 single search         (src/index/shard_manager.cc:30-59)
+- Q6 batch search          (src/index/shard_manager.cc:61-78)
+- Q7 cache warm            (src/index/shard_manager.cc:105-119)
+- Q8 cardinality           (src/index/vector_shard.cc:96-99)
+
+Spark-first shape: Search and BatchSearch collapse into ONE dataflow —
+queries are rows.  ``broadcast(queries) × vectors → distance projection →
+per-query top-k``.  The shard fan-out (Q1 under OpenMP) is simply Spark's
+task-per-partition parallelism; the per-shard partial top-k + global merge
+(Q3+Q4) is what Spark ≥3.5's ``WindowGroupLimit`` rule performs
+automatically for ``row_number() <= k`` — each map task emits only its
+partition-local top-k before the shuffle, the reduce side merges.  That is
+exactly the reference's two-level merge, picked by the optimizer instead
+of hand-scheduled.
+
+Scale notes (100 TB): the vectors side never shuffles its payload — only
+(query_id, id, distance) triples ≤ k per partition per query reach the
+exchange.  Query sets are broadcast (they are small by contract, like the
+reference's single-request/batch RPCs).  For huge query sets use
+``operators.similarity.ann_lsh`` to prune candidates first.
+
+Determinism: the reference sorts by distance only, leaving ties
+implementation-defined (src/index/shard_manager.cc:134-144); we impose a
+total order ``(distance, id)`` so results are reproducible and
+oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.distance import squared_l2
+
+#: Columns of a kNN result (reference SearchResponse.ScoredPoint,
+#: proto/search.proto:26-35, plus the imposed rank).
+RESULT_COLS = ("query_id", "id", "distance", "rank")
+
+
+def _topk_window(k: int, query_id_col: str = "query_id"):
+    return (
+        F.row_number()
+        .over(Window.partitionBy(query_id_col).orderBy(F.col("distance").asc(), F.col("id").asc()))
+        .alias("rank")
+    )
+
+
+def knn(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vector_col: str = "qvec",
+    shard_col: str | None = None,
+    method: str = "expr",
+) -> DataFrame:
+    """Exact squared-L2 top-k for every query row (reference Q1-Q6).
+
+    ``method="expr"``  — pure Catalyst expressions (oracle-comparable).
+    ``method="numpy"`` — Arrow-batched BLAS kernel (hot path; same
+    results up to float summation order).
+
+    k=0 (or negative) returns an empty result with the right schema —
+    the reference's early-exit guard (src/index/shard_manager.cc:31-36).
+    """
+    out_cols = [
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("id"),
+        F.col("distance"),
+    ]
+    if shard_col is not None:
+        out_cols.append(F.col(shard_col).cast("string").alias("shard_id"))
+
+    if k <= 0:
+        empty = (
+            vectors.crossJoin(queries.limit(0))
+            .withColumn("distance", F.lit(0.0))
+            .select(*out_cols)
+            .withColumn("rank", F.lit(0))
+        )
+        return empty.limit(0)
+
+    if method == "numpy":
+        return _knn_numpy(
+            vectors,
+            queries,
+            k,
+            id_col=id_col,
+            vector_col=vector_col,
+            query_id_col=query_id_col,
+            query_vector_col=query_vector_col,
+            shard_col=shard_col,
+        )
+
+    scored = vectors.join(F.broadcast(queries), how="cross").select(
+        *out_cols[:-1],
+        squared_l2(F.col(vector_col), F.col(query_vector_col)).alias("distance"),
+        *([F.col(shard_col).cast("string").alias("shard_id")] if shard_col else []),
+    )
+    ranked = scored.withColumn("rank", _topk_window(k))
+    return ranked.filter(F.col("rank") <= k)
+
+
+def _knn_numpy(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    id_col: str,
+    vector_col: str,
+    query_id_col: str,
+    query_vector_col: str,
+    shard_col: str | None,
+) -> DataFrame:
+    """Arrow/NumPy kNN: one GEMM per Arrow batch + per-batch partial top-k,
+    then a tiny global merge.
+
+    This is the FAISS-flat-scan analog (reference src/index/vector_shard.cc:
+    72-94): each executor task scans its partition's vectors against the
+    broadcast query matrix with one ``||x||^2 - 2 x·q + ||q||^2`` BLAS
+    call, keeps only its local top-k (argpartition), and ships
+    #partitions × #queries × k triples to the final merge — the same
+    two-level partial-sort + merge as reference Q3+Q4, with the shuffle
+    carrying only the partials.
+    """
+    import numpy as np
+    import pandas as pd
+
+    # Query sets are small by contract (an RPC batch in the reference);
+    # collect to the driver and let Spark broadcast the closure.
+    qrows = queries.select(query_id_col, query_vector_col).collect()
+    if not qrows:
+        return knn(vectors, queries.limit(0), 0, id_col=id_col, vector_col=vector_col)
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)  # (Q, d)
+    qsq = (qmat * qmat).sum(axis=1)  # (Q,)
+
+    sel = [F.col(id_col).alias("id"), F.col(vector_col).alias("vec")]
+    if shard_col is not None:
+        sel.append(F.col(shard_col).cast("string").alias("shard_id"))
+    src = vectors.select(*sel)
+
+    out_fields = "id long, query_id long, distance double" + (
+        ", shard_id string" if shard_col is not None else ""
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.asarray(np.stack(pdf["vec"].to_numpy()), dtype=np.float64)  # (B, d)
+            xsq = (x * x).sum(axis=1)  # (B,)
+            # (B, Q) squared-L2 distance matrix via GEMM
+            d2 = xsq[:, None] - 2.0 * (x @ qmat.T) + qsq[None, :]
+            np.maximum(d2, 0.0, out=d2)
+            b = d2.shape[0]
+            kk = min(k, b)
+            # partial top-k per query within this Arrow batch
+            part = np.argpartition(d2, kk - 1, axis=0)[:kk, :]  # (kk, Q)
+            ids = pdf["id"].to_numpy()
+            rows = {
+                "id": ids[part].ravel(order="F"),
+                "query_id": np.repeat(qids, kk),
+                "distance": np.take_along_axis(d2, part, axis=0).ravel(order="F"),
+            }
+            if shard_col is not None:
+                rows["shard_id"] = pdf["shard_id"].to_numpy()[part].ravel(order="F")
+            yield pd.DataFrame(rows)
+
+    partials = src.mapInPandas(scan, schema=out_fields)
+    return merge_topk(partials, k).select(
+        "query_id",
+        "id",
+        "distance",
+        *(["shard_id"] if shard_col is not None else []),
+        "rank",
+    )
+
+
+def merge_topk(partials: DataFrame, k: int, query_id_col: str = "query_id") -> DataFrame:
+    """Global top-k merge of per-shard/per-partition partial results.
+
+    Reference Q4 MergeTopK (src/index/shard_manager.cc:129-145): concat +
+    partial_sort + truncate.  Spark shape: row_number over
+    (distance, id) per query — Catalyst's WindowGroupLimit keeps it a
+    partial top-k before the exchange.
+    """
+    ranked = partials.withColumn("rank", _topk_window(k, query_id_col))
+    return ranked.filter(F.col("rank") <= k)
+
+
+def sharded_knn(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    shard_col: str,
+    **kwargs,
+) -> DataFrame:
+    """Explicit two-level shard fan-out + merge (reference Q3 + Q4).
+
+    Computes a per-(query, shard) partial top-k, then the global per-query
+    merge — the literal shape of the reference's OpenMP fan-out.  Results
+    are identical to :func:`knn`; this exists to make the shard semantics
+    first-class (and testable) and as the building block when vectors are
+    physically partitioned by ``shard_col``.
+    """
+    id_col = kwargs.get("id_col", "vec_id")
+    vector_col = kwargs.get("vector_col", "embedding")
+    query_id_col = kwargs.get("query_id_col", "query_id")
+    query_vector_col = kwargs.get("query_vector_col", "qvec")
+
+    scored = vectors.join(F.broadcast(queries), how="cross").select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("id"),
+        squared_l2(F.col(vector_col), F.col(query_vector_col)).alias("distance"),
+        F.col(shard_col).cast("string").alias("shard_id"),
+    )
+    per_shard = F.row_number().over(
+        Window.partitionBy("query_id", "shard_id").orderBy(
+            F.col("distance").asc(), F.col("id").asc()
+        )
+    )
+    partials = scored.withColumn("shard_rank", per_shard).filter(F.col("shard_rank") <= k)
+    return merge_topk(partials.drop("shard_rank"), k)
+
+
+def warm(df: DataFrame) -> int:
+    """Cache warm (reference Q7, src/index/shard_manager.cc:105-119): the
+    reference probes each shard with a dummy query to page indices into
+    memory; the Spark analog is persist + a materializing action."""
+    df.persist()
+    return df.count()
+
+
+def shard_cardinality(vectors: DataFrame, shard_col: str = "shard_id") -> DataFrame:
+    """Per-shard vector count (reference Q8 VectorShard::size,
+    src/index/vector_shard.cc:96-99)."""
+    return vectors.groupBy(F.col(shard_col).cast("string").alias("shard_id")).agg(
+        F.count("*").alias("n_vectors")
+    )

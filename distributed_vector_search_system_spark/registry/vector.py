@@ -1,0 +1,270 @@
+"""Vector-search query surface (reference SURVEY.md §2.2-§2.3).
+
+Each entry pairs the Spark plan with a DuckDB oracle computing the same
+thing.  Query sets are deterministic slices of ``embeddings`` (FIXTURES.md:
+queries are drawn from embeddings rows so the oracle can compute the same
+squared-L2 distances).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.knn import knn, shard_cardinality, sharded_knn
+from ..operators.mutations import apply_mutations
+from ..tables import load_table
+
+# ---------------------------------------------------------------------------
+# helpers
+
+#: squared-L2 in DuckDB, double-promoted, matching functions.distance.squared_l2
+_SQL_SQ_L2 = (
+    "(SELECT SUM((CAST(u.a AS DOUBLE) - CAST(u.b AS DOUBLE)) * "
+    "(CAST(u.a AS DOUBLE) - CAST(u.b AS DOUBLE))) "
+    "FROM (SELECT UNNEST({q}) AS a, UNNEST({v}) AS b) u)"
+)
+
+
+def _knn_oracle(query_pred: str, vector_pred: str, k: int) -> str:
+    dist = _SQL_SQ_L2.format(q="q.qe", v="v.embedding")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE {query_pred}),
+v AS (SELECT vec_id, embedding FROM embeddings WHERE {vector_pred}),
+scored AS (SELECT q.query_id, v.vec_id AS id, {dist} AS distance FROM q CROSS JOIN v),
+ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, id) AS INT) AS rank
+           FROM scored)
+SELECT query_id, id, ROUND(distance, 6) AS distance, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _query_set(emb: DataFrame, pred) -> DataFrame:
+    return emb.filter(pred).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+
+def _round_result(df: DataFrame) -> DataFrame:
+    return df.select("query_id", "id", F.round("distance", 6).alias("distance"), "rank")
+
+
+# ---------------------------------------------------------------------------
+# Q5: single search (one query row through the full pipeline)
+
+def q_knn_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = _query_set(emb, F.col("vec_id") == 0)
+    return _round_result(knn(emb, q, 10))
+
+
+# Q6: batch search — N query rows, same single plan (the idiomatic win)
+
+def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = _query_set(emb, F.col("vec_id") % 50 == 0)
+    return _round_result(knn(emb, q, 10))
+
+
+# Q3+Q4: explicit per-shard partial top-k + global merge; results must be
+# identical to the unsharded plan, so it shares the plain-knn oracle.
+
+def q_knn_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).withColumn("shard_id", (F.col("vec_id") % 6).cast("string"))
+    q = _query_set(emb, F.col("vec_id") % 100 == 1)
+    return sharded_knn(emb, q, 7, shard_col="shard_id").select(
+        "query_id", "id", F.round("distance", 6).alias("distance"), "rank"
+    )
+
+
+# Q1 edge: k larger than the table returns every row (FAISS pads with -1
+# labels which the reference drops, src/index/vector_shard.cc:83-86).
+
+def q_knn_k_exceeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    vectors = emb.filter(F.col("vec_id") < 15)
+    q = _query_set(emb, F.col("vec_id") % 250 == 2)
+    return _round_result(knn(vectors, q, 40))
+
+
+# Q5 edge: top_k == 0 short-circuits to empty (src/index/shard_manager.cc:31-36)
+
+def q_knn_k_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = _query_set(emb, F.col("vec_id") == 0)
+    return _round_result(knn(emb, q, 0))
+
+
+# Q8: per-shard cardinality
+
+def q_shard_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).withColumn("shard_id", (F.col("vec_id") % 6).cast("string"))
+    return shard_cardinality(emb)
+
+
+# ---------------------------------------------------------------------------
+# M1/M2/R11: deterministic mutation log folded into the base snapshot.
+#
+# Log (derived from embeddings so the oracle can rebuild it):
+#   seq=id*10+1  upsert  label+1000          for vec_id % 10 == 0
+#   seq=id*10+2  upsert  label+2000          for vec_id % 20 == 0   (LWW within log)
+#   seq=id*10+3  delete                      for vec_id % 17 == 3   (may override upserts)
+#   seq=id*10+4  upsert  NEW id vec_id+10^6  for vec_id % 100 == 0  (insert of absent id)
+#   seq=1        delete  id 999999999        (delete of absent id → no-op)
+
+def _mutation_log(emb: DataFrame) -> DataFrame:
+    up1 = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") * 10 + 1).alias("seq"),
+        F.lit("upsert").alias("op"),
+        "vec_id",
+        F.lit(None).cast("string").alias("shard_id"),
+        "embedding",
+        (F.col("label") + 1000).alias("label"),
+    )
+    up2 = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") * 10 + 2).alias("seq"),
+        F.lit("upsert").alias("op"),
+        "vec_id",
+        F.lit(None).cast("string").alias("shard_id"),
+        "embedding",
+        (F.col("label") + 2000).alias("label"),
+    )
+    dels = emb.filter(F.col("vec_id") % 17 == 3).select(
+        (F.col("vec_id") * 10 + 3).alias("seq"),
+        F.lit("delete").alias("op"),
+        "vec_id",
+        F.lit(None).cast("string").alias("shard_id"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+        F.lit(None).cast("int").alias("label"),
+    )
+    new = emb.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") * 10 + 4).alias("seq"),
+        F.lit("upsert").alias("op"),
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.lit(None).cast("string").alias("shard_id"),
+        "embedding",
+        "label",
+    )
+    absent = emb.limit(1).select(
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("delete").alias("op"),
+        F.lit(999999999).cast("long").alias("vec_id"),
+        F.lit(None).cast("string").alias("shard_id"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+        F.lit(None).cast("int").alias("label"),
+    )
+    return up1.unionByName(up2).unionByName(dels).unionByName(new).unionByName(absent)
+
+
+_MUTATION_LOG_SQL = """
+log AS (
+  SELECT vec_id * 10 + 1 AS seq, 'upsert' AS op, vec_id, embedding, label + 1000 AS label
+    FROM embeddings WHERE vec_id % 10 = 0
+  UNION ALL
+  SELECT vec_id * 10 + 2, 'upsert', vec_id, embedding, label + 2000
+    FROM embeddings WHERE vec_id % 20 = 0
+  UNION ALL
+  SELECT vec_id * 10 + 3, 'delete', vec_id, NULL, NULL
+    FROM embeddings WHERE vec_id % 17 = 3
+  UNION ALL
+  SELECT vec_id * 10 + 4, 'upsert', vec_id + 1000000, embedding, label
+    FROM embeddings WHERE vec_id % 100 = 0
+  UNION ALL
+  SELECT 1, 'delete', 999999999, NULL, NULL
+),
+latest AS (
+  SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY seq DESC) AS _rn FROM log)
+  WHERE _rn = 1
+),
+compacted AS (
+  SELECT b.vec_id, b.embedding, b.label
+    FROM embeddings b LEFT JOIN latest l ON b.vec_id = l.vec_id WHERE l.vec_id IS NULL
+  UNION ALL
+  SELECT vec_id, embedding, label FROM latest WHERE op = 'upsert'
+)
+"""
+
+
+def _compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return apply_mutations(emb, _mutation_log(emb))
+
+
+def q_mutations_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LWW compaction result, projected to hash-stable columns."""
+    return _compacted(spark, sf_dir).select(
+        "vec_id", "label", F.size("embedding").alias("dim")
+    )
+
+
+def q_mutations_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 alone: anti-join tombstone semantics (delete-of-absent = no-op)."""
+    emb = _emb(spark, sf_dir)
+    dels = emb.filter(F.col("vec_id") % 17 == 3).select("vec_id").union(
+        emb.limit(1).select(F.lit(999999999).cast("long").alias("vec_id"))
+    )
+    return emb.join(dels, on="vec_id", how="left_anti").select("vec_id", "label")
+
+
+# R11 end-to-end: search must observe the mutations (replay-then-read).
+
+def q_knn_after_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    compacted = _compacted(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    q = _query_set(emb, F.col("vec_id") % 100 == 0)
+    return _round_result(knn(compacted, q, 5))
+
+
+QUERIES = {
+    "knn_single": q_knn_single,
+    "knn_batch": q_knn_batch,
+    "knn_sharded": q_knn_sharded,
+    "knn_k_exceeds": q_knn_k_exceeds,
+    "knn_k_zero": q_knn_k_zero,
+    "shard_cardinality": q_shard_cardinality,
+    "mutations_compact": q_mutations_compact,
+    "mutations_delete": q_mutations_delete,
+    "knn_after_mutations": q_knn_after_mutations,
+}
+
+_KNN_AFTER_MUT_DIST = _SQL_SQ_L2.format(q="q.qe", v="v.embedding")
+
+ORACLES = {
+    "knn_single": _knn_oracle("vec_id = 0", "TRUE", 10),
+    "knn_batch": _knn_oracle("vec_id % 50 = 0", "TRUE", 10),
+    "knn_sharded": _knn_oracle("vec_id % 100 = 1", "TRUE", 7),
+    "knn_k_exceeds": _knn_oracle("vec_id % 250 = 2", "vec_id < 15", 40),
+    "knn_k_zero": (
+        "SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS id, "
+        "CAST(NULL AS DOUBLE) AS distance, CAST(NULL AS INT) AS rank WHERE FALSE"
+    ),
+    "shard_cardinality": (
+        "SELECT CAST(vec_id % 6 AS VARCHAR) AS shard_id, COUNT(*) AS n_vectors "
+        "FROM embeddings GROUP BY 1"
+    ),
+    "mutations_compact": f"""
+WITH {_MUTATION_LOG_SQL}
+SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim FROM compacted
+""",
+    "mutations_delete": """
+WITH dels AS (
+  SELECT vec_id FROM embeddings WHERE vec_id % 17 = 3
+  UNION ALL SELECT 999999999
+)
+SELECT b.vec_id, b.label FROM embeddings b LEFT JOIN dels d ON b.vec_id = d.vec_id
+WHERE d.vec_id IS NULL
+""",
+    "knn_after_mutations": f"""
+WITH {_MUTATION_LOG_SQL},
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, v.vec_id AS id, {_KNN_AFTER_MUT_DIST} AS distance
+  FROM q CROSS JOIN compacted v),
+ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, id) AS INT) AS rank
+           FROM scored)
+SELECT query_id, id, ROUND(distance, 6) AS distance, rank FROM ranked WHERE rank <= 5
+""",
+}
