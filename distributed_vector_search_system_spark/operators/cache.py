@@ -1,0 +1,151 @@
+"""Query-result cache — reference C1-C4 (SURVEY.md §2.4).
+
+Reference: ``QueryCache`` maps ``(fnv1a64(query bytes), top_k)`` → cached
+hits with LRU eviction + TTL, lazily erasing expired entries on lookup and
+fully invalidating on any applied mutation
+(include/cache/query_cache.h:15-33, src/cache/query_cache.cc:15-49,
+src/index/shard_manager.cc:38-44,54,90,100-101).
+
+Spark shape: result sets are tiny (k rows per query), so the cache is a
+driver-side structure — exactly like the reference's per-node in-memory
+cache — keyed by a stable digest of the query vector + k.  Caching is
+semantics-invisible: ``CachedSearcher`` returns the same rows with the
+cache on or off (the real test, per SURVEY §7 Stage 3).  For cross-job
+persistence the same rows can be written to a ``result_cache`` parquet
+table (RESULT_CACHE_SCHEMA) and probed with
+``WHERE digest = ? AND top_k = ? AND expires_at > now()``.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import OrderedDict
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from .knn import knn
+
+#: defaults mirror the reference's ConfigLoader defaults
+#: (src/util/config.cc:41-42): 1024 entries, 60 s TTL.
+DEFAULT_MAX_ENTRIES = 1024
+DEFAULT_TTL_SECONDS = 60.0
+
+
+def _digest(qvec: tuple[float, ...], k: int) -> int:
+    """Stable digest of (query vector bytes, k) — the reference hashes the
+    raw float bytes with FNV-1a and mixes in top_k
+    (src/cache/query_cache.cc:51-56,76-87); only equality matters."""
+    import struct
+
+    h = 0xCBF29CE484222325  # FNV-1a offset basis, same constants as reference
+    for b in struct.pack(f"<{len(qvec)}f", *qvec):
+        h ^= b
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h ^ (k * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+
+
+@dataclass
+class CacheStats:
+    hits: int = 0
+    misses: int = 0
+    evictions: int = 0
+    invalidations: int = 0
+    expired: int = 0
+
+
+@dataclass
+class _Entry:
+    rows: list = field(default_factory=list)
+    created_at: float = 0.0
+
+
+class QueryCache:
+    """LRU + TTL cache of materialized top-k results (reference C1-C3)."""
+
+    def __init__(
+        self,
+        max_entries: int = DEFAULT_MAX_ENTRIES,
+        ttl_seconds: float = DEFAULT_TTL_SECONDS,
+        clock=time.monotonic,
+    ):
+        self._max = max_entries
+        self._ttl = ttl_seconds
+        self._clock = clock
+        self._map: OrderedDict[tuple[int, int], _Entry] = OrderedDict()
+        self.stats = CacheStats()
+
+    def lookup(self, qvec, k: int):
+        """Hit iff present and unexpired; expired entries are erased lazily;
+        a hit refreshes LRU position (C2, query_cache.cc:15-29,58-66)."""
+        key = (_digest(tuple(qvec), k), k)
+        e = self._map.get(key)
+        if e is None:
+            self.stats.misses += 1
+            return None
+        if self._clock() - e.created_at > self._ttl:
+            del self._map[key]
+            self.stats.expired += 1
+            self.stats.misses += 1
+            return None
+        self._map.move_to_end(key)  # Touch
+        self.stats.hits += 1
+        return e.rows
+
+    def insert(self, qvec, k: int, rows) -> None:
+        """Replace-on-duplicate, push-front, evict LRU tail while over
+        capacity (C3, query_cache.cc:31-43,68-74)."""
+        key = (_digest(tuple(qvec), k), k)
+        self._map[key] = _Entry(rows=rows, created_at=self._clock())
+        self._map.move_to_end(key)
+        while len(self._map) > self._max:
+            self._map.popitem(last=False)
+            self.stats.evictions += 1
+
+    def invalidate(self) -> None:
+        """Full clear on any mutation (C4/M4, query_cache.cc:45-49 called
+        from shard_manager.cc:90,100-101)."""
+        self._map.clear()
+        self.stats.invalidations += 1
+
+    def __len__(self) -> int:
+        return len(self._map)
+
+
+class CachedSearcher:
+    """Search pipeline with the cache short-circuit (reference Q5:
+    cache lookup → fan-out+merge on miss → cache fill,
+    src/index/shard_manager.cc:30-59)."""
+
+    def __init__(self, vectors: DataFrame, cache: QueryCache | None = None, **knn_kwargs):
+        self._vectors = vectors
+        self._cache = cache if cache is not None else QueryCache()
+        self._knn_kwargs = knn_kwargs
+
+    @property
+    def cache(self) -> QueryCache:
+        return self._cache
+
+    def search(self, spark, query_id: int, qvec, k: int) -> tuple[list, bool]:
+        """Single search; returns (rows, served_from_cache)."""
+        if k <= 0:
+            return [], False
+        cached = self._cache.lookup(qvec, k)
+        if cached is not None:
+            return cached, True
+        from ..schemas import QUERIES_SCHEMA
+
+        qdf = spark.createDataFrame(
+            [(query_id, [float(x) for x in qvec], k)], schema=QUERIES_SCHEMA
+        )
+        rows = [
+            (r["id"], r["distance"], r["rank"])
+            for r in knn(self._vectors, qdf, k, **self._knn_kwargs)
+            .orderBy("rank")
+            .collect()
+        ]
+        self._cache.insert(qvec, k, rows)
+        return rows, False
+
+    def on_mutation(self) -> None:
+        self._cache.invalidate()

@@ -1,6 +1,398 @@
-"""Relational query surface (SURVEY.md §2.7) — filled in Stage 4."""
+"""Relational query surface (SURVEY.md §2.7 gap table).
+
+The reference implements no general relational operators; Spark SQL
+provides them all.  Each entry exercises one capability family — joins
+(inner/anti/as-of), hash aggregation, grouping sets/rollup/cube, window
+functions with frames, set ops, scalar function libraries (string / date
+/ math / json), sessionization — against the TPC-H-ish fixtures, with a
+DuckDB oracle.
+
+Cross-engine float discipline: money sums go through DECIMAL(18,2)
+(exact, bit-identical), double averages are rounded, timestamps are
+rendered as formatted strings.
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..tables import load_table, register_temp_views
+
+
+def _sql(query: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_temp_views(spark, sf_dir)
+        return spark.sql(query)
+
+    return run
+
+
+# money-exact decimal sum rendered back as double (identical both engines)
+_REV = (
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)"
+)
+
+# ---------------------------------------------------------------------------
+# pricing summary (TPC-H Q1 family): wide hash aggregation
+
+_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  {rev} AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+           * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+  ROUND(AVG(l_quantity), 4) AS avg_qty,
+  ROUND(AVG(l_extendedprice), 4) AS avg_price,
+  ROUND(AVG(l_discount), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""".format(rev=_REV)
+
+# revenue per order for one segment (TPC-H Q3 family): 3-way join + HAVING
+
+_REVENUE_BY_ORDER_SQL = """
+SELECT o.o_orderkey, {rev} AS revenue, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderpriority
+HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) > 100000
+""".format(rev=_REV)
+
+# revenue per region (TPC-H Q5 family): 5-way join through the dim chain
+
+_REVENUE_BY_REGION_SQL = """
+SELECT r.r_name, {rev} AS revenue, COUNT(*) AS n_items
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY r.r_name
+""".format(rev=_REV)
+
+# anti-join: customers that never ordered
+
+_NO_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+# semi-join: suppliers whose nation has at least one BUILDING customer
+
+_SEMI_SQL = """
+SELECT s_suppkey, s_name FROM supplier s
+WHERE EXISTS (SELECT 1 FROM customer c
+              WHERE c.c_nationkey = s.s_nationkey AND c.c_mktsegment = 'BUILDING')
+"""
+
+# window rank per group: top-3 customers by balance per nation
+
+_TOP3_SQL = """
+SELECT * FROM (
+  SELECT n.n_name, c.c_custkey, ROUND(c.c_acctbal, 2) AS acctbal,
+         CAST(ROW_NUMBER() OVER (PARTITION BY n.n_name
+                                 ORDER BY c.c_acctbal DESC, c.c_custkey) AS INT) AS rn
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+) WHERE rn <= 3
+"""
+
+# window frames: running spend + days since previous order per customer
+
+_RUNNING_SQL_SPARK = """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+       (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+  DATEDIFF(o_orderdate, LAG(o_orderdate) OVER
+       (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) AS days_since_prev
+FROM orders WHERE o_custkey < 100
+"""
+
+_RUNNING_SQL_DUCK = """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+       (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+  CAST(DATE_DIFF('day', LAG(o_orderdate) OVER
+       (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), o_orderdate) AS INT)
+       AS days_since_prev
+FROM orders WHERE o_custkey < 100
+"""
+
+# rollup with grouping flags
+
+_ROLLUP_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+# cube
+
+_CUBE_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+# set operations (explicit parens; custkey domain)
+
+_SETOPS_SQL = """
+(
+  (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+   INTERSECT
+   SELECT o_custkey FROM orders)
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+)
+UNION
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY' AND c_acctbal < 0
+"""
+
+# scalar string/math functions (dialects differ only in the string cast)
+
+_SCALAR_SQL = """
+SELECT p_partkey,
+  UPPER(p_brand) AS ubrand,
+  LOWER(SUBSTR(p_name, 1, 8)) AS name8,
+  LENGTH(p_name) AS name_len,
+  CONCAT_WS('-', p_brand, p_type) AS brand_type,
+  REPLACE(p_name, ' ', '_') AS name_us,
+  REVERSE(p_brand) AS rbrand,
+  LPAD(CAST(p_size AS {str_t}), 3, '0') AS size3,
+  CAST(INSTR(p_name, 'a') AS INT) AS first_a,
+  ROUND(p_retailprice * 0.9, 2) AS sale_price,
+  ABS(p_size - 25) AS size_dist,
+  CAST(p_size % 7 AS INT) AS size_mod,
+  CASE WHEN p_size < 10 THEN 'S' WHEN p_size < 30 THEN 'M' ELSE 'L' END AS size_class
+FROM part WHERE p_partkey < 150
+"""
+
+_SCALAR_SQL_SPARK = _SCALAR_SQL.format(str_t="STRING")
+_SCALAR_SQL_DUCK = _SCALAR_SQL.format(str_t="VARCHAR")
+
+# date functions (Spark vs DuckDB dialects differ)
+
+_DATE_SQL_SPARK = """
+SELECT o_orderkey,
+  YEAR(o_orderdate) AS yr, MONTH(o_orderdate) AS mon, DAY(o_orderdate) AS dom,
+  QUARTER(o_orderdate) AS qtr,
+  DATE_FORMAT(DATE_TRUNC('month', o_orderdate), 'yyyy-MM-dd') AS month_start,
+  DATEDIFF(o_orderdate, TIMESTAMP '1995-01-01 00:00:00') AS days_since_95,
+  DATE_FORMAT(o_orderdate, 'yyyy-MM-dd') AS iso_date
+FROM orders WHERE o_orderkey < 200
+"""
+
+_DATE_SQL_DUCK = """
+SELECT o_orderkey,
+  CAST(YEAR(o_orderdate) AS INT) AS yr, CAST(MONTH(o_orderdate) AS INT) AS mon,
+  CAST(DAY(o_orderdate) AS INT) AS dom,
+  CAST(QUARTER(o_orderdate) AS INT) AS qtr,
+  STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS month_start,
+  CAST(DATE_DIFF('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT) AS days_since_95,
+  STRFTIME(o_orderdate, '%Y-%m-%d') AS iso_date
+FROM orders WHERE o_orderkey < 200
+"""
+
+# ordered string aggregation
+
+_STRAGG_SQL_SPARK = """
+SELECT n.n_name,
+  CONCAT_WS(',', ARRAY_SORT(COLLECT_LIST(s.s_name))) AS supplier_names,
+  COUNT(*) AS n_suppliers
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+_STRAGG_SQL_DUCK = """
+SELECT n.n_name,
+  STRING_AGG(s.s_name, ',' ORDER BY s.s_name) AS supplier_names,
+  COUNT(*) AS n_suppliers
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+# distinct aggregates
+
+_DISTINCT_SQL = """
+SELECT l_returnflag,
+  COUNT(DISTINCT l_partkey) AS n_parts,
+  COUNT(DISTINCT l_suppkey) AS n_supps,
+  CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_distinct_qty,
+  COUNT(*) AS n_items
+FROM lineitem GROUP BY l_returnflag
+"""
+
+# JSON extraction over events.props
+
+_JSON_SQL_SPARK = """
+SELECT event_type,
+  COUNT(*) AS n_events,
+  SUM(CAST(GET_JSON_OBJECT(props, '$.k') AS INT)) AS sum_k,
+  ROUND(AVG(value), 4) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+_JSON_SQL_DUCK = """
+SELECT event_type,
+  COUNT(*) AS n_events,
+  SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS sum_k,
+  ROUND(AVG(value), 4) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+# tumbling window aggregation (batch analog of streaming windows)
+
+_TUMBLING_SQL_SPARK = """
+SELECT DATE_FORMAT(DATE_TRUNC('hour', ts), 'yyyy-MM-dd HH:mm:ss') AS hour_start,
+  event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+_TUMBLING_SQL_DUCK = """
+SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+  event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+# sessionization: 30-minute inactivity gap (lag + cumulative flag)
+
+_SESSIONS_SQL = """
+WITH g AS (
+  SELECT user_id, ts,
+    CASE WHEN LAG(ts) OVER w IS NULL
+              OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+# ordered replay fold (R11 analog over events): last state per user
+
+_REPLAY_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_type, value, ts, event_id,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+    COUNT(*)    OVER (PARTITION BY user_id) AS n_events
+  FROM events
+)
+SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+       ROUND(value, 6) AS last_value, n_events
+FROM ranked WHERE rn = 1
+"""
+
+# range filter + projection (reference R3 EntriesFrom, raft_log.cc:64-73)
+
+_RANGE_FILTER_SQL = """
+SELECT event_id, event_type, user_id FROM events
+WHERE event_id >= 900 AND event_type IN ('purchase', 'error')
+"""
+
+
+# as-of join implemented with the library operator (DataFrame API side)
+
+def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        left_key="event_id", right_prefix="click_",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    )
+
+
+_ASOF_SQL_DUCK = """
+SELECT p.event_id, p.user_id,
+  STRFTIME(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+
+# top-3 via DataFrame API (same result as _TOP3_SQL — shows both APIs)
+
+def q_top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"),
+                F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+QUERIES = {
+    "rel_pricing_summary": _sql(_PRICING_SQL),
+    "rel_revenue_by_order": _sql(_REVENUE_BY_ORDER_SQL),
+    "rel_revenue_by_region": _sql(_REVENUE_BY_REGION_SQL),
+    "rel_customers_without_orders": _sql(_NO_ORDERS_SQL),
+    "rel_suppliers_semi": _sql(_SEMI_SQL),
+    "rel_top3_customers_per_nation": q_top3_customers_per_nation,
+    "rel_running_total": _sql(_RUNNING_SQL_SPARK),
+    "rel_rollup_sales": _sql(_ROLLUP_SQL),
+    "rel_cube_orders": _sql(_CUBE_SQL),
+    "rel_setops": _sql(_SETOPS_SQL),
+    "rel_scalar_funcs": _sql(_SCALAR_SQL_SPARK),
+    "rel_date_funcs": _sql(_DATE_SQL_SPARK),
+    "rel_string_agg": _sql(_STRAGG_SQL_SPARK),
+    "rel_distinct_aggs": _sql(_DISTINCT_SQL),
+    "rel_json_events": _sql(_JSON_SQL_SPARK),
+    "rel_events_tumbling": _sql(_TUMBLING_SQL_SPARK),
+    "rel_events_sessions": _sql(_SESSIONS_SQL),
+    "rel_replay_fold": _sql(_REPLAY_SQL),
+    "rel_range_filter": _sql(_RANGE_FILTER_SQL),
+    "rel_asof_purchase_click": q_asof_purchase_click,
+}
+
+ORACLES = {
+    "rel_pricing_summary": _PRICING_SQL,
+    "rel_revenue_by_order": _REVENUE_BY_ORDER_SQL,
+    "rel_revenue_by_region": _REVENUE_BY_REGION_SQL,
+    "rel_customers_without_orders": _NO_ORDERS_SQL,
+    "rel_suppliers_semi": _SEMI_SQL,
+    "rel_top3_customers_per_nation": _TOP3_SQL,
+    "rel_running_total": _RUNNING_SQL_DUCK,
+    "rel_rollup_sales": _ROLLUP_SQL,
+    "rel_cube_orders": _CUBE_SQL,
+    "rel_setops": _SETOPS_SQL,
+    "rel_scalar_funcs": _SCALAR_SQL_DUCK,
+    "rel_date_funcs": _DATE_SQL_DUCK,
+    "rel_string_agg": _STRAGG_SQL_DUCK,
+    "rel_distinct_aggs": _DISTINCT_SQL,
+    "rel_json_events": _JSON_SQL_DUCK,
+    "rel_events_tumbling": _TUMBLING_SQL_DUCK,
+    "rel_events_sessions": _SESSIONS_SQL,
+    "rel_replay_fold": _REPLAY_SQL,
+    "rel_range_filter": _RANGE_FILTER_SQL,
+    "rel_asof_purchase_click": _ASOF_SQL_DUCK,
+}

@@ -48,8 +48,8 @@ def compare(spark_df, sql: str, sf_dir: str) -> tuple[bool, str]:
 
     s_order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
     d_order = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
-    s_set = sorted(tuple(_norm(r[i]) for i in s_order) for r in spark_rows)
-    d_set = sorted(tuple(_norm(r[i]) for i in d_order) for r in duck_rows)
+    s_set = sorted((tuple(_norm(r[i]) for i in s_order) for r in spark_rows), key=repr)
+    d_set = sorted((tuple(_norm(r[i]) for i in d_order) for r in duck_rows), key=repr)
     if s_set != d_set:
         diffs = [(a, b) for a, b in zip(s_set, d_set) if a != b][:3]
         return False, f"value mismatch, first diffs (spark, duck): {diffs}"

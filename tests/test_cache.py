@@ -1,0 +1,87 @@
+"""Query-cache semantics parity (reference C1-C4, SURVEY.md §5.3):
+hit/miss, TTL expiry, LRU eviction, invalidate-on-write, and
+cache-on == cache-off results."""
+
+from __future__ import annotations
+
+from distributed_vector_search_system_spark.operators.cache import (
+    CachedSearcher,
+    QueryCache,
+)
+from distributed_vector_search_system_spark.schemas import VECTORS_SCHEMA
+
+
+class FakeClock:
+    def __init__(self):
+        self.t = 0.0
+
+    def __call__(self):
+        return self.t
+
+
+def test_hit_miss_and_ttl():
+    clock = FakeClock()
+    c = QueryCache(max_entries=10, ttl_seconds=30, clock=clock)
+    q = [1.0, 2.0]
+    assert c.lookup(q, 5) is None  # miss
+    c.insert(q, 5, [("r", 1)])
+    assert c.lookup(q, 5) == [("r", 1)]  # hit
+    assert c.lookup(q, 3) is None  # same vector, different k → different key
+    clock.t = 31.0
+    assert c.lookup(q, 5) is None  # TTL-expired, lazily erased
+    assert len(c) == 0
+    assert c.stats.expired == 1
+
+
+def test_lru_eviction_and_touch():
+    c = QueryCache(max_entries=2, ttl_seconds=1000)
+    c.insert([1.0], 1, "a")
+    c.insert([2.0], 1, "b")
+    assert c.lookup([1.0], 1) == "a"  # touch refreshes LRU position
+    c.insert([3.0], 1, "c")  # evicts [2.0] (the LRU tail), not [1.0]
+    assert c.lookup([2.0], 1) is None
+    assert c.lookup([1.0], 1) == "a"
+    assert c.lookup([3.0], 1) == "c"
+    assert c.stats.evictions == 1
+
+
+def test_replace_on_duplicate():
+    c = QueryCache()
+    c.insert([1.0], 1, "old")
+    c.insert([1.0], 1, "new")
+    assert len(c) == 1
+    assert c.lookup([1.0], 1) == "new"
+
+
+def test_invalidate_clears_all():
+    c = QueryCache()
+    c.insert([1.0], 1, "a")
+    c.insert([2.0], 1, "b")
+    c.invalidate()
+    assert len(c) == 0
+    assert c.stats.invalidations == 1
+
+
+def test_cached_searcher_transparent(spark):
+    """Same rows with cache on (hit) and off — caching is semantics-invisible."""
+    vectors = spark.createDataFrame(
+        [(i, [float(i), 0.0], None) for i in range(20)], schema=VECTORS_SCHEMA
+    )
+    s = CachedSearcher(vectors)
+    rows1, from_cache1 = s.search(spark, 0, [3.2, 0.0], 4)
+    rows2, from_cache2 = s.search(spark, 0, [3.2, 0.0], 4)
+    assert not from_cache1 and from_cache2
+    assert rows1 == rows2
+    assert s.cache.stats.hits == 1 and s.cache.stats.misses == 1
+    # invalidate-on-write (reference shard_manager.cc:90,100-101)
+    s.on_mutation()
+    rows3, from_cache3 = s.search(spark, 0, [3.2, 0.0], 4)
+    assert not from_cache3 and rows3 == rows1
+
+
+def test_cached_searcher_k_zero(spark):
+    vectors = spark.createDataFrame([(1, [0.0], None)], schema=VECTORS_SCHEMA)
+    s = CachedSearcher(vectors)
+    rows, from_cache = s.search(spark, 0, [0.0], 0)
+    assert rows == [] and not from_cache
+    assert len(s.cache) == 0  # k=0 short-circuits before the cache
