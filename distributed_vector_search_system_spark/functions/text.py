@@ -1,0 +1,119 @@
+"""Text-analysis primitives for LLM-data-pipeline operators.
+
+All expression-tier (JVM codegen, no Python in the loop) and designed to
+be reproducible term-for-term in the DuckDB oracle:
+
+- tokenization / word shingles
+- language-ID (stopword-profile heuristic)
+- quality scoring (length / stopword / digit ratios, linear — no
+  transcendental functions so both engines produce identical doubles)
+- token counting (whitespace + regex word splitting)
+- document fingerprinting (polynomial rolling hash mod 2^31-1)
+
+At 100 TB these are pure map-side projections: no shuffle, fully
+pipelined with the parquet scan, pushed-down column pruning applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[^a-z0-9]+"
+
+#: stopword profiles for the language-ID heuristic (tie-break = list order)
+LANG_PROFILES: list[tuple[str, tuple[str, ...]]] = [
+    ("en", ("the", "a", "of", "and", "to", "in", "is", "for")),
+    ("de", ("der", "die", "das", "und", "ist", "mit", "von", "zu")),
+    ("es", ("el", "los", "las", "y", "es", "para", "por", "una")),
+    ("fr", ("le", "les", "et", "est", "pour", "dans", "une", "du")),
+    ("zh", ("的", "是", "了", "在", "和", "有", "我", "不")),
+]
+
+FINGERPRINT_MOD = 2147483647  # 2^31 - 1
+
+
+def tokens(text) -> Column:
+    """Lower-cased word tokens (duplicates kept)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(t), TOKEN_RE), lambda x: x != "")
+
+
+def distinct_tokens(text) -> Column:
+    return F.array_distinct(tokens(text))
+
+
+def word_shingles(tokens_col, n: int) -> Column:
+    """Distinct word n-grams joined by single spaces."""
+    t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        )
+    )
+
+
+def token_count(text) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_ratio(text, stopwords: tuple[str, ...]) -> Column:
+    """Fraction of distinct tokens that are in ``stopwords``."""
+    d = distinct_tokens(text)
+    hits = F.size(F.array_intersect(d, F.array(*[F.lit(s) for s in stopwords])))
+    return F.when(F.size(d) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(d).cast("double")
+    )
+
+
+def digit_ratio(text) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(t, "[0-9]", "")
+    return F.when(F.length(t) == 0, F.lit(0.0)).otherwise(
+        (F.length(t) - F.length(stripped)).cast("double") / F.length(t).cast("double")
+    )
+
+
+def detect_language(text) -> Column:
+    """Stopword-profile language ID: the profile with the most distinct-token
+    hits wins; ties resolve in LANG_PROFILES order; zero hits → 'und'."""
+    d = distinct_tokens(text)
+    scores = [
+        F.size(F.array_intersect(d, F.array(*[F.lit(s) for s in words])))
+        for _, words in LANG_PROFILES
+    ]
+    best = F.greatest(*scores)
+    expr = F.lit("und")
+    # build the WHEN chain in reverse so earlier profiles win ties
+    for (lang, _), score in reversed(list(zip(LANG_PROFILES, scores))):
+        expr = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score(text) -> Column:
+    """Linear quality heuristic in [0, 1]: enough tokens, high stopword
+    coverage, low digit noise.  Deliberately transcendental-free so Spark
+    and the oracle produce bit-identical doubles."""
+    n = token_count(text).cast("double")
+    en_stop = LANG_PROFILES[0][1]
+    return F.round(
+        F.least(n, F.lit(300.0)) / F.lit(300.0) * F.lit(0.2)
+        + stopword_ratio(text, en_stop) * F.lit(0.5)
+        + (F.lit(1.0) - digit_ratio(text)) * F.lit(0.3),
+        6,
+    )
+
+
+def fingerprint(text) -> Column:
+    """Polynomial rolling hash over the character codes, mod 2^31-1 —
+    an order-sensitive document fingerprint (same idea as Rabin-Karp)."""
+    t = F.col(text) if isinstance(text, str) else text
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(t)), lambda i: F.ascii(F.substring(t, i, 1))
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * 31 + x.cast("long"), F.lit(FINGERPRINT_MOD)),
+    )

@@ -1,0 +1,305 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+North-star extensions beyond the reference surface (BASELINE.json):
+exact, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine
+near-dup — each expressed as DataFrame plans that scale:
+
+- exact dedup        — hash groupBy, one shuffle on the digest
+- n-gram Jaccard     — shingle explode + equi-join on shingle (only
+                       pairs sharing a shingle are materialized), then
+                       exact verification
+- MinHash + LSH      — signature (map-side, expression tier) → band
+                       bucket equi-join (candidates only) → exact
+                       Jaccard verify; the classic
+                       shingle→minhash→band→bucket-join pipeline
+- SimHash            — 64-bit signature map-side; candidate pairs via
+                       banded chunks (scale path) or all-pairs
+                       (small/oracle path); hamming = bit_count(xor)
+- embedding cosine   — blocked self-join (block = label or LSH bucket)
+                       + exact cosine threshold
+
+Hashes use ``portable_hash64`` (md5-based) so the DuckDB oracle can
+reproduce signatures bit-for-bit; swap ``hash_fn`` for
+``F.xxhash64``-based hashing in production for speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.distance import cosine_similarity
+from ..functions.hashing import portable_hash64
+from ..functions.text import tokens as text_tokens
+from ..functions.text import word_shingles
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per exact text hash (md5 over the raw
+    text; one shuffle on the digest)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def with_shingles(
+    docs: DataFrame, n: int = 2, text_col: str = "text", out_col: str = "shingles"
+) -> DataFrame:
+    return docs.withColumn(out_col, word_shingles(text_tokens(text_col), n))
+
+
+def _pair_jaccard(shingled: DataFrame, id_col: str, candidates: DataFrame | None) -> DataFrame:
+    """Exact Jaccard for (doc_a < doc_b) pairs sharing ≥1 shingle; if
+    ``candidates`` (doc_a, doc_b) is given, only verify those pairs."""
+    ex = shingled.select(F.col(id_col).alias("_id"), F.explode("shingles").alias("_sh"))
+    sizes = shingled.select(F.col(id_col).alias("_id"), F.size("shingles").alias("_n"))
+    a = ex.select(F.col("_id").alias("doc_a"), "_sh")
+    b = ex.select(F.col("_id").alias("doc_b"), "_sh")
+    inter = (
+        a.join(b, on="_sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, on=["doc_a", "doc_b"], how="left_semi")
+    return (
+        inter.join(sizes.withColumnRenamed("_id", "doc_a").withColumnRenamed("_n", "_na"), "doc_a")
+        .join(sizes.withColumnRenamed("_id", "doc_b").withColumnRenamed("_n", "_nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("_inter").cast("double")
+             / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double")
+             ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    *,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All (doc_a < doc_b) pairs with word-``n``-gram Jaccard ≥ threshold.
+
+    Only pairs sharing at least one shingle are ever materialized (the
+    shingle equi-join is the blocker), so cost is driven by shingle
+    collision rates, not |docs|².
+    """
+    sh = with_shingles(docs, n=n, text_col=text_col)
+    return _pair_jaccard(sh, id_col, None).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+def minhash_signature(shingles_col, num_hashes: int, hash_fn=portable_hash64) -> Column:
+    """Array of ``num_hashes`` min-hash values (one per seeded hash fn),
+    computed map-side as a pure expression."""
+    sh = F.col(shingles_col) if isinstance(shingles_col, str) else shingles_col
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda s: F.array_min(
+            F.transform(sh, lambda x: hash_fn(F.concat(s.cast("string"), F.lit(":"), x)))
+        ),
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn=portable_hash64,
+) -> DataFrame:
+    """Candidate (doc_a < doc_b) pairs that collide in ≥1 LSH band.
+
+    rows-per-band = num_hashes / bands; collision prob ≈ 1-(1-j^r)^b.
+    The only shuffle is the band-bucket groupBy/join — no |docs|² scan.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sh = with_shingles(docs, n=n, text_col=text_col).filter(F.size("shingles") > 0)
+    sig = sh.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature("shingles", num_hashes, hash_fn).alias("_sig"),
+    )
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    hash_fn(
+                        F.concat_ws(",", F.transform(F.slice("_sig", b * r + 1, r),
+                                                     lambda v: v.cast("string")))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+    left = banded.select(F.col("_id").alias("doc_a"), "band", "bucket")
+    right = banded.select(F.col("_id").alias("doc_b"), "band", "bucket")
+    return (
+        left.join(right, on=["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    threshold: float,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn=portable_hash64,
+) -> DataFrame:
+    """LSH candidates verified with exact shingle Jaccard ≥ threshold —
+    the full near-dup pipeline (generate cheaply, verify exactly)."""
+    cands = minhash_lsh_candidates(
+        docs, num_hashes=num_hashes, bands=bands, n=n,
+        text_col=text_col, id_col=id_col, hash_fn=hash_fn,
+    )
+    sh = with_shingles(docs, n=n, text_col=text_col)
+    return _pair_jaccard(sh, id_col, cands).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+SIMHASH_BITS = 60  # portable_hash64 yields 60-bit values (15 hex chars)
+
+
+def simhash(tokens_col, hash_fn=portable_hash64, bits: int = SIMHASH_BITS) -> Column:
+    """Classic SimHash over distinct tokens: per bit, sum ±1 across token
+    hashes; bit set iff the sum is positive.  Pure expression tier — the
+    per-bit fold is unrolled in Python (bit counts are static), so every
+    shift amount is a literal and the whole signature stays in codegen."""
+    t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    hashes = F.transform(F.array_distinct(t), lambda x: hash_fn(x))
+
+    def bit_term(i: int):
+        # binary merge fn with the shift amount baked in as a literal
+        # (pyspark introspects lambda arity, so no default-arg capture)
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_sum = F.aggregate(hashes, F.lit(0), bit_term(i))
+        sig = sig + F.when(bit_sum > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    banded: bool = False,
+    band_bits: int = 15,
+) -> DataFrame:
+    """(doc_a < doc_b) pairs with SimHash hamming distance ≤ max_hamming.
+
+    ``banded=True`` is the scale path: by pigeonhole, any pair within
+    ``max_hamming < SIMHASH_BITS/band_bits`` differing bits must agree on
+    at least one ``band_bits``-wide chunk, so candidates come from an
+    equi-join on (chunk_index, chunk_value) instead of |docs|².
+    """
+    sigs = docs.select(
+        F.col(id_col).alias("_id"), simhash(text_tokens(text_col)).alias("_sig")
+    )
+    if banded:
+        nb = SIMHASH_BITS // band_bits
+        mask = (1 << band_bits) - 1
+        chunks = sigs.select(
+            "_id",
+            "_sig",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("ci"),
+                            F.shiftright(F.col("_sig"), i * band_bits)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("cv"),
+                        )
+                        for i in range(nb)
+                    ]
+                )
+            ).alias("c"),
+        ).select("_id", "_sig", "c.ci", "c.cv")
+        l = chunks.select(F.col("_id").alias("doc_a"), F.col("_sig").alias("_sa"), "ci", "cv")
+        r = chunks.select(F.col("_id").alias("doc_b"), F.col("_sig").alias("_sb"), "ci", "cv")
+        pairs = (
+            l.join(r, on=["ci", "cv"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "_sa", "_sb")
+            .distinct()
+        )
+    else:
+        l = sigs.select(F.col("_id").alias("doc_a"), F.col("_sig").alias("_sa"))
+        r = sigs.select(F.col("_id").alias("doc_b"), F.col("_sig").alias("_sb"))
+        pairs = l.crossJoin(r).filter(F.col("doc_a") < F.col("doc_b"))
+    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    return pairs.select(
+        "doc_a", "doc_b", ham.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """(id_a < id_b) pairs with cosine similarity ≥ threshold.
+
+    ``block_col`` is the blocking key (label, cluster id, or an LSH
+    bucket from ``similarity.with_lsh_bucket``): the self-join becomes an
+    equi-join on the block instead of a full cross product — the 100 TB
+    shape.  Without it the plan is an explicit cross join (oracle path,
+    small inputs only).
+    """
+    a = vectors.select(
+        F.col(id_col).alias("id_a"), F.col(vector_col).alias("_va"),
+        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+    )
+    b = vectors.select(
+        F.col(id_col).alias("id_b"), F.col(vector_col).alias("_vb"),
+        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+    )
+    joined = a.join(b, on="_blk") if block_col else a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            cosine_similarity(F.col("_va"), F.col("_vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

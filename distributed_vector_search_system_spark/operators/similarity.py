@@ -1,0 +1,208 @@
+"""Similarity search: brute-force cosine top-k and approximate variants.
+
+The reference is an *exact* engine (FAISS IndexFlatL2, 100% recall by
+construction).  At 100 TB exact scans stop being the only option, so this
+module adds the approximate scale paths while keeping the exact
+brute-force as both the baseline and the final re-rank step:
+
+- ``cosine_topk``      — exact brute force (oracle-comparable)
+- ``with_lsh_bucket`` / ``ann_lsh_topk`` — random-hyperplane LSH: bucket
+  vectors by sign bits, search only the query's bucket(s), exact re-rank
+  inside.  Deterministic planes (seeded numpy) broadcast as literals.
+- ``ann_ivf_topk``     — IVF-style: deterministic centroid sample,
+  assign vectors to nearest centroid (one map-side pass), probe the
+  ``n_probe`` nearest cells per query, exact re-rank inside.
+
+Both approximate paths turn the all-pairs scan into an equi-join on the
+bucket/cell id — the shuffle carries only candidate cells, and recall is
+tunable (num planes / probes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.distance import cosine_similarity, squared_l2
+from .knn import merge_topk
+
+
+def _cosine_ranked(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vector_col: str = "qvec",
+) -> DataFrame:
+    """Exact cosine top-k (descending similarity, id tie-break)."""
+    scored = vectors.join(F.broadcast(queries), how="cross").select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("id"),
+        cosine_similarity(F.col(vector_col), F.col(query_vector_col)).alias("cosine"),
+    )
+    return _cosine_ranked(scored, k)
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.randn(num_planes, dim)
+
+
+def lsh_bucket_expr(vector_col, planes) -> Column:
+    """Sign-bit bucket id for a vector against literal hyperplanes —
+    pure expression, map-side, no shuffle."""
+    v = F.col(vector_col) if isinstance(vector_col, str) else vector_col
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(v, lit_plane, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
+    return bucket
+
+
+def with_lsh_bucket(
+    vectors: DataFrame,
+    *,
+    dim: int,
+    num_planes: int = 8,
+    seed: int = 42,
+    vector_col: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
+    return vectors.withColumn(out_col, lsh_bucket_expr(vector_col, _hyperplanes(dim, num_planes, seed)))
+
+
+def ann_lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    dim: int,
+    num_planes: int = 6,
+    num_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vector_col: str = "qvec",
+    multiprobe_bits: int = 1,
+) -> DataFrame:
+    """Approximate cosine top-k: equi-join on LSH buckets, exact re-rank.
+
+    Classic multi-table sign-LSH: ``num_tables`` independent plane sets
+    (recall compounds across tables, 1-(1-p)^L), each with optional
+    multi-probe (``multiprobe_bits`` ≥ 1 also probes buckets within that
+    hamming distance of the query's bucket).  Candidates are the union
+    over tables, deduplicated before the exact cosine re-rank, so the
+    expensive distance computation runs once per (query, candidate).
+
+    Tuning: recall ↑ with more tables/probes, candidate fraction ↑ too;
+    num_planes ↑ shrinks buckets (recall ↓, cost ↓).  All bucketing is
+    map-side expression work; the only shuffle is the bucket equi-join.
+    """
+    per_table = []
+    for t in range(num_tables):
+        planes = _hyperplanes(dim, num_planes, seed + 1000 * t)
+        v = vectors.select(
+            F.col(id_col).alias("id"),
+            F.col(vector_col).alias("_v"),
+            lsh_bucket_expr(vector_col, planes).alias("_bkt"),
+        ).withColumn("_tbl", F.lit(t))
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vector_col).alias("_qv"),
+            lsh_bucket_expr(query_vector_col, planes).alias("_qbkt"),
+        )
+        probes = [F.col("_qbkt")]
+        if multiprobe_bits >= 1:
+            probes += [
+                F.col("_qbkt").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(num_planes)
+            ]
+        qx = q.withColumn("_bkt", F.explode(F.array(*probes))).drop("_qbkt")
+        per_table.append(
+            v.join(F.broadcast(qx), on="_bkt").select("query_id", "id", "_v", "_qv")
+            .withColumn("_t", F.lit(t))
+        )
+    cands = per_table[0]
+    for p in per_table[1:]:
+        cands = cands.unionByName(p)
+    scored = (
+        cands.dropDuplicates(["query_id", "id"])
+        .select(
+            "query_id",
+            "id",
+            cosine_similarity(F.col("_v"), F.col("_qv")).alias("cosine"),
+        )
+    )
+    return _cosine_ranked(scored, k)
+
+
+def ann_ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    num_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vector_col: str = "qvec",
+) -> DataFrame:
+    """IVF-style approximate kNN (squared-L2): deterministic centroids
+    (every ``ntotal/num_cells``-th vector by id order), map-side cell
+    assignment, per-query probe of the ``n_probe`` nearest cells, exact
+    search inside probed cells.
+
+    The centroid set is tiny → collected and broadcast as literals; the
+    candidate join is an equi-join on cell id.
+    """
+    w = Window.orderBy(F.col(id_col))
+    numbered = vectors.withColumn("_rn", F.row_number().over(w))
+    total = numbered.count()
+    step = max(total // num_cells, 1)
+    cents = (
+        numbered.filter((F.col("_rn") - 1) % step == 0)
+        .limit(num_cells)
+        .select(F.col(id_col).alias("cell_id"), F.col(vector_col).alias("cvec"))
+        .collect()
+    )
+
+    def nearest_cells(vec_col, n: int) -> Column:
+        dists = F.array(*[
+            F.struct(
+                squared_l2(vec_col, F.array(*[F.lit(float(x)) for x in c["cvec"]])).alias("d"),
+                F.lit(c["cell_id"]).alias("cid"),
+            )
+            for c in cents
+        ])
+        return F.slice(F.array_sort(dists), 1, n)
+
+    v = vectors.withColumn("_cell", nearest_cells(F.col(vector_col), 1)[0]["cid"])
+    q = queries.withColumn(
+        "_probe", F.explode(F.transform(nearest_cells(F.col(query_vector_col), n_probe), lambda s: s["cid"]))
+    )
+    scored = v.join(F.broadcast(q), v["_cell"] == q["_probe"]).select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("id"),
+        squared_l2(F.col(vector_col), F.col(query_vector_col)).alias("distance"),
+    )
+    return merge_topk(scored, k)

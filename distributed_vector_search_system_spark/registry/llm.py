@@ -1,6 +1,416 @@
-"""LLM-data-pipeline operators (dedup / similarity / text) — Stage 6."""
+"""LLM-data-pipeline query surface (north-star extensions; BASELINE.json).
+
+Dedup (exact / n-gram Jaccard / MinHash+LSH / SimHash / embedding
+cosine), similarity search (exact + ANN), text analysis (langid,
+quality, token stats, fingerprint), multimodal binary columns.
+
+Oracle portability: every hash that must match across engines is the
+md5-prefix hash (``functions.hashing.portable_hash64``); SQL oracles
+rebuild signatures term-for-term.  ANN and mapInPandas feature queries
+are weak-checked (rows-only) — their quality/recall guarantees live in
+pytest instead.
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LANG_PROFILES,
+    detect_language,
+    fingerprint,
+    quality_score,
+    token_count,
+    tokens,
+)
+from ..operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from ..operators.multimodal import extract_features, sample_frames, with_blob_metadata
+from ..operators.similarity import ann_ivf_topk, ann_lsh_topk, cosine_topk
+from ..tables import load_table
+
+# ---------------------------------------------------------------------------
+# shared DuckDB SQL fragments (must mirror functions/text.py exactly)
+
+_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+_SHINGLES = "list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))"
+
+
+def _hash_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+_SQL_COSINE = (
+    "(SELECT SUM(CAST(u.a AS DOUBLE) * CAST(u.b AS DOUBLE)) / "
+    "(SQRT(SUM(CAST(u.a AS DOUBLE) * CAST(u.a AS DOUBLE))) * "
+    "SQRT(SUM(CAST(u.b AS DOUBLE) * CAST(u.b AS DOUBLE)))) "
+    "FROM (SELECT UNNEST({x}) AS a, UNNEST({y}) AS b) u)"
+)
+
+# ---------------------------------------------------------------------------
+# dedup: exact
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id", "n_chars")
+
+
+_DEDUP_EXACT_SQL = """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+# dedup: n-gram Jaccard (word bigrams, threshold 0.5)
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, 0.5, n=2).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+_NGRAM_JACCARD_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS s FROM toks),
+ex AS (SELECT doc_id, UNNEST(s) AS shingle FROM sh),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
+"""
+
+# dedup: MinHash + LSH (16 hashes, 4 bands, verify at 0.5)
+
+_NUM_HASHES, _BANDS = 16, 4
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(
+        docs, 0.5, num_hashes=_NUM_HASHES, bands=_BANDS, n=2
+    ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_R = _NUM_HASHES // _BANDS
+_MINHASH_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS s FROM toks WHERE len({_SHINGLES}) > 0),
+sig AS (
+  SELECT doc_id, s,
+    list_transform(range(0, {_NUM_HASHES}),
+      h -> list_min(list_transform(s, x -> {_hash_sql("CAST(h AS VARCHAR) || ':' || x")})))
+      AS sg
+  FROM sh
+),
+banded AS (
+  SELECT doc_id, b.band,
+    {_hash_sql("array_to_string(list_transform(sg[b.band * " + str(_R) + " + 1 : b.band * " + str(_R) + " + " + str(_R) + "], v -> CAST(v AS VARCHAR)), ',')")} AS bucket
+  FROM sig, (SELECT UNNEST(range(0, {_BANDS})) AS band) b
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket
+  WHERE l.doc_id < r.doc_id
+),
+ex AS (SELECT doc_id, UNNEST(s) AS shingle FROM sh),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT i.doc_a, i.doc_b,
+         CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) AS j
+  FROM inter i
+  JOIN cand c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+)
+SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM verified WHERE j >= 0.5
+"""
+
+# dedup: SimHash (60-bit portable hash, all-pairs oracle, hamming ≤ 12)
+
+_SIMHASH_MAXHAM = 12
+_SIMHASH_BITS = 60
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, _SIMHASH_MAXHAM)
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ",\n    ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(_SIMHASH_BITS)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(_SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, list_distinct({_TOKS}) AS w FROM documents),
+ex AS (SELECT doc_id, {_hash_sql("UNNEST(w)")} AS h FROM toks),
+bits AS (SELECT doc_id, {bit_sums} FROM ex GROUP BY doc_id),
+sigs AS (SELECT doc_id, {assemble} AS sig FROM bits)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {_SIMHASH_MAXHAM}
+"""
+
+
+# dedup: embedding cosine near-dup (label-blocked, threshold 0.4)
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, 0.4, block_col="label").select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
+_EMB_NEARDUP_SQL = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_SQL_COSINE.format(x="a.embedding", y="b.embedding")} AS c
+  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM pairs WHERE c >= 0.4
+"""
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return cosine_topk(emb, q, 5).select(
+        "query_id", "id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+_ANN_COSINE_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 7),
+scored AS (
+  SELECT q.query_id, v.vec_id AS id,
+         {_SQL_COSINE.format(x="q.qe", y="v.embedding")} AS c
+  FROM q CROSS JOIN embeddings v
+),
+ranked AS (
+  SELECT query_id, id, c,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, id, ROUND(c, 6) AS cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ann_lsh_topk(emb, q, 5, dim=64).select(
+        "query_id", "id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ann_ivf_topk(emb, q, 5).select(
+        "query_id", "id", F.round("distance", 6).alias("distance"), "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", detect_language("text").alias("pred_lang"), F.col("lang").alias("tagged_lang")
+    )
+
+
+def _langid_oracle() -> str:
+    score_cols = ",\n  ".join(
+        "len(list_intersect(w, ["
+        + ", ".join(f"'{s}'" for s in words)
+        + f"])) AS s_{lang}"
+        for lang, words in LANG_PROFILES
+    )
+    best = "GREATEST(" + ", ".join(f"s_{lang}" for lang, _ in LANG_PROFILES) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{lang} = best AND best > 0 THEN '{lang}'" for lang, _ in LANG_PROFILES
+    ) + " ELSE 'und' END"
+    return f"""
+WITH toks AS (SELECT doc_id, lang, list_distinct({_TOKS}) AS w FROM documents),
+scored AS (SELECT doc_id, lang, {score_cols} FROM toks),
+final AS (SELECT doc_id, lang, {best} AS best, * FROM scored)
+SELECT doc_id, {case} AS pred_lang, lang AS tagged_lang FROM final
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+    )
+
+
+_EN_STOP = ", ".join(f"'{s}'" for s in LANG_PROFILES[0][1])
+_TEXT_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS w, list_distinct({_TOKS}) AS dw, text FROM documents
+),
+m AS (
+  SELECT doc_id, CAST(len(w) AS INT) AS n_tokens,
+    CASE WHEN len(dw) = 0 THEN 0.0
+         ELSE CAST(len(list_intersect(dw, [{_EN_STOP}])) AS DOUBLE) / CAST(len(dw) AS DOUBLE)
+    END AS stop_ratio,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+              / CAST(length(text) AS DOUBLE)
+    END AS dig_ratio
+  FROM t
+)
+SELECT doc_id, n_tokens,
+  ROUND(LEAST(CAST(n_tokens AS DOUBLE), 300.0) / 300.0 * 0.2
+        + stop_ratio * 0.5 + (1.0 - dig_ratio) * 0.3, 6) AS quality
+FROM m
+"""
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", token_count("text").alias("n"), "n_chars")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").alias("total_tokens"),
+            F.round(F.avg("n"), 4).alias("avg_tokens"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+_TOKEN_STATS_SQL = f"""
+WITH t AS (SELECT source, CAST(len({_TOKS}) AS BIGINT) AS n, n_chars FROM documents)
+SELECT source, COUNT(*) AS n_docs, SUM(n) AS total_tokens,
+       ROUND(AVG(n), 4) AS avg_tokens, MAX(n_chars) AS max_chars
+FROM t GROUP BY source
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+_FINGERPRINT_SQL = """
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, length(text) + 1), i -> CAST(ord(text[i]) AS BIGINT))),
+    (a, b) -> (a * 31 + b) % 2147483647) AS fp
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# multimodal binary columns (blob synthesized deterministically from text)
+
+def _with_blob(docs: DataFrame) -> DataFrame:
+    return docs.withColumn("blob", F.encode(F.col("text"), "UTF-8"))
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_blob(load_table(spark, sf_dir, "documents"))
+    return with_blob_metadata(docs).select("doc_id", "n_bytes", "sha256", "magic")
+
+
+# DuckDB 1.0 lacks sha256/hex over BLOB — the fixture text is ASCII so the
+# utf-8 blob bytes equal the string bytes; hash/hex the string instead.
+_MULTIMODAL_META_SQL = """
+SELECT doc_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  sha256(text) AS sha256,
+  hex(substring(text, 1, 4)) AS magic
+FROM documents
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_blob(load_table(spark, sf_dir, "documents"))
+    return extract_features(docs)
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_blob(load_table(spark, sf_dir, "documents"))
+    frames = sample_frames(docs, frame_size=64, num_frames=4)
+    return frames.select(
+        "doc_id", "frame_index", F.octet_length("frame").alias("frame_bytes")
+    )
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "text_language_id": q_text_language_id,
+    "text_quality": q_text_quality,
+    "text_token_stats": q_text_token_stats,
+    "doc_fingerprint": q_doc_fingerprint,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
+}
+
+ORACLES = {
+    "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+    "dedup_minhash_lsh": _MINHASH_SQL,
+    "dedup_simhash": _simhash_oracle(),
+    "dedup_embedding_cosine": _EMB_NEARDUP_SQL,
+    "ann_cosine_topk": _ANN_COSINE_SQL,
+    "text_language_id": _langid_oracle(),
+    "text_quality": _TEXT_QUALITY_SQL,
+    "text_token_stats": _TOKEN_STATS_SQL,
+    "doc_fingerprint": _FINGERPRINT_SQL,
+    "multimodal_meta": _MULTIMODAL_META_SQL,
+    # ann_lsh_topk / ann_ivf_topk: approximate — recall vs the exact
+    # baseline is asserted in tests/test_similarity.py, not vs an oracle.
+    # multimodal_features / multimodal_frames: mapInPandas kernels —
+    # validated value-exactly in tests/test_multimodal.py.
+}

@@ -1,0 +1,101 @@
+"""Dedup-operator semantics: exact, n-gram Jaccard, MinHash+LSH recall,
+SimHash, embedding near-dup blocking."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_vector_search_system_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_dedup_pairs,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from distributed_vector_search_system_spark.functions.text import tokens
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    d = _docs(spark, [(3, "a b c"), (1, "a b c"), (2, "x y"), (9, "x y")])
+    got = sorted(r["doc_id"] for r in exact_dedup(d).collect())
+    assert got == [1, 2]
+
+
+def test_ngram_jaccard_identical_and_disjoint(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # identical
+            (3, "the quick brown fox jumps over a sleepy cat"),  # overlapping
+            (4, "completely different words entirely here now"),  # disjoint
+        ],
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(d, 0.0, n=2).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert 0.0 < pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_finds_planted_neardups(spark, sf_smoke):
+    """The fixtures contain planted near-duplicates (Jaccard ≥ 0.9);
+    LSH candidates must recover every pair the exact scan finds."""
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    exact = {
+        (r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(docs, 0.9, n=2).collect()
+    }
+    assert exact, "fixtures should contain planted near-dups"
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_dedup_pairs(docs, 0.9, num_hashes=16, bands=4, n=2).collect()
+    }
+    assert lsh == exact  # at j≥0.9 with b=4,r=4 recall is ~1 - (1-0.9^4)^4 ≈ 0.9998
+
+
+def test_minhash_candidates_are_pairs_not_dupes(spark, sf_smoke):
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").limit(100)
+    cands = minhash_lsh_candidates(docs, num_hashes=16, bands=4).collect()
+    seen = {(r["doc_a"], r["doc_b"]) for r in cands}
+    assert len(seen) == len(cands)  # distinct
+    assert all(a < b for a, b in seen)
+
+
+def test_simhash_identical_zero_distance(spark):
+    d = _docs(spark, [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")])
+    got = d.select(simhash(tokens("text")).alias("s")).collect()
+    assert got[0]["s"] == got[1]["s"]
+    pairs = simhash_pairs(d, 0).collect()
+    assert [(pairs[0]["doc_a"], pairs[0]["doc_b"], pairs[0]["hamming"])] == [(1, 2, 0)]
+
+
+def test_simhash_banded_matches_allpairs(spark, sf_smoke):
+    """Pigeonhole: with 4x15-bit chunks, any pair at hamming ≤ 3 shares a
+    chunk, so the banded scale path finds exactly the all-pairs result."""
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").limit(150)
+    full = {(r["doc_a"], r["doc_b"], r["hamming"])
+            for r in simhash_pairs(docs, 3).collect()}
+    banded = {(r["doc_a"], r["doc_b"], r["hamming"])
+              for r in simhash_pairs(docs, 3, banded=True, band_bits=15).collect()}
+    assert banded == full
+
+
+def test_embedding_neardup_blocked_equals_filtered_bruteforce(spark, sf_smoke):
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet").limit(200)
+    blocked = {(r["id_a"], r["id_b"]) for r in
+               embedding_neardup_pairs(emb, 0.3, block_col="label").collect()}
+    brute = embedding_neardup_pairs(emb, 0.3)  # cross-join path
+    lbl = emb.select(F.col("vec_id").alias("id_a"), F.col("label").alias("la"))
+    lbr = emb.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lb"))
+    brute_same_label = {
+        (r["id_a"], r["id_b"])
+        for r in brute.join(lbl, "id_a").join(lbr, "id_b")
+        .filter(F.col("la") == F.col("lb")).collect()
+    }
+    assert blocked == brute_same_label

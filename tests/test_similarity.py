@@ -1,0 +1,81 @@
+"""ANN quality gates: the approximate paths must hit recall targets
+against the exact brute-force baseline (which itself is oracle-checked)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from distributed_vector_search_system_spark.operators.similarity import (
+    ann_ivf_topk,
+    ann_lsh_topk,
+    cosine_topk,
+    with_lsh_bucket,
+)
+
+
+def _qset(emb, mod):
+    return emb.filter(F.col("vec_id") % mod == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+
+def _topk_ids(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["id"])
+    return out
+
+
+def _recall(approx, exact):
+    hits = sum(len(approx.get(q, set()) & ids) for q, ids in exact.items())
+    total = sum(len(ids) for ids in exact.items() and exact.values())
+    return hits / total
+
+
+def test_cosine_topk_matches_numpy(spark, sf_smoke):
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    q = _qset(emb, 250)
+    got = cosine_topk(emb, q, 5).collect()
+    rows = emb.collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    norms = np.linalg.norm(mat, axis=1)
+    for qr in q.collect():
+        qv = np.array(qr["qvec"], dtype=np.float64)
+        cos = (mat @ qv) / (norms * np.linalg.norm(qv))
+        order = sorted(range(len(ids)), key=lambda i: (-cos[i], ids[i]))[:5]
+        expect = [int(ids[i]) for i in order]
+        mine = [r["id"] for r in sorted(got, key=lambda r: r["rank"])
+                if r["query_id"] == qr["query_id"]]
+        assert mine == expect
+
+
+def test_lsh_recall(spark, sf_smoke):
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    q = _qset(emb, 100)
+    exact = _topk_ids(cosine_topk(emb, q, 5))
+    approx = _topk_ids(ann_lsh_topk(emb, q, 5, dim=64))
+    assert _recall(approx, exact) >= 0.6
+
+
+def test_ivf_recall(spark, sf_smoke):
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    q = _qset(emb, 100)
+    exact = _topk_ids(
+        # exact squared-L2 baseline
+        __import__(
+            "distributed_vector_search_system_spark.operators.knn", fromlist=["knn"]
+        ).knn(emb, q, 5)
+    )
+    approx = _topk_ids(ann_ivf_topk(emb, q, 5, num_cells=16, n_probe=8))
+    assert _recall(approx, exact) >= 0.6
+
+
+def test_lsh_bucket_is_deterministic(spark, sf_smoke):
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet").limit(50)
+    a = with_lsh_bucket(emb, dim=64, seed=7).select("vec_id", "bucket").collect()
+    b = with_lsh_bucket(emb, dim=64, seed=7).select("vec_id", "bucket").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    c = with_lsh_bucket(emb, dim=64, seed=8).select("vec_id", "bucket").collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))  # seed matters

@@ -1,0 +1,131 @@
+"""Streaming semantics: ordered mutation replay via foreachBatch (R11),
+idempotent redelivery, and window builders agreeing between batch and
+streaming execution."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from distributed_vector_search_system_spark.schemas import (
+    MUTATIONS_SCHEMA,
+    VECTORS_SCHEMA,
+)
+from distributed_vector_search_system_spark.streaming.mutation_stream import (
+    SnapshotStore,
+    apply_mutation_stream,
+)
+from distributed_vector_search_system_spark.streaming.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+from distributed_vector_search_system_spark.tables import load_table
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [(1, [1.0, 1.0], 10), (2, [2.0, 2.0], 20)], schema=VECTORS_SCHEMA
+    )
+
+
+def test_mutation_stream_ordered_apply(spark, tmp_path):
+    """Stream a mutation log from parquet files; the folded snapshot must
+    equal the batch compaction of the same log (R11 parity)."""
+    log_rows = [
+        (1, "upsert", 3, None, [3.0, 3.0], 30),
+        (2, "upsert", 1, None, [9.0, 9.0], 90),
+        (3, "delete", 2, None, None, None),
+        (4, "delete", 999, None, None, None),  # absent → no-op
+        (5, "upsert", 1, None, [7.0, 7.0], 70),  # LWW over seq 2
+    ]
+    src = str(tmp_path / "mlog")
+    spark.createDataFrame(log_rows, schema=MUTATIONS_SCHEMA).write.parquet(src)
+
+    stream = spark.readStream.schema(MUTATIONS_SCHEMA).parquet(src)
+    store = SnapshotStore(_base(spark))
+    batches = []
+    q = apply_mutation_stream(
+        stream,
+        store,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        on_batch=lambda bid, ver: batches.append((bid, ver)),
+    )
+    q.awaitTermination(120)
+    got = {r["vec_id"]: (tuple(r["embedding"]), r["label"]) for r in store.current.collect()}
+    assert got == {1: ((7.0, 7.0), 70), 3: ((3.0, 3.0), 30)}
+    assert store.version >= 1
+    assert batches
+
+
+def test_mutation_replay_idempotent_redelivery(spark):
+    """Applying the same micro-batch twice must not change the snapshot
+    (foreachBatch retry safety)."""
+    log = spark.createDataFrame(
+        [(1, "upsert", 5, None, [5.0, 5.0], 50), (2, "delete", 1, None, None, None)],
+        schema=MUTATIONS_SCHEMA,
+    )
+    store = SnapshotStore(_base(spark))
+    store.apply(log)
+    once = sorted((r["vec_id"], r["label"]) for r in store.current.collect())
+    store.apply(log)  # redelivery
+    twice = sorted((r["vec_id"], r["label"]) for r in store.current.collect())
+    assert once == twice == [(2, 20), (5, 50)]
+
+
+def test_tumbling_window_batch_vs_stream(spark, sf_smoke, tmp_path):
+    """The same window plan over the events table must produce identical
+    results in batch mode and via readStream."""
+    events = load_table(spark, sf_smoke, "events")
+    batch = tumbling_window_agg(events).collect()
+
+    # materialize with µs timestamps so readStream sees a supported type
+    src = str(tmp_path / "events_us")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = tumbling_window_agg(stream, watermark="1 minute")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql("SELECT * FROM tumbling_test").collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, streamed))
+
+
+def test_sliding_window_counts(spark, sf_smoke):
+    events = load_table(spark, sf_smoke, "events")
+    total = events.count()
+    rows = sliding_window_agg(
+        events, window_duration="2 hours", slide_duration="1 hour"
+    ).collect()
+    # every event lands in exactly 2 sliding windows
+    assert sum(r["n_events"] for r in rows) == 2 * total
+
+
+def test_session_window_matches_sql_sessionization(spark, sf_smoke):
+    """Native session_window must find the same session count per user as
+    the lag/cumsum SQL formulation (rel_events_sessions oracle)."""
+    events = load_table(spark, sf_smoke, "events")
+    native = (
+        session_window_agg(events, gap="30 minutes")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"))
+    )
+    events.createOrReplaceTempView("events")
+    sql = spark.sql(
+        """
+        WITH g AS (
+          SELECT user_id,
+            CASE WHEN LAG(ts) OVER w IS NULL
+                      OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions FROM g GROUP BY user_id
+        """
+    )
+    assert sorted(map(tuple, native.collect())) == sorted(map(tuple, sql.collect()))

@@ -1,0 +1,63 @@
+"""Text-analysis function semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_vector_search_system_spark.functions.text import (
+    FINGERPRINT_MOD,
+    detect_language,
+    fingerprint,
+    quality_score,
+    token_count,
+    tokens,
+    word_shingles,
+)
+
+
+def _one(spark, text, col):
+    return spark.createDataFrame([(text,)], "text string").select(col.alias("v")).first()["v"]
+
+
+def test_tokens_and_count(spark):
+    assert _one(spark, "The quick  Brown-fox!! 42", tokens("text")) == [
+        "the", "quick", "brown", "fox", "42",
+    ]
+    assert _one(spark, "", token_count("text")) == 0
+    assert _one(spark, "one two three", token_count("text")) == 3
+
+
+def test_word_shingles(spark):
+    got = _one(spark, "a b c d", word_shingles(tokens("text"), 2))
+    assert got == ["a b", "b c", "c d"]
+    assert _one(spark, "solo", word_shingles(tokens("text"), 2)) == []
+    # duplicates collapse
+    got = _one(spark, "x y x y", word_shingles(tokens("text"), 2))
+    assert sorted(got) == ["x y", "y x"]
+
+
+def test_detect_language(spark):
+    assert _one(spark, "the cat is in the house and a dog", detect_language("text")) == "en"
+    assert _one(spark, "der hund ist mit der katze und das haus", detect_language("text")) == "de"
+    assert _one(spark, "le chat est dans une maison du chien", detect_language("text")) == "fr"
+    assert _one(spark, "qqq www eee", detect_language("text")) == "und"
+    # tie between en and de resolves to en (profile order)
+    assert _one(spark, "the der", detect_language("text")) == "en"
+
+
+def test_quality_score_bounds(spark):
+    hi = _one(spark, "the a of and to in is for " * 40, quality_score("text"))
+    lo = _one(spark, "12345 67890", quality_score("text"))
+    assert 0.0 <= lo < hi <= 1.0
+
+
+def test_fingerprint_matches_python(spark):
+    for text in ["hello world", "a", "spark sql engine"]:
+        acc = 0
+        for ch in text:
+            acc = (acc * 31 + ord(ch)) % FINGERPRINT_MOD
+        assert _one(spark, text, fingerprint("text")) == acc
+
+
+def test_fingerprint_order_sensitive(spark):
+    assert _one(spark, "ab", fingerprint("text")) != _one(spark, "ba", fingerprint("text"))
