@@ -1,0 +1,164 @@
+"""VectorEngine — the user-facing facade mirroring the reference's service
+surface (the 5 RPCs of proto/search.proto:74-80: Search, BatchSearch,
+Upsert, Delete, WarmCache) as library calls over DataFrames.
+
+Control-plane mapping (SURVEY.md §2.5-§2.6): the Spark driver is the
+single writer (the "leader"), so:
+
+- G1/G2 consistency gates (search_service_impl.cc:10-31,52-62):
+  ``consistency="strong"`` compacts all pending mutations into the
+  snapshot before reading; ``"eventual"``/``"bounded_staleness"`` read
+  the current compacted snapshot without forcing the apply.  There is no
+  non-leader to reject requests — the FAILED_PRECONDITION path is
+  structurally impossible here.
+- G3 leader-only writes: all mutations funnel through this object,
+  which assigns the dense ``seq`` (the Raft total order, R1).
+- M4 cache invalidation: every accepted mutation bumps the snapshot
+  version and clears the query cache (shard_manager.cc:90,100-101).
+
+Scale notes: the snapshot is any DataFrame — 100 TB of bucketed parquet
+works unchanged; ``compact()`` is the only operation that rewrites data,
+and it shuffles only on ``vec_id`` (co-partitioned under bucketing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .operators.cache import QueryCache
+from .operators.knn import knn, shard_cardinality
+from .operators.mutations import MutationLog, apply_mutations
+from .schemas import QUERIES_SCHEMA, assert_vector_dimension
+
+STRONG = "strong"
+BOUNDED_STALENESS = "bounded_staleness"
+EVENTUAL = "eventual"
+_LEVELS = (STRONG, BOUNDED_STALENESS, EVENTUAL)
+
+
+class VectorEngine:
+    """Exact-kNN vector table with mutation log, result cache, and
+    consistency-gated reads."""
+
+    def __init__(
+        self,
+        spark,
+        vectors: DataFrame,
+        *,
+        dim: int | None = None,
+        cache: QueryCache | None = None,
+        validate: bool = False,
+        shard_col: str | None = None,
+    ):
+        self._spark = spark
+        self._dim = dim
+        if validate and dim is not None:
+            # load-time dimension invariant (vector_shard.cc:36-38)
+            assert_vector_dimension(vectors, dim)
+        self._snapshot = vectors
+        self._log = MutationLog(spark, dim=dim)
+        self._pending = 0
+        self._cache = cache if cache is not None else QueryCache()
+        self._shard_col = shard_col
+        self.version = 0
+
+    # -- reads -------------------------------------------------------------
+
+    def _read_snapshot(self, consistency: str) -> DataFrame:
+        if consistency not in _LEVELS:
+            raise ValueError(f"unknown consistency level: {consistency!r}")
+        if consistency == STRONG and self._pending:
+            self.compact()
+        return self._snapshot
+
+    def search(
+        self, queries: DataFrame, k: int, *, consistency: str = EVENTUAL, method: str = "expr"
+    ) -> DataFrame:
+        """Search == BatchSearch: N query rows, one plan (SURVEY §3.2)."""
+        snap = self._read_snapshot(consistency)
+        return knn(snap, queries, k, shard_col=self._shard_col, method=method)
+
+    def search_one(
+        self, query_id: int, qvec, k: int, *, consistency: str = EVENTUAL
+    ) -> tuple[list, bool]:
+        """Single-query convenience with the cache short-circuit
+        (reference Q5 pipeline: lookup → compute → fill)."""
+        if k <= 0:
+            return [], False
+        if consistency == STRONG and self._pending:
+            self.compact()  # also invalidates the cache via version bump
+        cached = self._cache.lookup(qvec, k)
+        if cached is not None:
+            return cached, True
+        qdf = self._spark.createDataFrame(
+            [(query_id, [float(x) for x in qvec], k)], schema=QUERIES_SCHEMA
+        )
+        rows = [
+            (r["id"], r["distance"], r["rank"])
+            for r in self.search(qdf, k).orderBy("rank").collect()
+        ]
+        self._cache.insert(qvec, k, rows)
+        return rows, False
+
+    def warm(self) -> int:
+        """WarmCache RPC analog (Q7): materialize the snapshot into
+        executor memory."""
+        self._snapshot.persist()
+        return self._snapshot.count()
+
+    def size(self) -> int:
+        return self._read_snapshot(EVENTUAL).count()
+
+    def cardinality(self) -> DataFrame:
+        if self._shard_col is None:
+            raise ValueError("no shard column configured")
+        return shard_cardinality(self._snapshot, self._shard_col)
+
+    # -- writes ------------------------------------------------------------
+
+    def upsert(self, vec_id: int, embedding, *, label: int | None = None,
+               shard_id: str | None = None) -> None:
+        self._log.upsert(vec_id, embedding, label=label, shard_id=shard_id)
+        self._on_mutation()
+
+    def delete(self, vec_id: int, *, shard_id: str | None = None) -> None:
+        self._log.delete(vec_id, shard_id=shard_id)
+        self._on_mutation()
+
+    def upsert_batch(self, updates: DataFrame) -> None:
+        """Bulk path: fold a whole DataFrame of (vec_id, embedding, label)
+        upserts into the snapshot in one generation — at scale this is
+        the only write shape that matters.  seq ordering within the batch
+        is by vec_id (any total order works: the batch has at most one
+        row per id after its own internal LWW)."""
+        base_seq = 10_000_000 * (self.version + 1)
+        log = updates.select(
+            (F.row_number().over(Window.orderBy("vec_id")) + base_seq).alias("seq"),
+            F.lit("upsert").alias("op"),
+            "vec_id",
+            F.lit(None).cast("string").alias("shard_id"),
+            "embedding",
+            "label",
+        )
+        self._snapshot = apply_mutations(self._snapshot, log)
+        self._on_mutation(applied=True)
+
+    def _on_mutation(self, applied: bool = False) -> None:
+        self.version += 1
+        if not applied:
+            self._pending += 1
+        self._cache.invalidate()  # M4: full clear on any write
+
+    # -- maintenance -------------------------------------------------------
+
+    def compact(self) -> None:
+        """Fold the pending mutation log into the snapshot (R11 replay)."""
+        if self._pending:
+            self._snapshot = self._log.compact_into(self._snapshot)
+            self._log = MutationLog(self._spark, dim=self._dim)
+            self._pending = 0
+
+    @property
+    def cache(self) -> QueryCache:
+        return self._cache

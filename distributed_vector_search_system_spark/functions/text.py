@@ -44,14 +44,20 @@ def distinct_tokens(text) -> Column:
 
 
 def word_shingles(tokens_col, n: int) -> Column:
-    """Distinct word n-grams joined by single spaces."""
+    """Distinct word n-grams joined by single spaces.  Documents shorter
+    than ``n`` tokens yield an empty array (sequence(1, 0) would count
+    DOWN in Spark and feed slice an illegal start of 0)."""
     t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-        )
-    )
+    last = F.size(t) - (n - 1)
+    return F.when(
+        last >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), last),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def token_count(text) -> Column:

@@ -396,3 +396,117 @@ ORACLES = {
     "rel_range_filter": _RANGE_FILTER_SQL,
     "rel_asof_purchase_click": _ASOF_SQL_DUCK,
 }
+
+
+# ---------------------------------------------------------------------------
+# later additions: grouping sets, approx distinct, range join, native
+# session windows
+
+_GROUPING_SETS_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY GROUPING SETS ((l_returnflag), (o_orderpriority), (l_returnflag, o_orderpriority))
+"""
+
+# point-in-interval range join against an inline quantity-band table
+
+_RANGE_JOIN_SQL = """
+SELECT b.band, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM lineitem l
+JOIN (VALUES (0.0, 10.0, 'low'), (10.0, 20.0, 'mid'), (20.0, 60.0, 'high'))
+     AS b(lo, hi, band)
+  ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+GROUP BY b.band
+"""
+
+
+def q_rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result via the library range_join operator (DataFrame API)."""
+    from ..operators.asof import range_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [(0.0, 10.0, "low"), (10.0, 20.0, "mid"), (20.0, 60.0, "high")],
+        "lo double, hi double, band string",
+    )
+    joined = range_join(li, F.broadcast(bands), left_point="l_quantity",
+                        right_lo="lo", right_hi="hi")
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+# native session_window aggregation, oracle = SQL sessionization
+# (session start = first event ts, end = last ts + gap)
+
+def q_rel_events_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import session_window_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    s = session_window_agg(ev, gap="30 minutes")
+    return s.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+        "sum_value",
+    )
+
+
+_SESSION_NATIVE_SQL_DUCK = """
+WITH g AS (
+  SELECT user_id, ts, value, event_id,
+    CASE WHEN LAG(ts) OVER w IS NULL
+              OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sess
+  FROM g
+)
+SELECT user_id, STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM s GROUP BY user_id, sess
+"""
+
+# approximate distinct: HLL sketches differ across engines by design, so
+# the oracle checks the EXACT distinct count while pytest bounds the
+# approximation error (tests/test_plans.py)
+
+def q_rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count("*").alias("n_items"),
+    )
+
+
+_APPROX_DISTINCT_SQL = """
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts, COUNT(*) AS n_items
+FROM lineitem GROUP BY l_returnflag
+"""
+
+QUERIES.update(
+    {
+        "rel_grouping_sets": _sql(_GROUPING_SETS_SQL),
+        "rel_range_join": q_rel_range_join,
+        "rel_events_session_native": q_rel_events_session_native,
+        "rel_approx_distinct": q_rel_approx_distinct,
+    }
+)
+ORACLES.update(
+    {
+        "rel_grouping_sets": _GROUPING_SETS_SQL,
+        "rel_range_join": _RANGE_JOIN_SQL,
+        "rel_events_session_native": _SESSION_NATIVE_SQL_DUCK,
+        "rel_approx_distinct": _APPROX_DISTINCT_SQL,
+    }
+)

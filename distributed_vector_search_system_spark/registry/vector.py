@@ -268,3 +268,89 @@ ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist
 SELECT query_id, id, ROUND(distance, 6) AS distance, rank FROM ranked WHERE rank <= 5
 """,
 }
+
+
+# ---------------------------------------------------------------------------
+# C1/C2 as data operations (the in-engine cache itself is driver-side and
+# semantics-invisible — tests/test_cache.py; these exercise the keying and
+# TTL-expiry machinery as oracle-checkable dataflows).
+
+def q_cache_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 cache-key build, portable form: digest over the canonical
+    (query id, top_k) string — reference BuildKey combines the query
+    bytes hash with top_k (query_cache.cc:51-56)."""
+    from ..functions.hashing import portable_hash64
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.lit(10).alias("top_k"),
+    )
+    return q.select(
+        "query_id",
+        "top_k",
+        portable_hash64(
+            F.concat_ws(":", F.col("query_id").cast("string"), F.col("top_k").cast("string"))
+        ).alias("digest"),
+    )
+
+
+_CACHE_DIGEST_SQL = """
+SELECT vec_id AS query_id, 10 AS top_k,
+  CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':' || '10'), 1, 15)) AS BIGINT)
+    AS digest
+FROM embeddings WHERE vec_id % 25 = 0
+"""
+
+
+def q_cache_ttl_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2/C3 TTL semantics as a table op: synthetic result-cache rows
+    (created_at = event ts, expires_at = ts + 30 min) pruned against a
+    fixed 'now'; survivors counted per event_type."""
+    from ..tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    cache = ev.select(
+        F.col("event_id").alias("digest"),
+        "event_type",
+        F.col("ts").alias("created_at"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("expires_at"),
+    )
+    now = F.to_timestamp(F.lit("2024-01-15 00:00:00"))
+    return (
+        cache.filter(F.col("expires_at") > now)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("live_entries"))
+    )
+
+
+_CACHE_TTL_SQL = """
+SELECT event_type, COUNT(*) AS live_entries
+FROM (SELECT event_type, ts + INTERVAL 30 MINUTE AS expires_at FROM events)
+WHERE expires_at > TIMESTAMP '2024-01-15 00:00:00'
+GROUP BY event_type
+"""
+
+
+def q_knn_batch_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow/GEMM fast path (Q1 FAISS-scan analog) against the same
+    oracle as knn_batch — proves the two tiers agree end-to-end."""
+    emb = _emb(spark, sf_dir)
+    q = _query_set(emb, F.col("vec_id") % 50 == 0)
+    return _round_result(knn(emb, q, 10, method="numpy"))
+
+
+QUERIES.update(
+    {
+        "cache_digest": q_cache_digest,
+        "cache_ttl_prune": q_cache_ttl_prune,
+        "knn_batch_numpy": q_knn_batch_numpy,
+    }
+)
+ORACLES.update(
+    {
+        "cache_digest": _CACHE_DIGEST_SQL,
+        "cache_ttl_prune": _CACHE_TTL_SQL,
+        "knn_batch_numpy": ORACLES["knn_batch"],
+    }
+)

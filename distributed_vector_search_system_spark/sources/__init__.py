@@ -1,0 +1,2 @@
+from .config import EngineConfig, ShardConfig  # noqa: F401
+from .parquet import read_vectors, write_vectors  # noqa: F401

@@ -1,0 +1,130 @@
+"""VectorEngine facade: the 5 service calls + consistency gates +
+cache invalidation on write (reference §2.5 G1-G3, M4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_vector_search_system_spark.engine import (
+    EVENTUAL,
+    STRONG,
+    VectorEngine,
+)
+from distributed_vector_search_system_spark.schemas import (
+    QUERIES_SCHEMA,
+    VECTORS_SCHEMA,
+)
+from distributed_vector_search_system_spark.sources.config import EngineConfig, ShardConfig
+
+
+def _engine(spark, **kw):
+    vectors = spark.createDataFrame(
+        [(i, [float(i), 0.0], i % 3) for i in range(10)], schema=VECTORS_SCHEMA
+    )
+    return VectorEngine(spark, vectors, dim=2, **kw)
+
+
+def _q(spark, qid, vec, k):
+    return spark.createDataFrame([(qid, vec, k)], schema=QUERIES_SCHEMA)
+
+
+def test_search_and_batch_are_one_plan(spark):
+    e = _engine(spark)
+    q = spark.createDataFrame(
+        [(0, [0.0, 0.0], 3), (1, [9.0, 0.0], 3)], schema=QUERIES_SCHEMA
+    )
+    got = e.search(q, 3).collect()
+    assert {r["query_id"] for r in got} == {0, 1}
+    top0 = [r["id"] for r in sorted(got, key=lambda r: r["rank"]) if r["query_id"] == 0]
+    assert top0 == [0, 1, 2]
+
+
+def test_strong_read_sees_pending_mutations(spark):
+    """G1: STRONG compacts pending writes before reading; EVENTUAL reads
+    the current snapshot (staleness window)."""
+    e = _engine(spark)
+    e.upsert(100, [0.5, 0.0], label=1)
+    eventual_ids = {r["id"] for r in e.search(_q(spark, 0, [0.0, 0.0], 3), 3).collect()}
+    assert 100 not in eventual_ids  # not yet applied
+    strong_ids = {
+        r["id"]
+        for r in e.search(_q(spark, 0, [0.0, 0.0], 3), 3, consistency=STRONG).collect()
+    }
+    assert 100 in strong_ids
+    # after the strong read forced the apply, eventual sees it too
+    after = {r["id"] for r in e.search(_q(spark, 0, [0.0, 0.0], 3), 3).collect()}
+    assert 100 in after
+
+
+def test_delete_and_size(spark):
+    e = _engine(spark)
+    assert e.size() == 10
+    e.delete(0)
+    e.compact()
+    assert e.size() == 9
+    e.delete(999)  # absent → no-op
+    e.compact()
+    assert e.size() == 9
+
+
+def test_unknown_consistency_rejected(spark):
+    e = _engine(spark)
+    with pytest.raises(ValueError):
+        e.search(_q(spark, 0, [0.0, 0.0], 1), 1, consistency="quorum")
+
+
+def test_cache_invalidated_on_write(spark):
+    e = _engine(spark)
+    rows1, c1 = e.search_one(0, [3.0, 0.0], 2)
+    rows2, c2 = e.search_one(0, [3.0, 0.0], 2)
+    assert not c1 and c2 and rows1 == rows2
+    e.upsert(50, [3.1, 0.0], label=0)
+    rows3, c3 = e.search_one(0, [3.0, 0.0], 2, consistency=STRONG)
+    assert not c3  # M4: write cleared the cache
+    assert 50 in [r[0] for r in rows3]
+
+
+def test_upsert_batch(spark):
+    e = _engine(spark)
+    updates = spark.createDataFrame(
+        [(0, [7.0, 7.0], 9), (200, [8.0, 8.0], 9)], schema=VECTORS_SCHEMA
+    )
+    e.upsert_batch(updates)
+    snap = {r["vec_id"]: r["label"] for r in e._snapshot.collect()}
+    assert snap[0] == 9 and snap[200] == 9
+    assert e.size() == 11
+
+
+def test_cardinality_by_shard(spark):
+    vectors = spark.createDataFrame(
+        [(i, [float(i)], None) for i in range(6)], schema=VECTORS_SCHEMA
+    ).withColumn("shard_id", (F.col("vec_id") % 2).cast("string"))
+    e = VectorEngine(spark, vectors, dim=1, shard_col="shard_id")
+    got = {r["shard_id"]: r["n_vectors"] for r in e.cardinality().collect()}
+    assert got == {"0": 3, "1": 3}
+
+
+def test_validate_dimension_on_load(spark):
+    bad = spark.createDataFrame([(1, [1.0, 2.0, 3.0], None)], schema=VECTORS_SCHEMA)
+    with pytest.raises(ValueError):
+        VectorEngine(spark, bad, dim=2, validate=True)
+
+
+def test_config_defaults_and_validation(tmp_path):
+    cfg = EngineConfig(dimension=768, shards=[ShardConfig("s0"), ShardConfig("s1")])
+    assert cfg.cache_max_entries == 1024  # reference default config.cc:41
+    assert cfg.cache_ttl_seconds == 60  # config.cc:42
+    assert cfg.preferred_batch_size == 8  # config.cc:45 (parsed-but-unused)
+    with pytest.raises(ValueError):
+        EngineConfig(dimension=0)
+    with pytest.raises(ValueError):
+        EngineConfig(dimension=4, shards=[ShardConfig("a"), ShardConfig("a")])
+    p = tmp_path / "cfg.json"
+    p.write_text(
+        '{"dimension": 64, "shards": [{"shard_id": "s0"}], '
+        '"cache": {"max_entries": 2048, "ttl_seconds": 30}}'
+    )
+    loaded = EngineConfig.from_file(str(p))
+    assert loaded.dimension == 64
+    assert loaded.cache_max_entries == 2048 and loaded.cache_ttl_seconds == 30
