@@ -510,3 +510,196 @@ ORACLES.update(
         "rel_approx_distinct": _APPROX_DISTINCT_SQL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# subqueries, conditional aggregation, window frames/navigation, pivot,
+# array lambdas, statistical + percentile aggregates, self-join funnel
+
+# correlated scalar subquery (TPC-H Q17 family) — Catalyst decorrelates
+# into an aggregate + join; per-partkey average threshold
+
+_SMALL_LOTS_SQL = """
+SELECT p.p_brand, COUNT(*) AS n_small_lots,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+GROUP BY p.p_brand
+"""
+
+# IN-subquery with grouped HAVING (TPC-H Q18 family)
+
+_BIG_ORDERS_SQL = """
+SELECT c.c_name, o.o_orderkey,
+  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                       GROUP BY l_orderkey
+                       HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+GROUP BY c.c_name, o.o_orderkey
+"""
+
+# conditional aggregation (TPC-H Q12 family)
+
+_COND_AGG_SQL = """
+SELECT l_returnflag,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_count,
+  COUNT(*) AS n_items
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY l_returnflag
+"""
+
+# numeric RANGE frame (peer rows by value distance, not row offsets)
+
+_RANGE_FRAME_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+  CAST(COUNT(*) OVER (ORDER BY l_quantity
+                      RANGE BETWEEN 2.0 PRECEDING AND CURRENT ROW) AS BIGINT)
+       AS n_within_2
+FROM lineitem WHERE l_orderkey < 100
+"""
+
+# window navigation: ntile / first_value / last_value / lead
+
+_WINDOW_NAV_SQL = """
+SELECT o_custkey, o_orderkey,
+  CAST(NTILE(4) OVER w AS INT) AS quartile,
+  FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+  LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING) AS last_ok,
+  LEAD(o_orderkey) OVER w AS next_ok
+FROM orders WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+# pivot: priority × status counts.  Spark side uses DataFrame .pivot();
+# oracle is the explicit conditional-aggregation expansion.
+
+_PIVOT_STATUSES = ["F", "O", "P"]
+
+
+def q_rel_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", _PIVOT_STATUSES)
+        .count()
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s}") for s in _PIVOT_STATUSES],
+    )
+
+
+_PIVOT_SQL_DUCK = """
+SELECT o_orderpriority,
+  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_F,
+  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_O,
+  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_P
+FROM orders GROUP BY o_orderpriority
+"""
+
+# array construction + higher-order lambda functions
+
+_ARRAY_SQL_SPARK = """
+SELECT p_partkey,
+  SIZE(SPLIT(p_name, ' ')) AS n_tokens,
+  ARRAY_SORT(SPLIT(p_name, ' ')) AS tokens_sorted,
+  TRANSFORM(SPLIT(p_name, ' '), t -> LENGTH(t)) AS token_lens,
+  FILTER(SPLIT(p_name, ' '), t -> LENGTH(t) > 4) AS long_tokens,
+  ARRAY_CONTAINS(SPLIT(p_name, ' '), 'red') AS has_red
+FROM part WHERE p_partkey < 100
+"""
+
+_ARRAY_SQL_DUCK = """
+SELECT p_partkey,
+  CAST(LEN(STRING_SPLIT(p_name, ' ')) AS INT) AS n_tokens,
+  LIST_SORT(STRING_SPLIT(p_name, ' ')) AS tokens_sorted,
+  LIST_TRANSFORM(STRING_SPLIT(p_name, ' '), t -> CAST(LENGTH(t) AS INT)) AS token_lens,
+  LIST_FILTER(STRING_SPLIT(p_name, ' '), t -> LENGTH(t) > 4) AS long_tokens,
+  LIST_CONTAINS(STRING_SPLIT(p_name, ' '), 'red') AS has_red
+FROM part WHERE p_partkey < 100
+"""
+
+# statistical aggregates (corr / stddev / variance / covariance)
+
+_STATS_SQL = """
+SELECT l_returnflag,
+  ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+  ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty,
+  ROUND(VAR_SAMP(l_discount), 8) AS var_disc,
+  ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS covar_qp,
+  ROUND(MIN(l_extendedprice), 2) AS min_price,
+  ROUND(MAX(l_extendedprice), 2) AS max_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+# exact interpolated percentiles (Spark PERCENTILE ≡ DuckDB QUANTILE_CONT)
+
+_PCTL_SQL_SPARK = """
+SELECT l_returnflag,
+  ROUND(PERCENTILE(l_quantity, 0.25), 4) AS q25,
+  ROUND(PERCENTILE(l_quantity, 0.50), 4) AS q50,
+  ROUND(PERCENTILE(l_quantity, 0.75), 4) AS q75,
+  ROUND(PERCENTILE(l_quantity, 0.99), 4) AS q99
+FROM lineitem GROUP BY l_returnflag
+"""
+
+_PCTL_SQL_DUCK = """
+SELECT l_returnflag,
+  ROUND(QUANTILE_CONT(l_quantity, 0.25), 4) AS q25,
+  ROUND(QUANTILE_CONT(l_quantity, 0.50), 4) AS q50,
+  ROUND(QUANTILE_CONT(l_quantity, 0.75), 4) AS q75,
+  ROUND(QUANTILE_CONT(l_quantity, 0.99), 4) AS q99
+FROM lineitem GROUP BY l_returnflag
+"""
+
+# self-join funnel: click → purchase by the same user within 1 hour
+# (interval-bounded range join; at 100 TB this becomes a bucketed
+# self-join on user_id with an AQE-handled time-range predicate)
+
+_FUNNEL_SQL = """
+SELECT c.user_id, COUNT(*) AS n_pairs
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 1 HOUR
+GROUP BY c.user_id
+"""
+
+QUERIES.update(
+    {
+        "rel_small_lots_subquery": _sql(_SMALL_LOTS_SQL),
+        "rel_big_orders": _sql(_BIG_ORDERS_SQL),
+        "rel_cond_agg": _sql(_COND_AGG_SQL),
+        "rel_range_frame": _sql(_RANGE_FRAME_SQL),
+        "rel_window_nav": _sql(_WINDOW_NAV_SQL),
+        "rel_pivot_status": q_rel_pivot_status,
+        "rel_array_funcs": _sql(_ARRAY_SQL_SPARK),
+        "rel_stats_agg": _sql(_STATS_SQL),
+        "rel_percentiles": _sql(_PCTL_SQL_SPARK),
+        "rel_click_purchase_funnel": _sql(_FUNNEL_SQL),
+    }
+)
+ORACLES.update(
+    {
+        "rel_small_lots_subquery": _SMALL_LOTS_SQL,
+        "rel_big_orders": _BIG_ORDERS_SQL,
+        "rel_cond_agg": _COND_AGG_SQL,
+        "rel_range_frame": _RANGE_FRAME_SQL,
+        "rel_window_nav": _WINDOW_NAV_SQL,
+        "rel_pivot_status": _PIVOT_SQL_DUCK,
+        "rel_array_funcs": _ARRAY_SQL_DUCK,
+        "rel_stats_agg": _STATS_SQL,
+        "rel_percentiles": _PCTL_SQL_DUCK,
+        "rel_click_purchase_funnel": _FUNNEL_SQL,
+    }
+)
