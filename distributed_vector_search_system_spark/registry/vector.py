@@ -340,11 +340,51 @@ def q_knn_batch_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_result(knn(emb, q, 10, method="numpy"))
 
 
+def q_vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column — the shuffle-light
+    array aggregate every clustering / IVF-training pipeline needs.
+    posexplode → per-(label, pos) partial avg (map-side combine) →
+    re-assemble ordered arrays.  At 100 TB the width-d explode stays
+    bounded: rows × d intermediate, combined map-side before shuffle."""
+    emb = _emb(spark, sf_dir)
+    per_dim = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("v"))
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+        .select(
+            "label",
+            F.transform("pv", lambda s: s.getField("v")).alias("centroid"),
+            F.size("pv").alias("dim"),
+        )
+    )
+
+
+_CENTROID_SQL = """
+WITH flat AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         UNNEST(embedding) AS val
+  FROM embeddings
+),
+per_dim AS (
+  SELECT label, pos, ROUND(AVG(CAST(val AS DOUBLE)), 6) AS v
+  FROM flat GROUP BY label, pos
+)
+SELECT label, LIST(v ORDER BY pos) AS centroid, CAST(COUNT(*) AS INT) AS dim
+FROM per_dim GROUP BY label
+"""
+
+
 QUERIES.update(
     {
         "cache_digest": q_cache_digest,
         "cache_ttl_prune": q_cache_ttl_prune,
         "knn_batch_numpy": q_knn_batch_numpy,
+        "vector_centroids": q_vector_centroids,
     }
 )
 ORACLES.update(
@@ -352,5 +392,6 @@ ORACLES.update(
         "cache_digest": _CACHE_DIGEST_SQL,
         "cache_ttl_prune": _CACHE_TTL_SQL,
         "knn_batch_numpy": ORACLES["knn_batch"],
+        "vector_centroids": _CENTROID_SQL,
     }
 )

@@ -1,0 +1,77 @@
+"""Physical-plan shape assertions — the scale contract.
+
+Correctness tests prove the small-SF answer; these prove the PLAN is the
+one that survives a 100 TB / 1000-executor scale-up:
+
+* the kNN top-k is rank-limited BELOW the shuffle (WindowGroupLimit →
+  per-partition partial top-k, the reference's Q3/Q4 two-level merge,
+  /root/reference/src/index/shard_manager.cc:46-51,129-145);
+* small dimension tables broadcast instead of shuffling the fact table;
+* filters and column pruning reach the parquet scan;
+* aggregates are partial+final (map-side combine before the exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_vector_search_system_spark import registry
+from distributed_vector_search_system_spark.tables import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_knn_partial_topk_below_shuffle(spark, sf_smoke):
+    """Per-partition WindowGroupLimit must fire before the exchange so the
+    shuffle carries ≤ k·partitions rows per query, not the full cross join."""
+    plan = _plan(registry.queries()["knn_batch"](spark, sf_smoke))
+    assert "WindowGroupLimit" in plan
+    # partial (Partial mode runs per input partition, pre-shuffle) + final
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    # the query set is the broadcast side — never shuffle the vectors table
+    # by query_id before ranking
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_knn_scan_prunes_columns(spark, sf_smoke):
+    """kNN reads only (vec_id, embedding) — label must be pruned."""
+    plan = _plan(registry.queries()["knn_batch"](spark, sf_smoke))
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schemas
+    assert not any("label" in l for l in read_schemas), read_schemas
+
+
+def test_dim_joins_broadcast(spark, sf_smoke):
+    """Region/nation/customer joins must broadcast; shuffling lineitem on
+    the dim chain would be the 100 TB bottleneck."""
+    plan = _plan(registry.queries()["rel_revenue_by_region"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_smoke):
+    plan = _plan(registry.queries()["rel_pricing_summary"](spark, sf_smoke))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_shipdate" in l for l in pushed), pushed
+
+
+def test_aggregate_is_partial_then_final(spark, sf_smoke):
+    plan = _plan(registry.queries()["rel_pricing_summary"](spark, sf_smoke))
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_approx_count_distinct_error_bound(spark, sf_oracle):
+    """approx_count_distinct must land within 5% of exact at sf0.01
+    (HLL++ rsd default 0.05)."""
+    li = load_table(spark, sf_oracle, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx"),
+        F.count_distinct("l_partkey").alias("exact"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) <= 0.05 * row["exact"] + 1, row
