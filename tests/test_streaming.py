@@ -129,3 +129,65 @@ def test_session_window_matches_sql_sessionization(spark, sf_smoke):
         """
     )
     assert sorted(map(tuple, native.collect())) == sorted(map(tuple, sql.collect()))
+
+
+def test_stateful_fold_matches_batch(spark, sf_smoke, tmp_path):
+    """applyInPandasWithState running fold across two micro-batches must
+    equal the batch last-event-per-user fold (R11 generalized)."""
+    from distributed_vector_search_system_spark.streaming.stateful import (
+        running_user_fold,
+    )
+
+    events = (
+        load_table(spark, sf_smoke, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("ts", F.col("ts").cast("timestamp_ntz").cast("timestamp"))
+    )
+    # two files → two micro-batches under maxFilesPerTrigger=1
+    src = str(tmp_path / "ev")
+    half = events.approxQuantile("event_id", [0.5], 0.0)[0]
+    events.filter(F.col("event_id") <= half).coalesce(1).write.parquet(f"{src}/a.parquet")
+    events.filter(F.col("event_id") > half).coalesce(1).write.parquet(f"{src}/b.parquet")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*.parquet")
+    )
+    q = (
+        running_user_fold(stream)
+        .writeStream.format("memory")
+        .queryName("user_fold")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # final state per user = the emitted row with the highest n_events
+    from pyspark.sql import Window
+
+    emitted = spark.table("user_fold")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "n_events", "last_event_id", "last_type")
+    )
+
+    batch_w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    expected = (
+        events.withColumn("rn", F.row_number().over(batch_w))
+        .withColumn("n_events", F.count("*").over(Window.partitionBy("user_id")))
+        .filter("rn = 1")
+        .select(
+            "user_id",
+            "n_events",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+        )
+    )
+    got = {r["user_id"]: (r["n_events"], r["last_event_id"], r["last_type"]) for r in final.collect()}
+    want = {r["user_id"]: (r["n_events"], r["last_event_id"], r["last_type"]) for r in expected.collect()}
+    assert got == want
