@@ -174,17 +174,29 @@ def ann_ivf_topk(
 
     The centroid set is tiny → collected and broadcast as literals; the
     candidate join is an equi-join on cell id.
+
+    Centroid sampling is a deterministic hash-thinned ``orderBy.limit``
+    (TakeOrderedAndProject = per-partition partial top-k, no global
+    single-partition window) so selection stays distributed at any scale.
     """
-    w = Window.orderBy(F.col(id_col))
-    numbered = vectors.withColumn("_rn", F.row_number().over(w))
-    total = numbered.count()
-    step = max(total // num_cells, 1)
+    total = vectors.count()
+    # thin to ~4× num_cells candidates by stable hash, then take the
+    # first num_cells by id — deterministic and shuffle-light
+    step = max(total // (num_cells * 4), 1)
     cents = (
-        numbered.filter((F.col("_rn") - 1) % step == 0)
+        vectors.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(step)) == 0)
+        .orderBy(F.col(id_col))
         .limit(num_cells)
         .select(F.col(id_col).alias("cell_id"), F.col(vector_col).alias("cvec"))
         .collect()
     )
+    if not cents:  # degenerate tiny input: fall back to first rows by id
+        cents = (
+            vectors.orderBy(F.col(id_col))
+            .limit(num_cells)
+            .select(F.col(id_col).alias("cell_id"), F.col(vector_col).alias("cvec"))
+            .collect()
+        )
 
     def nearest_cells(vec_col, n: int) -> Column:
         dists = F.array(*[
