@@ -23,7 +23,7 @@ and it shuffles only on ``vec_id`` (co-partitioned under bucketing).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .operators.cache import QueryCache
@@ -129,12 +129,13 @@ class VectorEngine:
     def upsert_batch(self, updates: DataFrame) -> None:
         """Bulk path: fold a whole DataFrame of (vec_id, embedding, label)
         upserts into the snapshot in one generation — at scale this is
-        the only write shape that matters.  seq ordering within the batch
-        is by vec_id (any total order works: the batch has at most one
-        row per id after its own internal LWW)."""
+        the only write shape that matters.  All rows share one generation
+        seq: within a batch there is one row per id (enforced), so no
+        intra-batch order is needed — avoiding a global-window sort that
+        would bottleneck on a single partition at scale."""
         base_seq = 10_000_000 * (self.version + 1)
-        log = updates.select(
-            (F.row_number().over(Window.orderBy("vec_id")) + base_seq).alias("seq"),
+        log = updates.dropDuplicates(["vec_id"]).select(
+            F.lit(base_seq).cast("long").alias("seq"),
             F.lit("upsert").alias("op"),
             "vec_id",
             F.lit(None).cast("string").alias("shard_id"),
