@@ -675,8 +675,32 @@ FROM events c JOIN events p
 GROUP BY c.user_id
 """
 
+# sliding windows (1 h window, 30 min slide): every event lands in
+# exactly two epoch-aligned windows; the oracle materializes both
+
+def q_rel_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import sliding_window_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_window_agg(
+        ev, window_duration="1 hour", slide_duration="30 minutes"
+    ).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_events",
+    )
+
+
+_SLIDING_SQL_DUCK = """
+SELECT STRFTIME(time_bucket(INTERVAL 30 MINUTE, ts) - TO_MINUTES(30 * k.i),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n_events
+FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS i) k
+GROUP BY 1
+"""
+
 QUERIES.update(
     {
+        "rel_events_sliding": q_rel_events_sliding,
         "rel_small_lots_subquery": _sql(_SMALL_LOTS_SQL),
         "rel_big_orders": _sql(_BIG_ORDERS_SQL),
         "rel_cond_agg": _sql(_COND_AGG_SQL),
@@ -691,6 +715,7 @@ QUERIES.update(
 )
 ORACLES.update(
     {
+        "rel_events_sliding": _SLIDING_SQL_DUCK,
         "rel_small_lots_subquery": _SMALL_LOTS_SQL,
         "rel_big_orders": _BIG_ORDERS_SQL,
         "rel_cond_agg": _COND_AGG_SQL,

@@ -340,6 +340,18 @@ def q_knn_batch_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_result(knn(emb, q, 10, method="numpy"))
 
 
+def q_knn_shard_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 shard routing (shard_manager.cc:80-103) as a read: search only
+    shard '2'.  The shard filter is a partition-pruning predicate — on a
+    shard-partitioned table the other shards' files are never opened."""
+    emb = _emb(spark, sf_dir).withColumn(
+        "shard_id", (F.col("vec_id") % 6).cast("string")
+    )
+    q = _query_set(emb, F.col("vec_id") % 125 == 4)
+    routed = emb.filter(F.col("shard_id") == "2")
+    return _round_result(knn(routed, q, 5))
+
+
 def q_vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embedding column — the shuffle-light
     array aggregate every clustering / IVF-training pipeline needs.
@@ -384,6 +396,7 @@ QUERIES.update(
         "cache_digest": q_cache_digest,
         "cache_ttl_prune": q_cache_ttl_prune,
         "knn_batch_numpy": q_knn_batch_numpy,
+        "knn_shard_routed": q_knn_shard_routed,
         "vector_centroids": q_vector_centroids,
     }
 )
@@ -392,6 +405,7 @@ ORACLES.update(
         "cache_digest": _CACHE_DIGEST_SQL,
         "cache_ttl_prune": _CACHE_TTL_SQL,
         "knn_batch_numpy": ORACLES["knn_batch"],
+        "knn_shard_routed": _knn_oracle("vec_id % 125 = 4", "vec_id % 6 = 2", 5),
         "vector_centroids": _CENTROID_SQL,
     }
 )
