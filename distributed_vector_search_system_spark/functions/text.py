@@ -45,18 +45,26 @@ def distinct_tokens(text) -> Column:
 
 def word_shingles(tokens_col, n: int) -> Column:
     """Distinct word n-grams joined by single spaces.  Documents shorter
-    than ``n`` tokens yield an empty array (sequence(1, 0) would count
-    DOWN in Spark and feed slice an illegal start of 0)."""
+    than ``n`` tokens yield an empty array.
+
+    Built by zipping the token array with its own shifted tails (n-1 zip
+    passes) instead of a per-position ``slice`` inside ``transform`` —
+    higher-order functions evaluate interpreted (outside codegen), so a
+    per-element O(n) slice is the difference between one array pass and
+    quadratic-ish work on every document.  Values are identical: shingle
+    i = tokens[i..i+n-1] joined by spaces, first-occurrence order, then
+    array_distinct."""
     t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
-    last = F.size(t) - (n - 1)
+    size = F.size(t)
+    acc = t
+    for j in range(1, n):
+        # tail shifted by j; zip_with pads the short side with null and
+        # concat propagates it, marking positions past the last shingle
+        shifted = F.slice(t, j + 1, F.greatest(size - j, F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
     return F.when(
-        last >= 1,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), last),
-                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-            )
-        ),
+        size - (n - 1) >= 1,
+        F.array_distinct(F.filter(acc, lambda x: x.isNotNull())),
     ).otherwise(F.array().cast("array<string>"))
 
 

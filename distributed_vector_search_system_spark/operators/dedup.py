@@ -100,15 +100,54 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 
-def minhash_signature(shingles_col, num_hashes: int, hash_fn=portable_hash64) -> Column:
-    """Array of ``num_hashes`` min-hash values (one per seeded hash fn),
-    computed map-side as a pure expression."""
-    sh = F.col(shingles_col) if isinstance(shingles_col, str) else shingles_col
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda s: F.array_min(
-            F.transform(sh, lambda x: hash_fn(F.concat(s.cast("string"), F.lit(":"), x)))
-        ),
+#: modulus for the affine (universal-hash) MinHash permutations — prime,
+#: < 2^31 so (a*h + b) stays well inside int64 in both Spark and DuckDB
+MINHASH_P = 2147483647
+
+
+def minhash_coeffs(num_hashes: int, seed: int = 13) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) affine-permutation constants, derived with
+    a plain LCG so the DuckDB oracle can embed the identical literals."""
+    coeffs = []
+    state = seed
+    for _ in range(num_hashes):
+        state = (1103515245 * state + 12345) % (1 << 31)
+        a = state % (MINHASH_P - 1) + 1
+        state = (1103515245 * state + 12345) % (1 << 31)
+        b = state % MINHASH_P
+        coeffs.append((a, b))
+    return coeffs
+
+
+def minhash_signature(hashed_col, num_hashes: int) -> Column:
+    """Array of ``num_hashes`` min-hash values over a PRE-HASHED shingle
+    array (``hashed_col``: array<long>, values in [0, MINHASH_P)).
+
+    One-hash MinHash: the base hash runs once per shingle (the expensive
+    md5/xxhash pass); each of the ``num_hashes`` permutations is a cheap
+    affine map ``(a_i*h + b_i) mod P`` — integer-only, stays in
+    whole-stage codegen, and is reproducible bit-for-bit by the SQL
+    oracle.  (vs. hashing num_hashes× per shingle: ~16× less hash work.)
+    """
+    hv = F.col(hashed_col) if isinstance(hashed_col, str) else hashed_col
+
+    def perm(a: int, b: int):
+        # closure factory: pyspark introspects lambda arity, so the
+        # constants can't ride in as default args
+        return lambda v: (v * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
+
+    return F.array(
+        *[F.array_min(F.transform(hv, perm(a, b))) for a, b in minhash_coeffs(num_hashes)]
+    )
+
+
+def with_hashed_shingles(
+    sh: DataFrame, *, hash_fn=portable_hash64, out_col: str = "_hv"
+) -> DataFrame:
+    """Materialize per-shingle base hashes as their own projection so the
+    hash runs exactly once per shingle (not once per permutation)."""
+    return sh.withColumn(
+        out_col, F.transform(F.col("shingles"), lambda x: F.pmod(hash_fn(x), F.lit(MINHASH_P)))
     )
 
 
@@ -130,9 +169,9 @@ def minhash_lsh_candidates(
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sh = with_shingles(docs, n=n, text_col=text_col).filter(F.size("shingles") > 0)
-    sig = sh.select(
+    sig = with_hashed_shingles(sh, hash_fn=hash_fn).select(
         F.col(id_col).alias("_id"),
-        minhash_signature("shingles", num_hashes, hash_fn).alias("_sig"),
+        minhash_signature("_hv", num_hashes).alias("_sig"),
     )
     banded = sig.select(
         "_id",
@@ -176,8 +215,26 @@ def minhash_dedup_pairs(
         docs, num_hashes=num_hashes, bands=bands, n=n,
         text_col=text_col, id_col=id_col, hash_fn=hash_fn,
     )
+    # Candidate-driven verify: join each candidate pair to its two shingle
+    # SETS and intersect the arrays — never the exploded shingle self-join
+    # (that would redo the full blocking work LSH exists to avoid).
     sh = with_shingles(docs, n=n, text_col=text_col)
-    return _pair_jaccard(sh, id_col, cands).filter(F.col("jaccard") >= threshold)
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("_sa"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                inter.cast("double")
+                / (F.size("_sa") + F.size("_sb") - inter).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -188,26 +245,32 @@ SIMHASH_BITS = 60  # portable_hash64 yields 60-bit values (15 hex chars)
 
 def simhash(tokens_col, hash_fn=portable_hash64, bits: int = SIMHASH_BITS) -> Column:
     """Classic SimHash over distinct tokens: per bit, sum ±1 across token
-    hashes; bit set iff the sum is positive.  Pure expression tier — the
-    per-bit fold is unrolled in Python (bit counts are static), so every
-    shift amount is a literal and the whole signature stays in codegen."""
+    hashes; bit set iff the sum is positive.
+
+    Single-pass formulation: ONE fold over the token hashes carrying a
+    ``bits``-wide ±1 accumulator (zip_with against literal bit masks), so
+    the expensive base hash runs once per token — not once per (token,
+    bit) as a naive per-bit fold would.  Signature values are identical
+    to the textbook definition (same oracle SQL applies)."""
     t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     hashes = F.transform(F.array_distinct(t), lambda x: hash_fn(x))
-
-    def bit_term(i: int):
-        # binary merge fn with the shift amount baked in as a literal
-        # (pyspark introspects lambda arity, so no default-arg capture)
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    sig = F.lit(0).cast("long")
-    for i in range(bits):
-        bit_sum = F.aggregate(hashes, F.lit(0), bit_term(i))
-        sig = sig + F.when(bit_sum > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return sig
+    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
+    sums = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != F.lit(0), F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            sums, masks, lambda s, m: F.when(s > 0, m).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def simhash_pairs(

@@ -109,15 +109,26 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _R = _NUM_HASHES // _BANDS
+
+# affine (one-hash) MinHash: base md5 hash once per shingle, then
+# (a_i*h + b_i) mod P per permutation — constants shared with
+# operators.dedup.minhash_coeffs so signatures match bit-for-bit
+from ..operators.dedup import MINHASH_P, minhash_coeffs  # noqa: E402
+
+_SIG_ITEMS = ", ".join(
+    f"list_min(list_transform(hv, v -> (v * {a} + {b}) % {MINHASH_P}))"
+    for a, b in minhash_coeffs(_NUM_HASHES)
+)
 _MINHASH_SQL = f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
 sh AS (SELECT doc_id, {_SHINGLES} AS s FROM toks WHERE len({_SHINGLES}) > 0),
-sig AS (
-  SELECT doc_id, s,
-    list_transform(range(0, {_NUM_HASHES}),
-      h -> list_min(list_transform(s, x -> {_hash_sql("CAST(h AS VARCHAR) || ':' || x")})))
-      AS sg
+hashed AS (
+  SELECT doc_id, s, list_transform(s, x -> {_hash_sql("x")} % {MINHASH_P}) AS hv
   FROM sh
+),
+sig AS (
+  SELECT doc_id, s, [{_SIG_ITEMS}] AS sg
+  FROM hashed
 ),
 banded AS (
   SELECT doc_id, b.band,
