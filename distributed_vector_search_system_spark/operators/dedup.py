@@ -90,8 +90,19 @@ def ngram_jaccard_pairs(
     """All (doc_a < doc_b) pairs with word-``n``-gram Jaccard ≥ threshold.
 
     Only pairs sharing at least one shingle are ever materialized (the
-    shingle equi-join is the blocker), so cost is driven by shingle
-    collision rates, not |docs|².
+    shingle equi-join is the blocker) and the intersection count is a
+    map-side-combinable groupBy — no |docs|² scan.
+
+    Scale note (measured): on Zipf-distributed real corpora the right
+    exact accelerant is prefix filtering (Bayardo/Ma/Srikant WWW'07 —
+    block only on each doc's ``|s|-ceil(t|s|)+1`` rarest shingles); we
+    benchmarked it on the fixture corpus and it LOST (121 s vs 30 s at
+    sf0.1) because the synthetic vocabulary has no rare tail (median
+    shingle df ≈ 285 of 5 000 docs), so pruning removed nothing and its
+    extra shuffles + distinct + array re-verify dominated.  The naive
+    blocker wins whenever shingle frequencies are near-uniform; for
+    genuinely heavy-tailed data at 100 TB, use ``minhash_dedup_pairs``
+    (the sublinear path) instead.
     """
     sh = with_shingles(docs, n=n, text_col=text_col)
     return _pair_jaccard(sh, id_col, None).filter(F.col("jaccard") >= threshold)
