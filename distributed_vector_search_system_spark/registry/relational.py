@@ -662,6 +662,14 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag
 """
 
+# global top-N: orderBy + limit → TakeOrderedAndProject (per-partition
+# partial top-N, no full sort — the reference Q4 partial_sort, globally)
+
+_GLOBAL_TOPN_SQL = """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
 # self-join funnel: click → purchase by the same user within 1 hour
 # (interval-bounded range join; at 100 TB this becomes a bucketed
 # self-join on user_id with an AQE-handled time-range predicate)
@@ -711,6 +719,7 @@ QUERIES.update(
         "rel_stats_agg": _sql(_STATS_SQL),
         "rel_percentiles": _sql(_PCTL_SQL_SPARK),
         "rel_click_purchase_funnel": _sql(_FUNNEL_SQL),
+        "rel_global_topn": _sql(_GLOBAL_TOPN_SQL),
     }
 )
 ORACLES.update(
@@ -726,5 +735,6 @@ ORACLES.update(
         "rel_stats_agg": _STATS_SQL,
         "rel_percentiles": _PCTL_SQL_DUCK,
         "rel_click_purchase_funnel": _FUNNEL_SQL,
+        "rel_global_topn": _GLOBAL_TOPN_SQL,
     }
 )
