@@ -662,6 +662,34 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag
 """
 
+# nation-pair shipping volume (TPC-H Q7 family): 6-way join with two
+# roles of the same dim table + year extraction
+
+_NATION_VOLUME_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(YEAR(l.l_shipdate) AS INT) AS l_year,
+  {rev} AS volume, COUNT(*) AS n_items
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+""".format(rev=_REV)
+
+# disjunctive range predicates (TPC-H Q19 family): OR of ANDed ranges —
+# Catalyst pushes the common-factor predicates and prunes columns
+
+_OR_RANGES_SQL = """
+SELECT COUNT(*) AS n_items, {rev} AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 5)
+   OR (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 10)
+   OR (l.l_quantity BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 15)
+""".format(rev=_REV)
+
 # global top-N: orderBy + limit → TakeOrderedAndProject (per-partition
 # partial top-N, no full sort — the reference Q4 partial_sort, globally)
 
@@ -720,6 +748,8 @@ QUERIES.update(
         "rel_percentiles": _sql(_PCTL_SQL_SPARK),
         "rel_click_purchase_funnel": _sql(_FUNNEL_SQL),
         "rel_global_topn": _sql(_GLOBAL_TOPN_SQL),
+        "rel_nation_volume": _sql(_NATION_VOLUME_SQL),
+        "rel_or_ranges": _sql(_OR_RANGES_SQL),
     }
 )
 ORACLES.update(
@@ -736,5 +766,7 @@ ORACLES.update(
         "rel_percentiles": _PCTL_SQL_DUCK,
         "rel_click_purchase_funnel": _FUNNEL_SQL,
         "rel_global_topn": _GLOBAL_TOPN_SQL,
+        "rel_nation_volume": _NATION_VOLUME_SQL,
+        "rel_or_ranges": _OR_RANGES_SQL,
     }
 )
