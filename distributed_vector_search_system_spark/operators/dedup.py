@@ -342,6 +342,78 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# duplicate-cluster resolution (pairs → connected components → keep one)
+
+def duplicate_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup pairs by iterative min-label
+    propagation: every node's label converges to the smallest id reachable
+    from it.  Returns (id_col, cluster_rep).
+
+    This is the "resolve" step an actual dedup pipeline needs after pair
+    generation: keep rows where ``cluster_rep == id``.
+
+    Scale: each iteration is one equi-join + groupBy on node id (both
+    key-partitioned — co-partitioned under bucketing); iterations needed
+    = graph diameter, which for near-dup clusters is tiny (dup clusters
+    are dense, diameter ~1-2; label propagation halves path lengths each
+    round regardless).  State is one (id, label) row per node,
+    localCheckpoint'd per round to cut lineage.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+    )
+    labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_rep"))
+
+
+def resolve_duplicates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop every document that is not its cluster's representative
+    (lowest id) — the terminal dedup step."""
+    comp = duplicate_clusters(docs.select(id_col), pairs, id_col=id_col)
+    keep = comp.filter(F.col("cluster_rep") == F.col(id_col)).select(id_col)
+    return docs.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
 # embedding cosine near-dup
 
 def embedding_neardup_pairs(

@@ -119,8 +119,7 @@ _SIG_ITEMS = ", ".join(
     f"list_min(list_transform(hv, v -> (v * {a} + {b}) % {MINHASH_P}))"
     for a, b in minhash_coeffs(_NUM_HASHES)
 )
-_MINHASH_SQL = f"""
-WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+_MINHASH_CTES = f"""toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
 sh AS (SELECT doc_id, {_SHINGLES} AS s FROM toks WHERE len({_SHINGLES}) > 0),
 hashed AS (
   SELECT doc_id, s, list_transform(s, x -> {_hash_sql("x")} % {MINHASH_P}) AS hv
@@ -155,7 +154,39 @@ verified AS (
   JOIN sizes sa ON sa.doc_id = i.doc_a
   JOIN sizes sb ON sb.doc_id = i.doc_b
 )
+"""
+
+_MINHASH_SQL = f"""
+WITH {_MINHASH_CTES}
 SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM verified WHERE j >= 0.5
+"""
+
+# dedup: cluster resolution — pairs → connected components → per-doc
+# representative.  Spark side is iterative min-label propagation
+# (operators.dedup.duplicate_clusters); the oracle computes the same
+# components with a recursive CTE (transitive closure is tiny at sf0.01).
+
+def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import duplicate_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, 0.5, num_hashes=_NUM_HASHES, bands=_BANDS, n=2)
+    return duplicate_clusters(docs.select("doc_id"), pairs)
+
+
+_RESOLVE_SQL = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+pairs AS (SELECT doc_a, doc_b FROM verified WHERE j >= 0.5),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT d.doc_id, LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster_rep
+FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+GROUP BY d.doc_id
 """
 
 # dedup: SimHash (60-bit portable hash, all-pairs oracle, hamming ≤ 12)
@@ -395,6 +426,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_resolve": q_dedup_resolve,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -413,6 +445,7 @@ ORACLES = {
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": _MINHASH_SQL,
     "dedup_simhash": _simhash_oracle(),
+    "dedup_resolve": _RESOLVE_SQL,
     "dedup_embedding_cosine": _EMB_NEARDUP_SQL,
     "ann_cosine_topk": _ANN_COSINE_SQL,
     "text_language_id": _langid_oracle(),

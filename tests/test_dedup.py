@@ -99,3 +99,20 @@ def test_embedding_neardup_blocked_equals_filtered_bruteforce(spark, sf_smoke):
         .filter(F.col("la") == F.col("lb")).collect()
     }
     assert blocked == brute_same_label
+
+
+def test_resolve_chain_collapses_to_one_rep(spark):
+    """a-b and b-c pairs (no direct a-c edge) must all resolve to a —
+    label propagation crosses the transitive link."""
+    from distributed_vector_search_system_spark.operators.dedup import (
+        duplicate_clusters,
+        resolve_duplicates,
+    )
+
+    ids = spark.createDataFrame([(1,), (2,), (3,), (9,)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    comp = {r["doc_id"]: r["cluster_rep"] for r in duplicate_clusters(ids, pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 9: 9}
+    docs = ids.withColumn("text", ids.doc_id.cast("string"))
+    kept = sorted(r["doc_id"] for r in resolve_duplicates(docs, pairs).collect())
+    assert kept == [1, 9]
