@@ -132,15 +132,28 @@ class VectorEngine:
         the only write shape that matters.  All rows share one generation
         seq: within a batch there is one row per id (enforced), so no
         intra-batch order is needed — avoiding a global-window sort that
-        would bottleneck on a single partition at scale."""
+        would bottleneck on a single partition at scale.
+
+        Write order (G3/R1): any pending single upsert/delete entries were
+        issued BEFORE this batch, so they are compacted into the snapshot
+        first; the batch then overrides them — the driver-assigned total
+        order is preserved (a replay can never resurrect an older write
+        over a newer batch row).
+        """
+        if self._pending:
+            self.compact()
         base_seq = 10_000_000 * (self.version + 1)
+        types = {f.name: f.dataType for f in self._snapshot.schema.fields}
+        payload = [c for c in self._snapshot.columns if c != "vec_id"]
         log = updates.dropDuplicates(["vec_id"]).select(
             F.lit(base_seq).cast("long").alias("seq"),
             F.lit("upsert").alias("op"),
             "vec_id",
-            F.lit(None).cast("string").alias("shard_id"),
-            "embedding",
-            "label",
+            *[
+                F.col(c) if c in updates.columns
+                else F.lit(None).cast(types[c]).alias(c)
+                for c in payload
+            ],
         )
         self._snapshot = apply_mutations(self._snapshot, log)
         self._on_mutation(applied=True)

@@ -359,11 +359,18 @@ def duplicate_clusters(
     generation: keep rows where ``cluster_rep == id``.
 
     Scale: each iteration is one equi-join + groupBy on node id (both
-    key-partitioned — co-partitioned under bucketing); iterations needed
-    = graph diameter, which for near-dup clusters is tiny (dup clusters
-    are dense, diameter ~1-2; label propagation halves path lengths each
-    round regardless).  State is one (id, label) row per node,
+    key-partitioned — co-partitioned under bucketing) plus a
+    pointer-jumping step (``label ← label(label)``) that halves the
+    distance to each component's minimum every round, so convergence is
+    O(log diameter) rounds rather than O(diameter) — long duplicate
+    chains cannot outrun the iteration budget.  (Pointer jumping is
+    sound here because reachability is symmetric: ``label(v)`` is a node
+    reachable from ``v``, so the min reachable from ``label(v)`` is also
+    reachable from ``v``.)  State is one (id, label) row per node,
     localCheckpoint'd per round to cut lineage.
+
+    Raises ``RuntimeError`` if the loop exits without a fixed point —
+    silently splitting a duplicate cluster is worse than failing.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -371,6 +378,7 @@ def duplicate_clusters(
         .distinct()
     )
     labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    converged = False
     for _ in range(max_iterations):
         nbr_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -386,6 +394,19 @@ def duplicate_clusters(
                 ),
             )
         )
+        # pointer jumping: follow label → its label's label (path halving)
+        ptr = new_labels.select(
+            F.col("id").alias("_pid"), F.col("label").alias("_plabel")
+        )
+        new_labels = (
+            new_labels.join(ptr, new_labels.label == ptr._pid, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("_plabel", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        )
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
@@ -396,7 +417,12 @@ def duplicate_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iterations} iterations"
+        )
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_rep"))
 
 

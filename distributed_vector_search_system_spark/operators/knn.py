@@ -106,7 +106,8 @@ def knn(
         )
 
     scored = vectors.join(F.broadcast(queries), how="cross").select(
-        *out_cols[:-1],
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("id"),
         squared_l2(F.col(vector_col), F.col(query_vector_col)).alias("distance"),
         *([F.col(shard_col).cast("string").alias("shard_id")] if shard_col else []),
     )
@@ -143,7 +144,13 @@ def _knn_numpy(
     # collect to the driver and let Spark broadcast the closure.
     qrows = queries.select(query_id_col, query_vector_col).collect()
     if not qrows:
-        return knn(vectors, queries.limit(0), 0, id_col=id_col, vector_col=vector_col)
+        # same columns as the non-empty branch, including shard_id
+        return knn(
+            vectors, queries.limit(0), 0,
+            id_col=id_col, vector_col=vector_col,
+            query_id_col=query_id_col, query_vector_col=query_vector_col,
+            shard_col=shard_col,
+        )
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)  # (Q, d)
     qsq = (qmat * qmat).sum(axis=1)  # (Q,)

@@ -40,7 +40,7 @@ def apply_mutations(
     log: DataFrame,
     *,
     id_col: str = "vec_id",
-    payload_cols: tuple[str, ...] = ("embedding", "label"),
+    payload_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Fold an ordered mutation log into a base snapshot (R11 + M1 + M2).
 
@@ -57,7 +57,17 @@ def apply_mutations(
     Implemented as one LWW window over the log + one left anti/union —
     no driver-side iteration, so a 100 TB base with a 1 TB log is two
     shuffles (one of which disappears under bucketing).
+
+    ``payload_cols`` defaults to every non-id base column, so the full
+    base schema (including any shard/routing column, reference M3)
+    survives compaction; the log must carry the same columns (the
+    MUTATIONS_SCHEMA does for shard_id/embedding/label).
     """
+    if payload_cols is None:
+        payload_cols = tuple(c for c in base.columns if c != id_col)
+    missing = [c for c in payload_cols if c not in log.columns]
+    if missing:
+        raise ValueError(f"mutation log lacks base payload columns: {missing}")
     last = Window.partitionBy(id_col).orderBy(F.col("seq").desc())
     latest = (
         log.withColumn("_rn", F.row_number().over(last))

@@ -116,3 +116,17 @@ def test_resolve_chain_collapses_to_one_rep(spark):
     docs = ids.withColumn("text", ids.doc_id.cast("string"))
     kept = sorted(r["doc_id"] for r in resolve_duplicates(docs, pairs).collect())
     assert kept == [1, 9]
+
+
+def test_resolve_long_chain_pointer_jumping(spark):
+    """Regression: a 64-node path graph (diameter 63) must converge well
+    inside max_iterations via pointer jumping (O(log d) rounds)."""
+    from distributed_vector_search_system_spark.operators.dedup import duplicate_clusters
+
+    n = 64
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = duplicate_clusters(ids, pairs, max_iterations=10)
+    assert {r["cluster_rep"] for r in got.collect()} == {0}

@@ -128,3 +128,51 @@ def test_config_defaults_and_validation(tmp_path):
     loaded = EngineConfig.from_file(str(p))
     assert loaded.dimension == 64
     assert loaded.cache_max_entries == 2048 and loaded.cache_ttl_seconds == 30
+
+
+# --- ADVICE round-2 regressions -------------------------------------------
+
+def test_search_with_shard_col(spark):
+    """Regression: the expr kNN path with shard_col configured used to
+    reference `distance` before it existed (unresolved-column crash)."""
+    vectors = spark.createDataFrame(
+        [(i, [float(i), 0.0], None) for i in range(10)], schema=VECTORS_SCHEMA
+    ).withColumn("shard_id", (F.col("vec_id") % 2).cast("string"))
+    e = VectorEngine(spark, vectors, dim=2, shard_col="shard_id")
+    got = e.search(_q(spark, 0, [0.0, 0.0], 3), 3).orderBy("rank").collect()
+    assert [r["id"] for r in got] == [0, 1, 2]
+    assert [r["shard_id"] for r in got] == ["0", "1", "0"]
+    assert got[0].__fields__ == ["query_id", "id", "distance", "shard_id", "rank"]
+
+
+def test_upsert_batch_respects_pending_write_order(spark):
+    """Regression (G3/R1): singles issued BEFORE a batch must not replay
+    over the batch's rows at the next compact/STRONG read."""
+    e = _engine(spark)
+    e.upsert(5, [5.0, 0.0], label=111)   # pending single, issued first
+    e.delete(6)                           # pending delete, issued first
+    updates = spark.createDataFrame(
+        [(5, [5.0, 0.0], 222), (6, [6.0, 0.0], 333)], schema=VECTORS_SCHEMA
+    )
+    e.upsert_batch(updates)               # batch issued later → must win
+    e.compact()  # no-op (nothing pending), but must not resurrect singles
+    snap = {r["vec_id"]: r["label"] for r in e._snapshot.collect()}
+    assert snap[5] == 222   # batch overrode the earlier single upsert
+    assert snap[6] == 333   # batch re-inserted the earlier-deleted id
+
+
+def test_shard_column_survives_compaction(spark):
+    """Regression (M3): compaction used to project the base down to
+    (vec_id, embedding, label), losing shard_id — cardinality()/search()
+    then crashed on a shard-configured engine."""
+    vectors = spark.createDataFrame(
+        [(i, [float(i), 0.0], None) for i in range(6)], schema=VECTORS_SCHEMA
+    ).withColumn("shard_id", (F.col("vec_id") % 2).cast("string"))
+    e = VectorEngine(spark, vectors, dim=2, shard_col="shard_id")
+    e.upsert(100, [1.5, 0.0], shard_id="0")
+    e.compact()
+    assert "shard_id" in e._snapshot.columns
+    got = {r["shard_id"]: r["n_vectors"] for r in e.cardinality().collect()}
+    assert got == {"0": 4, "1": 3}
+    hits = e.search(_q(spark, 0, [1.5, 0.0], 1), 1).collect()
+    assert hits[0]["id"] == 100 and hits[0]["shard_id"] == "0"

@@ -144,3 +144,19 @@ def test_shard_cardinality(spark):
     )
     got = {r["shard_id"]: r["n_vectors"] for r in shard_cardinality(v).collect()}
     assert got == {"0": 5, "1": 5}
+
+
+def test_numpy_empty_queries_schema_matches(spark):
+    """Regression: the numpy path's empty-query early return must emit the
+    same columns as the non-empty path, including shard_id."""
+    from distributed_vector_search_system_spark.operators.knn import knn
+    from pyspark.sql import functions as F
+
+    vectors = spark.createDataFrame(
+        [(i, [float(i)], None) for i in range(4)], schema=VECTORS_SCHEMA
+    ).withColumn("shard_id", (F.col("vec_id") % 2).cast("string"))
+    full = spark.createDataFrame([(0, [0.0], 2)], schema=QUERIES_SCHEMA)
+    empty = full.limit(0)
+    cols_full = knn(vectors, full, 2, shard_col="shard_id", method="numpy").columns
+    cols_empty = knn(vectors, empty, 2, shard_col="shard_id", method="numpy").columns
+    assert cols_empty == cols_full
