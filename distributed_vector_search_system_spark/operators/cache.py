@@ -112,6 +112,137 @@ class QueryCache:
         return len(self._map)
 
 
+def _signed64(h: int) -> int:
+    """Fold an unsigned 64-bit digest into Spark's signed LongType range."""
+    h &= 0xFFFFFFFFFFFFFFFF
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def probe_plan(cache_df: DataFrame, now):
+    """C2 lookup semantics as a dataflow: for every (digest, top_k) key
+    keep the NEWEST entry, and report whether it is live at ``now``
+    (reference lazily erases expired entries on lookup,
+    src/cache/query_cache.cc:15-29; replace-on-duplicate means the newest
+    row is the authoritative one, :31-43).
+
+    Shared by :class:`PersistentResultCache` and the oracle-checked
+    ``cache_persistent_probe`` registry query, so the probe predicate the
+    driver verifies is the one production uses.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("digest", "top_k").orderBy(
+        F.col("created_at").desc(), F.col("expires_at").desc()
+    )
+    return (
+        cache_df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("live", F.col("expires_at") > now)
+    )
+
+
+class PersistentResultCache:
+    """Cross-session result cache over a parquet table with
+    RESULT_CACHE_SCHEMA — the reference's cache survives across requests
+    within a node process (src/cache/query_cache.cc:15-43); this one
+    survives across SparkSessions by living in storage.
+
+    Writes append (replace-on-duplicate = newest ``created_at`` wins at
+    probe time); ``invalidate()`` bumps a version epoch so every earlier
+    entry is dead (M4 full-clear, query_cache.cc:45-49) without a
+    read-modify-write of the whole table; ``prune()`` is the compaction
+    that physically drops dead rows.
+    """
+
+    def __init__(self, spark, path: str, *, ttl_seconds: float = DEFAULT_TTL_SECONDS):
+        self._spark = spark
+        self._path = path
+        self._ttl = ttl_seconds
+        self._version_ts = None  # entries created before this are invalid
+
+    def _read(self) -> DataFrame | None:
+        from pyspark.errors import AnalysisException
+
+        from ..schemas import RESULT_CACHE_SCHEMA
+
+        try:
+            return self._spark.read.schema(RESULT_CACHE_SCHEMA).parquet(self._path)
+        except AnalysisException:
+            return None  # no cache written yet
+
+    def put(self, qvec, k: int, hits, *, now=None) -> None:
+        """Insert (C3): hits = [(id, distance, shard_id), ...]."""
+        import datetime as _dt
+
+        from ..schemas import RESULT_CACHE_SCHEMA
+
+        now = now if now is not None else _dt.datetime.now()
+        expires = now + _dt.timedelta(seconds=self._ttl)
+        row = [
+            (
+                _signed64(_digest(tuple(qvec), k)),
+                k,
+                [tuple(h) for h in hits],
+                now,
+                expires,
+            )
+        ]
+        self._spark.createDataFrame(row, schema=RESULT_CACHE_SCHEMA).write.mode(
+            "append"
+        ).parquet(self._path)
+
+    def probe(self, qvec, k: int, *, now=None):
+        """Lookup (C2): newest entry for the key, live and
+        post-invalidation only.  Returns the hits list or None."""
+        import datetime as _dt
+
+        from pyspark.sql import functions as F
+
+        now = now if now is not None else _dt.datetime.now()
+        df = self._read()
+        if df is None:
+            return None
+        key = _signed64(_digest(tuple(qvec), k))
+        entries = df.filter((F.col("digest") == key) & (F.col("top_k") == k))
+        if self._version_ts is not None:
+            entries = entries.filter(F.col("created_at") >= F.lit(self._version_ts))
+        best = probe_plan(entries, F.lit(now)).filter(F.col("live"))
+        rows = best.select("hits").collect()
+        if not rows:
+            return None
+        return [tuple(h) for h in rows[0]["hits"]]
+
+    def invalidate(self, *, now=None) -> None:
+        """M4 full clear as a version-epoch bump — O(1), no table rewrite."""
+        import datetime as _dt
+
+        self._version_ts = now if now is not None else _dt.datetime.now()
+
+    def prune(self, *, now=None) -> int:
+        """Physically drop expired / invalidated rows (C3 eviction analog);
+        returns surviving row count."""
+        import datetime as _dt
+
+        from pyspark.sql import functions as F
+
+        now = now if now is not None else _dt.datetime.now()
+        df = self._read()
+        if df is None:
+            return 0
+        keep = df.filter(F.col("expires_at") > F.lit(now))
+        if self._version_ts is not None:
+            keep = keep.filter(F.col("created_at") >= F.lit(self._version_ts))
+        kept = keep.collect()  # tiny by construction (≤ max_entries · k rows)
+        from ..schemas import RESULT_CACHE_SCHEMA
+
+        self._spark.createDataFrame(kept, schema=RESULT_CACHE_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(self._path)
+        return len(kept)
+
+
 class CachedSearcher:
     """Search pipeline with the cache short-circuit (reference Q5:
     cache lookup → fan-out+merge on miss → cache fill,

@@ -189,15 +189,24 @@ FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
 GROUP BY d.doc_id
 """
 
-# dedup: SimHash (60-bit portable hash, all-pairs oracle, hamming ≤ 12)
+# dedup: SimHash (60-bit portable hash, hamming ≤ 12).  The REGISTERED
+# plan is the banded scale path: band_bits=4 → 15 chunks, and by
+# pigeonhole any pair within 14 differing bits agrees on ≥1 chunk, so
+# candidates come from a (chunk_index, chunk_value) equi-join — exact for
+# max_hamming=12, no |docs|² scan (VERDICT r01 item 4).  The all-pairs
+# formulation survives only inside the DuckDB oracle, where it is the
+# ground truth the banded plan must reproduce.
 
 _SIMHASH_MAXHAM = 12
 _SIMHASH_BITS = 60
+_SIMHASH_BAND_BITS = 4  # 60/4 = 15 chunks → pigeonhole-exact for hamming ≤ 14
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, _SIMHASH_MAXHAM)
+    return simhash_pairs(
+        docs, _SIMHASH_MAXHAM, banded=True, band_bits=_SIMHASH_BAND_BITS
+    )
 
 
 def _simhash_oracle() -> str:
@@ -365,7 +374,7 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKEN_STATS_SQL = f"""
 WITH t AS (SELECT source, CAST(len({_TOKS}) AS BIGINT) AS n, n_chars FROM documents)
-SELECT source, COUNT(*) AS n_docs, SUM(n) AS total_tokens,
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens,
        ROUND(AVG(n), 4) AS avg_tokens, MAX(n_chars) AS max_chars
 FROM t GROUP BY source
 """
@@ -458,3 +467,7 @@ ORACLES = {
     # multimodal_features / multimodal_frames: mapInPandas kernels —
     # validated value-exactly in tests/test_multimodal.py.
 }
+
+# every LLM-pipeline query sits inside the driver's 50-entry window
+EXTRA_QUERIES: dict = {}
+EXTRA_ORACLES: dict = {}

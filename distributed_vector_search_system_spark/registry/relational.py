@@ -2,14 +2,27 @@
 
 The reference implements no general relational operators; Spark SQL
 provides them all.  Each entry exercises one capability family — joins
-(inner/anti/as-of), hash aggregation, grouping sets/rollup/cube, window
-functions with frames, set ops, scalar function libraries (string / date
-/ math / json), sessionization — against the TPC-H-ish fixtures, with a
-DuckDB oracle.
+(inner/anti/semi/as-of/range), hash aggregation, grouping sets/rollup/
+cube, window functions with frames, set ops, scalar function libraries
+(string / date / math / json / array), sessionization — against the
+TPC-H-ish fixtures, with a DuckDB oracle.
+
+Two tiers (VERDICT r01 item 1 — the driver verifies only the first 50
+registry entries, and the LLM surface must fit inside that window):
+
+- ``QUERIES``/``ORACLES``: the driver-verified tier.  Near-duplicate
+  entries from round 1 are merged (anti+semi, the window variants, the
+  grouping variants, stats+percentiles, tumbling+sliding) so every
+  capability family keeps a driver row.
+- ``EXTRA_QUERIES``/``EXTRA_ORACLES``: additional coverage checked by
+  the repo's own mirror harness (tests/test_oracle_parity.py) with the
+  identical DuckDB comparison, just not by the external driver.
 
 Cross-engine float discipline: money sums go through DECIMAL(18,2)
 (exact, bit-identical), double averages are rounded, timestamps are
-rendered as formatted strings.
+rendered as formatted strings, and integer SUMs are CAST to BIGINT on
+the DuckDB side (DuckDB sums integers into HUGEINT, which pandas turns
+into float64 — CORRECTNESS_r01 rel_json_events/rel_pivot_status).
 """
 
 from __future__ import annotations
@@ -80,77 +93,127 @@ JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 GROUP BY r.r_name
 """.format(rev=_REV)
 
-# anti-join: customers that never ordered
+# nation-pair shipping volume (TPC-H Q7 family): 6-way join with two
+# roles of the same dim table + year extraction
 
-_NO_ORDERS_SQL = """
-SELECT c_custkey, c_name FROM customer c
+_NATION_VOLUME_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(YEAR(l.l_shipdate) AS INT) AS l_year,
+  {rev} AS volume, COUNT(*) AS n_items
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+""".format(rev=_REV)
+
+# disjunctive range predicates (TPC-H Q19 family): OR of ANDed ranges —
+# Catalyst pushes the common-factor predicates and prunes columns
+
+_OR_RANGES_SQL = """
+SELECT COUNT(*) AS n_items, {rev} AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 5)
+   OR (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 10)
+   OR (l.l_quantity BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 15)
+""".format(rev=_REV)
+
+# anti-join + semi-join, one tagged entry (merged round-1
+# rel_customers_without_orders + rel_suppliers_semi)
+
+_ANTI_SEMI_SQL = """
+SELECT 'no_orders' AS family, c_custkey AS entity_key, c_name AS entity_name
+FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-"""
-
-# semi-join: suppliers whose nation has at least one BUILDING customer
-
-_SEMI_SQL = """
-SELECT s_suppkey, s_name FROM supplier s
+UNION ALL
+SELECT 'building_nation_supplier', s_suppkey, s_name
+FROM supplier s
 WHERE EXISTS (SELECT 1 FROM customer c
               WHERE c.c_nationkey = s.s_nationkey AND c.c_mktsegment = 'BUILDING')
 """
 
-# window rank per group: top-3 customers by balance per nation
+# window suite over one pass of orders (merged round-1 rel_running_total
+# + rel_window_nav, plus a numeric RANGE frame): cumulative frame, lag
+# arithmetic, ntile, first/last/lead navigation, value-distance frame
 
-_TOP3_SQL = """
-SELECT * FROM (
-  SELECT n.n_name, c.c_custkey, ROUND(c.c_acctbal, 2) AS acctbal,
-         CAST(ROW_NUMBER() OVER (PARTITION BY n.n_name
-                                 ORDER BY c.c_acctbal DESC, c.c_custkey) AS INT) AS rn
-  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-) WHERE rn <= 3
-"""
-
-# window frames: running spend + days since previous order per customer
-
-_RUNNING_SQL_SPARK = """
+_WINDOW_SUITE_SQL_SPARK = """
 SELECT o_custkey, o_orderkey,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
        (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
-  DATEDIFF(o_orderdate, LAG(o_orderdate) OVER
-       (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) AS days_since_prev
+  DATEDIFF(o_orderdate, LAG(o_orderdate) OVER w) AS days_since_prev,
+  CAST(NTILE(4) OVER w AS INT) AS quartile,
+  FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+  LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING) AS last_ok,
+  LEAD(o_orderkey) OVER w AS next_ok,
+  CAST(COUNT(*) OVER (ORDER BY o_totalprice
+                      RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS BIGINT)
+       AS n_price_within_1k
 FROM orders WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
-_RUNNING_SQL_DUCK = """
+_WINDOW_SUITE_SQL_DUCK = """
 SELECT o_custkey, o_orderkey,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
        (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
-  CAST(DATE_DIFF('day', LAG(o_orderdate) OVER
-       (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), o_orderdate) AS INT)
-       AS days_since_prev
+  CAST(DATE_DIFF('day', LAG(o_orderdate) OVER w, o_orderdate) AS INT)
+       AS days_since_prev,
+  CAST(NTILE(4) OVER w AS INT) AS quartile,
+  FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+  LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING) AS last_ok,
+  LEAD(o_orderkey) OVER w AS next_ok,
+  CAST(COUNT(*) OVER (ORDER BY o_totalprice
+                      RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS BIGINT)
+       AS n_price_within_1k
 FROM orders WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
-# rollup with grouping flags
+# rollup + cube + grouping sets in one tagged entry (merged round-1
+# rel_rollup_sales + rel_cube_orders + rel_grouping_sets) — all three
+# multi-grouping operators, each with GROUPING() flags
 
-_ROLLUP_SQL = """
-SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
-       COALESCE(l_linestatus, 'ALL') AS linestatus,
-       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
-       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
-       COUNT(*) AS n_items,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+_GROUPING_OPS_SQL = """
+SELECT 'rollup' AS op,
+       COALESCE(l_returnflag, 'ALL') AS k1,
+       COALESCE(l_linestatus, 'ALL') AS k2,
+       CAST(GROUPING(l_returnflag) AS INT) AS g1,
+       CAST(GROUPING(l_linestatus) AS INT) AS g2,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM lineitem
 GROUP BY ROLLUP(l_returnflag, l_linestatus)
-"""
-
-# cube
-
-_CUBE_SQL = """
-SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
-       COALESCE(o_orderpriority, 'ALL') AS orderpriority,
-       COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+UNION ALL
+SELECT 'cube',
+       COALESCE(o_orderstatus, 'ALL'),
+       COALESCE(o_orderpriority, 'ALL'),
+       CAST(GROUPING(o_orderstatus) AS INT),
+       CAST(GROUPING(o_orderpriority) AS INT),
+       COUNT(*),
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
 FROM orders
 GROUP BY CUBE(o_orderstatus, o_orderpriority)
+UNION ALL
+SELECT 'gsets',
+       COALESCE(l_returnflag, 'ALL'),
+       COALESCE(o_orderpriority, 'ALL'),
+       CAST(GROUPING(l_returnflag) AS INT),
+       CAST(GROUPING(o_orderpriority) AS INT),
+       COUNT(*),
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY GROUPING SETS ((l_returnflag), (o_orderpriority), (l_returnflag, o_orderpriority))
 """
 
 # set operations (explicit parens; custkey domain)
@@ -212,6 +275,39 @@ SELECT o_orderkey,
 FROM orders WHERE o_orderkey < 200
 """
 
+# array construction + higher-order lambda functions.  Array outputs are
+# serialized to CSV strings on BOTH sides — the driver's canonicalizer
+# cannot hash array columns (CORRECTNESS_r01 rel_array_funcs TypeError);
+# the element values are still compared in full through the join.
+
+_ARRAY_SQL_SPARK = """
+SELECT p_partkey,
+  SIZE(SPLIT(p_name, ' ')) AS n_tokens,
+  CONCAT_WS(',', ARRAY_SORT(SPLIT(p_name, ' '))) AS tokens_sorted_csv,
+  CONCAT_WS(',', TRANSFORM(SPLIT(p_name, ' '), t -> CAST(LENGTH(t) AS STRING)))
+    AS token_lens_csv,
+  CONCAT_WS(',', FILTER(SPLIT(p_name, ' '), t -> LENGTH(t) > 4)) AS long_tokens_csv,
+  ARRAY_CONTAINS(SPLIT(p_name, ' '), 'red') AS has_red
+FROM part WHERE p_partkey < 100
+"""
+
+_ARRAY_SQL_DUCK = """
+SELECT p_partkey,
+  CAST(LEN(STRING_SPLIT(p_name, ' ')) AS INT) AS n_tokens,
+  COALESCE(ARRAY_TO_STRING(LIST_SORT(STRING_SPLIT(p_name, ' ')), ','), '')
+    AS tokens_sorted_csv,
+  COALESCE(ARRAY_TO_STRING(LIST_TRANSFORM(STRING_SPLIT(p_name, ' '),
+                                          t -> CAST(LENGTH(t) AS VARCHAR)), ','), '')
+    AS token_lens_csv,
+  -- empty list serializes to '' on both sides (DuckDB array_to_string
+  -- yields NULL for an empty filter result; Spark concat_ws yields '')
+  COALESCE(ARRAY_TO_STRING(LIST_FILTER(STRING_SPLIT(p_name, ' '),
+                                       t -> LENGTH(t) > 4), ','), '')
+    AS long_tokens_csv,
+  LIST_CONTAINS(STRING_SPLIT(p_name, ' '), 'red') AS has_red
+FROM part WHERE p_partkey < 100
+"""
+
 # ordered string aggregation
 
 _STRAGG_SQL_SPARK = """
@@ -241,7 +337,9 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag
 """
 
-# JSON extraction over events.props
+# JSON extraction over events.props.  DuckDB side: CAST(SUM(int) AS
+# BIGINT) — SUM over integers yields HUGEINT, which pandas converts to
+# float64 and the driver hashes `5.0` vs Spark's `5`.
 
 _JSON_SQL_SPARK = """
 SELECT event_type,
@@ -254,51 +352,82 @@ FROM events GROUP BY event_type
 _JSON_SQL_DUCK = """
 SELECT event_type,
   COUNT(*) AS n_events,
-  SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS sum_k,
+  CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
   ROUND(AVG(value), 4) AS avg_value
 FROM events GROUP BY event_type
 """
 
-# tumbling window aggregation (batch analog of streaming windows)
+# statistical aggregates + exact interpolated percentiles over one pass
+# (merged round-1 rel_stats_agg + rel_percentiles; Spark PERCENTILE ≡
+# DuckDB QUANTILE_CONT)
 
-_TUMBLING_SQL_SPARK = """
-SELECT DATE_FORMAT(DATE_TRUNC('hour', ts), 'yyyy-MM-dd HH:mm:ss') AS hour_start,
-  event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
-FROM events GROUP BY 1, 2
+_STATS_BODY = """
+  ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+  ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty,
+  ROUND(VAR_SAMP(l_discount), 8) AS var_disc,
+  ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS covar_qp,
+  ROUND(MIN(l_extendedprice), 2) AS min_price,
+  ROUND(MAX(l_extendedprice), 2) AS max_price,
 """
 
-_TUMBLING_SQL_DUCK = """
-SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
-  event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
-FROM events GROUP BY 1, 2
+_STATS_PCTL_SQL_SPARK = f"""
+SELECT l_returnflag,
+{_STATS_BODY}
+  ROUND(PERCENTILE(l_quantity, 0.25), 4) AS q25,
+  ROUND(PERCENTILE(l_quantity, 0.50), 4) AS q50,
+  ROUND(PERCENTILE(l_quantity, 0.75), 4) AS q75,
+  ROUND(PERCENTILE(l_quantity, 0.99), 4) AS q99
+FROM lineitem GROUP BY l_returnflag
 """
 
-# sessionization: 30-minute inactivity gap (lag + cumulative flag)
-
-_SESSIONS_SQL = """
-WITH g AS (
-  SELECT user_id, ts,
-    CASE WHEN LAG(ts) OVER w IS NULL
-              OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-)
-SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
-FROM g GROUP BY user_id
+_STATS_PCTL_SQL_DUCK = f"""
+SELECT l_returnflag,
+{_STATS_BODY}
+  ROUND(QUANTILE_CONT(l_quantity, 0.25), 4) AS q25,
+  ROUND(QUANTILE_CONT(l_quantity, 0.50), 4) AS q50,
+  ROUND(QUANTILE_CONT(l_quantity, 0.75), 4) AS q75,
+  ROUND(QUANTILE_CONT(l_quantity, 0.99), 4) AS q99
+FROM lineitem GROUP BY l_returnflag
 """
 
-# ordered replay fold (R11 analog over events): last state per user
+# correlated scalar subquery (TPC-H Q17 family) — Catalyst decorrelates
+# into an aggregate + join; per-partkey average threshold
 
-_REPLAY_SQL = """
-WITH ranked AS (
-  SELECT user_id, event_type, value, ts, event_id,
-    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
-    COUNT(*)    OVER (PARTITION BY user_id) AS n_events
-  FROM events
-)
-SELECT user_id, event_id AS last_event_id, event_type AS last_type,
-       ROUND(value, 6) AS last_value, n_events
-FROM ranked WHERE rn = 1
+_SMALL_LOTS_SQL = """
+SELECT p.p_brand, COUNT(*) AS n_small_lots,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+GROUP BY p.p_brand
+"""
+
+# pivot: priority × status counts.  Spark side uses DataFrame .pivot();
+# oracle is the explicit conditional-aggregation expansion (SUM(int)
+# CAST to BIGINT — same HUGEINT pitfall as the json query).
+
+_PIVOT_STATUSES = ["F", "O", "P"]
+
+
+def q_rel_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", _PIVOT_STATUSES)
+        .count()
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s}") for s in _PIVOT_STATUSES],
+    )
+
+
+_PIVOT_SQL_DUCK = """
+SELECT o_orderpriority,
+  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_F,
+  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_O,
+  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_P
+FROM orders GROUP BY o_orderpriority
 """
 
 # range filter + projection (reference R3 EntriesFrom, raft_log.cc:64-73)
@@ -337,80 +466,6 @@ ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
 """
 
 
-# top-3 via DataFrame API (same result as _TOP3_SQL — shows both APIs)
-
-def q_top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    w = Window.partitionBy("n_name").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
-    return (
-        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .select("n_name", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"),
-                F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") <= 3)
-    )
-
-
-QUERIES = {
-    "rel_pricing_summary": _sql(_PRICING_SQL),
-    "rel_revenue_by_order": _sql(_REVENUE_BY_ORDER_SQL),
-    "rel_revenue_by_region": _sql(_REVENUE_BY_REGION_SQL),
-    "rel_customers_without_orders": _sql(_NO_ORDERS_SQL),
-    "rel_suppliers_semi": _sql(_SEMI_SQL),
-    "rel_top3_customers_per_nation": q_top3_customers_per_nation,
-    "rel_running_total": _sql(_RUNNING_SQL_SPARK),
-    "rel_rollup_sales": _sql(_ROLLUP_SQL),
-    "rel_cube_orders": _sql(_CUBE_SQL),
-    "rel_setops": _sql(_SETOPS_SQL),
-    "rel_scalar_funcs": _sql(_SCALAR_SQL_SPARK),
-    "rel_date_funcs": _sql(_DATE_SQL_SPARK),
-    "rel_string_agg": _sql(_STRAGG_SQL_SPARK),
-    "rel_distinct_aggs": _sql(_DISTINCT_SQL),
-    "rel_json_events": _sql(_JSON_SQL_SPARK),
-    "rel_events_tumbling": _sql(_TUMBLING_SQL_SPARK),
-    "rel_events_sessions": _sql(_SESSIONS_SQL),
-    "rel_replay_fold": _sql(_REPLAY_SQL),
-    "rel_range_filter": _sql(_RANGE_FILTER_SQL),
-    "rel_asof_purchase_click": q_asof_purchase_click,
-}
-
-ORACLES = {
-    "rel_pricing_summary": _PRICING_SQL,
-    "rel_revenue_by_order": _REVENUE_BY_ORDER_SQL,
-    "rel_revenue_by_region": _REVENUE_BY_REGION_SQL,
-    "rel_customers_without_orders": _NO_ORDERS_SQL,
-    "rel_suppliers_semi": _SEMI_SQL,
-    "rel_top3_customers_per_nation": _TOP3_SQL,
-    "rel_running_total": _RUNNING_SQL_DUCK,
-    "rel_rollup_sales": _ROLLUP_SQL,
-    "rel_cube_orders": _CUBE_SQL,
-    "rel_setops": _SETOPS_SQL,
-    "rel_scalar_funcs": _SCALAR_SQL_DUCK,
-    "rel_date_funcs": _DATE_SQL_DUCK,
-    "rel_string_agg": _STRAGG_SQL_DUCK,
-    "rel_distinct_aggs": _DISTINCT_SQL,
-    "rel_json_events": _JSON_SQL_DUCK,
-    "rel_events_tumbling": _TUMBLING_SQL_DUCK,
-    "rel_events_sessions": _SESSIONS_SQL,
-    "rel_replay_fold": _REPLAY_SQL,
-    "rel_range_filter": _RANGE_FILTER_SQL,
-    "rel_asof_purchase_click": _ASOF_SQL_DUCK,
-}
-
-
-# ---------------------------------------------------------------------------
-# later additions: grouping sets, approx distinct, range join, native
-# session windows
-
-_GROUPING_SETS_SQL = """
-SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
-       COALESCE(o_orderpriority, 'ALL') AS orderpriority,
-       COUNT(*) AS n_items,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-GROUP BY GROUPING SETS ((l_returnflag), (o_orderpriority), (l_returnflag, o_orderpriority))
-"""
-
 # point-in-interval range join against an inline quantity-band table
 
 _RANGE_JOIN_SQL = """
@@ -443,8 +498,187 @@ def q_rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# windowed event aggregation, one tagged entry (merged round-1
+# rel_events_tumbling + rel_events_sliding), built on the NATIVE
+# window() operator — the batch twin of the streaming plan
+
+def q_rel_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import sliding_window_agg, tumbling_window_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    tumbling = tumbling_window_agg(ev, window_duration="1 hour").select(
+        F.lit("tumbling").alias("kind"),
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+    sliding = sliding_window_agg(
+        ev, window_duration="1 hour", slide_duration="30 minutes"
+    ).select(
+        F.lit("sliding").alias("kind"),
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.lit("ALL").alias("event_type"),
+        "n_events",
+        F.lit(None).cast("double").alias("sum_value"),
+    )
+    return tumbling.unionByName(sliding)
+
+
+_EVENTS_WINDOWS_SQL_DUCK = """
+SELECT 'tumbling' AS kind,
+       STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'sliding',
+       STRFTIME(time_bucket(INTERVAL 30 MINUTE, ts) - TO_MINUTES(30 * k.i),
+                '%Y-%m-%d %H:%M:%S'),
+       'ALL', COUNT(*), CAST(NULL AS DOUBLE)
+FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS i) k
+GROUP BY 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# driver-verified tier: one entry per capability family, 21 entries
+
+QUERIES = {
+    "rel_pricing_summary": _sql(_PRICING_SQL),
+    "rel_revenue_by_region": _sql(_REVENUE_BY_REGION_SQL),
+    "rel_nation_volume": _sql(_NATION_VOLUME_SQL),
+    "rel_or_ranges": _sql(_OR_RANGES_SQL),
+    "rel_anti_semi_join": _sql(_ANTI_SEMI_SQL),
+    "rel_window_suite": _sql(_WINDOW_SUITE_SQL_SPARK),
+    "rel_grouping_ops": _sql(_GROUPING_OPS_SQL),
+    "rel_setops": _sql(_SETOPS_SQL),
+    "rel_scalar_funcs": _sql(_SCALAR_SQL_SPARK),
+    "rel_date_funcs": _sql(_DATE_SQL_SPARK),
+    "rel_array_funcs": _sql(_ARRAY_SQL_SPARK),
+    "rel_string_agg": _sql(_STRAGG_SQL_SPARK),
+    "rel_distinct_aggs": _sql(_DISTINCT_SQL),
+    "rel_json_events": _sql(_JSON_SQL_SPARK),
+    "rel_stats_percentiles": _sql(_STATS_PCTL_SQL_SPARK),
+    "rel_small_lots_subquery": _sql(_SMALL_LOTS_SQL),
+    "rel_pivot_status": q_rel_pivot_status,
+    "rel_range_filter": _sql(_RANGE_FILTER_SQL),
+    "rel_asof_purchase_click": q_asof_purchase_click,
+    "rel_range_join": q_rel_range_join,
+    "rel_events_windows": q_rel_events_windows,
+}
+
+ORACLES = {
+    "rel_pricing_summary": _PRICING_SQL,
+    "rel_revenue_by_region": _REVENUE_BY_REGION_SQL,
+    "rel_nation_volume": _NATION_VOLUME_SQL,
+    "rel_or_ranges": _OR_RANGES_SQL,
+    "rel_anti_semi_join": _ANTI_SEMI_SQL,
+    "rel_window_suite": _WINDOW_SUITE_SQL_DUCK,
+    "rel_grouping_ops": _GROUPING_OPS_SQL,
+    "rel_setops": _SETOPS_SQL,
+    "rel_scalar_funcs": _SCALAR_SQL_DUCK,
+    "rel_date_funcs": _DATE_SQL_DUCK,
+    "rel_array_funcs": _ARRAY_SQL_DUCK,
+    "rel_string_agg": _STRAGG_SQL_DUCK,
+    "rel_distinct_aggs": _DISTINCT_SQL,
+    "rel_json_events": _JSON_SQL_DUCK,
+    "rel_stats_percentiles": _STATS_PCTL_SQL_DUCK,
+    "rel_small_lots_subquery": _SMALL_LOTS_SQL,
+    "rel_pivot_status": _PIVOT_SQL_DUCK,
+    "rel_range_filter": _RANGE_FILTER_SQL,
+    "rel_asof_purchase_click": _ASOF_SQL_DUCK,
+    "rel_range_join": _RANGE_JOIN_SQL,
+    "rel_events_windows": _EVENTS_WINDOWS_SQL_DUCK,
+}
+
+
+# ---------------------------------------------------------------------------
+# pytest-only tier (beyond the driver's 50-query window; verified with
+# the identical DuckDB comparison by tests/test_oracle_parity.py)
+
+# window rank per group via the DataFrame API (same semantics as the
+# SQL window suite; kept as the API-coverage twin)
+
+_TOP3_SQL = """
+SELECT * FROM (
+  SELECT n.n_name, c.c_custkey, ROUND(c.c_acctbal, 2) AS acctbal,
+         CAST(ROW_NUMBER() OVER (PARTITION BY n.n_name
+                                 ORDER BY c.c_acctbal DESC, c.c_custkey) AS INT) AS rn
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+) WHERE rn <= 3
+"""
+
+
+def q_top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"),
+                F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# IN-subquery with grouped HAVING (TPC-H Q18 family)
+
+_BIG_ORDERS_SQL = """
+SELECT c.c_name, o.o_orderkey,
+  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                       GROUP BY l_orderkey
+                       HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+GROUP BY c.c_name, o.o_orderkey
+"""
+
+# conditional aggregation (TPC-H Q12 family)
+
+_COND_AGG_SQL = """
+SELECT l_returnflag,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_count,
+  COUNT(*) AS n_items
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY l_returnflag
+"""
+
+# sessionization: 30-minute inactivity gap (lag + cumulative flag)
+
+_SESSIONS_SQL = """
+WITH g AS (
+  SELECT user_id, ts,
+    CASE WHEN LAG(ts) OVER w IS NULL
+              OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+# ordered replay fold (R11 analog over events): last state per user
+
+_REPLAY_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_type, value, ts, event_id,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+    COUNT(*)    OVER (PARTITION BY user_id) AS n_events
+  FROM events
+)
+SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+       ROUND(value, 6) AS last_value, n_events
+FROM ranked WHERE rn = 1
+"""
+
 # native session_window aggregation, oracle = SQL sessionization
 # (session start = first event ts, end = last ts + gap)
+
 
 def q_rel_events_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import session_window_agg
@@ -481,6 +715,7 @@ FROM s GROUP BY user_id, sess
 # the oracle checks the EXACT distinct count while pytest bounds the
 # approximation error (tests/test_plans.py)
 
+
 def q_rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
@@ -493,202 +728,6 @@ _APPROX_DISTINCT_SQL = """
 SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts, COUNT(*) AS n_items
 FROM lineitem GROUP BY l_returnflag
 """
-
-QUERIES.update(
-    {
-        "rel_grouping_sets": _sql(_GROUPING_SETS_SQL),
-        "rel_range_join": q_rel_range_join,
-        "rel_events_session_native": q_rel_events_session_native,
-        "rel_approx_distinct": q_rel_approx_distinct,
-    }
-)
-ORACLES.update(
-    {
-        "rel_grouping_sets": _GROUPING_SETS_SQL,
-        "rel_range_join": _RANGE_JOIN_SQL,
-        "rel_events_session_native": _SESSION_NATIVE_SQL_DUCK,
-        "rel_approx_distinct": _APPROX_DISTINCT_SQL,
-    }
-)
-
-
-# ---------------------------------------------------------------------------
-# subqueries, conditional aggregation, window frames/navigation, pivot,
-# array lambdas, statistical + percentile aggregates, self-join funnel
-
-# correlated scalar subquery (TPC-H Q17 family) — Catalyst decorrelates
-# into an aggregate + join; per-partkey average threshold
-
-_SMALL_LOTS_SQL = """
-SELECT p.p_brand, COUNT(*) AS n_small_lots,
-  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
-FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-WHERE l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
-                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
-GROUP BY p.p_brand
-"""
-
-# IN-subquery with grouped HAVING (TPC-H Q18 family)
-
-_BIG_ORDERS_SQL = """
-SELECT c.c_name, o.o_orderkey,
-  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
-FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
-                       GROUP BY l_orderkey
-                       HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
-GROUP BY c.c_name, o.o_orderkey
-"""
-
-# conditional aggregation (TPC-H Q12 family)
-
-_COND_AGG_SQL = """
-SELECT l_returnflag,
-  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
-  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS BIGINT) AS low_count,
-  COUNT(*) AS n_items
-FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-GROUP BY l_returnflag
-"""
-
-# numeric RANGE frame (peer rows by value distance, not row offsets)
-
-_RANGE_FRAME_SQL = """
-SELECT l_orderkey, l_linenumber, l_quantity,
-  CAST(COUNT(*) OVER (ORDER BY l_quantity
-                      RANGE BETWEEN 2.0 PRECEDING AND CURRENT ROW) AS BIGINT)
-       AS n_within_2
-FROM lineitem WHERE l_orderkey < 100
-"""
-
-# window navigation: ntile / first_value / last_value / lead
-
-_WINDOW_NAV_SQL = """
-SELECT o_custkey, o_orderkey,
-  CAST(NTILE(4) OVER w AS INT) AS quartile,
-  FIRST_VALUE(o_orderkey) OVER w AS first_ok,
-  LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
-                               ORDER BY o_orderdate, o_orderkey
-                               ROWS BETWEEN UNBOUNDED PRECEDING
-                                        AND UNBOUNDED FOLLOWING) AS last_ok,
-  LEAD(o_orderkey) OVER w AS next_ok
-FROM orders WHERE o_custkey < 50
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-"""
-
-# pivot: priority × status counts.  Spark side uses DataFrame .pivot();
-# oracle is the explicit conditional-aggregation expansion.
-
-_PIVOT_STATUSES = ["F", "O", "P"]
-
-
-def q_rel_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    piv = (
-        orders.groupBy("o_orderpriority")
-        .pivot("o_orderstatus", _PIVOT_STATUSES)
-        .count()
-    )
-    return piv.select(
-        "o_orderpriority",
-        *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s}") for s in _PIVOT_STATUSES],
-    )
-
-
-_PIVOT_SQL_DUCK = """
-SELECT o_orderpriority,
-  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_F,
-  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_O,
-  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_P
-FROM orders GROUP BY o_orderpriority
-"""
-
-# array construction + higher-order lambda functions
-
-_ARRAY_SQL_SPARK = """
-SELECT p_partkey,
-  SIZE(SPLIT(p_name, ' ')) AS n_tokens,
-  ARRAY_SORT(SPLIT(p_name, ' ')) AS tokens_sorted,
-  TRANSFORM(SPLIT(p_name, ' '), t -> LENGTH(t)) AS token_lens,
-  FILTER(SPLIT(p_name, ' '), t -> LENGTH(t) > 4) AS long_tokens,
-  ARRAY_CONTAINS(SPLIT(p_name, ' '), 'red') AS has_red
-FROM part WHERE p_partkey < 100
-"""
-
-_ARRAY_SQL_DUCK = """
-SELECT p_partkey,
-  CAST(LEN(STRING_SPLIT(p_name, ' ')) AS INT) AS n_tokens,
-  LIST_SORT(STRING_SPLIT(p_name, ' ')) AS tokens_sorted,
-  LIST_TRANSFORM(STRING_SPLIT(p_name, ' '), t -> CAST(LENGTH(t) AS INT)) AS token_lens,
-  LIST_FILTER(STRING_SPLIT(p_name, ' '), t -> LENGTH(t) > 4) AS long_tokens,
-  LIST_CONTAINS(STRING_SPLIT(p_name, ' '), 'red') AS has_red
-FROM part WHERE p_partkey < 100
-"""
-
-# statistical aggregates (corr / stddev / variance / covariance)
-
-_STATS_SQL = """
-SELECT l_returnflag,
-  ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-  ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty,
-  ROUND(VAR_SAMP(l_discount), 8) AS var_disc,
-  ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS covar_qp,
-  ROUND(MIN(l_extendedprice), 2) AS min_price,
-  ROUND(MAX(l_extendedprice), 2) AS max_price
-FROM lineitem GROUP BY l_returnflag
-"""
-
-# exact interpolated percentiles (Spark PERCENTILE ≡ DuckDB QUANTILE_CONT)
-
-_PCTL_SQL_SPARK = """
-SELECT l_returnflag,
-  ROUND(PERCENTILE(l_quantity, 0.25), 4) AS q25,
-  ROUND(PERCENTILE(l_quantity, 0.50), 4) AS q50,
-  ROUND(PERCENTILE(l_quantity, 0.75), 4) AS q75,
-  ROUND(PERCENTILE(l_quantity, 0.99), 4) AS q99
-FROM lineitem GROUP BY l_returnflag
-"""
-
-_PCTL_SQL_DUCK = """
-SELECT l_returnflag,
-  ROUND(QUANTILE_CONT(l_quantity, 0.25), 4) AS q25,
-  ROUND(QUANTILE_CONT(l_quantity, 0.50), 4) AS q50,
-  ROUND(QUANTILE_CONT(l_quantity, 0.75), 4) AS q75,
-  ROUND(QUANTILE_CONT(l_quantity, 0.99), 4) AS q99
-FROM lineitem GROUP BY l_returnflag
-"""
-
-# nation-pair shipping volume (TPC-H Q7 family): 6-way join with two
-# roles of the same dim table + year extraction
-
-_NATION_VOLUME_SQL = """
-SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-  CAST(YEAR(l.l_shipdate) AS INT) AS l_year,
-  {rev} AS volume, COUNT(*) AS n_items
-FROM supplier s
-JOIN lineitem l ON s.s_suppkey = l.l_suppkey
-JOIN orders o   ON o.o_orderkey = l.l_orderkey
-JOIN customer c ON c.c_custkey = o.o_custkey
-JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
-JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
-WHERE n1.n_name <> n2.n_name
-GROUP BY 1, 2, 3
-""".format(rev=_REV)
-
-# disjunctive range predicates (TPC-H Q19 family): OR of ANDed ranges —
-# Catalyst pushes the common-factor predicates and prunes columns
-
-_OR_RANGES_SQL = """
-SELECT COUNT(*) AS n_items, {rev} AS revenue
-FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 5)
-   OR (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 10)
-   OR (l.l_quantity BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 15)
-""".format(rev=_REV)
 
 # global top-N: orderBy + limit → TakeOrderedAndProject (per-partition
 # partial top-N, no full sort — the reference Q4 partial_sort, globally)
@@ -711,62 +750,28 @@ FROM events c JOIN events p
 GROUP BY c.user_id
 """
 
-# sliding windows (1 h window, 30 min slide): every event lands in
-# exactly two epoch-aligned windows; the oracle materializes both
+EXTRA_QUERIES = {
+    "rel_revenue_by_order": _sql(_REVENUE_BY_ORDER_SQL),
+    "rel_top3_customers_per_nation": q_top3_customers_per_nation,
+    "rel_big_orders": _sql(_BIG_ORDERS_SQL),
+    "rel_cond_agg": _sql(_COND_AGG_SQL),
+    "rel_events_sessions": _sql(_SESSIONS_SQL),
+    "rel_replay_fold": _sql(_REPLAY_SQL),
+    "rel_events_session_native": q_rel_events_session_native,
+    "rel_approx_distinct": q_rel_approx_distinct,
+    "rel_global_topn": _sql(_GLOBAL_TOPN_SQL),
+    "rel_click_purchase_funnel": _sql(_FUNNEL_SQL),
+}
 
-def q_rel_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.windows import sliding_window_agg
-
-    ev = load_table(spark, sf_dir, "events")
-    return sliding_window_agg(
-        ev, window_duration="1 hour", slide_duration="30 minutes"
-    ).select(
-        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-        "n_events",
-    )
-
-
-_SLIDING_SQL_DUCK = """
-SELECT STRFTIME(time_bucket(INTERVAL 30 MINUTE, ts) - TO_MINUTES(30 * k.i),
-                '%Y-%m-%d %H:%M:%S') AS window_start,
-       COUNT(*) AS n_events
-FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS i) k
-GROUP BY 1
-"""
-
-QUERIES.update(
-    {
-        "rel_events_sliding": q_rel_events_sliding,
-        "rel_small_lots_subquery": _sql(_SMALL_LOTS_SQL),
-        "rel_big_orders": _sql(_BIG_ORDERS_SQL),
-        "rel_cond_agg": _sql(_COND_AGG_SQL),
-        "rel_range_frame": _sql(_RANGE_FRAME_SQL),
-        "rel_window_nav": _sql(_WINDOW_NAV_SQL),
-        "rel_pivot_status": q_rel_pivot_status,
-        "rel_array_funcs": _sql(_ARRAY_SQL_SPARK),
-        "rel_stats_agg": _sql(_STATS_SQL),
-        "rel_percentiles": _sql(_PCTL_SQL_SPARK),
-        "rel_click_purchase_funnel": _sql(_FUNNEL_SQL),
-        "rel_global_topn": _sql(_GLOBAL_TOPN_SQL),
-        "rel_nation_volume": _sql(_NATION_VOLUME_SQL),
-        "rel_or_ranges": _sql(_OR_RANGES_SQL),
-    }
-)
-ORACLES.update(
-    {
-        "rel_events_sliding": _SLIDING_SQL_DUCK,
-        "rel_small_lots_subquery": _SMALL_LOTS_SQL,
-        "rel_big_orders": _BIG_ORDERS_SQL,
-        "rel_cond_agg": _COND_AGG_SQL,
-        "rel_range_frame": _RANGE_FRAME_SQL,
-        "rel_window_nav": _WINDOW_NAV_SQL,
-        "rel_pivot_status": _PIVOT_SQL_DUCK,
-        "rel_array_funcs": _ARRAY_SQL_DUCK,
-        "rel_stats_agg": _STATS_SQL,
-        "rel_percentiles": _PCTL_SQL_DUCK,
-        "rel_click_purchase_funnel": _FUNNEL_SQL,
-        "rel_global_topn": _GLOBAL_TOPN_SQL,
-        "rel_nation_volume": _NATION_VOLUME_SQL,
-        "rel_or_ranges": _OR_RANGES_SQL,
-    }
-)
+EXTRA_ORACLES = {
+    "rel_revenue_by_order": _REVENUE_BY_ORDER_SQL,
+    "rel_top3_customers_per_nation": _TOP3_SQL,
+    "rel_big_orders": _BIG_ORDERS_SQL,
+    "rel_cond_agg": _COND_AGG_SQL,
+    "rel_events_sessions": _SESSIONS_SQL,
+    "rel_replay_fold": _REPLAY_SQL,
+    "rel_events_session_native": _SESSION_NATIVE_SQL_DUCK,
+    "rel_approx_distinct": _APPROX_DISTINCT_SQL,
+    "rel_global_topn": _GLOBAL_TOPN_SQL,
+    "rel_click_purchase_funnel": _FUNNEL_SQL,
+}

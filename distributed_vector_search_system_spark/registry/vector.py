@@ -80,22 +80,20 @@ def q_knn_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Q1 edge: k larger than the table returns every row (FAISS pads with -1
-# labels which the reference drops, src/index/vector_shard.cc:83-86).
+# Q1/Q5 edge cases, merged into one driver entry (keeps the registry
+# within the driver's 50-query correctness window):
+#  - k larger than the table returns every row (FAISS pads with -1
+#    labels which the reference drops, src/index/vector_shard.cc:83-86);
+#  - top_k == 0 short-circuits to empty (src/index/shard_manager.cc:31-36)
+#    — the union proves the k=0 branch contributes exactly zero rows.
 
-def q_knn_k_exceeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_knn_edge_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     vectors = emb.filter(F.col("vec_id") < 15)
     q = _query_set(emb, F.col("vec_id") % 250 == 2)
-    return _round_result(knn(vectors, q, 40))
-
-
-# Q5 edge: top_k == 0 short-circuits to empty (src/index/shard_manager.cc:31-36)
-
-def q_knn_k_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
-    q = _query_set(emb, F.col("vec_id") == 0)
-    return _round_result(knn(emb, q, 0))
+    exceeds = _round_result(knn(vectors, q, 40))
+    zero = _round_result(knn(emb, q, 0))
+    return exceeds.unionByName(zero)
 
 
 # Q8: per-shard cardinality
@@ -222,8 +220,7 @@ QUERIES = {
     "knn_single": q_knn_single,
     "knn_batch": q_knn_batch,
     "knn_sharded": q_knn_sharded,
-    "knn_k_exceeds": q_knn_k_exceeds,
-    "knn_k_zero": q_knn_k_zero,
+    "knn_edge_k": q_knn_edge_k,
     "shard_cardinality": q_shard_cardinality,
     "mutations_compact": q_mutations_compact,
     "mutations_delete": q_mutations_delete,
@@ -236,11 +233,9 @@ ORACLES = {
     "knn_single": _knn_oracle("vec_id = 0", "TRUE", 10),
     "knn_batch": _knn_oracle("vec_id % 50 = 0", "TRUE", 10),
     "knn_sharded": _knn_oracle("vec_id % 100 = 1", "TRUE", 7),
-    "knn_k_exceeds": _knn_oracle("vec_id % 250 = 2", "vec_id < 15", 40),
-    "knn_k_zero": (
-        "SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS id, "
-        "CAST(NULL AS DOUBLE) AS distance, CAST(NULL AS INT) AS rank WHERE FALSE"
-    ),
+    # k=0 contributes zero rows by construction, so the merged edge-case
+    # query shares the k-exceeds oracle
+    "knn_edge_k": _knn_oracle("vec_id % 250 = 2", "vec_id < 15", 40),
     "shard_cardinality": (
         "SELECT CAST(vec_id % 6 AS VARCHAR) AS shard_id, COUNT(*) AS n_vectors "
         "FROM embeddings GROUP BY 1"
@@ -357,7 +352,12 @@ def q_vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     array aggregate every clustering / IVF-training pipeline needs.
     posexplode → per-(label, pos) partial avg (map-side combine) →
     re-assemble ordered arrays.  At 100 TB the width-d explode stays
-    bounded: rows × d intermediate, combined map-side before shuffle."""
+    bounded: rows × d intermediate, combined map-side before shuffle.
+
+    The centroid array is serialized to a CSV of micro-unit integers
+    (``round(v * 1e6)``) because the driver's canonicalizer cannot hash
+    array columns (CORRECTNESS_r01 TypeError) — same encoding on both
+    sides, so the values are still compared element-for-element."""
     emb = _emb(spark, sf_dir)
     per_dim = (
         emb.select("label", F.posexplode("embedding").alias("pos", "val"))
@@ -369,7 +369,13 @@ def q_vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
         .select(
             "label",
-            F.transform("pv", lambda s: s.getField("v")).alias("centroid"),
+            F.array_join(
+                F.transform(
+                    "pv",
+                    lambda s: F.round(s.getField("v") * 1e6).cast("long").cast("string"),
+                ),
+                ",",
+            ).alias("centroid_csv"),
             F.size("pv").alias("dim"),
         )
     )
@@ -386,15 +392,64 @@ per_dim AS (
   SELECT label, pos, ROUND(AVG(CAST(val AS DOUBLE)), 6) AS v
   FROM flat GROUP BY label, pos
 )
-SELECT label, LIST(v ORDER BY pos) AS centroid, CAST(COUNT(*) AS INT) AS dim
+SELECT label,
+       array_to_string(
+         list_transform(LIST(v ORDER BY pos),
+                        x -> CAST(CAST(ROUND(x * 1000000) AS BIGINT) AS VARCHAR)),
+         ',') AS centroid_csv,
+       CAST(COUNT(*) AS INT) AS dim
 FROM per_dim GROUP BY label
+"""
+
+
+def q_cache_persistent_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted result-cache probe (reference C2 across sessions,
+    src/cache/query_cache.cc:15-43): a synthetic RESULT_CACHE-shaped
+    table (digest with collisions, created_at = event ts, TTL 30 min) is
+    probed with the SAME ``probe_plan`` the production
+    ``PersistentResultCache`` uses — newest entry per (digest, top_k),
+    live iff unexpired at the fixed 'now'.  Ties on created_at are
+    output-invariant (live depends only on created_at), so the
+    row_number tie-break needs no extra key."""
+    from ..operators.cache import probe_plan
+
+    ev = load_table(spark, sf_dir, "events")
+    cache = ev.select(
+        (F.col("event_id") % 40).alias("digest"),
+        F.lit(10).alias("top_k"),
+        F.col("ts").alias("created_at"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("expires_at"),
+    )
+    now = F.to_timestamp(F.lit("2024-01-15 00:00:00"))
+    return probe_plan(cache, now).select(
+        "digest",
+        "top_k",
+        F.date_format("created_at", "yyyy-MM-dd HH:mm:ss").alias("created_at"),
+        "live",
+    )
+
+
+_CACHE_PROBE_SQL = """
+WITH c AS (
+  SELECT event_id % 40 AS digest, 10 AS top_k, ts AS created_at,
+         ts + INTERVAL 30 MINUTE AS expires_at
+  FROM events
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY digest, top_k
+                               ORDER BY created_at DESC, expires_at DESC) AS rn
+  FROM c
+)
+SELECT digest, top_k, STRFTIME(created_at, '%Y-%m-%d %H:%M:%S') AS created_at,
+       expires_at > TIMESTAMP '2024-01-15 00:00:00' AS live
+FROM r WHERE rn = 1
 """
 
 
 QUERIES.update(
     {
         "cache_digest": q_cache_digest,
-        "cache_ttl_prune": q_cache_ttl_prune,
+        "cache_persistent_probe": q_cache_persistent_probe,
         "knn_batch_numpy": q_knn_batch_numpy,
         "knn_shard_routed": q_knn_shard_routed,
         "vector_centroids": q_vector_centroids,
@@ -403,9 +458,19 @@ QUERIES.update(
 ORACLES.update(
     {
         "cache_digest": _CACHE_DIGEST_SQL,
-        "cache_ttl_prune": _CACHE_TTL_SQL,
+        "cache_persistent_probe": _CACHE_PROBE_SQL,
         "knn_batch_numpy": ORACLES["knn_batch"],
         "knn_shard_routed": _knn_oracle("vec_id % 125 = 4", "vec_id % 6 = 2", 5),
         "vector_centroids": _CENTROID_SQL,
     }
 )
+
+# --- pytest-only tier (beyond the driver's 50-query correctness window;
+# verified by tests/test_oracle_parity.py with the same DuckDB harness) ----
+
+EXTRA_QUERIES = {
+    "cache_ttl_prune": q_cache_ttl_prune,
+}
+EXTRA_ORACLES = {
+    "cache_ttl_prune": _CACHE_TTL_SQL,
+}

@@ -85,3 +85,46 @@ def test_cached_searcher_k_zero(spark):
     rows, from_cache = s.search(spark, 0, [0.0], 0)
     assert rows == [] and not from_cache
     assert len(s.cache) == 0  # k=0 short-circuits before the cache
+
+
+# --- persisted cross-session result cache (reference C2/C3 semantics
+# surviving process boundaries; VERDICT r01 item 5) ----------------------
+
+def test_persistent_cache_roundtrip_ttl_and_invalidate(spark, tmp_path):
+    import datetime as dt
+
+    from distributed_vector_search_system_spark.operators.cache import (
+        PersistentResultCache,
+    )
+
+    path = str(tmp_path / "result_cache")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    c = PersistentResultCache(spark, path, ttl_seconds=60)
+
+    assert c.probe([1.0, 2.0], 3, now=t0) is None  # empty table → miss
+    hits = [(7, 0.25, "0"), (9, 0.5, None)]
+    c.put([1.0, 2.0], 3, hits, now=t0)
+    assert c.probe([1.0, 2.0], 3, now=t0) == hits          # hit
+    assert c.probe([1.0, 2.0], 4, now=t0) is None          # k is part of the key
+    assert c.probe([1.0, 2.1], 3, now=t0) is None          # vector is part of the key
+    late = t0 + dt.timedelta(seconds=61)
+    assert c.probe([1.0, 2.0], 3, now=late) is None        # TTL expiry
+
+    # replace-on-duplicate: newest write wins at probe time
+    hits2 = [(8, 0.1, None)]
+    c.put([1.0, 2.0], 3, hits2, now=t0 + dt.timedelta(seconds=1))
+    assert c.probe([1.0, 2.0], 3, now=t0 + dt.timedelta(seconds=2)) == hits2
+
+    # a NEW cache object over the same path sees the entries (cross-session)
+    c2 = PersistentResultCache(spark, path, ttl_seconds=60)
+    assert c2.probe([1.0, 2.0], 3, now=t0 + dt.timedelta(seconds=2)) == hits2
+
+    # M4: invalidation epoch kills all earlier entries, later puts live on
+    c2.invalidate(now=t0 + dt.timedelta(seconds=5))
+    assert c2.probe([1.0, 2.0], 3, now=t0 + dt.timedelta(seconds=6)) is None
+    c2.put([1.0, 2.0], 3, hits, now=t0 + dt.timedelta(seconds=10))
+    assert c2.probe([1.0, 2.0], 3, now=t0 + dt.timedelta(seconds=11)) == hits
+
+    # prune drops dead rows physically
+    kept = c2.prune(now=t0 + dt.timedelta(seconds=11))
+    assert kept == 1

@@ -1,5 +1,8 @@
 """Driver-style differential test: every registered query with an oracle
-must match DuckDB at sf=0.01 (the driver's t2 correctness gate)."""
+must match DuckDB at sf=0.01 (the driver's t2 correctness gate).
+
+Covers BOTH tiers: the driver-verified first-50 window and the
+EXTRA_QUERIES pytest tier (same comparison, local only)."""
 
 from __future__ import annotations
 
@@ -9,8 +12,18 @@ from distributed_vector_search_system_spark import registry
 
 from .oracle_util import compare
 
-_QUERIES = registry.queries()
-_ORACLES = registry.oracle_sql()
+_QUERIES = registry.all_queries()
+_ORACLES = registry.all_oracle_sql()
+
+
+def test_driver_window_holds_all_llm_queries():
+    """The external driver checks only the first DRIVER_LIMIT entries;
+    regression-lock the round-1 failure mode (LLM queries past the
+    cutoff)."""
+    names = list(registry.queries())
+    assert len(names) <= registry.DRIVER_LIMIT
+    llm_names = set(registry.llm.QUERIES)
+    assert llm_names <= set(names[: registry.DRIVER_LIMIT])
 
 
 @pytest.mark.parametrize("name", sorted(_ORACLES))

@@ -75,3 +75,49 @@ def test_approx_count_distinct_error_bound(spark, sf_oracle):
         F.count_distinct("l_partkey").alias("exact"),
     ).first()
     assert abs(row["approx"] - row["exact"]) <= 0.05 * row["exact"] + 1, row
+
+
+# --- LLM-pipeline plan shapes (VERDICT r01 item 6): the dedup/ANN paths
+# must stay bucketed equi-joins — a CartesianProduct or
+# BroadcastNestedLoopJoin here is the O(n²) plan that dies at 100 TB.
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "dedup_embedding_cosine",
+        "ann_lsh_topk",
+        "ann_ivf_topk",
+    ],
+)
+def test_llm_pipeline_no_allpairs_join(spark, sf_smoke, name):
+    plan = _plan(registry.queries()[name](spark, sf_smoke))
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+@pytest.mark.parametrize("name", ["multimodal_features", "multimodal_frames"])
+def test_multimodal_kernels_are_map_only(spark, sf_smoke, name):
+    """Arrow mapInPandas feature/frame extraction must not shuffle —
+    binary payloads never leave their partition."""
+    plan = _plan(registry.queries()[name](spark, sf_smoke))
+    assert "Exchange" not in plan, plan
+
+
+def test_blob_column_pruned_for_metadata_only_reads(spark, sf_smoke, tmp_path):
+    """A metadata-only projection over a stored multimodal table must not
+    read the binary payload column (column pruning reaches the scan)."""
+    docs = load_table(spark, sf_smoke, "documents").withColumn(
+        "blob", F.encode(F.col("text"), "UTF-8")
+    )
+    path = str(tmp_path / "blobs")
+    docs.select("doc_id", "lang", "blob").write.parquet(path)
+    plan = _plan(spark.read.parquet(path).select("doc_id", "lang"))
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schemas
+    assert not any("blob" in l for l in read_schemas), read_schemas
