@@ -191,3 +191,96 @@ def test_stateful_fold_matches_batch(spark, sf_smoke, tmp_path):
     got = {r["user_id"]: (r["n_events"], r["last_event_id"], r["last_type"]) for r in final.collect()}
     want = {r["user_id"]: (r["n_events"], r["last_event_id"], r["last_type"]) for r in expected.collect()}
     assert got == want
+
+
+def test_transform_with_state_fold_matches_batch(spark, sf_smoke, tmp_path):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API) must
+    produce the same final per-user fold as the batch computation and as
+    the applyInPandasWithState formulation.
+
+    Skipped where google.protobuf is unavailable: Spark's TWS Python
+    driver worker needs it for the state-server RPC, and faking the
+    operator would prove nothing."""
+    import pytest
+
+    from distributed_vector_search_system_spark.streaming.stateful import (
+        running_user_fold_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf not installed; transformWithState "
+                    "driver worker cannot start in this container")
+
+    events = (
+        load_table(spark, sf_smoke, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("ts", F.col("ts").cast("timestamp_ntz").cast("timestamp"))
+    )
+    src = str(tmp_path / "ev")
+    half = events.approxQuantile("event_id", [0.5], 0.0)[0]
+    events.filter(F.col("event_id") <= half).coalesce(1).write.parquet(f"{src}/a.parquet")
+    events.filter(F.col("event_id") > half).coalesce(1).write.parquet(f"{src}/b.parquet")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*.parquet")
+    )
+    q = (
+        running_user_fold_tws(stream)
+        .writeStream.format("memory")
+        .queryName("user_fold_tws")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    from pyspark.sql import Window
+
+    emitted = spark.table("user_fold_tws")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "n_events", "last_event_id", "last_type")
+    )
+    batch_w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    expected = (
+        events.withColumn("rn", F.row_number().over(batch_w))
+        .withColumn("n_events", F.count("*").over(Window.partitionBy("user_id")))
+        .filter("rn = 1")
+        .select(
+            "user_id",
+            "n_events",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+        )
+    )
+    got = {r["user_id"]: (r["n_events"], r["last_event_id"], r["last_type"])
+           for r in final.collect()}
+    want = {r["user_id"]: (r["n_events"], r["last_event_id"], r["last_type"])
+            for r in expected.collect()}
+    assert got == want
+
+
+def test_transform_with_state_plan_builds(spark, sf_smoke):
+    """Even without the protobuf runtime, the transformWithState plan must
+    construct and carry the same output schema as the
+    applyInPandasWithState twin (wiring check, no execution)."""
+    from distributed_vector_search_system_spark.streaming.stateful import (
+        running_user_fold,
+        running_user_fold_tws,
+    )
+
+    events = (
+        load_table(spark, sf_smoke, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    tws = running_user_fold_tws(events)
+    aips = running_user_fold(events)
+    assert tws.schema == aips.schema
