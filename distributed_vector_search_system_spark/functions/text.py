@@ -119,6 +119,34 @@ def quality_score(text) -> Column:
     )
 
 
+#: PII / noise patterns for training-data scrubbing.  Kept to character
+#: classes + bounded quantifiers that mean the same thing in Java regex
+#: (Spark) and RE2 (DuckDB) so an oracle can reproduce the scrub.
+URL_PATTERN = r"https?://[^\s]+"
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def scrub_pii(text, replacement: str = "[REDACTED]") -> Column:
+    """Remove URLs and email addresses — the minimum scrub every
+    LLM training-data pipeline applies before tokenization.  Pure
+    regexp_replace chain: map-side, codegen, no Python."""
+    t = F.col(text) if isinstance(text, str) else text
+    out = F.regexp_replace(t, URL_PATTERN, replacement)
+    return F.regexp_replace(out, EMAIL_PATTERN, replacement)
+
+
+def pii_counts(text) -> Column:
+    """Struct(n_urls, n_emails) found in the text — the audit metric
+    logged alongside the scrub."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.struct(
+        F.regexp_count(t, F.lit(URL_PATTERN)).alias("n_urls"),
+        F.regexp_count(F.regexp_replace(t, URL_PATTERN, ""), F.lit(EMAIL_PATTERN)).alias(
+            "n_emails"
+        ),
+    )
+
+
 def fingerprint(text) -> Column:
     """Polynomial rolling hash over the character codes, mod 2^31-1 —
     an order-sensitive document fingerprint (same idea as Rabin-Karp)."""

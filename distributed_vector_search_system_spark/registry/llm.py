@@ -468,6 +468,156 @@ ORACLES = {
     # validated value-exactly in tests/test_multimodal.py.
 }
 
-# every LLM-pipeline query sits inside the driver's 50-entry window
-EXTRA_QUERIES: dict = {}
-EXTRA_ORACLES: dict = {}
+# ---------------------------------------------------------------------------
+# pytest-only tier: additional training-data-pipeline coverage beyond the
+# driver's 50-entry window (verified by tests/test_oracle_parity.py).
+
+# TF-IDF top terms per document — the classic retrieval / data-curation
+# scoring op: tf = cnt/doclen, idf = ln(N/df).  Ranking happens on the
+# ROUNDED score: mathematically-equal scores computed via different
+# expressions (2·ln(10) vs ln(100)) differ in the last ulp across
+# engines, and rounding to 6 dp before ranking makes the tie explicit so
+# the term tie-break decides identically on both sides.
+
+def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("cnt"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dlen"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    ndocs = docs.agg(F.count("*").alias("n_docs"))
+    score = F.round(
+        (F.col("cnt").cast("double") / F.col("dlen").cast("double"))
+        * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        6,
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .select("doc_id", "term", score.alias("tfidf"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+_TFIDF_SQL = f"""
+WITH toks AS (SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, COUNT(*) AS dlen FROM toks GROUP BY 1),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND((CAST(cnt AS DOUBLE) / CAST(dlen AS DOUBLE))
+               * LN(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN nd
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, term) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+"""
+
+# vocabulary statistics: top-5 terms per source by raw frequency —
+# integer-only, the vocab-building pass of a tokenizer-training pipeline
+
+def q_text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("cnt").desc(), F.col("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("source", "term", "cnt", "rank")
+    )
+
+
+_VOCAB_SQL = f"""
+WITH toks AS (SELECT source, UNNEST({_TOKS}) AS term FROM documents),
+counts AS (SELECT source, term, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+ranked AS (
+  SELECT source, term, cnt,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY cnt DESC, term) AS INT) AS rank
+  FROM counts
+)
+SELECT source, term, cnt, rank FROM ranked WHERE rank <= 5
+"""
+
+# PII scrub: the fixture corpus is clean, so both engines splice the SAME
+# deterministic URLs/emails into the text, then scrub and audit.  The
+# md5 of the scrubbed text is the full-content equality check.
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import pii_counts, scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" contact bob@example.com now"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" see https://example.com/data?id=1 too"))
+        .otherwise(F.lit("")),
+    )
+    d = docs.select("doc_id", dirty.alias("dirty"))
+    return d.select(
+        "doc_id",
+        pii_counts("dirty").getField("n_urls").alias("n_urls"),
+        pii_counts("dirty").getField("n_emails").alias("n_emails"),
+        F.length(scrub_pii("dirty")).cast("int").alias("scrubbed_len"),
+        F.md5(F.encode(scrub_pii("dirty"), "UTF-8")).alias("scrubbed_md5"),
+    )
+
+
+_PII_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0 THEN ' contact bob@example.com now' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' see https://example.com/data?id=1 too' ELSE '' END
+         AS dirty
+  FROM documents
+),
+s AS (
+  SELECT doc_id, dirty,
+         regexp_replace(regexp_replace(dirty, 'https?://[^\\s]+', '[REDACTED]', 'g'),
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                        '[REDACTED]', 'g') AS scrubbed
+  FROM d
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(dirty, 'https?://[^\\s]+')) AS INT) AS n_urls,
+  CAST(len(regexp_extract_all(regexp_replace(dirty, 'https?://[^\\s]+', '', 'g'),
+                              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT)
+    AS n_emails,
+  CAST(length(scrubbed) AS INT) AS scrubbed_len,
+  md5(scrubbed) AS scrubbed_md5
+FROM s
+"""
+
+EXTRA_QUERIES: dict = {
+    "text_tfidf_topk": q_text_tfidf_topk,
+    "text_vocab_topk": q_text_vocab_topk,
+    "text_pii_scrub": q_text_pii_scrub,
+}
+EXTRA_ORACLES: dict = {
+    "text_tfidf_topk": _TFIDF_SQL,
+    "text_vocab_topk": _VOCAB_SQL,
+    "text_pii_scrub": _PII_SQL,
+}

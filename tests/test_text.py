@@ -61,3 +61,41 @@ def test_fingerprint_matches_python(spark):
 
 def test_fingerprint_order_sensitive(spark):
     assert _one(spark, "ab", fingerprint("text")) != _one(spark, "ba", fingerprint("text"))
+
+
+# --- PII scrubbing ---------------------------------------------------------
+
+def test_scrub_pii_removes_urls_and_emails(spark):
+    from distributed_vector_search_system_spark.functions.text import (
+        pii_counts,
+        scrub_pii,
+    )
+
+    rows = [
+        (1, "plain text no pii"),
+        (2, "mail me at alice.smith+x@sub.example.org please"),
+        (3, "docs at https://example.com/a?b=1#c and http://x.io"),
+        (4, "both bob@ex.co and https://ex.co/page here"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: (r["s"], r["c"]["n_urls"], r["c"]["n_emails"])
+        for r in df.select(
+            "id", scrub_pii("text").alias("s"), pii_counts("text").alias("c")
+        ).collect()
+    }
+    assert got[1] == ("plain text no pii", 0, 0)
+    assert got[2] == ("mail me at [REDACTED] please", 0, 1)
+    assert got[3] == ("docs at [REDACTED] and [REDACTED]", 2, 0)
+    assert got[4] == ("both [REDACTED] and [REDACTED] here", 1, 1)
+    assert got[5] == ("", 0, 0)
+
+
+def test_scrub_pii_idempotent(spark):
+    from distributed_vector_search_system_spark.functions.text import scrub_pii
+
+    df = spark.createDataFrame([(1, "x bob@ex.co y https://e.co z")], "id long, text string")
+    once = df.select(scrub_pii("text").alias("s"))
+    twice = once.select(scrub_pii("s").alias("s"))
+    assert once.first()["s"] == twice.first()["s"]
