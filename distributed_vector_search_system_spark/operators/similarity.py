@@ -166,6 +166,7 @@ def ann_ivf_topk(
     vector_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vector_col: str = "qvec",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate kNN (squared-L2): deterministic centroids
     (every ``ntotal/num_cells``-th vector by id order), map-side cell
@@ -178,25 +179,34 @@ def ann_ivf_topk(
     Centroid sampling is a deterministic hash-thinned ``orderBy.limit``
     (TakeOrderedAndProject = per-partition partial top-k, no global
     single-partition window) so selection stays distributed at any scale.
+
+    Pass ``centroids`` (e.g. from ``operators.clustering.kmeans_fit``)
+    to use TRAINED cells instead of the zero-iteration sample — balanced
+    cells mean a flatter candidate distribution at the same n_probe.
     """
-    total = vectors.count()
-    # thin to ~4× num_cells candidates by stable hash, then take the
-    # first num_cells by id — deterministic and shuffle-light
-    step = max(total // (num_cells * 4), 1)
-    cents = (
-        vectors.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(step)) == 0)
-        .orderBy(F.col(id_col))
-        .limit(num_cells)
-        .select(F.col(id_col).alias("cell_id"), F.col(vector_col).alias("cvec"))
-        .collect()
-    )
-    if not cents:  # degenerate tiny input: fall back to first rows by id
+    if centroids is not None:
+        cents = [
+            {"cell_id": i, "cvec": c} for i, c in enumerate(centroids)
+        ]
+    else:
+        total = vectors.count()
+        # thin to ~4× num_cells candidates by stable hash, then take the
+        # first num_cells by id — deterministic and shuffle-light
+        step = max(total // (num_cells * 4), 1)
         cents = (
-            vectors.orderBy(F.col(id_col))
+            vectors.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(step)) == 0)
+            .orderBy(F.col(id_col))
             .limit(num_cells)
             .select(F.col(id_col).alias("cell_id"), F.col(vector_col).alias("cvec"))
             .collect()
         )
+        if not cents:  # degenerate tiny input: fall back to first rows by id
+            cents = (
+                vectors.orderBy(F.col(id_col))
+                .limit(num_cells)
+                .select(F.col(id_col).alias("cell_id"), F.col(vector_col).alias("cvec"))
+                .collect()
+            )
 
     def nearest_cells(vec_col, n: int) -> Column:
         dists = F.array(*[

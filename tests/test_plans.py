@@ -121,3 +121,12 @@ def test_blob_column_pruned_for_metadata_only_reads(spark, sf_smoke, tmp_path):
     read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read_schemas
     assert not any("blob" in l for l in read_schemas), read_schemas
+
+
+def test_knn_after_mutations_partial_topk_survives_union(spark, sf_smoke):
+    """The compaction union (survivors ∪ inserts) must not defeat the
+    partial top-k: WindowGroupLimit still fires below the exchange for
+    both the LWW window and the final per-query rank."""
+    plan = _plan(registry.queries()["knn_after_mutations"](spark, sf_smoke))
+    assert plan.count("WindowGroupLimit") >= 4, plan
+    assert "CartesianProduct" not in plan

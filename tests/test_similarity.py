@@ -79,3 +79,23 @@ def test_lsh_bucket_is_deterministic(spark, sf_smoke):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     c = with_lsh_bucket(emb, dim=64, seed=8).select("vec_id", "bucket").collect()
     assert sorted(map(tuple, a)) != sorted(map(tuple, c))  # seed matters
+
+
+def test_ivf_with_trained_centroids_recall(spark, sf_smoke):
+    """IVF over kmeans-trained cells must reach high recall vs the exact
+    baseline — the trained path is the production IVF shape."""
+    from distributed_vector_search_system_spark.operators.clustering import kmeans_fit
+    from distributed_vector_search_system_spark.operators.knn import knn
+    from distributed_vector_search_system_spark.operators.similarity import ann_ivf_topk
+    from distributed_vector_search_system_spark.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cents, _ = kmeans_fit(emb, 8, max_iterations=5)
+    approx = ann_ivf_topk(emb, q, 5, n_probe=4, centroids=cents)
+    exact = knn(emb, q, 5)
+    a = {(r["query_id"], r["id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["id"]) for r in exact.collect()}
+    assert len(a & e) / len(e) >= 0.6  # recall@5 with 4/8 cells probed
