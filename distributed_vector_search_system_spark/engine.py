@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .operators.cache import QueryCache
+from .operators.cache import PersistentResultCache, QueryCache
 from .operators.knn import knn, shard_cardinality
 from .operators.mutations import MutationLog, apply_mutations
 from .schemas import QUERIES_SCHEMA, assert_vector_dimension
@@ -48,6 +48,7 @@ class VectorEngine:
         *,
         dim: int | None = None,
         cache: QueryCache | None = None,
+        persistent_cache: PersistentResultCache | None = None,
         validate: bool = False,
         shard_col: str | None = None,
     ):
@@ -60,6 +61,11 @@ class VectorEngine:
         self._log = MutationLog(spark, dim=dim)
         self._pending = 0
         self._cache = cache if cache is not None else QueryCache()
+        # optional second cache tier surviving across sessions (reference
+        # C2/C3 live for the node-process lifetime, query_cache.cc:15-43;
+        # a Spark "process" is the storage layer, so the durable tier is
+        # a parquet-backed table)
+        self._pcache = persistent_cache
         self._shard_col = shard_col
         self.version = 0
 
@@ -91,6 +97,12 @@ class VectorEngine:
         cached = self._cache.lookup(qvec, k)
         if cached is not None:
             return cached, True
+        if self._pcache is not None:
+            hit = self._pcache.probe(qvec, k)
+            if hit is not None:
+                rows = [tuple(h[:2]) + (i + 1,) for i, h in enumerate(hit)]
+                self._cache.insert(qvec, k, rows)  # promote to the fast tier
+                return rows, True
         qdf = self._spark.createDataFrame(
             [(query_id, [float(x) for x in qvec], k)], schema=QUERIES_SCHEMA
         )
@@ -99,6 +111,8 @@ class VectorEngine:
             for r in self.search(qdf, k).orderBy("rank").collect()
         ]
         self._cache.insert(qvec, k, rows)
+        if self._pcache is not None:
+            self._pcache.put(qvec, k, [(r[0], r[1], None) for r in rows])
         return rows, False
 
     def warm(self) -> int:
@@ -163,6 +177,8 @@ class VectorEngine:
         if not applied:
             self._pending += 1
         self._cache.invalidate()  # M4: full clear on any write
+        if self._pcache is not None:
+            self._pcache.invalidate()  # epoch bump — no table rewrite
 
     # -- maintenance -------------------------------------------------------
 
@@ -172,6 +188,33 @@ class VectorEngine:
             self._snapshot = self._log.compact_into(self._snapshot)
             self._log = MutationLog(self._spark, dim=self._dim)
             self._pending = 0
+
+    def checkpoint(self, path: str | None = None) -> None:
+        """Cut the snapshot's lineage (reference S2 persist,
+        vector_shard.cc:101-106 — but at compaction cadence, not per
+        mutation).
+
+        Every ``compact()`` layers a window + anti-join + union onto the
+        snapshot plan; after many write/compact cycles the PLAN, not the
+        data, becomes the bottleneck (analysis time grows per layer and a
+        task failure would recompute the whole chain).  ``checkpoint``
+        materializes the current snapshot and restarts the lineage:
+        to parquet at ``path`` (durable, partitioned by the shard column
+        when present — survives the session), or via ``localCheckpoint``
+        (cluster-memory/disk, session-scoped) when ``path`` is None.
+        """
+        self.compact()
+        if path is None:
+            self._snapshot = self._snapshot.localCheckpoint(eager=True)
+            return
+        from .sources.parquet import read_vectors, write_vectors
+
+        cols = self._snapshot.columns  # partitionBy moves the shard col last
+        write_vectors(
+            self._snapshot, path,
+            shard_col=self._shard_col if self._shard_col else None,
+        )
+        self._snapshot = read_vectors(self._spark, path).select(*cols)
 
     @property
     def cache(self) -> QueryCache:

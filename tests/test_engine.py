@@ -176,3 +176,55 @@ def test_shard_column_survives_compaction(spark):
     assert got == {"0": 4, "1": 3}
     hits = e.search(_q(spark, 0, [1.5, 0.0], 1), 1).collect()
     assert hits[0]["id"] == 100 and hits[0]["shard_id"] == "0"
+
+
+def test_checkpoint_bounds_plan_growth(spark, tmp_path):
+    """Repeated write→compact cycles layer plan nodes; checkpoint() must
+    reset the lineage while preserving the data exactly."""
+    e = _engine(spark)
+    for i in range(5):
+        e.upsert(100 + i, [float(i), 0.0], label=i)
+        e.compact()
+    deep_plan = e._snapshot._jdf.queryExecution().toString()
+    before = sorted((r["vec_id"], r["label"]) for r in e._snapshot.collect())
+
+    e.checkpoint(str(tmp_path / "snap"))
+    shallow_plan = e._snapshot._jdf.queryExecution().toString()
+    after = sorted((r["vec_id"], r["label"]) for r in e._snapshot.collect())
+    assert after == before
+    assert len(shallow_plan) < len(deep_plan)
+    # and the engine still serves reads/writes on the checkpointed snapshot
+    e.upsert(200, [9.0, 9.0], label=7)
+    e.compact()
+    assert e.size() == len(before) + 1
+
+
+def test_checkpoint_local_no_path(spark):
+    e = _engine(spark)
+    e.upsert(100, [1.0, 1.0], label=1)
+    e.checkpoint()  # localCheckpoint path
+    assert e._pending == 0
+    assert e.size() == 11
+
+
+def test_persistent_cache_tier_cross_engine(spark, tmp_path):
+    """A second engine over the same persistent-cache path must serve the
+    first engine's results from cache; any write invalidates the tier."""
+    from distributed_vector_search_system_spark.operators.cache import (
+        PersistentResultCache,
+    )
+
+    path = str(tmp_path / "rc")
+    e1 = _engine(spark, persistent_cache=PersistentResultCache(spark, path, ttl_seconds=3600))
+    rows1, hit1 = e1.search_one(0, [3.0, 0.0], 2)
+    assert not hit1
+
+    e2 = _engine(spark, persistent_cache=PersistentResultCache(spark, path, ttl_seconds=3600))
+    rows2, hit2 = e2.search_one(0, [3.0, 0.0], 2)
+    assert hit2 and [r[:2] for r in rows2] == [r[:2] for r in rows1]
+
+    # M4 across tiers: a write on e2 kills both caches
+    e2.upsert(50, [3.05, 0.0], label=0)
+    rows3, hit3 = e2.search_one(0, [3.0, 0.0], 2, consistency=STRONG)
+    assert not hit3
+    assert 50 in [r[0] for r in rows3]
