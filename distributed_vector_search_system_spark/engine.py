@@ -144,9 +144,11 @@ class VectorEngine:
         """Bulk path: fold a whole DataFrame of (vec_id, embedding, label)
         upserts into the snapshot in one generation — at scale this is
         the only write shape that matters.  All rows share one generation
-        seq: within a batch there is one row per id (enforced), so no
-        intra-batch order is needed — avoiding a global-window sort that
-        would bottleneck on a single partition at scale.
+        seq: the contract is one row per id (duplicate ids are collapsed
+        to an arbitrary row — a DataFrame has no row order to break the
+        tie with), so no intra-batch ordering is needed — avoiding a
+        global-window sort that would bottleneck on one partition at
+        scale.
 
         Write order (G3/R1): any pending single upsert/delete entries were
         issued BEFORE this batch, so they are compacted into the snapshot
@@ -219,3 +221,22 @@ class VectorEngine:
     @property
     def cache(self) -> QueryCache:
         return self._cache
+
+    @classmethod
+    def from_config(cls, spark, vectors: DataFrame, config) -> "VectorEngine":
+        """Build from an EngineConfig (reference S3→S4 wiring: node_main.cc
+        constructs the ShardManager from the parsed NodeConfig): the
+        config's dimension becomes the validated invariant and its cache
+        sizing becomes the QueryCache bounds.  A shard column is used iff
+        the config declares shards."""
+        return cls(
+            spark,
+            vectors,
+            dim=config.dimension,
+            validate=True,
+            cache=QueryCache(
+                max_entries=config.cache_max_entries,
+                ttl_seconds=config.cache_ttl_seconds,
+            ),
+            shard_col="shard_id" if config.shards and "shard_id" in vectors.columns else None,
+        )

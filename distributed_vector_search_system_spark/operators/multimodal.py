@@ -37,6 +37,29 @@ def with_blob_metadata(df: DataFrame, blob_col: str = "blob") -> DataFrame:
     )
 
 
+#: magic-byte signatures (hex prefixes), checked in order — the
+#: container-format sniff every multimodal ingest pipeline runs before
+#: routing blobs to the right decoder
+MEDIA_MAGIC: tuple[tuple[str, str], ...] = (
+    ("jpeg", "FFD8FF"),
+    ("png", "89504E47"),
+    ("gif", "47494638"),
+    ("wav", "52494646"),  # RIFF container
+    ("pdf", "255044462D"),
+)
+
+
+def classify_media(df: DataFrame, blob_col: str = "blob", out_col: str = "media_kind") -> DataFrame:
+    """Route blobs by magic bytes — expression tier (hex prefix compare
+    on the first 8 bytes), map-only, blob never leaves the executor.
+    Unrecognized prefixes classify as 'unknown'."""
+    h = F.hex(F.substring(F.col(blob_col), 1, 8))
+    expr = F.lit("unknown")
+    for kind, sig in reversed(MEDIA_MAGIC):
+        expr = F.when(h.startswith(sig), F.lit(kind)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
 def extract_features(
     df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
 ) -> DataFrame:

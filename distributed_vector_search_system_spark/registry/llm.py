@@ -611,13 +611,59 @@ SELECT doc_id,
 FROM s
 """
 
+# media-kind routing by magic bytes: the fixture blob is synthesized from
+# text, so both engines prepend the SAME deterministic container headers
+# (JPEG / PNG / RIFF by doc_id % 4) before classifying
+
+def q_multimodal_magic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import classify_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    header = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(bytes.fromhex("FFD8FFE0")))
+        .when(F.col("doc_id") % 4 == 1, F.lit(bytes.fromhex("89504E470D0A1A0A")))
+        .when(F.col("doc_id") % 4 == 2, F.lit(b"RIFF"))
+        .otherwise(F.lit(b""))
+    )
+    blobs = docs.select(
+        "doc_id", F.concat(header, F.encode(F.col("text"), "UTF-8")).alias("blob")
+    )
+    return classify_media(blobs).select(
+        "doc_id", "media_kind", F.octet_length("blob").cast("long").alias("n_bytes")
+    )
+
+
+_MAGIC_SQL = r"""
+WITH b AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN '\xFF\xD8\xFF\xE0'::BLOB || encode(text)
+      WHEN 1 THEN '\x89\x50\x4E\x47\x0D\x0A\x1A\x0A'::BLOB || encode(text)
+      WHEN 2 THEN 'RIFF'::BLOB || encode(text)
+      ELSE encode(text)
+    END AS blob
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN substr(hex(blob), 1, 6)  = 'FFD8FF'     THEN 'jpeg'
+       WHEN substr(hex(blob), 1, 8)  = '89504E47'   THEN 'png'
+       WHEN substr(hex(blob), 1, 8)  = '47494638'   THEN 'gif'
+       WHEN substr(hex(blob), 1, 8)  = '52494646'   THEN 'wav'
+       WHEN substr(hex(blob), 1, 10) = '255044462D' THEN 'pdf'
+       ELSE 'unknown' END AS media_kind,
+  CAST(octet_length(blob) AS BIGINT) AS n_bytes
+FROM b
+"""
+
 EXTRA_QUERIES: dict = {
     "text_tfidf_topk": q_text_tfidf_topk,
     "text_vocab_topk": q_text_vocab_topk,
     "text_pii_scrub": q_text_pii_scrub,
+    "multimodal_magic": q_multimodal_magic,
 }
 EXTRA_ORACLES: dict = {
     "text_tfidf_topk": _TFIDF_SQL,
     "text_vocab_topk": _VOCAB_SQL,
     "text_pii_scrub": _PII_SQL,
+    "multimodal_magic": _MAGIC_SQL,
 }

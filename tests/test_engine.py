@@ -228,3 +228,24 @@ def test_persistent_cache_tier_cross_engine(spark, tmp_path):
     rows3, hit3 = e2.search_one(0, [3.0, 0.0], 2, consistency=STRONG)
     assert not hit3
     assert 50 in [r[0] for r in rows3]
+
+
+def test_engine_from_config(spark):
+    vectors = spark.createDataFrame(
+        [(i, [float(i), 0.0], None) for i in range(6)], schema=VECTORS_SCHEMA
+    ).withColumn("shard_id", (F.col("vec_id") % 2).cast("string"))
+    cfg = EngineConfig(
+        dimension=2,
+        shards=[ShardConfig("0"), ShardConfig("1")],
+        cache_max_entries=2,
+        cache_ttl_seconds=30,
+    )
+    e = VectorEngine.from_config(spark, vectors, cfg)
+    assert e._dim == 2 and e._shard_col == "shard_id"
+    assert e.cache._max == 2 and e.cache._ttl == 30
+    got = {r["shard_id"]: r["n_vectors"] for r in e.cardinality().collect()}
+    assert got == {"0": 3, "1": 3}
+    # config dimension is the validated invariant
+    bad = spark.createDataFrame([(1, [1.0, 2.0, 3.0], None)], schema=VECTORS_SCHEMA)
+    with pytest.raises(ValueError):
+        VectorEngine.from_config(spark, bad, cfg)

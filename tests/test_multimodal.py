@@ -82,3 +82,23 @@ def test_decode_image_stub_contract(spark):
         pytest.skip("PIL present; stub contract not applicable")
     with pytest.raises(NotImplementedError):
         decode_image(d)
+
+
+def test_classify_media_magic_bytes(spark):
+    from distributed_vector_search_system_spark.operators.multimodal import (
+        classify_media,
+    )
+
+    rows = [
+        (1, bytes.fromhex("FFD8FFE0") + b"rest"),
+        (2, bytes.fromhex("89504E470D0A1A0A") + b"rest"),
+        (3, b"GIF8" + bytes([0x39]) + b"a"),
+        (4, b"RIFFxxxxWAVE"),
+        (5, b"%PDF-1.7"),
+        (6, b"just text"),
+        (7, b""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r["doc_id"]: r["media_kind"] for r in classify_media(df).collect()}
+    assert got == {1: "jpeg", 2: "png", 3: "gif", 4: "wav", 5: "pdf",
+                   6: "unknown", 7: "unknown"}
