@@ -87,3 +87,27 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # the 10:00 window finalized with ONLY the two on-time rows; event 4
     # (10:02, arriving after the watermark passed 10:05) was dropped
     assert rows.get("10:00") == 2, rows
+
+
+def test_shard_partition_pruning(spark, sf_smoke, tmp_path):
+    """M3 shard routing at rest: on a shard-partitioned snapshot, a
+    shard-routed search must prune to that shard's files (PartitionFilters
+    in the scan; only one shard's rows read)."""
+    from distributed_vector_search_system_spark.sources.parquet import (
+        read_vectors,
+        write_vectors,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings").withColumn(
+        "shard_id", (F.col("vec_id") % 6).cast("string")
+    )
+    path = str(tmp_path / "sharded")
+    write_vectors(emb, path)
+
+    routed = read_vectors(spark, path).filter(F.col("shard_id") == "2")
+    plan = routed._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and any("shard_id" in l for l in pf), plan
+    assert routed.count() == emb.filter(F.col("shard_id") == "2").count()
