@@ -465,12 +465,128 @@ ORACLES.update(
     }
 )
 
+# ---------------------------------------------------------------------------
+# int8 scalar-quantization tier (operators/quantize.py): the storage-side
+# 100 TB lever the float-only reference lacks.  Both the codes and the full
+# two-phase (coarse int8 scan → exact float re-rank) search are
+# deterministic, so each gets an exact oracle.
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector max-abs int8 quantization: scale, codes (CSV — the
+    driver's canonicalizer cannot hash arrays) and the max
+    reconstruction error, which must be ≤ scale/2 by construction."""
+    from ..operators.quantize import dequantize_expr, quantize_vectors
+
+    emb = _emb(spark, sf_dir)
+    qz = quantize_vectors(emb)
+    # bind the RAW scale column explicitly: the select below re-aliases
+    # the rounded value as "qscale", and a string reference here would
+    # resolve to that lateral alias (rounded scale → wrong error)
+    err = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            dequantize_expr(qz["qcodes"], qz["qscale"]),
+            lambda x, d: F.abs(x.cast("double") - d),
+        ),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    return qz.select(
+        "vec_id",
+        F.round("qscale", 6).alias("qscale"),
+        F.array_join(F.transform("qcodes", lambda c: c.cast("string")), ",").alias(
+            "codes_csv"
+        ),
+        F.round(err, 6).alias("max_err"),
+    )
+
+
+_QUANTIZE_SQL = """
+WITH s AS (
+  SELECT vec_id, embedding,
+    (SELECT MAX(ABS(CAST(u.a AS DOUBLE))) FROM (SELECT UNNEST(embedding) AS a) u)
+      / 127.0 AS scale
+  FROM embeddings
+),
+c AS (
+  SELECT vec_id, scale, embedding,
+    CASE WHEN scale = 0
+         THEN list_transform(embedding, x -> 0)
+         ELSE list_transform(embedding, x -> CAST(GREATEST(-127.0,
+                LEAST(127.0, FLOOR(CAST(x AS DOUBLE) / scale + 0.5))) AS INT))
+    END AS codes
+  FROM s
+)
+SELECT vec_id, ROUND(scale, 6) AS qscale,
+  array_to_string(list_transform(codes, x -> CAST(x AS VARCHAR)), ',') AS codes_csv,
+  ROUND((SELECT MAX(ABS(CAST(u.a AS DOUBLE) - u.b * scale))
+         FROM (SELECT UNNEST(embedding) AS a, UNNEST(codes) AS b) u), 6) AS max_err
+FROM c
+"""
+
+
+def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase search over the quantized tier: coarse top-15 on
+    dequantized int8, exact float re-rank to top-5.  Deterministic end
+    to end, so the oracle replays the identical pipeline."""
+    from ..operators.quantize import quantized_knn
+
+    emb = _emb(spark, sf_dir)
+    q = _query_set(emb, F.col("vec_id") % 40 == 7)
+    return _round_result(quantized_knn(emb, q, 5, rerank=3))
+
+
+_QKNN_COARSE_DIST = _SQL_SQ_L2.format(q="q.qe", v="d.dq")
+_QKNN_EXACT_DIST = _SQL_SQ_L2.format(q="c.qe", v="v.embedding")
+
+_QKNN_SQL = f"""
+WITH s AS (
+  SELECT vec_id, embedding,
+    (SELECT MAX(ABS(CAST(u.a AS DOUBLE))) FROM (SELECT UNNEST(embedding) AS a) u)
+      / 127.0 AS scale
+  FROM embeddings
+),
+d AS (
+  SELECT vec_id, embedding,
+    CASE WHEN scale = 0
+         THEN list_transform(embedding, x -> 0.0)
+         ELSE list_transform(embedding, x -> GREATEST(-127.0,
+                LEAST(127.0, FLOOR(CAST(x AS DOUBLE) / scale + 0.5))) * scale)
+    END AS dq
+  FROM s
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 40 = 7),
+coarse AS (
+  SELECT q.query_id, d.vec_id AS id, q.qe, {_QKNN_COARSE_DIST} AS cd
+  FROM q CROSS JOIN d
+),
+cand AS (
+  SELECT query_id, id, qe FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cd, id) AS crn
+    FROM coarse)
+  WHERE crn <= 15
+),
+exact AS (
+  SELECT c.query_id, c.id, {_QKNN_EXACT_DIST} AS distance
+  FROM cand c JOIN embeddings v ON c.id = v.vec_id
+)
+SELECT query_id, id, ROUND(distance, 6) AS distance, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, id) AS INT) AS rank
+  FROM exact)
+WHERE rank <= 5
+"""
+
+
 # --- pytest-only tier (beyond the driver's 50-query correctness window;
 # verified by tests/test_oracle_parity.py with the same DuckDB harness) ----
 
 EXTRA_QUERIES = {
     "cache_ttl_prune": q_cache_ttl_prune,
+    "embedding_quantize": q_embedding_quantize,
+    "knn_quantized": q_knn_quantized,
 }
 EXTRA_ORACLES = {
     "cache_ttl_prune": _CACHE_TTL_SQL,
+    "embedding_quantize": _QUANTIZE_SQL,
+    "knn_quantized": _QKNN_SQL,
 }

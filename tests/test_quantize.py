@@ -1,0 +1,78 @@
+"""int8 scalar-quantization tier (operators/quantize.py).
+
+Oracle parity for the registry entries runs in test_oracle_parity.py;
+these tests lock the numeric guarantees and the plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_vector_search_system_spark.operators.knn import knn
+from distributed_vector_search_system_spark.operators.quantize import (
+    dequantize_expr,
+    quantize_vectors,
+    quantized_knn,
+)
+from distributed_vector_search_system_spark.tables import load_table
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_codes_bounded_and_error_within_half_step(spark, sf_smoke):
+    qz = quantize_vectors(_emb(spark, sf_smoke))
+    err = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            dequantize_expr("qcodes", "qscale"),
+            lambda x, d: F.abs(x.cast("double") - d),
+        ),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    bad = qz.select(
+        F.exists("qcodes", lambda c: (c < -127) | (c > 127)).alias("oob"),
+        (err > F.col("qscale") / 2 + 1e-12).alias("err_over"),
+    ).filter(F.col("oob") | F.col("err_over"))
+    assert bad.count() == 0
+
+
+def test_zero_vector_quantizes_to_zero(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    row = quantize_vectors(df).select("qscale", "qcodes").first()
+    assert row.qscale == 0.0 and row.qcodes == [0, 0, 0]
+
+
+def test_quantized_knn_matches_exact(spark, sf_smoke):
+    """int8 coarse + exact re-rank must return the exact top-k whenever
+    the true neighbors survive the coarse cut — at this scale and
+    rerank=4 they all do, so the result equals brute-force knn."""
+    emb = _emb(spark, sf_smoke)
+    q = emb.filter(F.col("vec_id") % 60 == 1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = {
+        (r.query_id, r.rank): r.id
+        for r in quantized_knn(emb, q, 5, rerank=4).collect()
+    }
+    want = {
+        (r.query_id, r.rank): r.id for r in knn(emb, q, 5).collect()
+    }
+    assert got == want
+
+
+def test_quantized_knn_plan_shape(spark, sf_smoke):
+    """Coarse phase must be a partial top-k (WindowGroupLimit) and the
+    candidate re-join must not be a cartesian product."""
+    emb = _emb(spark, sf_smoke)
+    q = emb.filter(F.col("vec_id") % 60 == 1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    plan = quantized_knn(emb, q, 5)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
