@@ -152,7 +152,7 @@ SELECT o_custkey, o_orderkey,
                                ROWS BETWEEN UNBOUNDED PRECEDING
                                         AND UNBOUNDED FOLLOWING) AS last_ok,
   LEAD(o_orderkey) OVER w AS next_ok,
-  CAST(COUNT(*) OVER (ORDER BY o_totalprice
+  CAST(COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
                       RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS BIGINT)
        AS n_price_within_1k
 FROM orders WHERE o_custkey < 100
@@ -173,7 +173,7 @@ SELECT o_custkey, o_orderkey,
                                ROWS BETWEEN UNBOUNDED PRECEDING
                                         AND UNBOUNDED FOLLOWING) AS last_ok,
   LEAD(o_orderkey) OVER w AS next_ok,
-  CAST(COUNT(*) OVER (ORDER BY o_totalprice
+  CAST(COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
                       RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS BIGINT)
        AS n_price_within_1k
 FROM orders WHERE o_custkey < 100

@@ -130,3 +130,21 @@ def test_knn_after_mutations_partial_topk_survives_union(spark, sf_smoke):
     plan = _plan(registry.queries()["knn_after_mutations"](spark, sf_smoke))
     assert plan.count("WindowGroupLimit") >= 4, plan
     assert "CartesianProduct" not in plan
+
+
+def test_no_unpartitioned_windows_anywhere(spark, sf_smoke):
+    """No registry query may use a partition-less window function — a
+    global ORDER BY window moves every row to ONE partition, the worst
+    possible plan at scale.  windowspecdefinition args starting with a
+    sort order (no partition exprs) betray one."""
+    import re
+
+    flagged = []
+    for name, fn in sorted(registry.all_queries().items()):
+        plan = fn(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            first = m.group(1).split(",")[0].strip()
+            if "ASC" in first or "DESC" in first:
+                flagged.append(name)
+                break
+    assert not flagged, flagged
