@@ -655,15 +655,92 @@ SELECT doc_id,
 FROM b
 """
 
+# end-to-end curation pipeline: the flagship composition a training-data
+# team actually runs — language gate → quality gate → exact dedup
+# (lowest-id survivor per content hash) → per-source corpus stats.  One
+# dataflow: three map-side expression gates, ONE shuffle for the dedup
+# window, one partial+final aggregate.  At 100 TB the gates cut the
+# corpus before anything shuffles, which is the whole point of running
+# them first.
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import detect_language, quality_score, token_count
+    from ..operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        detect_language("text").alias("pred_lang"),
+        quality_score("text").alias("quality"),
+        token_count("text").alias("n_tokens"),
+    )
+    kept = scored.filter((F.col("pred_lang") == "en") & (F.col("quality") >= 0.36))
+    deduped = exact_dedup(kept)
+    return deduped.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("bigint")).alias("total_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+
+
+def _curation_oracle() -> str:
+    score_cols = ",\n  ".join(
+        "len(list_intersect(dw, ["
+        + ", ".join(f"'{s}'" for s in words)
+        + f"])) AS s_{lang}"
+        for lang, words in LANG_PROFILES
+    )
+    best = "GREATEST(" + ", ".join(f"s_{lang}" for lang, _ in LANG_PROFILES) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{lang} = best AND best > 0 THEN '{lang}'" for lang, _ in LANG_PROFILES
+    ) + " ELSE 'und' END"
+    en_stop = ", ".join(f"'{s}'" for s in LANG_PROFILES[0][1])
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, text, {_TOKS} AS w, list_distinct({_TOKS}) AS dw
+  FROM documents
+),
+scored AS (SELECT doc_id, source, text, w, dw, {score_cols} FROM t),
+lang AS (SELECT *, {best} AS best FROM scored),
+q AS (
+  SELECT doc_id, source, text, {case} AS pred_lang,
+    CAST(len(w) AS INT) AS n_tokens,
+    ROUND(LEAST(CAST(len(w) AS DOUBLE), 300.0) / 300.0 * 0.2
+      + (CASE WHEN len(dw) = 0 THEN 0.0
+              ELSE CAST(len(list_intersect(dw, [{en_stop}])) AS DOUBLE)
+                   / CAST(len(dw) AS DOUBLE) END) * 0.5
+      + (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                    / CAST(length(text) AS DOUBLE) END) * 0.3, 6) AS quality
+  FROM lang
+),
+kept AS (SELECT * FROM q WHERE pred_lang = 'en' AND quality >= 0.36),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM kept)
+  WHERE rn = 1
+)
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  ROUND(AVG(quality), 6) AS avg_quality
+FROM dedup GROUP BY source
+"""
+
+
 EXTRA_QUERIES: dict = {
     "text_tfidf_topk": q_text_tfidf_topk,
     "text_vocab_topk": q_text_vocab_topk,
     "text_pii_scrub": q_text_pii_scrub,
     "multimodal_magic": q_multimodal_magic,
+    "curation_pipeline": q_curation_pipeline,
 }
 EXTRA_ORACLES: dict = {
     "text_tfidf_topk": _TFIDF_SQL,
     "text_vocab_topk": _VOCAB_SQL,
     "text_pii_scrub": _PII_SQL,
     "multimodal_magic": _MAGIC_SQL,
+    "curation_pipeline": _curation_oracle(),
 }
