@@ -1,0 +1,108 @@
+"""Deterministic sampling, split assignment, and cross-corpus
+decontamination — the selection layer of a training-data pipeline.
+
+Spark's ``df.sample`` is seeded-pseudo-random per partition: results
+change under repartitioning, which disqualifies it for anything that
+must be reproducible across runs, engines, and cluster layouts.  Every
+operator here derives selection from a *portable content hash* of a key
+column instead (``functions.hashing.portable_hash64``), so:
+
+- the same row lands in the same split on any cluster, forever;
+- selection is a pure map-side expression (no shuffle, no state);
+- a DuckDB oracle reproduces it bit-for-bit.
+
+Operators:
+
+- ``hash_sample``    — keep ~rate of rows by hash bucket (map-only).
+- ``hash_split``     — assign train/val/test (or any weighted set of
+  splits) by hash range; jointly exhaustive, mutually exclusive,
+  stable under data growth (a row's split never changes when other
+  rows arrive — the property per-partition random sampling lacks).
+- ``decontaminate``  — remove training docs sharing any word-n-gram
+  with an eval/benchmark corpus: the standard membership-leak guard.
+  Shape: shingle-explode both sides, equi-join on the shingle
+  (broadcast when the eval side is small — it always is), left-anti
+  the hits.  No similarity threshold: one shared n-gram taints, which
+  is the conservative contract benchmark decontamination wants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash64
+from ..functions.text import tokens, word_shingles
+
+#: hash-space modulus for bucketing; 10_000 → 0.01% split granularity
+BUCKETS = 10_000
+
+
+def _bucket(key_col, seed) -> Column:
+    return F.pmod(portable_hash64(key_col, seed), F.lit(BUCKETS))
+
+
+def hash_sample(
+    df: DataFrame, rate: float, *, key_col: str = "doc_id", seed: str = "sample"
+) -> DataFrame:
+    """Deterministic ~``rate`` sample: hash-bucket the key, keep the
+    first ``rate`` fraction of buckets.  Map-only; reproducible on any
+    partitioning; disjoint seeds give independent samples."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    key = F.col(key_col).cast("string")
+    return df.filter(_bucket(key, seed) < int(rate * BUCKETS))
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    *,
+    key_col: str = "doc_id",
+    seed: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Stable split assignment: hash range [0, w1) → split 1,
+    [w1, w1+w2) → split 2, …  Weights must sum to 1.  Every row gets
+    exactly one split, and keeps it as the corpus grows."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    b = _bucket(F.col(key_col).cast("string"), seed)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = b < int(acc * BUCKETS)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(out_col, expr)
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_corpus: DataFrame,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training rows with NO word-``n``-gram overlap with the eval
+    corpus.  The eval side (benchmarks: thousands of docs, not
+    billions) broadcasts; the train side is touched by one map-side
+    shingle explode + a broadcast semi-join — the train corpus never
+    shuffles."""
+    t_sh = train.select(
+        F.col(id_col).alias("_tid"),
+        F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("_sh"),
+    )
+    e_sh = eval_corpus.select(
+        F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("_sh")
+    ).distinct()
+    tainted = (
+        t_sh.join(F.broadcast(e_sh), on="_sh")
+        .select(F.col("_tid").alias(id_col))
+        .distinct()
+    )
+    return train.join(tainted, on=id_col, how="left_anti")

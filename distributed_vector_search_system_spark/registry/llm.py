@@ -730,12 +730,77 @@ FROM dedup GROUP BY source
 """
 
 
+# deterministic corpus selection (operators/sampling.py): hash-range
+# splits and benchmark decontamination — selection must be reproducible
+# across runs/engines/partitionings, so it derives from the portable
+# content hash, never from df.sample's partition-seeded RNG.
+
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    return split.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+    )
+
+
+def _split_oracle() -> str:
+    from ..functions.hashing import portable_hash64_sql
+
+    h = portable_hash64_sql("CAST(doc_id AS VARCHAR)", seed="split")
+    return f"""
+WITH b AS (SELECT doc_id, n_chars, ({h}) % 10000 AS bkt FROM documents)
+SELECT CASE WHEN bkt < 8000 THEN 'train'
+            WHEN bkt < 9000 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM b GROUP BY 1
+"""
+
+
+def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-leak guard: docs sharing any word trigram with the
+    'benchmark' slice (doc_id % 97 == 0) are dropped from the train
+    side; survivors counted per source."""
+    from ..operators.sampling import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_corpus = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    clean = decontaminate(train, eval_corpus, n=3)
+    return clean.groupBy("source").agg(F.count("*").alias("n_clean"))
+
+
+_TRIGRAMS = (
+    "list_distinct(list_transform(range(1, len(w) - 1), "
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
+)
+
+_DECONTAM_SQL = f"""
+WITH toks AS (SELECT doc_id, source, {_TOKS} AS w FROM documents),
+sh AS (SELECT doc_id, source, {_TRIGRAMS} AS s FROM toks),
+ev AS (SELECT DISTINCT UNNEST(s) AS g FROM sh WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, source, UNNEST(s) AS g FROM sh WHERE doc_id % 97 <> 0),
+tainted AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev ON tr.g = ev.g)
+SELECT d.source, COUNT(*) AS n_clean
+FROM documents d
+WHERE d.doc_id % 97 <> 0
+  AND NOT EXISTS (SELECT 1 FROM tainted t WHERE t.doc_id = d.doc_id)
+GROUP BY d.source
+"""
+
+
 EXTRA_QUERIES: dict = {
     "text_tfidf_topk": q_text_tfidf_topk,
     "text_vocab_topk": q_text_vocab_topk,
     "text_pii_scrub": q_text_pii_scrub,
     "multimodal_magic": q_multimodal_magic,
     "curation_pipeline": q_curation_pipeline,
+    "corpus_split": q_corpus_split,
+    "corpus_decontaminate": q_corpus_decontaminate,
 }
 EXTRA_ORACLES: dict = {
     "text_tfidf_topk": _TFIDF_SQL,
@@ -743,4 +808,6 @@ EXTRA_ORACLES: dict = {
     "text_pii_scrub": _PII_SQL,
     "multimodal_magic": _MAGIC_SQL,
     "curation_pipeline": _curation_oracle(),
+    "corpus_split": _split_oracle(),
+    "corpus_decontaminate": _DECONTAM_SQL,
 }

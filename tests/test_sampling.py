@@ -1,0 +1,76 @@
+"""Deterministic sampling / splits / decontamination
+(operators/sampling.py).  Oracle parity for the registry entries runs in
+test_oracle_parity.py; these lock the selection invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_vector_search_system_spark.operators.sampling import (
+    decontaminate,
+    hash_sample,
+    hash_split,
+)
+from distributed_vector_search_system_spark.tables import load_table
+
+
+def _docs(spark, sf):
+    return load_table(spark, sf, "documents")
+
+
+def test_split_exhaustive_exclusive_and_roughly_weighted(spark, sf_oracle):
+    docs = _docs(spark, sf_oracle)
+    n = docs.count()
+    split = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == n  # exhaustive + exclusive (one split per row)
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    assert abs(counts["train"] / n - 0.8) < 0.1
+
+
+def test_split_stable_under_repartition_and_growth(spark, sf_oracle):
+    """A row's split must not depend on partitioning or on what other
+    rows exist — the property df.sample lacks."""
+    docs = _docs(spark, sf_oracle)
+    full = {
+        r.doc_id: r.split
+        for r in hash_split(docs, {"train": 0.8, "val": 0.2}).select("doc_id", "split").collect()
+    }
+    subset = docs.filter(F.col("doc_id") % 3 == 0).repartition(13)
+    sub = {
+        r.doc_id: r.split
+        for r in hash_split(subset, {"train": 0.8, "val": 0.2}).select("doc_id", "split").collect()
+    }
+    assert sub == {k: v for k, v in full.items() if k % 3 == 0}
+
+
+def test_hash_sample_rate_and_subset_nesting(spark, sf_oracle):
+    """Smaller rates must select subsets of larger rates (same seed) —
+    hash-range sampling's defining property."""
+    docs = _docs(spark, sf_oracle)
+    n = docs.count()
+    s20 = {r.doc_id for r in hash_sample(docs, 0.2).select("doc_id").collect()}
+    s50 = {r.doc_id for r in hash_sample(docs, 0.5).select("doc_id").collect()}
+    assert s20 <= s50
+    assert abs(len(s50) / n - 0.5) < 0.15
+    with pytest.raises(ValueError):
+        hash_sample(docs, 1.5)
+
+
+def test_decontaminate_removes_planted_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated content about spark engines"),
+            (3, "short doc"),  # < 3 tokens of overlap possible, no trigram match
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "we ask whether the quick brown fox can jump")],
+        "doc_id long, text string",
+    )
+    survivors = {r.doc_id for r in decontaminate(train, bench, n=3).collect()}
+    assert survivors == {2, 3}  # doc 1 shares the trigram "the quick brown"
