@@ -51,6 +51,8 @@ class VectorEngine:
         persistent_cache: PersistentResultCache | None = None,
         validate: bool = False,
         shard_col: str | None = None,
+        auto_compact_threshold: int | None = None,
+        auto_checkpoint_every: int | None = None,
     ):
         self._spark = spark
         self._dim = dim
@@ -60,6 +62,14 @@ class VectorEngine:
         self._snapshot = vectors
         self._log = MutationLog(spark, dim=dim)
         self._pending = 0
+        # maintenance policy: compact once the pending log reaches the
+        # threshold (bounds read amplification: every STRONG read and
+        # search otherwise re-folds the whole pending log), and cut
+        # lineage every N compactions (bounds PLAN depth — each compact
+        # layers a window+anti-join+union onto the snapshot plan)
+        self._auto_compact = auto_compact_threshold
+        self._auto_checkpoint = auto_checkpoint_every
+        self._compactions = 0
         self._cache = cache if cache is not None else QueryCache()
         # optional second cache tier surviving across sessions (reference
         # C2/C3 live for the node-process lifetime, query_cache.cc:15-43;
@@ -181,6 +191,8 @@ class VectorEngine:
         self._cache.invalidate()  # M4: full clear on any write
         if self._pcache is not None:
             self._pcache.invalidate()  # epoch bump — no table rewrite
+        if self._auto_compact is not None and self._pending >= self._auto_compact:
+            self.compact()
 
     # -- maintenance -------------------------------------------------------
 
@@ -190,6 +202,12 @@ class VectorEngine:
             self._snapshot = self._log.compact_into(self._snapshot)
             self._log = MutationLog(self._spark, dim=self._dim)
             self._pending = 0
+            self._compactions += 1
+            if (
+                self._auto_checkpoint is not None
+                and self._compactions % self._auto_checkpoint == 0
+            ):
+                self._snapshot = self._snapshot.localCheckpoint(eager=True)
 
     def checkpoint(self, path: str | None = None) -> None:
         """Cut the snapshot's lineage (reference S2 persist,

@@ -249,3 +249,24 @@ def test_engine_from_config(spark):
     bad = spark.createDataFrame([(1, [1.0, 2.0, 3.0], None)], schema=VECTORS_SCHEMA)
     with pytest.raises(ValueError):
         VectorEngine.from_config(spark, bad, cfg)
+
+
+def test_auto_compaction_policy(spark):
+    """auto_compact_threshold folds the pending log on its own; the
+    result must equal the explicit-compact sequence, and the plan depth
+    stays bounded via auto_checkpoint_every."""
+    base = spark.createDataFrame(
+        [(i, [float(i), 0.0], i) for i in range(5)], schema=VECTORS_SCHEMA
+    )
+    eng = VectorEngine(
+        spark, base, dim=2, auto_compact_threshold=2, auto_checkpoint_every=2
+    )
+    eng.upsert(0, [9.0, 9.0], label=90)   # pending=1
+    assert eng._pending == 1
+    eng.delete(1)                          # pending hits 2 → auto-compact
+    assert eng._pending == 0
+    eng.upsert(6, [6.0, 6.0], label=60)
+    eng.delete(4)                          # second auto-compact → checkpoint
+    assert eng._pending == 0 and eng._compactions == 2
+    got = {r["vec_id"]: r["label"] for r in eng._read_snapshot("strong").collect()}
+    assert got == {0: 90, 2: 2, 3: 3, 6: 60}
