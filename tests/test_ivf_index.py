@@ -1,0 +1,60 @@
+"""Persisted IVF index (sources/ivf_index.py): cell-partitioned storage,
+physically pruned probes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_vector_search_system_spark.operators.clustering import kmeans_fit
+from distributed_vector_search_system_spark.operators.similarity import ann_ivf_topk
+from distributed_vector_search_system_spark.sources.ivf_index import (
+    search_ivf_index,
+    write_ivf_index,
+)
+from distributed_vector_search_system_spark.tables import load_table
+
+
+def _setup(spark, sf, tmp_path, num_cells=8):
+    emb = load_table(spark, sf, "embeddings")
+    centroids, _ = kmeans_fit(emb, num_cells, max_iterations=3)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path, centroids)
+    q = emb.filter(F.col("vec_id") % 60 == 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return emb, centroids, path, q
+
+
+def test_index_search_matches_in_memory_ivf(spark, sf_smoke, tmp_path):
+    """The persisted-index search must return exactly what the in-memory
+    IVF plan returns for the same centroids and n_probe."""
+    emb, centroids, path, q = _setup(spark, sf_smoke, tmp_path)
+    got = {
+        (r.query_id, r.rank): (r.id, round(r.distance, 6))
+        for r in search_ivf_index(spark, path, q, 5, centroids, n_probe=3).collect()
+    }
+    want = {
+        (r.query_id, r.rank): (r.id, round(r.distance, 6))
+        for r in ann_ivf_topk(emb, q, 5, centroids=centroids, n_probe=3).collect()
+    }
+    assert got == want and got
+
+
+def test_probes_prune_partitions(spark, sf_smoke, tmp_path):
+    """cell_id must appear in the scan's PartitionFilters, and a pruned
+    probe must read strictly fewer files than the full index."""
+    emb, centroids, path, q = _setup(spark, sf_smoke, tmp_path)
+    one_q = q.limit(1)
+    probed = search_ivf_index(spark, path, one_q, 5, centroids, n_probe=2)
+    plan = probed._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and any("cell_id" in l for l in pf), plan
+
+    import glob
+
+    total_files = len(glob.glob(path + "/cell_id=*/*.parquet"))
+    pruned = spark.read.parquet(path).filter(F.col("cell_id").isin([0, 1]))
+    read_files = pruned.select(F.input_file_name()).distinct().count()
+    assert read_files < total_files
