@@ -76,3 +76,37 @@ def test_quantized_knn_plan_shape(spark, sf_smoke):
     )
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quantize_roundtrip_property(spark):
+    """Property: for ANY float vector (negatives, zeros, huge/tiny
+    magnitudes), codes stay in [-127, 127] and per-element
+    reconstruction error stays within scale/2 (+1 ulp headroom)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    vecs = st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False,
+            width=32,
+        ),
+        min_size=1,
+        max_size=16,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(v=vecs)
+    def check(v):
+        df = spark.createDataFrame([(0, v)], "vec_id long, embedding array<float>")
+        row = quantize_vectors(df).select(
+            "qscale",
+            "qcodes",
+            dequantize_expr("qcodes", "qscale").alias("dq"),
+            "embedding",
+        ).first()
+        assert all(-127 <= c <= 127 for c in row.qcodes)
+        tol = row.qscale / 2 + 1e-9 * max(1.0, row.qscale)
+        for x, d in zip(row.embedding, row.dq):
+            assert abs(float(x) - d) <= tol, (x, d, row.qscale)
+
+    check()

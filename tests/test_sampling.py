@@ -74,3 +74,19 @@ def test_decontaminate_removes_planted_overlap(spark):
     )
     survivors = {r.doc_id for r in decontaminate(train, bench, n=3).collect()}
     assert survivors == {2, 3}  # doc 1 shares the trigram "the quick brown"
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_oracle):
+    """The train corpus must never shuffle: the eval shingle set joins
+    via broadcast (no SortMergeJoin anywhere in the plan)."""
+    docs = _docs(spark, sf_oracle)
+    clean = decontaminate(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        n=3,
+    )
+    plan = clean._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
