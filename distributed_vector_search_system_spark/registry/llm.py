@@ -793,12 +793,17 @@ GROUP BY d.source
 """
 
 
+# the flagship curation composition is DRIVER-tier (promoted in round 2);
+# it is defined below with the other composition queries, so register it
+# here after the definitions
+QUERIES["curation_pipeline"] = q_curation_pipeline
+ORACLES["curation_pipeline"] = _curation_oracle()
+
 EXTRA_QUERIES: dict = {
     "text_tfidf_topk": q_text_tfidf_topk,
     "text_vocab_topk": q_text_vocab_topk,
     "text_pii_scrub": q_text_pii_scrub,
     "multimodal_magic": q_multimodal_magic,
-    "curation_pipeline": q_curation_pipeline,
     "corpus_split": q_corpus_split,
     "corpus_decontaminate": q_corpus_decontaminate,
 }
@@ -807,7 +812,6 @@ EXTRA_ORACLES: dict = {
     "text_vocab_topk": _VOCAB_SQL,
     "text_pii_scrub": _PII_SQL,
     "multimodal_magic": _MAGIC_SQL,
-    "curation_pipeline": _curation_oracle(),
     "corpus_split": _split_oracle(),
     "corpus_decontaminate": _DECONTAM_SQL,
 }

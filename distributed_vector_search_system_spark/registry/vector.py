@@ -577,16 +577,19 @@ WHERE rank <= 5
 """
 
 
+# the int8 two-phase search is DRIVER-tier (promoted in round 2):
+# deterministic end to end, so it earns a driver correctness row
+QUERIES["knn_quantized"] = q_knn_quantized
+ORACLES["knn_quantized"] = _QKNN_SQL
+
 # --- pytest-only tier (beyond the driver's 50-query correctness window;
 # verified by tests/test_oracle_parity.py with the same DuckDB harness) ----
 
 EXTRA_QUERIES = {
     "cache_ttl_prune": q_cache_ttl_prune,
     "embedding_quantize": q_embedding_quantize,
-    "knn_quantized": q_knn_quantized,
 }
 EXTRA_ORACLES = {
     "cache_ttl_prune": _CACHE_TTL_SQL,
     "embedding_quantize": _QUANTIZE_SQL,
-    "knn_quantized": _QKNN_SQL,
 }
