@@ -91,8 +91,20 @@ class VectorEngine:
     def search(
         self, queries: DataFrame, k: int, *, consistency: str = EVENTUAL, method: str = "expr"
     ) -> DataFrame:
-        """Search == BatchSearch: N query rows, one plan (SURVEY §3.2)."""
+        """Search == BatchSearch: N query rows, one plan (SURVEY §3.2).
+
+        ``method``: "expr" (codegen expressions), "numpy" (Arrow GEMM),
+        or "quantized" (int8 coarse scan + exact re-rank — the 100 TB
+        IO-bound tier, operators/quantize.py)."""
         snap = self._read_snapshot(consistency)
+        if method == "quantized":
+            if self._shard_col is not None:
+                raise ValueError(
+                    "quantized search does not carry shard columns; use method='expr'"
+                )
+            from .operators.quantize import quantized_knn
+
+            return quantized_knn(snap, queries, k)
         return knn(snap, queries, k, shard_col=self._shard_col, method=method)
 
     def search_one(

@@ -746,7 +746,44 @@ FROM events c JOIN events p
 GROUP BY c.user_id
 """
 
+# salting must never change results: the salted two-phase aggregation is
+# compared against the plain GROUP BY the oracle runs (operators/skew.py
+# exists for hot keys where the single final reducer is the bottleneck)
+
+def q_rel_skew_salted_agg(spark, sf_dir):
+    from ..operators.skew import salted_agg
+    from ..tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        "l_returnflag",
+        {
+            "n_items": "count:*",
+            "total_qty": "sum:l_quantity",
+            "max_price": "max:l_extendedprice",
+        },
+        buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("n_items").cast("long").alias("n_items"),
+        F.round("total_qty", 4).alias("total_qty"),
+        F.round("max_price", 4).alias("max_price"),
+    )
+
+
+_SKEW_AGG_SQL = """
+SELECT l_returnflag,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  ROUND(SUM(l_quantity), 4) AS total_qty,
+  ROUND(MAX(l_extendedprice), 4) AS max_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 EXTRA_QUERIES = {
+    "rel_skew_salted_agg": q_rel_skew_salted_agg,
     # scalar/date function enumerations: demoted from the driver tier in
     # round 2 to free window slots for the quantization and curation
     # surfaces (identical DuckDB check either way)
@@ -765,6 +802,7 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLES = {
+    "rel_skew_salted_agg": _SKEW_AGG_SQL,
     "rel_scalar_funcs": _SCALAR_SQL_DUCK,
     "rel_date_funcs": _DATE_SQL_DUCK,
     "rel_revenue_by_order": _REVENUE_BY_ORDER_SQL,

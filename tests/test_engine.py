@@ -270,3 +270,20 @@ def test_auto_compaction_policy(spark):
     assert eng._pending == 0 and eng._compactions == 2
     got = {r["vec_id"]: r["label"] for r in eng._read_snapshot("strong").collect()}
     assert got == {0: 90, 2: 2, 3: 3, 6: 60}
+
+
+def test_engine_quantized_search_matches_expr(spark):
+    """The engine's quantized tier must return the same top-k as the
+    expression tier at this scale (re-rank covers the coarse error)."""
+    import random
+
+    rng = random.Random(7)
+    base = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)], i) for i in range(200)],
+        schema=VECTORS_SCHEMA,
+    )
+    eng = VectorEngine(spark, base, dim=8)
+    q = base.limit(3).selectExpr("vec_id AS query_id", "embedding AS qvec")
+    expr = {(r.query_id, r.rank): r.id for r in eng.search(q, 5).collect()}
+    quant = {(r.query_id, r.rank): r.id for r in eng.search(q, 5, method="quantized").collect()}
+    assert quant == expr and quant
