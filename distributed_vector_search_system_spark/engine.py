@@ -242,11 +242,18 @@ class VectorEngine:
         from .sources.parquet import read_vectors, write_vectors
 
         cols = self._snapshot.columns  # partitionBy moves the shard col last
+        # partition-column type inference on re-read can silently retype
+        # the shard column (string '3' → int), drifting the snapshot
+        # schema vs MUTATIONS_SCHEMA — cast every column back to its
+        # pre-write type (ADVICE r02)
+        pre_types = dict(self._snapshot.dtypes)
         write_vectors(
             self._snapshot, path,
             shard_col=self._shard_col if self._shard_col else None,
         )
-        self._snapshot = read_vectors(self._spark, path).select(*cols)
+        self._snapshot = read_vectors(self._spark, path).select(
+            *[F.col(c).cast(pre_types[c]).alias(c) for c in cols]
+        )
 
     @property
     def cache(self) -> QueryCache:

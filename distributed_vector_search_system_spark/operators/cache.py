@@ -160,7 +160,29 @@ class PersistentResultCache:
         self._spark = spark
         self._path = path
         self._ttl = ttl_seconds
-        self._version_ts = None  # entries created before this are invalid
+        # entries created before this are invalid; the epoch itself is
+        # persisted (tiny single-row parquet beside the table) so the
+        # cross-session contract holds: a NEW SparkSession opening the
+        # same path must not serve entries a prior session invalidated.
+        self._version_ts = self._read_epoch()
+
+    @property
+    def _epoch_path(self) -> str:
+        return self._path.rstrip("/") + "_epoch"
+
+    def _read_epoch(self):
+        from pyspark.errors import AnalysisException
+
+        try:
+            rows = self._spark.read.parquet(self._epoch_path).collect()
+        except AnalysisException:
+            return None
+        return max((r["epoch"] for r in rows), default=None)
+
+    def _write_epoch(self, ts) -> None:
+        self._spark.createDataFrame([(ts,)], schema="epoch timestamp").write.mode(
+            "overwrite"
+        ).parquet(self._epoch_path)
 
     def _read(self) -> DataFrame | None:
         from pyspark.errors import AnalysisException
@@ -215,10 +237,14 @@ class PersistentResultCache:
         return [tuple(h) for h in rows[0]["hits"]]
 
     def invalidate(self, *, now=None) -> None:
-        """M4 full clear as a version-epoch bump — O(1), no table rewrite."""
+        """M4 full clear as a version-epoch bump — O(1) in the table (no
+        rewrite); the epoch is persisted so it survives process restarts
+        (ADVICE r02: driver-memory-only epoch leaked pre-invalidation
+        entries to the next session until TTL)."""
         import datetime as _dt
 
         self._version_ts = now if now is not None else _dt.datetime.now()
+        self._write_epoch(self._version_ts)
 
     def prune(self, *, now=None) -> int:
         """Physically drop expired / invalidated rows (C3 eviction analog);

@@ -54,6 +54,14 @@ def zorder_key(
     """
     if len(cols) != len(ranges):
         raise ValueError("one (min, max) range per column")
+    if bits * len(cols) > 63:
+        # shiftleft by ≥64 wraps mod 64 on the JVM, silently corrupting
+        # the interleaved key (wrong clustering, no error) — fail instead
+        raise ValueError(
+            f"bits*len(cols) = {bits * len(cols)} exceeds 63: the interleaved "
+            f"key must fit a signed long; lower bits (≤ {63 // len(cols)} for "
+            f"{len(cols)} columns)"
+        )
     codes = [
         _normalize(
             F.col(c) if isinstance(c, str) else c, F.lit(lo), F.lit(hi), bits

@@ -96,6 +96,8 @@ def quantized_knn(
     vector_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vector_col: str = "qvec",
+    codes_col: str = "qcodes",
+    scale_col: str = "qscale",
 ) -> DataFrame:
     """Two-phase exact-rerank kNN over the quantized tier.
 
@@ -112,10 +114,23 @@ def quantized_knn(
     *which* candidates reach phase 2, so recall is 100% whenever the
     true top-k survives the coarse cut (int8 max-abs error is ≤ scale/2
     per element; rerank=4 covers it comfortably in practice).
+
+    If ``codes_col``/``scale_col`` already exist on ``vectors`` (the
+    stored int8 tier, e.g. written once by :func:`quantize_vectors`),
+    phase 1 reads ONLY them — the float column is scanned for just the
+    ``k*rerank`` re-rank rows, which is the whole IO win.  Otherwise the
+    codes are derived on the fly (correctness-identical, but phase 1
+    then reads the float column too — fine for tests, not the 100 TB
+    path; ADVICE r02).
     """
-    q = quantize_vectors(vectors, vector_col=vector_col)
+    if codes_col in vectors.columns and scale_col in vectors.columns:
+        q = vectors
+    else:
+        q = quantize_vectors(
+            vectors, vector_col=vector_col, codes_col=codes_col, scale_col=scale_col
+        )
     coarse = q.select(
-        F.col(id_col).alias("id"), dequantize_expr("qcodes", "qscale").alias("_dq")
+        F.col(id_col).alias("id"), dequantize_expr(codes_col, scale_col).alias("_dq")
     )
     scored = coarse.join(F.broadcast(queries), how="cross").select(
         F.col(query_id_col).alias("query_id"),

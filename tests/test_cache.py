@@ -128,3 +128,31 @@ def test_persistent_cache_roundtrip_ttl_and_invalidate(spark, tmp_path):
     # prune drops dead rows physically
     kept = c2.prune(now=t0 + dt.timedelta(seconds=11))
     assert kept == 1
+
+
+def test_persistent_cache_epoch_survives_restart(spark, tmp_path):
+    """ADVICE r02: the invalidation epoch must be durable — a NEW cache
+    object (fresh process/SparkSession analog) over the same path must
+    not serve entries a prior object invalidated, even within TTL."""
+    import datetime as dt
+
+    from distributed_vector_search_system_spark.operators.cache import (
+        PersistentResultCache,
+    )
+
+    path = str(tmp_path / "result_cache")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    c1 = PersistentResultCache(spark, path, ttl_seconds=3600)
+    c1.put([1.0, 2.0], 3, [(7, 0.25, None)], now=t0)
+    c1.invalidate(now=t0 + dt.timedelta(seconds=5))
+
+    # pre-fix behavior: c2 has no in-memory epoch → stale hit until TTL
+    c2 = PersistentResultCache(spark, path, ttl_seconds=3600)
+    assert c2.probe([1.0, 2.0], 3, now=t0 + dt.timedelta(seconds=10)) is None
+
+    # entries written after the persisted epoch are served normally
+    c2.put([1.0, 2.0], 3, [(8, 0.1, None)], now=t0 + dt.timedelta(seconds=20))
+    c3 = PersistentResultCache(spark, path, ttl_seconds=3600)
+    assert c3.probe([1.0, 2.0], 3, now=t0 + dt.timedelta(seconds=30)) == [
+        (8, 0.1, None)
+    ]

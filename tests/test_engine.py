@@ -199,6 +199,20 @@ def test_checkpoint_bounds_plan_growth(spark, tmp_path):
     assert e.size() == len(before) + 1
 
 
+def test_checkpoint_preserves_shard_column_type(spark, tmp_path):
+    """ADVICE r02: a parquet round-trip partitioned by a string shard
+    column must not let partition-type inference retype it ('3' → int),
+    drifting the snapshot schema vs MUTATIONS_SCHEMA."""
+    vectors = spark.createDataFrame(
+        [(i, [float(i), 0.0], i % 3) for i in range(10)], schema=VECTORS_SCHEMA
+    ).withColumn("shard_id", (F.col("vec_id") % 2).cast("string"))
+    e = VectorEngine(spark, vectors, dim=2, shard_col="shard_id")
+    before = dict(e._snapshot.dtypes)
+    e.checkpoint(str(tmp_path / "snap"))
+    assert dict(e._snapshot.dtypes) == before
+    assert e.size() == 10
+
+
 def test_checkpoint_local_no_path(spark):
     e = _engine(spark)
     e.upsert(100, [1.0, 1.0], label=1)

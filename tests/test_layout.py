@@ -31,6 +31,19 @@ def test_zorder_key_is_monotone_in_each_dim(spark):
     assert len(set(keys)) == 8
 
 
+def test_zorder_key_rejects_overflowing_bit_budget(spark):
+    """ADVICE r02: bits*cols > 63 would shiftleft past the long width
+    (JVM wraps mod 64 → silently corrupted key) — must raise instead."""
+    import pytest
+
+    cols = ["a", "b", "c", "d"]
+    ranges = [(0, 1)] * 4
+    with pytest.raises(ValueError, match="63"):
+        zorder_key(cols, ranges, bits=16)
+    # 15 bits × 4 cols = 60 ≤ 63 still fine
+    zorder_key(cols, ranges, bits=15)
+
+
 def test_zorder_skips_on_both_columns(spark, sf_oracle, tmp_path):
     """events written sorted-by-event_id vs Z-ordered on
     (user_id, event_id), 16 files each.  A user_id range predicate must

@@ -78,6 +78,33 @@ def test_quantized_knn_plan_shape(spark, sf_smoke):
     assert "CartesianProduct" not in plan
 
 
+def test_quantized_knn_uses_stored_codes(spark, sf_smoke):
+    """ADVICE r02: with a pre-materialized int8 tier (qcodes/qscale
+    columns), phase 1 must read the stored codes instead of re-deriving
+    them from the float column — same results, and the quantization
+    expressions (the ±127 clamp) vanish from the plan."""
+    emb = _emb(spark, sf_smoke)
+    q = emb.filter(F.col("vec_id") % 60 == 1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    stored = quantize_vectors(emb)
+
+    def rows(df):
+        return sorted((r.query_id, r.rank, r.id) for r in df.collect())
+
+    assert rows(quantized_knn(stored, q, 5)) == rows(quantized_knn(emb, q, 5))
+
+    def plan(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    assert "least(127" in plan(quantized_knn(emb, q, 5))          # derived on the fly
+    assert "least(127" not in plan(quantized_knn(stored.localCheckpoint(), q, 5))
+
+
 def test_quantize_roundtrip_property(spark):
     """Property: for ANY float vector (negatives, zeros, huge/tiny
     magnitudes), codes stay in [-127, 127] and per-element
