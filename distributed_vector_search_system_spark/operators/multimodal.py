@@ -70,6 +70,16 @@ def extract_features(
     per blob with numpy.  The mapInPandas shape (binary in → fixed-size
     float array out) is exactly what a real CLIP/whisper encoder UDF
     uses.
+
+    Cross-engine determinism: every stat derives from EXACT integer
+    sums (``sum(x)`` / ``sum(x²)`` of byte values are integer-exact in
+    double for any realistic blob) through a FIXED operation order
+    (``var = (ss - s*s/n)/n``), so a SQL oracle replaying the same
+    formula over the same bytes produces bit-identical doubles — no
+    summation-order ulp drift, unlike a naive ``a.std()`` (pairwise vs
+    sequential summation).  Quartiles are linear interpolation at
+    q∈{.25,.5,.75}: the fractional index has ≤2 fractional bits, so
+    interpolation between integer byte values is also exact.
     """
     import numpy as np
     import pandas as pd
@@ -85,16 +95,20 @@ def extract_features(
                     feats.append([0.0] * FEATURE_DIM)
                     continue
                 q = np.percentile(a, [25, 50, 75])
+                n = float(a.size)
+                s = float(a.sum())        # integer-exact
+                ss = float((a * a).sum())  # integer-exact
+                var = (ss - s * s / n) / n
                 feats.append(
                     [
-                        float(a.mean()),
-                        float(a.std()),
+                        s / n,
+                        float(np.sqrt(max(var, 0.0))),
                         float(q[0]),
                         float(q[1]),
                         float(q[2]),
                         float(a.min()),
                         float(a.max()),
-                        float(len(a)),
+                        n,
                     ]
                 )
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})

@@ -418,8 +418,72 @@ FROM documents
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-statistics features per blob, serialized to a CSV of
+    micro-unit integers (``floor(float32(v)·1e6 + 0.5)``) because the
+    driver's canonicalizer cannot hash array cells (the
+    ``vector_centroids`` encoding, CORRECTNESS_r01/r02).  The kernel's
+    stats are bit-identical doubles across engines (see
+    ``extract_features``), so the float32 storage cast is the only
+    rounding step and the oracle replays it with ``CAST(x AS REAL)``.
+    ``floor(x+0.5)`` instead of ROUND: Spark and DuckDB disagree on
+    ROUND's half-rule for doubles."""
     docs = _with_blob(load_table(spark, sf_dir, "documents"))
-    return extract_features(docs)
+    feats = extract_features(docs)
+    return feats.select(
+        "doc_id",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "features",
+                lambda v: F.floor(v.cast("double") * 1e6 + F.lit(0.5))
+                .cast("long")
+                .cast("string"),
+            ),
+        ).alias("features_csv"),
+        F.size("features").alias("dim"),
+    )
+
+
+# the blob is encode(text) and the fixture text is ASCII, so byte values
+# are ord() of each char; stats replay the kernel's exact-integer-sum
+# formulas (see operators/multimodal.extract_features) and the float32
+# storage cast.
+_FEATURES_CSV = (
+    "array_to_string(list_transform(f, "
+    "x -> CAST(CAST(FLOOR(CAST(CAST(x AS REAL) AS DOUBLE) * 1000000 + 0.5) "
+    "AS BIGINT) AS VARCHAR)), ',')"
+)
+
+_MULTIMODAL_FEATURES_SQL = f"""
+WITH ex AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, length(text) + 1),
+                               i -> CAST(ord(text[i]) AS BIGINT))) AS v
+  FROM documents WHERE length(text) > 0
+),
+st AS (
+  SELECT doc_id,
+    CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(SUM(v) AS DOUBLE) AS s,
+    CAST(SUM(v * v) AS DOUBLE) AS ss,
+    quantile_cont(CAST(v AS DOUBLE), 0.25) AS q1,
+    quantile_cont(CAST(v AS DOUBLE), 0.50) AS q2,
+    quantile_cont(CAST(v AS DOUBLE), 0.75) AS q3,
+    CAST(MIN(v) AS DOUBLE) AS mn,
+    CAST(MAX(v) AS DOUBLE) AS mx
+  FROM ex GROUP BY doc_id
+),
+feat AS (
+  SELECT doc_id,
+         [s / n, SQRT(GREATEST((ss - s * s / n) / n, 0.0)), q1, q2, q3, mn, mx, n] AS f
+  FROM st
+  UNION ALL
+  SELECT doc_id, [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] AS f
+  FROM documents WHERE length(text) = 0
+)
+SELECT doc_id, {_FEATURES_CSV} AS features_csv, CAST(8 AS INT) AS dim
+FROM feat
+"""
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -428,6 +492,23 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "doc_id", "frame_index", F.octet_length("frame").alias("frame_bytes")
     )
+
+
+# replay of sample_frames' byte arithmetic (operators/multimodal.py):
+# off_i = (i · max(L-64, 0)) // 3, frame i covers [off_i, off_i+64) of an
+# L-byte blob → octet_length = min(64, L - off_i); empty blobs emit no
+# frames.  Pure integer arithmetic, so the oracle is exact.
+_MULTIMODAL_FRAMES_SQL = """
+WITH d AS (
+  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS L
+  FROM documents WHERE octet_length(encode(text)) > 0
+),
+fr AS (SELECT doc_id, UNNEST(range(0, 4)) AS i, L FROM d)
+SELECT doc_id,
+       CAST(i AS INT) AS frame_index,
+       CAST(LEAST(64, L - (i * GREATEST(L - 64, 0)) // 3) AS INT) AS frame_bytes
+FROM fr
+"""
 
 
 QUERIES = {
@@ -462,10 +543,8 @@ ORACLES = {
     "text_token_stats": _TOKEN_STATS_SQL,
     "doc_fingerprint": _FINGERPRINT_SQL,
     "multimodal_meta": _MULTIMODAL_META_SQL,
-    # ann_lsh_topk / ann_ivf_topk: approximate — recall vs the exact
-    # baseline is asserted in tests/test_similarity.py, not vs an oracle.
-    # multimodal_features / multimodal_frames: mapInPandas kernels —
-    # validated value-exactly in tests/test_multimodal.py.
+    "multimodal_features": _MULTIMODAL_FEATURES_SQL,
+    "multimodal_frames": _MULTIMODAL_FRAMES_SQL,
 }
 
 # ---------------------------------------------------------------------------
