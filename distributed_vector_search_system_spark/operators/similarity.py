@@ -24,7 +24,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.distance import cosine_similarity, squared_l2
+from ..functions.hashing import portable_hash64
 from .knn import merge_topk
+
+#: seed for IVF centroid hash-thinning — domain-separated from other
+#: portable_hash64 uses so cell selection never correlates with them
+IVF_THIN_SEED = "ivf"
 
 
 def _cosine_ranked(scored: DataFrame, k: int) -> DataFrame:
@@ -191,10 +196,18 @@ def ann_ivf_topk(
     else:
         total = vectors.count()
         # thin to ~4× num_cells candidates by stable hash, then take the
-        # first num_cells by id — deterministic and shuffle-light
+        # first num_cells by id — deterministic and shuffle-light.  The
+        # thinning hash is portable_hash64 (NOT xxhash64) so a SQL oracle
+        # can replay centroid selection bit-for-bit (VERDICT r02 item 1d).
         step = max(total // (num_cells * 4), 1)
         cents = (
-            vectors.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(step)) == 0)
+            vectors.filter(
+                F.pmod(
+                    portable_hash64(F.col(id_col).cast("string"), seed=IVF_THIN_SEED),
+                    F.lit(step),
+                )
+                == 0
+            )
             .orderBy(F.col(id_col))
             .limit(num_cells)
             .select(F.col(id_col).alias("cell_id"), F.col(vector_col).alias("cvec"))

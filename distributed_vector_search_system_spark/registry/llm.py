@@ -297,6 +297,112 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- ANN replay oracles ----------------------------------------------------
+# Both approximate paths are DETERMINISTIC plans (seeded hyperplanes,
+# hash-thinned centroid sampling), so the oracle replays the whole
+# bucket→probe→exact-re-rank pipeline in SQL with the plane/centroid
+# constants embedded as literals — the same pattern that makes MinHash
+# signatures oracle-exact (minhash_coeffs literals above).  VERDICT r02
+# items 1c/1d.
+
+_SQL_SQ_L2 = (
+    "(SELECT SUM((CAST(u.a AS DOUBLE) - CAST(u.b AS DOUBLE)) * "
+    "(CAST(u.a AS DOUBLE) - CAST(u.b AS DOUBLE))) "
+    "FROM (SELECT UNNEST({x}) AS a, UNNEST({y}) AS b) u)"
+)
+
+
+def _lsh_bucket_sql(vec_expr: str, planes) -> str:
+    """DuckDB rendering of ``similarity.lsh_bucket_expr`` for literal
+    hyperplanes: per plane, sign of the dot product sets one bit."""
+    terms = []
+    for i, plane in enumerate(planes):
+        arr = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        dot = (
+            f"(SELECT SUM(CAST(u.a AS DOUBLE) * u.b) "
+            f"FROM (SELECT UNNEST({vec_expr}) AS a, UNNEST({arr}) AS b) u)"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+_LSH_DIM, _LSH_PLANES, _LSH_TABLES, _LSH_SEED = 64, 6, 4, 42
+
+
+def _ann_lsh_oracle() -> str:
+    from ..operators.similarity import _hyperplanes
+
+    vb_cols, qb_cols, conds = [], [], []
+    for t in range(_LSH_TABLES):
+        planes = _hyperplanes(_LSH_DIM, _LSH_PLANES, _LSH_SEED + 1000 * t)
+        bucket = _lsh_bucket_sql("embedding", planes)
+        vb_cols.append(f"{bucket} AS b{t}")
+        qb_cols.append(f"{bucket} AS b{t}")
+        # multiprobe_bits=1: the query's own bucket plus every bucket one
+        # hamming bit away (operators/similarity.ann_lsh_topk)
+        probes = [f"v.b{t} = q.b{t}"] + [
+            f"v.b{t} = xor(q.b{t}, {1 << i})" for i in range(_LSH_PLANES)
+        ]
+        conds.append("(" + " OR ".join(probes) + ")")
+    cos = _SQL_COSINE.format(x="c.qe", y="c.embedding")
+    return f"""
+WITH vb AS (SELECT vec_id, embedding, {", ".join(vb_cols)} FROM embeddings),
+qb AS (SELECT vec_id AS query_id, embedding AS qe, {", ".join(qb_cols)}
+       FROM embeddings WHERE vec_id % 100 = 7),
+cand AS (
+  SELECT q.query_id, v.vec_id AS id, q.qe, v.embedding
+  FROM qb q JOIN vb v ON {" OR ".join(conds)}
+),
+scored AS (SELECT c.query_id, c.id, {cos} AS c FROM cand c),
+ranked AS (
+  SELECT query_id, id, c,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, id, ROUND(c, 6) AS cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def _ann_ivf_oracle() -> str:
+    from ..functions.hashing import portable_hash64_sql
+    from ..operators.similarity import IVF_THIN_SEED
+
+    h = portable_hash64_sql("CAST(vec_id AS VARCHAR)", seed=IVF_THIN_SEED)
+    l2_vc = _SQL_SQ_L2.format(x="v.embedding", y="c.cvec")
+    l2_qc = _SQL_SQ_L2.format(x="q.qe", y="c.cvec")
+    l2_qa = _SQL_SQ_L2.format(x="qp.qe", y="a.embedding")
+    # replays ann_ivf_topk defaults: num_cells=16 (thin step = n//64),
+    # n_probe=4, k=5; ties on (distance, cell_id) break identically to
+    # Spark's array_sort over (d, cid) structs
+    return f"""
+WITH nt AS (SELECT GREATEST(COUNT(*) // 64, 1) AS step FROM embeddings),
+cents AS (
+  SELECT vec_id AS cell_id, embedding AS cvec
+  FROM embeddings, nt
+  WHERE ({h}) % step = 0
+  ORDER BY vec_id LIMIT 16
+),
+vd AS (SELECT v.vec_id, v.embedding, c.cell_id, {l2_vc} AS d
+       FROM embeddings v CROSS JOIN cents c),
+asg AS (SELECT vec_id, embedding, cell_id FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+         FROM vd)
+        WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 7),
+qd AS (SELECT q.query_id, q.qe, c.cell_id, {l2_qc} AS d FROM q CROSS JOIN cents c),
+qp AS (SELECT query_id, qe, cell_id FROM
+       (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, cell_id) AS rn
+        FROM qd)
+       WHERE rn <= 4),
+scored AS (SELECT qp.query_id, a.vec_id AS id, {l2_qa} AS distance
+           FROM qp JOIN asg a ON a.cell_id = qp.cell_id),
+ranked AS (SELECT query_id, id, distance,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, id) AS INT) AS rank
+           FROM scored)
+SELECT query_id, id, ROUND(distance, 6) AS distance, rank FROM ranked WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 
@@ -538,6 +644,8 @@ ORACLES = {
     "dedup_resolve": _RESOLVE_SQL,
     "dedup_embedding_cosine": _EMB_NEARDUP_SQL,
     "ann_cosine_topk": _ANN_COSINE_SQL,
+    "ann_lsh_topk": _ann_lsh_oracle(),
+    "ann_ivf_topk": _ann_ivf_oracle(),
     "text_language_id": _langid_oracle(),
     "text_quality": _TEXT_QUALITY_SQL,
     "text_token_stats": _TOKEN_STATS_SQL,
