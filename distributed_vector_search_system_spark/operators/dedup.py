@@ -79,6 +79,28 @@ def _pair_jaccard(shingled: DataFrame, id_col: str, candidates: DataFrame | None
     )
 
 
+def _verify_pairs_exact(sh: DataFrame, cands: DataFrame, id_col: str) -> DataFrame:
+    """Exact Jaccard for given candidate (doc_a, doc_b) pairs: join each
+    pair to its two shingle SETS and intersect the arrays — never the
+    exploded shingle self-join (that would redo the blocking work the
+    candidate generator exists to avoid)."""
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("_sa"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                inter.cast("double")
+                / (F.size("_sa") + F.size("_sb") - inter).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float,
@@ -86,6 +108,7 @@ def ngram_jaccard_pairs(
     n: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_block_df: int | float | None = None,
 ) -> DataFrame:
     """All (doc_a < doc_b) pairs with word-``n``-gram Jaccard ≥ threshold.
 
@@ -93,19 +116,57 @@ def ngram_jaccard_pairs(
     shingle equi-join is the blocker) and the intersection count is a
     map-side-combinable groupBy — no |docs|² scan.
 
+    ``max_block_df`` bounds the blocker's hot keys (VERDICT r02 item 2):
+    a shingle appearing in f documents materializes ~f²/2 join pairs, so
+    one stop-shingle ("of the") on a real corpus is a single-key
+    quadratic blowup.  With a cap (int = absolute df, float = fraction
+    of |docs|, via ``ceil(frac·n)`` in double — the SQL oracle replays
+    the same arithmetic), shingles with df > τ are dropped from the
+    BLOCKING side only; verification is still the exact full-set Jaccard
+    (``array_intersect``), so any pair sharing ≥1 rare shingle gets its
+    exact score.  Pairs sharing ONLY hot shingles are not candidates —
+    the deliberate envelope: near-dups at threshold ≥ 0.5 share many
+    shingles, and a pair whose every shared shingle sits in >τ·|docs|
+    documents is boilerplate, not duplication.
+
     Scale note (measured): on Zipf-distributed real corpora the right
     exact accelerant is prefix filtering (Bayardo/Ma/Srikant WWW'07 —
     block only on each doc's ``|s|-ceil(t|s|)+1`` rarest shingles); we
     benchmarked it on the fixture corpus and it LOST (121 s vs 30 s at
     sf0.1) because the synthetic vocabulary has no rare tail (median
     shingle df ≈ 285 of 5 000 docs), so pruning removed nothing and its
-    extra shuffles + distinct + array re-verify dominated.  The naive
-    blocker wins whenever shingle frequencies are near-uniform; for
-    genuinely heavy-tailed data at 100 TB, use ``minhash_dedup_pairs``
-    (the sublinear path) instead.
+    extra shuffles + distinct + array re-verify dominated.  The df cap
+    composes with the naive blocker instead: one extra groupBy, and the
+    worst key is bounded by construction.
     """
     sh = with_shingles(docs, n=n, text_col=text_col)
-    return _pair_jaccard(sh, id_col, None).filter(F.col("jaccard") >= threshold)
+    if max_block_df is None:
+        return _pair_jaccard(sh, id_col, None).filter(F.col("jaccard") >= threshold)
+    if isinstance(max_block_df, float):
+        import math
+
+        tau = math.ceil(max_block_df * docs.count())
+    else:
+        tau = int(max_block_df)
+    ex = sh.select(F.col(id_col).alias("_id"), F.explode("shingles").alias("_sh"))
+    rare = ex.join(
+        ex.groupBy("_sh")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= tau)
+        .select("_sh"),
+        on="_sh",
+        how="left_semi",
+    )
+    cands = (
+        rare.select(F.col("_id").alias("doc_a"), "_sh")
+        .join(rare.select(F.col("_id").alias("doc_b"), "_sh"), on="_sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _verify_pairs_exact(sh, cands, id_col).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -226,25 +287,9 @@ def minhash_dedup_pairs(
         docs, num_hashes=num_hashes, bands=bands, n=n,
         text_col=text_col, id_col=id_col, hash_fn=hash_fn,
     )
-    # Candidate-driven verify: join each candidate pair to its two shingle
-    # SETS and intersect the arrays — never the exploded shingle self-join
-    # (that would redo the full blocking work LSH exists to avoid).
     sh = with_shingles(docs, n=n, text_col=text_col)
-    a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("_sa"))
-    b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("_sb"))
-    inter = F.size(F.array_intersect("_sa", "_sb"))
-    return (
-        cands.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                inter.cast("double")
-                / (F.size("_sa") + F.size("_sb") - inter).cast("double")
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    return _verify_pairs_exact(sh, cands, id_col).filter(
+        F.col("jaccard") >= threshold
     )
 
 

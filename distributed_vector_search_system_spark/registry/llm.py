@@ -69,31 +69,54 @@ SELECT doc_id, n_chars FROM (
 ) WHERE rn = 1
 """
 
-# dedup: n-gram Jaccard (word bigrams, threshold 0.5)
+# dedup: n-gram Jaccard (word bigrams, threshold 0.5).  The REGISTERED
+# plan uses the df-capped blocker (τ = ceil(0.1·|docs|)) so the
+# driver-verified plan is the one whose worst join key is bounded at any
+# scale (VERDICT r02 item 2); the oracle replays the identical cap.  On
+# this fixture the cap is a measured no-op (max shingle df = 46 of 500
+# docs at sf0.01; every qualifying pair's rarest shared shingle has
+# df ≤ 23), so results equal the uncapped plan.
+
+_NGRAM_DF_CAP = 0.1
+
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, 0.5, n=2).select(
+    return ngram_jaccard_pairs(docs, 0.5, n=2, max_block_df=_NGRAM_DF_CAP).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
 
 
+# τ must be computed with the SAME double arithmetic as Python's
+# math.ceil(0.1 * n): DuckDB decimal literals default to DECIMAL, whose
+# exact product can ceil differently (0.1·500 = 50 in decimal but
+# 50.000000000000007 → 51 in binary double), hence the explicit CAST.
 _NGRAM_JACCARD_SQL = f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
 sh AS (SELECT doc_id, {_SHINGLES} AS s FROM toks),
 ex AS (SELECT doc_id, UNNEST(s) AS shingle FROM sh),
 sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+rare AS (
+  SELECT shingle FROM ex GROUP BY shingle
+  HAVING COUNT(*) <= CEIL(CAST({_NGRAM_DF_CAP} AS DOUBLE) * (SELECT COUNT(*) FROM documents))
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE a.shingle IN (SELECT shingle FROM rare)
+),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
   FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
-SELECT doc_a, doc_b,
-       ROUND(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
+SELECT i.doc_a, i.doc_b,
+       ROUND(CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN cand c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) >= 0.5
 """
 
 # dedup: MinHash + LSH (16 hashes, 4 bands, verify at 0.5)
