@@ -25,7 +25,7 @@ from ..functions.text import (
     tokens,
 )
 from ..operators.dedup import (
-    embedding_neardup_pairs,
+    embedding_neardup_pairs_lsh,
     exact_dedup,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
@@ -253,20 +253,46 @@ WHERE bit_count(xor(a.sig, b.sig)) <= {_SIMHASH_MAXHAM}
 """
 
 
-# dedup: embedding cosine near-dup (label-blocked, threshold 0.4)
+# dedup: embedding cosine near-dup ((label, LSH-bucket)-blocked, threshold 0.4).
+# The REGISTERED plan blocks on the composite (label, sign-LSH bucket)
+# key across 4 plane tables with 1-bit multiprobe (VERDICT r02 item 4):
+# with bare-label blocking, C label values degrade to C within-block
+# all-pairs joins; the composite key's cardinality is C·2^6 per table,
+# bounded at any scale.  Parameters (6 planes, 4 tables, ham≤1) were
+# chosen by measuring on the fixture: every within-label pair at
+# cosine ≥ 0.4 survives the blocker, so results equal the label-only
+# plan, with ~2.6× fewer candidate pairs.  The oracle replays the
+# identical planes as SQL literals (the minhash_coeffs pattern).
+
+_EMB_LSH_DIM, _EMB_LSH_PLANES, _EMB_LSH_TABLES, _EMB_LSH_SEED = 64, 6, 4, 42
+
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, 0.4, block_col="label").select(
-        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
-    )
+    return embedding_neardup_pairs_lsh(
+        emb, 0.4,
+        dim=_EMB_LSH_DIM, num_planes=_EMB_LSH_PLANES,
+        num_tables=_EMB_LSH_TABLES, seed=_EMB_LSH_SEED,
+        block_col="label",
+    ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
-_EMB_NEARDUP_SQL = f"""
-WITH pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         {_SQL_COSINE.format(x="a.embedding", y="b.embedding")} AS c
-  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+def _emb_neardup_oracle() -> str:
+    from ..operators.similarity import _hyperplanes
+
+    b_cols, conds = [], []
+    for t in range(_EMB_LSH_TABLES):
+        planes = _hyperplanes(_EMB_LSH_DIM, _EMB_LSH_PLANES, _EMB_LSH_SEED + 1000 * t)
+        b_cols.append(f"{_lsh_bucket_sql('embedding', planes)} AS b{t}")
+        conds.append(f"bit_count(xor(a.b{t}, b.b{t})) <= 1")
+    cos = _SQL_COSINE.format(x="a.embedding", y="b.embedding")
+    return f"""
+WITH vb AS (SELECT vec_id, label, embedding, {", ".join(b_cols)} FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS c
+  FROM vb a JOIN vb b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+   AND ({" OR ".join(conds)})
 )
 SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM pairs WHERE c >= 0.4
 """
@@ -665,7 +691,7 @@ ORACLES = {
     "dedup_minhash_lsh": _MINHASH_SQL,
     "dedup_simhash": _simhash_oracle(),
     "dedup_resolve": _RESOLVE_SQL,
-    "dedup_embedding_cosine": _EMB_NEARDUP_SQL,
+    "dedup_embedding_cosine": _emb_neardup_oracle(),
     "ann_cosine_topk": _ANN_COSINE_SQL,
     "ann_lsh_topk": _ann_lsh_oracle(),
     "ann_ivf_topk": _ann_ivf_oracle(),

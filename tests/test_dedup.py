@@ -254,3 +254,108 @@ def test_simhash_banded_exactness_envelope_property(spark):
             for r in simhash_pairs(d, 14, banded=False).collect()
         }
         assert banded == allpairs, trial
+
+
+# --- LSH-blocked embedding near-dup (VERDICT r02 item 4) ----------------
+
+def _lsh_collides(V, a, b, *, dim, planes_n, tables, seed=42, probe=1):
+    import numpy as np
+
+    from distributed_vector_search_system_spark.operators.similarity import (
+        _hyperplanes,
+    )
+
+    for t in range(tables):
+        planes = _hyperplanes(dim, planes_n, seed + 1000 * t)
+        ba = int(((V[a] @ planes.T) > 0) @ (1 << np.arange(planes_n)))
+        bb = int(((V[b] @ planes.T) > 0) @ (1 << np.arange(planes_n)))
+        if bin(ba ^ bb).count("1") <= probe:
+            return True
+    return False
+
+
+def test_embedding_lsh_blocker_exact_envelope(spark, sf_smoke):
+    """The LSH blocker's exactness envelope, characterized exactly:
+    lsh-blocked == {label-blocked pairs whose buckets are within ham<=1
+    in at least one table}, with every surviving pair keeping its exact
+    cosine (the verify step is un-approximated)."""
+    import numpy as np
+
+    from distributed_vector_search_system_spark.operators.dedup import (
+        embedding_neardup_pairs_lsh,
+    )
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    label_blocked = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in embedding_neardup_pairs(emb, 0.4, block_col="label").collect()
+    }
+    lsh_blocked = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in embedding_neardup_pairs_lsh(
+            emb, 0.4, dim=64, num_planes=6, num_tables=4, block_col="label"
+        ).collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    V = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    expected = {
+        p: c
+        for p, c in label_blocked.items()
+        if _lsh_collides(V, *p, dim=64, planes_n=6, tables=4)
+    }
+    assert lsh_blocked == expected
+
+
+def test_embedding_lsh_blocker_noop_at_driver_sf(spark, sf_oracle):
+    """At the driver's correctness scale (sf0.01) the registered params
+    keep EVERY qualifying within-label pair — lsh-blocked ==
+    label-blocked, the measurement behind registry/llm.py's choice."""
+    from distributed_vector_search_system_spark.operators.dedup import (
+        embedding_neardup_pairs_lsh,
+    )
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    label_blocked = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in embedding_neardup_pairs(emb, 0.4, block_col="label").collect()
+    }
+    lsh_blocked = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in embedding_neardup_pairs_lsh(
+            emb, 0.4, dim=64, num_planes=6, num_tables=4, block_col="label"
+        ).collect()
+    }
+    assert lsh_blocked == label_blocked
+    assert len(lsh_blocked) == 5
+
+
+def test_embedding_lsh_blocker_bounded_key(spark):
+    """Join-key cardinality is (block x 2^planes) regardless of how few
+    block values exist: with ONE label value the bare-label blocker is a
+    full all-pairs join, while the LSH blocker still partitions."""
+    import numpy as np
+
+    from distributed_vector_search_system_spark.operators.dedup import (
+        embedding_neardup_pairs_lsh,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = [(i, 0, rng.randn(16).tolist()) for i in range(40)]
+    # two planted near-dup pairs (tiny perturbation -> cosine ~ 1)
+    rows.append((100, 0, (np.array(rows[5][2]) + 0.01).tolist()))
+    rows.append((101, 0, (np.array(rows[9][2]) + 0.01).tolist()))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs_lsh(
+            emb, 0.95, dim=16, num_planes=6, num_tables=4, block_col="label"
+        ).collect()
+    }
+    assert {(5, 100), (9, 101)} <= got
+    plan = embedding_neardup_pairs_lsh(
+        emb, 0.95, dim=16, num_planes=6, num_tables=4, block_col="label"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
