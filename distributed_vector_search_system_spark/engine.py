@@ -242,18 +242,18 @@ class VectorEngine:
         from .sources.parquet import read_vectors, write_vectors
 
         cols = self._snapshot.columns  # partitionBy moves the shard col last
-        # partition-column type inference on re-read can silently retype
-        # the shard column (string '3' → int), drifting the snapshot
-        # schema vs MUTATIONS_SCHEMA — cast every column back to its
-        # pre-write type (ADVICE r02)
-        pre_types = dict(self._snapshot.dtypes)
+        # read back with the EXPLICIT pre-write schema: partition-column
+        # type inference parses the partition VALUES, so a cast after
+        # inference cannot undo its loss (string shard '01' → int 1 →
+        # cast back '1'; '0' and '00' collide).  With the schema given,
+        # inference never runs and the raw directory strings are read as
+        # the declared type (ADVICE r03, superseding the r02 cast fix).
+        pre_schema = self._snapshot.schema
         write_vectors(
             self._snapshot, path,
             shard_col=self._shard_col if self._shard_col else None,
         )
-        self._snapshot = read_vectors(self._spark, path).select(
-            *[F.col(c).cast(pre_types[c]).alias(c) for c in cols]
-        )
+        self._snapshot = read_vectors(self._spark, path, schema=pre_schema).select(*cols)
 
     @property
     def cache(self) -> QueryCache:

@@ -171,13 +171,27 @@ class PersistentResultCache:
         return self._path.rstrip("/") + "_epoch"
 
     def _read_epoch(self):
-        from pyspark.errors import AnalysisException
-
+        # Broad catch (ADVICE r03): besides AnalysisException (path
+        # absent), a concurrent _write_epoch's non-atomic overwrite can
+        # surface as a Py4J FileNotFound mid-collect; a transiently
+        # unreadable epoch must degrade to "no epoch known", not crash
+        # the probe.  The writer re-lands the file immediately after.
         try:
             rows = self._spark.read.parquet(self._epoch_path).collect()
-        except AnalysisException:
+        except Exception:
             return None
         return max((r["epoch"] for r in rows), default=None)
+
+    def _refresh_epoch(self) -> None:
+        """Pick up another session's later invalidate() (ADVICE r03: an
+        epoch read only at __init__ let a long-lived session serve stale
+        hits until TTL).  The epoch is a tiny single-row read; epochs
+        only move forward, so take the max with what we already know."""
+        stored = self._read_epoch()
+        if stored is not None and (
+            self._version_ts is None or stored > self._version_ts
+        ):
+            self._version_ts = stored
 
     def _write_epoch(self, ts) -> None:
         self._spark.createDataFrame([(ts,)], schema="epoch timestamp").write.mode(
@@ -223,6 +237,7 @@ class PersistentResultCache:
         from pyspark.sql import functions as F
 
         now = now if now is not None else _dt.datetime.now()
+        self._refresh_epoch()
         df = self._read()
         if df is None:
             return None

@@ -142,21 +142,26 @@ def ngram_jaccard_pairs(
     sh = with_shingles(docs, n=n, text_col=text_col)
     if max_block_df is None:
         return _pair_jaccard(sh, id_col, None).filter(F.col("jaccard") >= threshold)
-    if isinstance(max_block_df, float):
-        import math
-
-        tau = math.ceil(max_block_df * docs.count())
-    else:
-        tau = int(max_block_df)
     ex = sh.select(F.col(id_col).alias("_id"), F.explode("shingles").alias("_sh"))
-    rare = ex.join(
-        ex.groupBy("_sh")
-        .agg(F.count("*").alias("_df"))
-        .filter(F.col("_df") <= tau)
-        .select("_sh"),
-        on="_sh",
-        how="left_semi",
-    )
+    dfreq = ex.groupBy("_sh").agg(F.count("*").alias("_df"))
+    if isinstance(max_block_df, float):
+        # τ = ceil(frac · |docs|) computed INSIDE the plan (broadcast
+        # one-row count) — a driver-side docs.count() here would run an
+        # eager job re-scanning the corpus on every invocation (ADVICE
+        # r03).  F.ceil over double matches math.ceil(frac * n) and the
+        # oracle's CEIL(CAST(frac AS DOUBLE) * COUNT(*)) bit-for-bit.
+        ndocs = docs.agg(F.count("*").alias("_ndocs"))
+        rare_keys = (
+            dfreq.crossJoin(F.broadcast(ndocs))
+            .filter(
+                F.col("_df")
+                <= F.ceil(F.lit(float(max_block_df)) * F.col("_ndocs").cast("double"))
+            )
+            .select("_sh")
+        )
+    else:
+        rare_keys = dfreq.filter(F.col("_df") <= int(max_block_df)).select("_sh")
+    rare = ex.join(rare_keys, on="_sh", how="left_semi")
     cands = (
         rare.select(F.col("_id").alias("doc_a"), "_sh")
         .join(rare.select(F.col("_id").alias("doc_b"), "_sh"), on="_sh")
@@ -553,7 +558,7 @@ def embedding_neardup_pairs_lsh(
     dropDuplicates shuffle; vectors are joined back afterwards so the
     dedup exchange never moves embedding payloads.
     """
-    from .similarity import _hyperplanes, lsh_bucket_expr
+    from .similarity import _hyperplanes, lsh_bucket_expr, multiprobe_masks
 
     blk = [F.col(block_col).alias("_blk")] if block_col else []
     on = (["_blk"] if block_col else []) + ["_bkt"]
@@ -562,12 +567,10 @@ def embedding_neardup_pairs_lsh(
         planes = _hyperplanes(dim, num_planes, seed + 1000 * t)
         bucket = lsh_bucket_expr(vector_col, planes)
         a = vectors.select(F.col(id_col).alias("id_a"), *blk, bucket.alias("_bkt"))
-        probes = [F.col("_b0")]
-        if multiprobe_bits >= 1:
-            probes += [
-                F.col("_b0").bitwiseXOR(F.lit(1 << i).cast("long"))
-                for i in range(num_planes)
-            ]
+        probes = [F.col("_b0")] + [
+            F.col("_b0").bitwiseXOR(F.lit(m).cast("long"))
+            for m in multiprobe_masks(num_planes, multiprobe_bits)
+        ]
         b = (
             vectors.select(F.col(id_col).alias("id_b"), *blk, bucket.alias("_b0"))
             .withColumn("_bkt", F.explode(F.array(*probes)))

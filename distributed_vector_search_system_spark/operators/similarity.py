@@ -66,6 +66,26 @@ def _hyperplanes(dim: int, num_planes: int, seed: int):
     return rng.randn(num_planes, dim)
 
 
+def multiprobe_masks(num_planes: int, multiprobe_bits: int) -> list[int]:
+    """Every XOR mask with 1 ≤ popcount ≤ ``multiprobe_bits`` over
+    ``num_planes`` bit positions — the bucket perturbations of classic
+    multi-probe LSH.  ``multiprobe_bits=0`` probes only the exact bucket
+    (empty mask list); values > 1 probe the full hamming ball (ADVICE
+    r03: single-bit flips silently capped the promised radius at 1)."""
+    from itertools import combinations
+
+    if not 0 <= multiprobe_bits <= num_planes:
+        raise ValueError(
+            f"multiprobe_bits must be in [0, num_planes={num_planes}], "
+            f"got {multiprobe_bits}"
+        )
+    return [
+        sum(1 << i for i in combo)
+        for r in range(1, multiprobe_bits + 1)
+        for combo in combinations(range(num_planes), r)
+    ]
+
+
 def lsh_bucket_expr(vector_col, planes) -> Column:
     """Sign-bit bucket id for a vector against literal hyperplanes —
     pure expression, map-side, no shuffle."""
@@ -135,12 +155,10 @@ def ann_lsh_topk(
             F.col(query_vector_col).alias("_qv"),
             lsh_bucket_expr(query_vector_col, planes).alias("_qbkt"),
         )
-        probes = [F.col("_qbkt")]
-        if multiprobe_bits >= 1:
-            probes += [
-                F.col("_qbkt").bitwiseXOR(F.lit(1 << i).cast("long"))
-                for i in range(num_planes)
-            ]
+        probes = [F.col("_qbkt")] + [
+            F.col("_qbkt").bitwiseXOR(F.lit(m).cast("long"))
+            for m in multiprobe_masks(num_planes, multiprobe_bits)
+        ]
         qx = q.withColumn("_bkt", F.explode(F.array(*probes))).drop("_qbkt")
         per_table.append(
             v.join(F.broadcast(qx), on="_bkt").select("query_id", "id", "_v", "_qv")

@@ -21,10 +21,21 @@ def read_vectors(
     *,
     dim: int | None = None,
     validate: bool = False,
+    schema=None,
 ) -> DataFrame:
     """Load a persisted vector snapshot; optionally assert the dimension
-    invariant (the reference validates on load, vector_shard.cc:36-38)."""
-    df = spark.read.parquet(path)
+    invariant (the reference validates on load, vector_shard.cc:36-38).
+
+    Pass ``schema`` (the writer's StructType) to bypass partition-column
+    type inference entirely: inference parses partition VALUES from the
+    directory names, so a string shard id '01' becomes int 1 and no
+    after-the-fact cast can recover it ('1' ≠ '01', and '0' collides
+    with '00').  With an explicit schema the raw directory string is
+    interpreted as the declared type directly (ADVICE r03)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(path)
     if validate and dim is not None:
         assert_vector_dimension(df, dim)
     return df

@@ -156,3 +156,29 @@ def test_persistent_cache_epoch_survives_restart(spark, tmp_path):
     assert c3.probe([1.0, 2.0], 3, now=t0 + dt.timedelta(seconds=30)) == [
         (8, 0.1, None)
     ]
+
+
+def test_persistent_cache_live_session_sees_later_invalidate(spark, tmp_path):
+    """ADVICE r03: a LONG-LIVED cache object must observe another
+    session's later invalidate() on its next probe — the epoch is
+    re-read per probe, not only at __init__."""
+    import datetime as dt
+
+    from distributed_vector_search_system_spark.operators.cache import (
+        PersistentResultCache,
+    )
+
+    path = str(tmp_path / "result_cache")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    long_lived = PersistentResultCache(spark, path, ttl_seconds=3600)
+    long_lived.put([1.0, 2.0], 3, [(7, 0.25, None)], now=t0)
+    assert long_lived.probe([1.0, 2.0], 3, now=t0 + dt.timedelta(seconds=1)) == [
+        (7, 0.25, None)
+    ]
+
+    # another session invalidates AFTER long_lived was constructed
+    other = PersistentResultCache(spark, path, ttl_seconds=3600)
+    other.invalidate(now=t0 + dt.timedelta(seconds=5))
+
+    # pre-fix: long_lived's __init__-time epoch (None) served the stale hit
+    assert long_lived.probe([1.0, 2.0], 3, now=t0 + dt.timedelta(seconds=10)) is None

@@ -359,3 +359,22 @@ def test_embedding_lsh_blocker_bounded_key(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_ngram_fractional_cap_builds_plan_without_jobs(spark, sf_smoke):
+    """ADVICE r03: a fractional max_block_df used to run an eager
+    docs.count() action at plan-BUILD time (an extra corpus scan per
+    invocation).  τ is now a broadcast scalar inside the plan, so
+    building the DataFrame must launch zero Spark jobs."""
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    sc = spark.sparkContext
+    group = "ngram-plan-build-probe"
+    sc.setJobGroup(group, "plan build must be lazy")
+    try:
+        df = ngram_jaccard_pairs(docs, 0.5, n=2, max_block_df=0.1)
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        assert jobs == [], f"plan build launched jobs: {jobs}"
+    finally:
+        sc.setJobGroup("", "")
+    # and the in-plan τ produces the same result as before the fix
+    assert df.count() == ngram_jaccard_pairs(docs, 0.5, n=2).count()

@@ -301,3 +301,23 @@ def test_engine_quantized_search_matches_expr(spark):
     expr = {(r.query_id, r.rank): r.id for r in eng.search(q, 5).collect()}
     quant = {(r.query_id, r.rank): r.id for r in eng.search(q, 5, method="quantized").collect()}
     assert quant == expr and quant
+
+def test_checkpoint_preserves_shard_value_verbatim(spark, tmp_path):
+    """ADVICE r03: the r02 cast-after-inference fix masked dtype drift
+    but not VALUE drift — a string shard id '01' inferred as int 1 casts
+    back to '1', silently corrupting ('0' vs '00' collide).  Reading
+    with the explicit pre-write schema must preserve the raw value."""
+    vectors = spark.createDataFrame(
+        [(i, [float(i), 0.0], i % 3) for i in range(6)], schema=VECTORS_SCHEMA
+    ).withColumn(
+        "shard_id",
+        F.when(F.col("vec_id") % 2 == 0, F.lit("01")).otherwise(F.lit("1")),
+    )
+    e = VectorEngine(spark, vectors, dim=2, shard_col="shard_id")
+    before = sorted(
+        (r["vec_id"], r["shard_id"]) for r in e._snapshot.collect()
+    )
+    e.checkpoint(str(tmp_path / "snap"))
+    after = sorted((r["vec_id"], r["shard_id"]) for r in e._snapshot.collect())
+    assert after == before  # '01' stays '01'; '01' and '1' never merge
+    assert dict(e._snapshot.dtypes)["shard_id"] == "string"

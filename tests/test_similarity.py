@@ -99,3 +99,37 @@ def test_ivf_with_trained_centroids_recall(spark, sf_smoke):
     a = {(r["query_id"], r["id"]) for r in approx.collect()}
     e = {(r["query_id"], r["id"]) for r in exact.collect()}
     assert len(a & e) / len(e) >= 0.6  # recall@5 with 4/8 cells probed
+
+
+def test_multiprobe_masks_cover_hamming_ball():
+    """ADVICE r03: multiprobe_bits > 1 used to silently behave as 1 —
+    masks must now cover every perturbation with popcount ≤ bits."""
+    import pytest
+
+    from distributed_vector_search_system_spark.operators.similarity import (
+        multiprobe_masks,
+    )
+
+    assert multiprobe_masks(6, 0) == []
+    m1 = multiprobe_masks(6, 1)
+    assert sorted(m1) == [1 << i for i in range(6)]
+    m2 = multiprobe_masks(6, 2)
+    assert len(m2) == 6 + 15  # C(6,1) + C(6,2)
+    assert all(bin(m).count("1") <= 2 and m > 0 for m in m2)
+    assert len(set(m2)) == len(m2)
+    with pytest.raises(ValueError):
+        multiprobe_masks(6, 7)
+    with pytest.raises(ValueError):
+        multiprobe_masks(6, -1)
+
+
+def test_lsh_multiprobe2_candidates_superset(spark, sf_smoke):
+    """multiprobe_bits=2 probes a strict superset of buckets, so recall
+    (vs exact) must be ≥ the 1-bit run — and the 2-bit hamming ball is
+    actually reached (pre-fix both runs were identical)."""
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    q = _qset(emb, 100)
+    exact = _topk_ids(cosine_topk(emb, q, 5))
+    a1 = _topk_ids(ann_lsh_topk(emb, q, 5, dim=64, multiprobe_bits=1))
+    a2 = _topk_ids(ann_lsh_topk(emb, q, 5, dim=64, multiprobe_bits=2))
+    assert _recall(a2, exact) >= _recall(a1, exact)
