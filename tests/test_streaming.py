@@ -74,6 +74,84 @@ def test_mutation_replay_idempotent_redelivery(spark):
     assert once == twice == [(2, 20), (5, 50)]
 
 
+def test_mutation_stream_crash_recovery_exactly_once(spark, tmp_path):
+    """R11 under failure (VERDICT r03 item 7): the stream dies MID-BATCH —
+    after the batch's side effects (snapshot fold + persist) ran but
+    before foreachBatch returned, so the checkpoint's commit log never
+    records the batch.  A restarted query must redeliver exactly that
+    batch, and because ``apply_mutations`` is seq-keyed LWW the reapply
+    over the already-folded persisted snapshot must be a no-op — the
+    effective result is exactly-once, verified against the one-shot
+    batch compaction of the full log."""
+    import os
+
+    from pyspark.errors import StreamingQueryException
+
+    from distributed_vector_search_system_spark.operators.mutations import (
+        apply_mutations,
+    )
+
+    src = str(tmp_path / "mlog")
+    snap = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+    # three files → three micro-batches under maxFilesPerTrigger=1, with
+    # LWW chains crossing batch boundaries (seq 4 overwrites seq 1,
+    # seq 5 overwrites seq 2) so replay order genuinely matters
+    batches = [
+        [(1, "upsert", 3, None, [3.0, 3.0], 30), (2, "upsert", 1, None, [9.0, 9.0], 90)],
+        [(3, "delete", 2, None, None, None), (4, "upsert", 3, None, [8.0, 8.0], 80)],
+        [(5, "upsert", 1, None, [7.0, 7.0], 70), (6, "delete", 999, None, None, None)],
+    ]
+    for i, rows in enumerate(batches):
+        d = f"{src}/b{i}.parquet"
+        spark.createDataFrame(rows, schema=MUTATIONS_SCHEMA).coalesce(1).write.parquet(d)
+        # pin distinct mtimes so the file source's oldest-first ordering
+        # is deterministic regardless of write speed
+        for root, _, files in os.walk(d):
+            for f_ in files:
+                os.utime(os.path.join(root, f_), (1_000_000 + 100 * i,) * 2)
+
+    _base(spark).write.parquet(snap)
+
+    def run(crash_at: int | None) -> None:
+        store = SnapshotStore(spark.read.parquet(snap))
+
+        def persist_then_maybe_crash(bid: int, ver: int) -> None:
+            store.current.write.mode("overwrite").parquet(snap)
+            if bid == crash_at:
+                raise RuntimeError("injected crash after side effects")
+
+        stream = (
+            spark.readStream.schema(MUTATIONS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*.parquet")
+        )
+        q = apply_mutation_stream(
+            stream, store, checkpoint_dir=ckpt, on_batch=persist_then_maybe_crash
+        )
+        q.awaitTermination(120)
+
+    try:
+        run(crash_at=1)
+        raise AssertionError("injected crash did not propagate")
+    except StreamingQueryException:
+        pass
+    run(crash_at=None)  # restart: batch 1 is redelivered, then batch 2 runs
+
+    full_log = spark.createDataFrame(
+        [r for b in batches for r in b], schema=MUTATIONS_SCHEMA
+    )
+    want = {
+        r["vec_id"]: (tuple(r["embedding"]), r["label"])
+        for r in apply_mutations(_base(spark), full_log).collect()
+    }
+    got = {
+        r["vec_id"]: (tuple(r["embedding"]), r["label"])
+        for r in spark.read.parquet(snap).collect()
+    }
+    assert got == want == {1: ((7.0, 7.0), 70), 3: ((8.0, 8.0), 80)}
+
+
 def test_tumbling_window_batch_vs_stream(spark, sf_smoke, tmp_path):
     """The same window plan over the events table must produce identical
     results in batch mode and via readStream."""
