@@ -55,3 +55,44 @@ def cosine_similarity(a, b) -> Column:
     num = dot_product(a, b)
     den = l2_norm(a) * l2_norm(b)
     return F.when(den == 0.0, F.lit(0.0)).otherwise(num / den)
+
+
+# --- SQL-string builders for expressions over LITERAL vectors --------------
+# Building a literal-vector expression out of Column objects costs one
+# py4j round-trip per element (64-dim plane → ~70 JVM calls, an LSH
+# bucket expression → thousands); at 4 tables × 6 planes × 2 sides that
+# made DataFrame CONSTRUCTION dominate ann_lsh_topk/ann_ivf_topk
+# wall-clock (~4-5 s build vs ~1 s execution at sf0.1).  These builders
+# emit the SAME Catalyst operations (zip_with + left-fold aggregate in
+# double, identical op order → bit-identical results and unchanged
+# oracles) as ONE SQL string parsed in a single call.
+
+def sql_double_lit(x: float) -> str:
+    """Exact Spark-SQL DOUBLE literal: ``repr`` round-trips the value and
+    ``D`` makes the parser read it as double (bare decimals parse as
+    DECIMAL)."""
+    return f"{float(x)!r}D"
+
+
+def sql_double_array(vals) -> str:
+    return f"array({', '.join(sql_double_lit(x) for x in vals)})"
+
+
+def dot_lit_sql(vec_sql: str, lits) -> str:
+    """SQL for ``dot_product(vec, literal_array)`` — same zip_with +
+    sequential-fold shape as the Column tier."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {sql_double_array(lits)}, "
+        f"(a, b) -> CAST(a AS DOUBLE) * b), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def squared_l2_lit_sql(vec_sql: str, lits) -> str:
+    """SQL for ``squared_l2(vec, literal_array)`` — identical op order to
+    the Column tier, so results are bit-comparable."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {sql_double_array(lits)}, "
+        f"(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
+        f"* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )

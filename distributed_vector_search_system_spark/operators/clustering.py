@@ -33,10 +33,25 @@ def _centroid_literal(vec) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec])
 
 
+def nearest_centroid_sql(vec_sql: str, centroids: list[list[float]]) -> str:
+    """SQL string for the nearest-centroid index (squared-L2,
+    lowest-index tie-break) — parsed once instead of k × dim literal
+    Column calls, same array_sort-over-structs semantics."""
+    from ..functions.distance import squared_l2_lit_sql
+
+    structs = ", ".join(
+        f"named_struct('d', {squared_l2_lit_sql(vec_sql, c)}, 'cid', {i})"
+        for i, c in enumerate(centroids)
+    )
+    return f"array_sort(array({structs}))[0].cid"
+
+
 def nearest_centroid_expr(vector_col, centroids: list[list[float]]) -> Column:
     """Index of the nearest centroid (squared-L2, lowest-index tie-break)
     — pure codegen expression over k centroid literals."""
-    v = F.col(vector_col) if isinstance(vector_col, str) else vector_col
+    if isinstance(vector_col, str):
+        return F.expr(nearest_centroid_sql(f"`{vector_col}`", centroids))
+    v = vector_col
     scored = F.array(
         *[
             F.struct(

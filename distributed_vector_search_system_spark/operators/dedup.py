@@ -557,30 +557,51 @@ def embedding_neardup_pairs_lsh(
     from .similarity import _hyperplanes, lsh_bucket_expr, multiprobe_masks
 
     blk = [F.col(block_col).alias("_blk")] if block_col else []
-    on = (["_blk"] if block_col else []) + ["_bkt"]
-    per_table = []
-    for t in range(num_tables):
-        planes = _hyperplanes(dim, num_planes, seed + 1000 * t)
-        bucket = lsh_bucket_expr(vector_col, planes)
-        a = vectors.select(F.col(id_col).alias("id_a"), *blk, bucket.alias("_bkt"))
-        probes = [F.col("_b0")] + [
-            F.col("_b0").bitwiseXOR(F.lit(m).cast("long"))
-            for m in multiprobe_masks(num_planes, multiprobe_bits)
-        ]
-        b = (
-            vectors.select(F.col(id_col).alias("id_b"), *blk, bucket.alias("_b0"))
-            .withColumn("_bkt", F.explode(F.array(*probes)))
-            .drop("_b0")
-        )
-        per_table.append(
-            a.join(b, on=on)
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-        )
-    cands = per_table[0]
-    for p in per_table[1:]:
-        cands = cands.unionByName(p)
-    cands = cands.dropDuplicates(["id_a", "id_b"])
+    on = (["_blk"] if block_col else []) + ["_tbl", "_bkt"]
+    # SINGLE-SCAN plan: both join sides compute every table's bucket in
+    # one pass over the corpus and explode with a table tag (the b side
+    # additionally explodes the multiprobe perturbations), then join
+    # ONCE on (block?, table, bucket) — the per-table join+union shape
+    # scanned the corpus 2·num_tables times for the same candidate set.
+    all_planes = [_hyperplanes(dim, num_planes, seed + 1000 * t) for t in range(num_tables)]
+    masks = multiprobe_masks(num_planes, multiprobe_bits)
+    a_tagged = F.array(*[
+        F.struct(F.lit(t).alias("_tbl"), lsh_bucket_expr(vector_col, planes).alias("_bkt"))
+        for t, planes in enumerate(all_planes)
+    ])
+    # the probe side materializes base buckets in their own projection
+    # and XORs the COLUMNS — inlining the bucket expression into every
+    # perturbation would recompute the plane dots |masks|+1 times per
+    # row (HOFs are CodegenFallback, so subexpression elimination cannot
+    # rescue the duplicates; CollapseProject keeps non-cheap multi-use
+    # projections materialized)
+    b_tagged = F.array(*[
+        F.struct(F.lit(t).alias("_tbl"), bkt.alias("_bkt"))
+        for t in range(num_tables)
+        for bkt in [F.col(f"_b{t}")]
+        + [F.col(f"_b{t}").bitwiseXOR(F.lit(m).cast("long")) for m in masks]
+    ])
+    a = vectors.select(
+        F.col(id_col).alias("id_a"), *blk, F.explode(a_tagged).alias("_tb")
+    ).select("id_a", *(["_blk"] if block_col else []),
+             F.col("_tb._tbl").alias("_tbl"), F.col("_tb._bkt").alias("_bkt"))
+    b_base = vectors.select(
+        F.col(id_col).alias("id_b"), *blk,
+        *[
+            lsh_bucket_expr(vector_col, planes).alias(f"_b{t}")
+            for t, planes in enumerate(all_planes)
+        ],
+    )
+    b = b_base.select(
+        "id_b", *(["_blk"] if block_col else []), F.explode(b_tagged).alias("_tb")
+    ).select("id_b", *(["_blk"] if block_col else []),
+             F.col("_tb._tbl").alias("_tbl"), F.col("_tb._bkt").alias("_bkt"))
+    cands = (
+        a.join(b, on=on)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
     va = vectors.select(F.col(id_col).alias("id_a"), F.col(vector_col).alias("_va"))
     vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vector_col).alias("_vb"))
     return (

@@ -88,18 +88,25 @@ def multiprobe_masks(num_planes: int, multiprobe_bits: int) -> list[int]:
 
 def lsh_bucket_expr(vector_col, planes) -> Column:
     """Sign-bit bucket id for a vector against literal hyperplanes —
-    pure expression, map-side, no shuffle."""
-    v = F.col(vector_col) if isinstance(vector_col, str) else vector_col
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(v, lit_plane, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
-    return bucket
+    pure expression, map-side, no shuffle.
+
+    Built as one parsed SQL string (functions.distance SQL builders):
+    constructing it per-Column cost thousands of py4j round-trips and
+    made plan BUILD dominate the ANN queries' wall-clock.  The emitted
+    operations (zip_with · left-fold aggregate in double, dot > 0,
+    shiftleft) are identical, so bucket ids — and every downstream
+    oracle — are unchanged bit-for-bit."""
+    from ..functions.distance import dot_lit_sql
+
+    if not isinstance(vector_col, str):
+        raise TypeError("lsh_bucket_expr needs a column NAME to inline into SQL")
+    v = f"`{vector_col}`"
+    terms = " + ".join(
+        f"(CASE WHEN {dot_lit_sql(v, plane)} > 0 "
+        f"THEN SHIFTLEFT(CAST(1 AS BIGINT), {i}) ELSE CAST(0 AS BIGINT) END)"
+        for i, plane in enumerate(planes)
+    )
+    return F.expr(f"CAST(0 AS BIGINT) + {terms}")
 
 
 def with_lsh_bucket(
@@ -141,32 +148,57 @@ def ann_lsh_topk(
     Tuning: recall ↑ with more tables/probes, candidate fraction ↑ too;
     num_planes ↑ shrinks buckets (recall ↓, cost ↓).  All bucketing is
     map-side expression work; the only shuffle is the bucket equi-join.
+
+    SINGLE-SCAN plan: all ``num_tables`` bucket ids are computed in one
+    pass over the corpus and exploded with a table tag, then joined once
+    on ``(_tbl, _bkt)`` against the (broadcast) query probes — a
+    per-table join+union would scan the 100 TB corpus ``num_tables``
+    times for the identical candidate set.
     """
-    per_table = []
-    for t in range(num_tables):
-        planes = _hyperplanes(dim, num_planes, seed + 1000 * t)
-        v = vectors.select(
-            F.col(id_col).alias("id"),
-            F.col(vector_col).alias("_v"),
+    all_planes = [_hyperplanes(dim, num_planes, seed + 1000 * t) for t in range(num_tables)]
+    v_tagged = F.array(*[
+        F.struct(
+            F.lit(t).alias("_tbl"),
             lsh_bucket_expr(vector_col, planes).alias("_bkt"),
-        ).withColumn("_tbl", F.lit(t))
-        q = queries.select(
-            F.col(query_id_col).alias("query_id"),
-            F.col(query_vector_col).alias("_qv"),
-            lsh_bucket_expr(query_vector_col, planes).alias("_qbkt"),
         )
-        probes = [F.col("_qbkt")] + [
-            F.col("_qbkt").bitwiseXOR(F.lit(m).cast("long"))
-            for m in multiprobe_masks(num_planes, multiprobe_bits)
-        ]
-        qx = q.withColumn("_bkt", F.explode(F.array(*probes))).drop("_qbkt")
-        per_table.append(
-            v.join(F.broadcast(qx), on="_bkt").select("query_id", "id", "_v", "_qv")
-            .withColumn("_t", F.lit(t))
-        )
-    cands = per_table[0]
-    for p in per_table[1:]:
-        cands = cands.unionByName(p)
+        for t, planes in enumerate(all_planes)
+    ])
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vector_col).alias("_v"),
+        F.explode(v_tagged).alias("_tb"),
+    ).select("id", "_v", F.col("_tb._tbl").alias("_tbl"), F.col("_tb._bkt").alias("_bkt"))
+    # query side: per table, the exact bucket plus every multiprobe
+    # perturbation — num_tables · (1 + |masks|) probes per query, all
+    # from one pass over the (small, broadcast) query set.  Base buckets
+    # are materialized in their own projection FIRST and the probes XOR
+    # the resulting columns: inlining the bucket expression into every
+    # perturbation would recompute the plane dots |masks|+1 times per row
+    # (HOFs are CodegenFallback — no subexpression elimination rescues
+    # that), and CollapseProject keeps non-cheap multi-use projections.
+    masks = multiprobe_masks(num_planes, multiprobe_bits)
+    q_base = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vector_col).alias("_qv"),
+        *[
+            lsh_bucket_expr(query_vector_col, planes).alias(f"_b{t}")
+            for t, planes in enumerate(all_planes)
+        ],
+    )
+    q_tagged = F.array(*[
+        F.struct(F.lit(t).alias("_tbl"), bkt.alias("_bkt"))
+        for t in range(num_tables)
+        for bkt in [F.col(f"_b{t}")]
+        + [F.col(f"_b{t}").bitwiseXOR(F.lit(m).cast("long")) for m in masks]
+    ])
+    qx = q_base.select(
+        "query_id", "_qv", F.explode(q_tagged).alias("_tb")
+    ).select(
+        "query_id", "_qv", F.col("_tb._tbl").alias("_tbl"), F.col("_tb._bkt").alias("_bkt")
+    )
+    cands = v.join(F.broadcast(qx), on=["_tbl", "_bkt"]).select(
+        "query_id", "id", "_v", "_qv"
+    )
     scored = (
         cands.dropDuplicates(["query_id", "id"])
         .select(
@@ -239,19 +271,21 @@ def ann_ivf_topk(
                 .collect()
             )
 
-    def nearest_cells(vec_col, n: int) -> Column:
-        dists = F.array(*[
-            F.struct(
-                squared_l2(vec_col, F.array(*[F.lit(float(x)) for x in c["cvec"]])).alias("d"),
-                F.lit(c["cell_id"]).alias("cid"),
-            )
-            for c in cents
-        ])
-        return F.slice(F.array_sort(dists), 1, n)
+    def nearest_cells(col_name: str, n: int) -> Column:
+        # one parsed SQL string instead of num_cells × dim literal Column
+        # calls (see lsh_bucket_expr) — same struct/array_sort semantics
+        from ..functions.distance import squared_l2_lit_sql
 
-    v = vectors.withColumn("_cell", nearest_cells(F.col(vector_col), 1)[0]["cid"])
+        structs = ", ".join(
+            f"named_struct('d', {squared_l2_lit_sql(f'`{col_name}`', c['cvec'])}, "
+            f"'cid', {int(c['cell_id'])})"
+            for c in cents
+        )
+        return F.expr(f"slice(array_sort(array({structs})), 1, {n})")
+
+    v = vectors.withColumn("_cell", nearest_cells(vector_col, 1)[0]["cid"])
     q = queries.withColumn(
-        "_probe", F.explode(F.transform(nearest_cells(F.col(query_vector_col), n_probe), lambda s: s["cid"]))
+        "_probe", F.explode(F.transform(nearest_cells(query_vector_col, n_probe), lambda s: s["cid"]))
     )
     scored = v.join(F.broadcast(q), v["_cell"] == q["_probe"]).select(
         F.col(query_id_col).alias("query_id"),

@@ -37,20 +37,19 @@ from ..operators.clustering import nearest_centroid_expr
 from ..operators.knn import merge_topk
 
 
-def _probe_cells_expr(vector_col, centroids: list[list[float]], n_probe: int):
+def _probe_cells_expr(vector_col: str, centroids: list[list[float]], n_probe: int):
     """Array of the n_probe nearest cell ids — same scoring as
-    clustering.nearest_centroid_expr, kept in one sorted pass."""
-    scored = F.array(
-        *[
-            F.struct(
-                squared_l2(vector_col, F.array(*[F.lit(float(x)) for x in c])).alias("d"),
-                F.lit(i).alias("cid"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    clustering.nearest_centroid_expr, kept in one sorted pass.  One
+    parsed SQL string (functions.distance builders): identical ops,
+    built without per-literal py4j round-trips."""
+    from ..functions.distance import squared_l2_lit_sql
+
+    structs = ", ".join(
+        f"named_struct('d', {squared_l2_lit_sql(f'`{vector_col}`', c)}, 'cid', {i})"
+        for i, c in enumerate(centroids)
     )
-    return F.transform(
-        F.slice(F.array_sort(scored), 1, n_probe), lambda s: s["cid"]
+    return F.expr(
+        f"transform(slice(array_sort(array({structs})), 1, {n_probe}), s -> s.cid)"
     )
 
 
@@ -92,7 +91,7 @@ def search_ivf_index(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vector_col).alias("_qv"),
         F.explode(
-            _probe_cells_expr(F.col(query_vector_col), centroids, n_probe)
+            _probe_cells_expr(query_vector_col, centroids, n_probe)
         ).alias("_probe"),
     )
     # small by contract (see module docstring): the probe list feeds the
