@@ -174,3 +174,35 @@ def test_ivf_persisted_driver_row_prunes_partitions(spark, sf_smoke):
     plan = _plan(registry.queries()["ivf_persisted_topk"](spark, sf_smoke))
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert any("cell_id" in l for l in pf), plan
+
+
+def _count_embedding_scans(plan: str) -> int:
+    """Count '(N) Scan parquet' detail blocks whose Location references
+    the embeddings table (formatted explain lists each scan's path in
+    its detail block, not on the tree line)."""
+    import re
+
+    count = 0
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    for b in blocks:
+        head = b.splitlines()[0] if b else ""
+        if re.match(r"\(\d+\) Scan parquet", head) and "embeddings" in b:
+            count += 1
+    return count
+
+
+def test_ann_lsh_single_corpus_scan(spark, sf_smoke):
+    """The multi-table LSH search must compute every table's bucket in
+    ONE pass over the corpus: exactly 2 scans of embeddings total (the
+    corpus side + the query-set side) — the per-table join+union shape
+    scanned the corpus once per table (a 4x IO multiplier at 100 TB)."""
+    plan = _plan(registry.queries()["ann_lsh_topk"](spark, sf_smoke))
+    assert _count_embedding_scans(plan) == 2, plan
+
+
+def test_embedding_neardup_bounded_scans(spark, sf_smoke):
+    """Single-scan blocker: one scan per join side for candidates plus
+    two id-keyed joins back for the exact verify = 4 scans, independent
+    of num_tables (was 2·num_tables + 2)."""
+    plan = _plan(registry.queries()["dedup_embedding_cosine"](spark, sf_smoke))
+    assert _count_embedding_scans(plan) <= 4, plan
