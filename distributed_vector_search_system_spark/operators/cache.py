@@ -321,3 +321,50 @@ class CachedSearcher:
 
     def on_mutation(self) -> None:
         self._cache.invalidate()
+
+
+def semantic_probe(
+    cached: DataFrame,
+    queries: DataFrame,
+    *,
+    threshold: float,
+    cached_id_col: str = "cached_id",
+    cached_vec_col: str = "cvec",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """C4 made live: the reference declares an ``exact_match`` flag on its
+    cache-lookup surface but never wires it (include/cache/query_cache.h:30-33
+    — dead code, SURVEY §2.4).  This is the feature that flag implies:
+    SEMANTIC cache reuse — an incoming query may be served by the stored
+    result of the nearest previously-cached query when the two query
+    vectors are close enough, instead of requiring digest equality.
+
+    For each incoming query: nearest cached entry by cosine (tie-break
+    lowest cached id); ``hit`` iff cosine ≥ ``threshold``; ``served_by``
+    is the serving cache entry's id (NULL on miss — caller falls through
+    to the exact search path, as ``CachedSearcher`` does on digest miss).
+
+    Scale shape: the cache is small by contract (reference default 1024
+    entries) → broadcast; the corpus-side work is one map-side pass, a
+    partitioned rank, no shuffle of the query table beyond its own key.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.distance import cosine_similarity
+
+    scored = queries.join(F.broadcast(cached), how="cross").select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(cached_id_col).alias("_cid"),
+        cosine_similarity(F.col(query_vec_col), F.col(cached_vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("_cid").asc())
+    best = scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    hit = F.col("cosine") >= float(threshold)
+    return best.select(
+        "query_id",
+        F.when(hit, F.col("_cid")).alias("served_by"),
+        "cosine",
+        hit.alias("hit"),
+    )

@@ -736,14 +736,68 @@ SELECT query_id, id, ROUND(distance, 6) AS distance, rank FROM ranked WHERE rank
 QUERIES["ivf_persisted_topk"] = q_ivf_persisted_topk
 ORACLES["ivf_persisted_topk"] = _ivf_persisted_oracle()
 
+# --- semantic cache reuse (C4 made live; VERDICT r03 item 8) --------------
+
+_SEMCACHE_THRESHOLD = 0.8
+
+#: cosine in DuckDB, double-promoted, matching functions.distance
+#: .cosine_similarity (same macro shape as registry/llm._SQL_COSINE)
+_SQL_COSINE_VEC = (
+    "(SELECT SUM(CAST(u.a AS DOUBLE) * CAST(u.b AS DOUBLE)) / "
+    "(SQRT(SUM(CAST(u.a AS DOUBLE) * CAST(u.a AS DOUBLE))) * "
+    "SQRT(SUM(CAST(u.b AS DOUBLE) * CAST(u.b AS DOUBLE)))) "
+    "FROM (SELECT UNNEST({x}) AS a, UNNEST({y}) AS b) u)"
+)
+
+
+def q_semantic_cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's dead ``exact_match`` cache flag
+    (include/cache/query_cache.h:30-33) as a live feature: incoming
+    queries are served by the nearest previously-cached query's stored
+    result when cosine ≥ threshold (operators/cache.semantic_probe).
+    The 'cached' set is every 40th query vector; incoming is every 20th
+    — so half the incoming queries have an exact cached twin (hit at
+    cosine 1) and the rest hit only if a semantically-close neighbor
+    was cached."""
+    from ..operators.cache import semantic_probe
+
+    emb = _emb(spark, sf_dir)
+    cached = emb.filter(F.col("vec_id") % 40 == 3).select(
+        F.col("vec_id").alias("cached_id"), F.col("embedding").alias("cvec")
+    )
+    q = emb.filter(F.col("vec_id") % 20 == 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    r = semantic_probe(cached, q, threshold=_SEMCACHE_THRESHOLD)
+    return r.select(
+        "query_id", "served_by", F.round("cosine", 6).alias("cosine"), "hit"
+    )
+
+
+_SEMCACHE_COS = _SQL_COSINE_VEC.format(x="q.qe", y="c.cvec")
+_SEMCACHE_SQL = f"""
+WITH c AS (SELECT vec_id AS cached_id, embedding AS cvec FROM embeddings WHERE vec_id % 40 = 3),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 20 = 3),
+scored AS (SELECT q.query_id, c.cached_id, {_SEMCACHE_COS} AS cosine FROM q CROSS JOIN c),
+best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cached_id) AS rn
+         FROM scored)
+SELECT query_id,
+       CASE WHEN cosine >= {_SEMCACHE_THRESHOLD} THEN cached_id ELSE NULL END AS served_by,
+       ROUND(cosine, 6) AS cosine,
+       cosine >= {_SEMCACHE_THRESHOLD} AS hit
+FROM best WHERE rn = 1
+"""
+
 # --- pytest-only tier (beyond the driver's 50-query correctness window;
 # verified by tests/test_oracle_parity.py with the same DuckDB harness) ----
 
 EXTRA_QUERIES = {
     "cache_ttl_prune": q_cache_ttl_prune,
     "embedding_quantize": q_embedding_quantize,
+    "semantic_cache_reuse": q_semantic_cache_reuse,
 }
 EXTRA_ORACLES = {
     "cache_ttl_prune": _CACHE_TTL_SQL,
     "embedding_quantize": _QUANTIZE_SQL,
+    "semantic_cache_reuse": _SEMCACHE_SQL,
 }

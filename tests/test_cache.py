@@ -182,3 +182,27 @@ def test_persistent_cache_live_session_sees_later_invalidate(spark, tmp_path):
 
     # pre-fix: long_lived's __init__-time epoch (None) served the stale hit
     assert long_lived.probe([1.0, 2.0], 3, now=t0 + dt.timedelta(seconds=10)) is None
+
+
+def test_semantic_probe_hit_and_miss(spark):
+    """C4 semantic reuse: an identical query vector hits (cosine 1,
+    served by its twin); a far vector misses and must fall through
+    (served_by NULL); tie-break picks the lowest cached id."""
+    from distributed_vector_search_system_spark.operators.cache import semantic_probe
+
+    cached = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0]), (11, [1.0, 0.0, 0.0]), (12, [0.0, 1.0, 0.0])],
+        "cached_id long, cvec array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 0.0, 1.0]), (3, [0.0, 0.9, 0.1])],
+        "query_id long, qvec array<double>",
+    )
+    got = {
+        r["query_id"]: (r["served_by"], r["hit"], round(r["cosine"], 6))
+        for r in semantic_probe(cached, queries, threshold=0.9).collect()
+    }
+    assert got[1] == (10, True, 1.0)        # exact twin; id 10 beats 11
+    assert got[2] == (None, False, 0.0)     # orthogonal to everything
+    # q3 vs cached 12: cos = 0.9/sqrt(0.82) ~= 0.993884 -> hit
+    assert got[3][0] == 12 and got[3][1] is True
