@@ -150,6 +150,7 @@ def main() -> None:
                 "fast_tier_queries": fast_cold,
                 "fast_tier_steady_queries": fast_steady,
                 "fast_tier_total_sec": round(sum(fast_cold.values()), 4),
+                "fast_tier_steady_total_sec": round(sum(fast_steady.values()), 4),
                 "repeats": repeats,
                 "sf": sf,
             }

@@ -462,6 +462,7 @@ SELECT query_id, id, ROUND(distance, 6) AS distance, rank FROM ranked WHERE rank
 
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.knn import knn
+    from ..operators.quantize import quantized_knn
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") % 100 == 7).select(
@@ -471,6 +472,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_l2 = knn(emb, q, 5).select("query_id", "id")
     lsh = ann_lsh_topk(emb, q, 5, dim=64).select("query_id", "id")
     ivf = ann_ivf_topk(emb, q, 5).select("query_id", "id")
+    quant = quantized_knn(emb, q, 5, rerank=3).select("query_id", "id")
 
     def hits(exact: DataFrame, approx: DataFrame, name: str) -> DataFrame:
         return (
@@ -483,10 +485,12 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.select("query_id")
         .join(hits(exact_cos, lsh, "lsh_hits"), "query_id", "left")
         .join(hits(exact_l2, ivf, "ivf_hits"), "query_id", "left")
+        .join(hits(exact_l2, quant, "quant_hits"), "query_id", "left")
         .select(
             "query_id",
             F.coalesce("lsh_hits", F.lit(0)).cast("int").alias("lsh_hits"),
             F.coalesce("ivf_hits", F.lit(0)).cast("int").alias("ivf_hits"),
+            F.coalesce("quant_hits", F.lit(0)).cast("int").alias("quant_hits"),
             F.lit(5).cast("int").alias("k"),
         )
     )
@@ -508,23 +512,30 @@ ranked AS (
 )
 SELECT query_id, id FROM ranked WHERE rank <= 5
 """
+    from .vector import _qknn_oracle
+
     return f"""
 WITH ec AS ({exact_cos}),
 el AS ({exact_l2}),
 lsh AS ({_ann_lsh_oracle()}),
 ivf AS ({_ann_ivf_oracle()}),
+qnt AS ({_qknn_oracle("vec_id % 100 = 7", 5, 3)}),
 qs AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 100 = 7),
 lh AS (SELECT e.query_id, COUNT(*) AS c FROM ec e
        JOIN lsh a ON a.query_id = e.query_id AND a.id = e.id GROUP BY 1),
 ih AS (SELECT e.query_id, COUNT(*) AS c FROM el e
-       JOIN ivf a ON a.query_id = e.query_id AND a.id = e.id GROUP BY 1)
+       JOIN ivf a ON a.query_id = e.query_id AND a.id = e.id GROUP BY 1),
+qh AS (SELECT e.query_id, COUNT(*) AS c FROM el e
+       JOIN qnt a ON a.query_id = e.query_id AND a.id = e.id GROUP BY 1)
 SELECT q.query_id,
        CAST(COALESCE(lh.c, 0) AS INT) AS lsh_hits,
        CAST(COALESCE(ih.c, 0) AS INT) AS ivf_hits,
+       CAST(COALESCE(qh.c, 0) AS INT) AS quant_hits,
        CAST(5 AS INT) AS k
 FROM qs q
 LEFT JOIN lh ON lh.query_id = q.query_id
 LEFT JOIN ih ON ih.query_id = q.query_id
+LEFT JOIN qh ON qh.query_id = q.query_id
 """
 
 

@@ -570,7 +570,10 @@ def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QKNN_COARSE_DIST = _SQL_SQ_L2.format(q="q.qe", v="d.dq")
 _QKNN_EXACT_DIST = _SQL_SQ_L2.format(q="c.qe", v="v.embedding")
 
-_QKNN_SQL = f"""
+def _qknn_oracle(query_pred: str, k: int, rerank: int) -> str:
+    """Quantized two-phase replay, parameterized on the query set — used
+    by the knn_quantized row and the quantized leg of ann_recall."""
+    return f"""
 WITH s AS (
   SELECT vec_id, embedding,
     (SELECT MAX(ABS(CAST(u.a AS DOUBLE))) FROM (SELECT UNNEST(embedding) AS a) u)
@@ -586,7 +589,7 @@ d AS (
     END AS dq
   FROM s
 ),
-q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 40 = 7),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE {query_pred}),
 coarse AS (
   SELECT q.query_id, d.vec_id AS id, q.qe, {_QKNN_COARSE_DIST} AS cd
   FROM q CROSS JOIN d
@@ -595,7 +598,7 @@ cand AS (
   SELECT query_id, id, qe FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cd, id) AS crn
     FROM coarse)
-  WHERE crn <= 15
+  WHERE crn <= {k * rerank}
 ),
 exact AS (
   SELECT c.query_id, c.id, {_QKNN_EXACT_DIST} AS distance
@@ -604,9 +607,11 @@ exact AS (
 SELECT query_id, id, ROUND(distance, 6) AS distance, rank FROM (
   SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, id) AS INT) AS rank
   FROM exact)
-WHERE rank <= 5
+WHERE rank <= {k}
 """
 
+
+_QKNN_SQL = _qknn_oracle("vec_id % 40 = 7", 5, 3)
 
 # the int8 two-phase search is DRIVER-tier (promoted in round 2):
 # deterministic end to end, so it earns a driver correctness row
