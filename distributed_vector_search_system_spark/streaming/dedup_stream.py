@@ -52,7 +52,11 @@ def dedup_stream_exact(
     if key_cols is None:
         stream = stream.withColumn("content_key", content_key())
         key_cols = ["content_key"]
-    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(key_cols)
+    from .windows import with_event_time_watermark
+
+    return with_event_time_watermark(stream, ts_col, delay).dropDuplicatesWithinWatermark(
+        key_cols
+    )
 
 
 def dedup_stream_fingerprint(
@@ -67,5 +71,9 @@ def dedup_stream_fingerprint(
     bucket within the horizon.  ``fingerprint`` is any map-side
     expression (e.g. ``functions.text.simhash64`` truncated to bands) —
     no shuffle beyond the dedup state exchange itself."""
+    from .windows import with_event_time_watermark
+
     keyed = stream.withColumn(out_col, fingerprint)
-    return keyed.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark([out_col])
+    return with_event_time_watermark(keyed, ts_col, delay).dropDuplicatesWithinWatermark(
+        [out_col]
+    )

@@ -13,6 +13,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def with_event_time_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    """``withWatermark`` that tolerates TIMESTAMP_NTZ event time.
+
+    Spark requires the watermark column to be TIMESTAMP (an instant,
+    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise), but parquet naive
+    timestamps arrive as TIMESTAMP_NTZ under Spark 4's NTZ inference —
+    so cast first; the session timezone defines the instant, which is
+    exactly the semantics a naive event log has."""
+    if isinstance(df.schema[ts_col].dataType, T.TimestampNTZType):
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df.withWatermark(ts_col, delay)
 
 
 def tumbling_window_agg(
@@ -26,7 +40,7 @@ def tumbling_window_agg(
     same plan runs under readStream and emits finalized windows only."""
     df = events
     if watermark is not None and df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+        df = with_event_time_watermark(df, ts_col, watermark)
     return (
         df.groupBy(F.window(F.col(ts_col), window_duration), "event_type")
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
@@ -50,7 +64,7 @@ def sliding_window_agg(
 ) -> DataFrame:
     df = events
     if watermark is not None and df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+        df = with_event_time_watermark(df, ts_col, watermark)
     return (
         df.groupBy(F.window(F.col(ts_col), window_duration, slide_duration))
         .agg(F.count("*").alias("n_events"))
@@ -75,7 +89,7 @@ def session_window_agg(
     lag/cumsum SQL in registry/relational.py rel_events_sessions)."""
     df = events
     if watermark is not None and df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+        df = with_event_time_watermark(df, ts_col, watermark)
     return (
         df.groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
