@@ -1,0 +1,196 @@
+"""Merge-on-read streaming IVF maintenance (streaming/ivf_stream.py).
+
+The invariant under test: after any sequence of mutation batches,
+``IvfIndexStore.search`` over base+delta+arbiter returns exactly what a
+full exact kNN over the batch-compacted snapshot (``apply_mutations``,
+the driver-verified LWW oracle) returns *within the probed cells* — and
+``compact()`` preserves the live set bit-for-bit."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_vector_search_system_spark.operators.mutations import apply_mutations
+from distributed_vector_search_system_spark.registry.vector import (
+    _ivf_thinned_centroids,
+)
+from distributed_vector_search_system_spark.schemas import MUTATIONS_SCHEMA
+from distributed_vector_search_system_spark.streaming.ivf_stream import IvfIndexStore
+from distributed_vector_search_system_spark.tables import load_table
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _mut_rows(spark, rows):
+    return spark.createDataFrame(rows, MUTATIONS_SCHEMA)
+
+
+@pytest.fixture()
+def store(spark, sf_smoke, tmp_path):
+    cents = _ivf_thinned_centroids(spark, sf_smoke)
+    s = IvfIndexStore(str(tmp_path / "ivf"), cents)
+    s.init_base(_emb(spark, sf_smoke))
+    return s
+
+
+def _batches(spark, emb):
+    """Three mutation batches: an in-place upsert, a CELL-MOVING upsert
+    (vector replaced by a far-away embedding), deletes, and a
+    delete-then-reinsert."""
+    v7 = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    moved = [10.0 + x for x in v7]  # far from every fixture vector
+    return [
+        _mut_rows(
+            spark,
+            [
+                (1, "upsert", 3, None, v7, 1),        # in-place-ish upsert
+                (2, "delete", 11, None, None, None),  # plain delete
+            ],
+        ),
+        _mut_rows(
+            spark,
+            [
+                (3, "upsert", 7, None, moved, 2),     # moves to another cell
+                (4, "delete", 3, None, None, None),   # delete the seq-1 upsert
+            ],
+        ),
+        _mut_rows(
+            spark,
+            [
+                (5, "upsert", 11, None, v7, 3),       # reinsert a deleted id
+            ],
+        ),
+    ]
+
+
+def _oracle_state(spark, emb, batches):
+    log = batches[0]
+    for b in batches[1:]:
+        log = log.unionByName(b)
+    return apply_mutations(
+        emb.select("vec_id", "embedding", "label"), log,
+        payload_cols=("embedding", "label"),
+    )
+
+
+def _exact_within_cells(spark, state, store, queries, k):
+    """Exact kNN over the oracle state restricted to the probed cells —
+    the correctness contract of a pruned IVF probe."""
+    from distributed_vector_search_system_spark.operators.clustering import (
+        assign_clusters,
+    )
+    from distributed_vector_search_system_spark.operators.knn import knn
+    from distributed_vector_search_system_spark.sources.ivf_index import (
+        _probe_cells_expr,
+    )
+
+    probes = queries.select(
+        "query_id",
+        F.explode(_probe_cells_expr("qvec", store.centroids, 4)).alias("_probe"),
+    )
+    assigned = assign_clusters(state, store.centroids, out_col="cell_id")
+    per_q = []
+    for r in probes.groupBy("query_id").agg(
+        F.collect_set("_probe").alias("cells")
+    ).collect():
+        sub = assigned.filter(F.col("cell_id").isin([int(c) for c in r["cells"]]))
+        q1 = queries.filter(F.col("query_id") == r["query_id"])
+        per_q.append(knn(sub, q1, k))
+    out = per_q[0]
+    for df in per_q[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def test_streamed_mutations_match_batch_oracle(spark, sf_smoke, store):
+    emb = _emb(spark, sf_smoke)
+    batches = _batches(spark, emb)
+    for b in batches:
+        store.append_batch(b)
+
+    queries = emb.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = {
+        (r["query_id"], r["id"], round(r["distance"], 6))
+        for r in store.search(spark, queries, 5).collect()
+    }
+    oracle = _oracle_state(spark, emb, batches)
+    want = {
+        (r["query_id"], r["id"], round(r["distance"], 6))
+        for r in _exact_within_cells(spark, oracle, store, queries, 5).collect()
+    }
+    assert got == want
+
+
+def test_duplicate_batch_redelivery_is_idempotent(spark, sf_smoke, store):
+    emb = _emb(spark, sf_smoke)
+    batches = _batches(spark, emb)
+    for b in batches:
+        store.append_batch(b)
+    before = {
+        (r["vec_id"], tuple(r["embedding"]))
+        for r in store.live_rows(spark).collect()
+    }
+    store.append_batch(batches[1])  # crash-redelivery of a whole batch
+    after = {
+        (r["vec_id"], tuple(r["embedding"]))
+        for r in store.live_rows(spark).collect()
+    }
+    assert before == after
+
+
+def test_moved_vector_not_served_stale_from_old_cell(spark, sf_smoke, store):
+    """The stale copy of a moved vector must never surface, even when a
+    probe hits ONLY its old cell (the arbiter, not the delta, kills it)."""
+    emb = _emb(spark, sf_smoke)
+    batches = _batches(spark, emb)
+    for b in batches:
+        store.append_batch(b)
+    live7 = store.live_rows(spark).filter(F.col("vec_id") == 7).collect()
+    assert len(live7) == 1
+    assert live7[0]["embedding"][0] == pytest.approx(
+        10.0 + float(emb.filter(F.col("vec_id") == 7).first()["embedding"][0]), abs=1e-5
+    )
+
+
+def test_compact_preserves_live_set_and_truncates_logs(spark, sf_smoke, store):
+    import os
+
+    emb = _emb(spark, sf_smoke)
+    batches = _batches(spark, emb)
+    for b in batches:
+        store.append_batch(b)
+    before = {
+        (r["vec_id"], tuple(round(float(x), 5) for x in r["embedding"]), r["label"])
+        for r in store.live_rows(spark).collect()
+    }
+    store.compact(spark)
+    assert not os.path.exists(store.delta)
+    assert not os.path.exists(store.muts)
+    after = {
+        (r["vec_id"], tuple(round(float(x), 5) for x in r["embedding"]), r["label"])
+        for r in store.live_rows(spark).collect()
+    }
+    assert before == after
+
+
+def test_streaming_sink_applies_stream(spark, sf_smoke, store, tmp_path):
+    """End-to-end through writeStream/foreachBatch: same mutations, same
+    live set as direct appends."""
+    emb = _emb(spark, sf_smoke)
+    batches = _batches(spark, emb)
+    src = str(tmp_path / "mutsrc")
+    for i, b in enumerate(batches):
+        b.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(MUTATIONS_SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = store.streaming_sink(stream, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    live = store.live_rows(spark)
+    assert live.filter(F.col("vec_id") == 3).count() == 0  # deleted at seq 4
+    assert live.filter(F.col("vec_id") == 11).count() == 1  # reinserted at seq 5
