@@ -957,6 +957,131 @@ WHERE rank <= 5
 """
 
 
+# --- persisted IVF+PQ index (sources/ivfpq_index.py) -----------------------
+# The composed 100 TB serving plan: a probe reads (n_probe/num_cells) ×
+# (1/32) of the corpus bytes — partition-pruned cell directories holding
+# 8-byte PQ codes — then re-ranks exactly.  Every stage is deterministic
+# (hash-thinned centroids, hash-thinned codebooks), so the oracle
+# replays centroid choice, codebook choice, cell routing, code
+# assignment, ADC sums, and the re-rank end-to-end in SQL.
+
+#: built lazily — Column construction needs an active SparkContext
+_IVFPQ_QPRED_SPARK = lambda: F.col("vec_id") % 100 == 23  # noqa: E731
+_IVFPQ_QPRED_SQL = "vec_id % 100 = 23"
+_IVFPQ_RERANK = 10
+_IVFPQ_STATE: dict[str, str] = {}
+
+
+def ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the cell-partitioned PQ-coded index once per process;
+    returns its path (centroids/codebooks come from the memoized
+    builders shared with the plain IVF and PQ rows)."""
+    import os
+    import tempfile
+
+    from ..sources.ivfpq_index import write_ivfpq_index
+
+    path = _IVFPQ_STATE.get(sf_dir)
+    if path is None:
+        name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        path = os.path.join(
+            tempfile.gettempdir(), f"dvss_spark_ivfpq_{os.getpid()}", name
+        )
+        write_ivfpq_index(
+            _emb(spark, sf_dir),
+            path,
+            _ivf_thinned_centroids(spark, sf_dir),
+            pq_books(spark, sf_dir),
+        )
+        _IVFPQ_STATE[sf_dir] = path
+    return path
+
+
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.ivfpq_index import search_ivfpq_index
+
+    path = ivfpq_index(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    q = _query_set(emb, _IVFPQ_QPRED_SPARK())
+    return _round_result(
+        search_ivfpq_index(
+            spark,
+            path,
+            q,
+            5,
+            _ivf_thinned_centroids(spark, sf_dir),
+            pq_books(spark, sf_dir),
+            n_probe=_IVF_NPROBE,
+            rerank=_IVFPQ_RERANK,
+        )
+    )
+
+
+def _ivfpq_oracle() -> str:
+    from ..functions.hashing import portable_hash64_sql
+    from ..operators.similarity import IVF_THIN_SEED
+
+    ih = portable_hash64_sql("CAST(vec_id AS VARCHAR)", seed=IVF_THIN_SEED)
+    l2_vc = _SQL_SQ_L2.format(q="v.embedding", v="c.cvec")
+    l2_qc = _SQL_SQ_L2.format(q="q.qe", v="c.cvec")
+    d_ql = (
+        "(SELECT SUM((CAST(u.a AS DOUBLE) - CAST(u.b AS DOUBLE)) * "
+        "(CAST(u.a AS DOUBLE) - CAST(u.b AS DOUBLE))) "
+        f"FROM (SELECT UNNEST(list_slice(q.qe, cb.sub * {_PQ_DSUB} + 1, "
+        f"(cb.sub + 1) * {_PQ_DSUB})) AS a, UNNEST(cb.cvec) AS b) u)"
+    )
+    d_exact = _SQL_SQ_L2.format(q="c.qe", v="v.embedding")
+    return f"""
+WITH {_pq_oracle_ctes()},
+int_nt AS (SELECT GREATEST(COUNT(*) // {_IVF_NUM_CELLS * 4}, 1) AS step FROM embeddings),
+isel AS (
+  SELECT vec_id, embedding FROM embeddings, int_nt
+  WHERE ({ih}) % step = 0
+  ORDER BY vec_id LIMIT {_IVF_NUM_CELLS}
+),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
+         embedding AS cvec
+  FROM isel
+),
+cvd AS (SELECT v.vec_id, c.cell_id, {l2_vc} AS d
+        FROM embeddings v CROSS JOIN cents c),
+casg AS (SELECT vec_id, cell_id FROM
+         (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+          FROM cvd)
+         WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE {_IVFPQ_QPRED_SQL}),
+qcd AS (SELECT q.query_id, q.qe, c.cell_id, {l2_qc} AS d FROM q CROSS JOIN cents c),
+qp AS (SELECT query_id, qe, cell_id FROM
+       (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, cell_id) AS rn
+        FROM qcd)
+       WHERE rn <= {_IVF_NPROBE}),
+qlut AS (SELECT q.query_id, cb.sub, cb.z, {d_ql} AS d FROM q CROSS JOIN cb),
+adc AS (
+  SELECT qp.query_id, cv.vec_id AS id, SUM(l.d) AS adist
+  FROM qp
+  JOIN casg cv ON cv.cell_id = qp.cell_id
+  JOIN asg a ON a.vec_id = cv.vec_id
+  JOIN qlut l ON l.query_id = qp.query_id AND l.sub = a.sub AND l.z = a.z
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT query_id, id FROM
+    (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, id) AS crn FROM adc)
+  WHERE crn <= {5 * _IVFPQ_RERANK}
+),
+exact AS (
+  SELECT c.query_id, c.id, {d_exact} AS distance
+  FROM (SELECT cand.query_id, cand.id, q.qe FROM cand JOIN q USING (query_id)) c
+  JOIN embeddings v ON c.id = v.vec_id
+)
+SELECT query_id, id, ROUND(distance, 6) AS distance, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, id) AS INT) AS rank
+  FROM exact)
+WHERE rank <= 5
+"""
+
+
 # --- pytest-only tier (beyond the driver's 50-query correctness window;
 # verified by tests/test_oracle_parity.py with the same DuckDB harness) ----
 
@@ -966,6 +1091,7 @@ EXTRA_QUERIES = {
     "semantic_cache_reuse": q_semantic_cache_reuse,
     "embedding_pq_codes": q_embedding_pq_codes,
     "ann_pq_topk": q_ann_pq_topk,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
 }
 EXTRA_ORACLES = {
     "cache_ttl_prune": _CACHE_TTL_SQL,
@@ -973,4 +1099,5 @@ EXTRA_ORACLES = {
     "semantic_cache_reuse": _SEMCACHE_SQL,
     "embedding_pq_codes": _pq_codes_oracle(),
     "ann_pq_topk": _pq_topk_oracle(),
+    "ann_ivfpq_topk": _ivfpq_oracle(),
 }
