@@ -68,6 +68,8 @@ FAST_TIERS = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ivf_persisted_topk",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
 ]
 
 _WORKER_ENV = "SPARK_GRAFT_BENCH_WORKER"
@@ -77,7 +79,9 @@ def _measure_once(sf_dir: str) -> dict:
     """One full measurement pass in THIS process (one fresh JVM)."""
     from distributed_vector_search_system_spark import registry
     from distributed_vector_search_system_spark.registry.vector import (
+        ivfpq_index,
         persisted_ivf_index,
+        pq_tier,
         quantized_tier,
     )
     from distributed_vector_search_system_spark.session import get_spark
@@ -91,6 +95,8 @@ def _measure_once(sf_dir: str) -> dict:
     qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
     quantized_tier(spark, sf_dir)
     persisted_ivf_index(spark, sf_dir)
+    pq_tier(spark, sf_dir)
+    ivfpq_index(spark, sf_dir)
 
     cold: dict[str, float] = {}
     steady: dict[str, float] = {}

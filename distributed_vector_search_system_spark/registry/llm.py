@@ -1141,6 +1141,90 @@ GROUP BY d.source
 """
 
 
+# --- repetition quality signals + corpus-wide paragraph dedup --------------
+# Round-4 additions (functions/repetition.py, operators/paragraphs.py):
+# the Gopher-style repetition gate and the C4-style first-owner
+# paragraph dedup, both fully SQL-expressible → exact oracles.
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.repetition import (
+        dup_line_frac,
+        dup_paragraph_frac,
+        repetition_flagged,
+        top_bigram_frac,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(dup_line_frac("text"), 6).alias("dup_line_frac"),
+        F.round(dup_paragraph_frac("text"), 6).alias("dup_paragraph_frac"),
+        F.round(top_bigram_frac("text"), 6).alias("top_bigram_frac"),
+        repetition_flagged("text").alias("repetition_flagged"),
+    )
+
+
+_REPETITION_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+    list_filter(str_split(text, chr(10)), p -> trim(p) <> '') AS ln,
+    list_filter(str_split(text, chr(10) || chr(10)), p -> trim(p) <> '') AS pr,
+    list_filter(str_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, ln, pr,
+    list_transform(range(1, greatest(len(toks), 1)), i ->
+      list_extract(toks, i) || ' ' || list_extract(toks, i + 1)) AS g
+  FROM base
+),
+sc AS (
+  SELECT doc_id,
+    CASE WHEN len(ln) = 0 THEN 0.0
+         ELSE 1.0 - CAST(len(list_distinct(ln)) AS DOUBLE) / len(ln) END AS lf,
+    CASE WHEN len(pr) = 0 THEN 0.0
+         ELSE 1.0 - CAST(len(list_distinct(pr)) AS DOUBLE) / len(pr) END AS pf,
+    CASE WHEN len(g) = 0 THEN 0.0 ELSE
+      CAST(list_max(list_transform(list_distinct(g),
+           x -> len(list_filter(g, y -> y = x)))) AS DOUBLE) / len(g)
+    END AS gf
+  FROM bg
+)
+SELECT doc_id, ROUND(lf, 6) AS dup_line_frac, ROUND(pf, 6) AS dup_paragraph_frac,
+       ROUND(gf, 6) AS top_bigram_frac,
+       (lf > 0.30 OR pf > 0.30 OR gf > 0.20) AS repetition_flagged
+FROM sc
+"""
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.paragraphs import paragraph_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return paragraph_dedup(docs)
+
+
+_PARAGRAPH_DEDUP_SQL = """
+WITH px AS (
+  SELECT doc_id, unnest(ps) AS paragraph, generate_subscripts(ps, 1) AS idx
+  FROM (SELECT doc_id, str_split(text, chr(10) || chr(10)) AS ps FROM documents)
+),
+pnz AS (SELECT * FROM px WHERE trim(paragraph) <> ''),
+first AS (
+  SELECT doc_id, idx, paragraph FROM
+    (SELECT *, ROW_NUMBER() OVER (PARTITION BY paragraph ORDER BY doc_id, idx) AS rn
+     FROM pnz)
+  WHERE rn = 1
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(paragraph, chr(10) || chr(10) ORDER BY idx) AS dedup_text
+  FROM first GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(r.dedup_text, '') AS dedup_text
+FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+"""
+
+
 # the flagship curation composition is DRIVER-tier (promoted in round 2);
 # it is defined below with the other composition queries, so register it
 # here after the definitions
@@ -1160,6 +1244,8 @@ EXTRA_QUERIES: dict = {
     "multimodal_magic": q_multimodal_magic,
     "corpus_split": q_corpus_split,
     "corpus_decontaminate": q_corpus_decontaminate,
+    "text_repetition": q_text_repetition,
+    "paragraph_dedup": q_paragraph_dedup,
 }
 EXTRA_ORACLES: dict = {
     "text_tfidf_topk": _TFIDF_SQL,
@@ -1168,4 +1254,6 @@ EXTRA_ORACLES: dict = {
     "multimodal_magic": _MAGIC_SQL,
     "corpus_split": _split_oracle(),
     "corpus_decontaminate": _DECONTAM_SQL,
+    "text_repetition": _REPETITION_SQL,
+    "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
 }
