@@ -78,6 +78,10 @@ class VectorEngine:
         self._pcache = persistent_cache
         self._shard_col = shard_col
         self.version = 0
+        # PQ codebooks are data-derived → memoized per snapshot version
+        # (a mutation bumps the version, invalidating them like the cache)
+        self._pq_books: list | None = None
+        self._pq_books_version = -1
 
     # -- reads -------------------------------------------------------------
 
@@ -89,22 +93,43 @@ class VectorEngine:
         return self._snapshot
 
     def search(
-        self, queries: DataFrame, k: int, *, consistency: str = EVENTUAL, method: str = "expr"
+        self,
+        queries: DataFrame,
+        k: int,
+        *,
+        consistency: str = EVENTUAL,
+        method: str = "expr",
+        pq_m: int = 8,
+        pq_ksub: int = 16,
     ) -> DataFrame:
         """Search == BatchSearch: N query rows, one plan (SURVEY §3.2).
 
         ``method``: "expr" (codegen expressions), "numpy" (Arrow GEMM),
-        or "quantized" (int8 coarse scan + exact re-rank — the 100 TB
-        IO-bound tier, operators/quantize.py)."""
+        "quantized" (int8 coarse scan + exact re-rank — the 100 TB
+        IO-bound tier, operators/quantize.py), or "pq" (product-
+        quantized ADC coarse scan + exact re-rank, operators/pq.py;
+        needs ``dim``).  Approximate tiers return EXACT distances —
+        approximation only selects which candidates reach the re-rank."""
         snap = self._read_snapshot(consistency)
+        if method in ("quantized", "pq") and self._shard_col is not None:
+            raise ValueError(
+                f"{method} search does not carry shard columns; use method='expr'"
+            )
         if method == "quantized":
-            if self._shard_col is not None:
-                raise ValueError(
-                    "quantized search does not carry shard columns; use method='expr'"
-                )
             from .operators.quantize import quantized_knn
 
             return quantized_knn(snap, queries, k)
+        if method == "pq":
+            if self._dim is None:
+                raise ValueError("method='pq' requires the engine's dim")
+            from .operators.pq import pq_adc_topk, pq_sample_codebooks
+
+            if self._pq_books is None or self._pq_books_version != self.version:
+                self._pq_books = pq_sample_codebooks(
+                    snap, dim=self._dim, m=pq_m, ksub=pq_ksub
+                )
+                self._pq_books_version = self.version
+            return pq_adc_topk(snap, queries, k, self._pq_books)
         return knn(snap, queries, k, shard_col=self._shard_col, method=method)
 
     def search_one(

@@ -321,3 +321,40 @@ def test_checkpoint_preserves_shard_value_verbatim(spark, tmp_path):
     after = sorted((r["vec_id"], r["shard_id"]) for r in e._snapshot.collect())
     assert after == before  # '01' stays '01'; '01' and '1' never merge
     assert dict(e._snapshot.dtypes)["shard_id"] == "string"
+
+
+def test_pq_search_tier_exact_distances_and_invalidation(spark):
+    """method='pq': ADC coarse + exact re-rank through the engine facade;
+    codebooks are data-derived and must refresh after a mutation."""
+    from pyspark.sql import functions as F
+
+    e = _engine(spark)
+    q = _q(spark, 0, [0.0, 0.0], 3)
+    exact = {(r["id"], round(r["distance"], 9)) for r in e.search(q, 3).collect()}
+    got = {
+        (r["id"], round(r["distance"], 9))
+        for r in e.search(q, 3, method="pq", pq_m=2, pq_ksub=4).collect()
+    }
+    # vectors lie on a line: the coarse cut keeps the true neighborhood,
+    # and returned distances are exact by construction
+    assert got == exact
+    books_before = e._pq_books
+    assert books_before is not None
+    e.upsert(99, [50.0, 0.0])
+    e.compact()
+    e.search(q, 3, method="pq", pq_m=2, pq_ksub=4).collect()
+    assert e._pq_books is not books_before  # version bump re-derived them
+
+
+def test_pq_search_requires_dim_and_no_shard_col(spark):
+    import pytest as _pytest
+
+    vectors = spark.createDataFrame(
+        [(i, [float(i), 0.0], i % 3) for i in range(6)], schema=VECTORS_SCHEMA
+    )
+    e = VectorEngine(spark, vectors)  # no dim
+    with _pytest.raises(ValueError, match="dim"):
+        e.search(_q(spark, 0, [0.0, 0.0], 2), 2, method="pq")
+    e2 = VectorEngine(spark, vectors, dim=2, shard_col="shard_id")
+    with _pytest.raises(ValueError, match="shard"):
+        e2.search(_q(spark, 0, [0.0, 0.0], 2), 2, method="pq")
