@@ -461,8 +461,14 @@ SELECT query_id, id, ROUND(distance, 6) AS distance, rank FROM ranked WHERE rank
 # pipelines and counts the same intersections.
 
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query top-k hit counts of EVERY approximate tier against the
+    exact top-k — one tracked row showing the recall/cost knob of the
+    whole serving ladder (LSH, IVF, int8, PQ, IVF+PQ)."""
     from ..operators.knn import knn
+    from ..operators.pq import pq_adc_topk
     from ..operators.quantize import quantized_knn
+    from ..sources.ivfpq_index import search_ivfpq_index
+    from .vector import _ivf_thinned_centroids, ivfpq_index, pq_books, pq_tier
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") % 100 == 7).select(
@@ -473,6 +479,19 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = ann_lsh_topk(emb, q, 5, dim=64).select("query_id", "id")
     ivf = ann_ivf_topk(emb, q, 5).select("query_id", "id")
     quant = quantized_knn(emb, q, 5, rerank=3).select("query_id", "id")
+    pq = pq_adc_topk(
+        pq_tier(spark, sf_dir), q, 5, pq_books(spark, sf_dir), rerank=10
+    ).select("query_id", "id")
+    ivfpq = search_ivfpq_index(
+        spark,
+        ivfpq_index(spark, sf_dir),
+        q,
+        5,
+        _ivf_thinned_centroids(spark, sf_dir),
+        pq_books(spark, sf_dir),
+        n_probe=4,
+        rerank=10,
+    ).select("query_id", "id")
 
     def hits(exact: DataFrame, approx: DataFrame, name: str) -> DataFrame:
         return (
@@ -481,18 +500,22 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias(name))
         )
 
-    return (
-        q.select("query_id")
-        .join(hits(exact_cos, lsh, "lsh_hits"), "query_id", "left")
-        .join(hits(exact_l2, ivf, "ivf_hits"), "query_id", "left")
-        .join(hits(exact_l2, quant, "quant_hits"), "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce("lsh_hits", F.lit(0)).cast("int").alias("lsh_hits"),
-            F.coalesce("ivf_hits", F.lit(0)).cast("int").alias("ivf_hits"),
-            F.coalesce("quant_hits", F.lit(0)).cast("int").alias("quant_hits"),
-            F.lit(5).cast("int").alias("k"),
-        )
+    out = q.select("query_id")
+    for approx, exact, name in (
+        (lsh, exact_cos, "lsh_hits"),
+        (ivf, exact_l2, "ivf_hits"),
+        (quant, exact_l2, "quant_hits"),
+        (pq, exact_l2, "pq_hits"),
+        (ivfpq, exact_l2, "ivfpq_hits"),
+    ):
+        out = out.join(hits(exact, approx, name), "query_id", "left")
+    return out.select(
+        "query_id",
+        *[
+            F.coalesce(n, F.lit(0)).cast("int").alias(n)
+            for n in ("lsh_hits", "ivf_hits", "quant_hits", "pq_hits", "ivfpq_hits")
+        ],
+        F.lit(5).cast("int").alias("k"),
     )
 
 
@@ -512,7 +535,7 @@ ranked AS (
 )
 SELECT query_id, id FROM ranked WHERE rank <= 5
 """
-    from .vector import _qknn_oracle
+    from .vector import _ivfpq_oracle, _pq_topk_oracle, _qknn_oracle
 
     return f"""
 WITH ec AS ({exact_cos}),
@@ -520,22 +543,32 @@ el AS ({exact_l2}),
 lsh AS ({_ann_lsh_oracle()}),
 ivf AS ({_ann_ivf_oracle()}),
 qnt AS ({_qknn_oracle("vec_id % 100 = 7", 5, 3)}),
+pqt AS ({_pq_topk_oracle()}),
+ivq AS ({_ivfpq_oracle("vec_id % 100 = 7")}),
 qs AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 100 = 7),
 lh AS (SELECT e.query_id, COUNT(*) AS c FROM ec e
        JOIN lsh a ON a.query_id = e.query_id AND a.id = e.id GROUP BY 1),
 ih AS (SELECT e.query_id, COUNT(*) AS c FROM el e
        JOIN ivf a ON a.query_id = e.query_id AND a.id = e.id GROUP BY 1),
 qh AS (SELECT e.query_id, COUNT(*) AS c FROM el e
-       JOIN qnt a ON a.query_id = e.query_id AND a.id = e.id GROUP BY 1)
+       JOIN qnt a ON a.query_id = e.query_id AND a.id = e.id GROUP BY 1),
+ph AS (SELECT e.query_id, COUNT(*) AS c FROM el e
+       JOIN pqt a ON a.query_id = e.query_id AND a.id = e.id GROUP BY 1),
+vh AS (SELECT e.query_id, COUNT(*) AS c FROM el e
+       JOIN ivq a ON a.query_id = e.query_id AND a.id = e.id GROUP BY 1)
 SELECT q.query_id,
        CAST(COALESCE(lh.c, 0) AS INT) AS lsh_hits,
        CAST(COALESCE(ih.c, 0) AS INT) AS ivf_hits,
        CAST(COALESCE(qh.c, 0) AS INT) AS quant_hits,
+       CAST(COALESCE(ph.c, 0) AS INT) AS pq_hits,
+       CAST(COALESCE(vh.c, 0) AS INT) AS ivfpq_hits,
        CAST(5 AS INT) AS k
 FROM qs q
 LEFT JOIN lh ON lh.query_id = q.query_id
 LEFT JOIN ih ON ih.query_id = q.query_id
 LEFT JOIN qh ON qh.query_id = q.query_id
+LEFT JOIN ph ON ph.query_id = q.query_id
+LEFT JOIN vh ON vh.query_id = q.query_id
 """
 
 

@@ -1017,7 +1017,7 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_oracle() -> str:
+def _ivfpq_oracle(qpred: str = _IVFPQ_QPRED_SQL) -> str:
     from ..functions.hashing import portable_hash64_sql
     from ..operators.similarity import IVF_THIN_SEED
 
@@ -1050,7 +1050,7 @@ casg AS (SELECT vec_id, cell_id FROM
          (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
           FROM cvd)
          WHERE rn = 1),
-q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE {_IVFPQ_QPRED_SQL}),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE {qpred}),
 qcd AS (SELECT q.query_id, q.qe, c.cell_id, {l2_qc} AS d FROM q CROSS JOIN cents c),
 qp AS (SELECT query_id, qe, cell_id FROM
        (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, cell_id) AS rn
