@@ -70,6 +70,7 @@ FAST_TIERS = [
     "ivf_persisted_topk",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "mutations_compact_bucketed",
 ]
 
 _WORKER_ENV = "SPARK_GRAFT_BENCH_WORKER"
@@ -79,6 +80,7 @@ def _measure_once(sf_dir: str) -> dict:
     """One full measurement pass in THIS process (one fresh JVM)."""
     from distributed_vector_search_system_spark import registry
     from distributed_vector_search_system_spark.registry.vector import (
+        bucketed_mutation_tables,
         ivfpq_index,
         persisted_ivf_index,
         pq_tier,
@@ -97,6 +99,7 @@ def _measure_once(sf_dir: str) -> dict:
     persisted_ivf_index(spark, sf_dir)
     pq_tier(spark, sf_dir)
     ivfpq_index(spark, sf_dir)
+    bucketed_mutation_tables(spark, sf_dir)
 
     cold: dict[str, float] = {}
     steady: dict[str, float] = {}

@@ -8,6 +8,8 @@ squared-L2 distances).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -957,6 +959,50 @@ WHERE rank <= 5
 """
 
 
+# --- bucketed zero-exchange compaction (sources/bucketed.py) ----------------
+# The mutation path's 100 TB mechanism as a QUERY row: base + derived
+# log persisted as co-bucketed (CLUSTERED BY vec_id) tables, so the LWW
+# compaction plan needs no Exchange — only the layout changes, never
+# the values, hence the row SHARES mutations_compact's oracle verbatim.
+
+_BUCKETED_STATE: dict[str, tuple[str, str]] = {}
+
+
+def bucketed_mutation_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write the fixture base and its derived mutation log as co-bucketed
+    tables once per process (the one-time layout cost a 100 TB table
+    pays at ingest, not per compaction)."""
+    import re
+
+    from ..sources.bucketed import write_bucketed
+
+    state = _BUCKETED_STATE.get(sf_dir)
+    if state is None:
+        # pid-suffixed names: a fresh process has a fresh in-memory
+        # catalog, and an older process's warehouse dirs would otherwise
+        # collide (LOCATION_ALREADY_EXISTS) with a catalog-unknown table
+        tag = re.sub(r"[^A-Za-z0-9]", "_", os.path.basename(os.path.normpath(sf_dir)))
+        base_t = f"dvss_bkt_base_{tag}_{os.getpid()}"
+        log_t = f"dvss_bkt_log_{tag}_{os.getpid()}"
+        emb = _emb(spark, sf_dir)
+        write_bucketed(emb, base_t, buckets=32)
+        write_bucketed(_mutation_log(emb), log_t, buckets=32)
+        state = (base_t, log_t)
+        _BUCKETED_STATE[sf_dir] = state
+    return state
+
+
+def q_mutations_compact_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mutations_compact over the co-bucketed layout: identical rows
+    (plan-asserted Exchange-free in tests/test_bucketed.py)."""
+    from ..sources.bucketed import compact_bucketed
+
+    base_t, log_t = bucketed_mutation_tables(spark, sf_dir)
+    return compact_bucketed(spark, base_t, log_t).select(
+        "vec_id", "label", F.size("embedding").alias("dim")
+    )
+
+
 # --- persisted IVF+PQ index (sources/ivfpq_index.py) -----------------------
 # The composed 100 TB serving plan: a probe reads (n_probe/num_cells) ×
 # (1/32) of the corpus bytes — partition-pruned cell directories holding
@@ -1092,6 +1138,7 @@ EXTRA_QUERIES = {
     "embedding_pq_codes": q_embedding_pq_codes,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "mutations_compact_bucketed": q_mutations_compact_bucketed,
 }
 EXTRA_ORACLES = {
     "cache_ttl_prune": _CACHE_TTL_SQL,
@@ -1100,4 +1147,6 @@ EXTRA_ORACLES = {
     "embedding_pq_codes": _pq_codes_oracle(),
     "ann_pq_topk": _pq_topk_oracle(),
     "ann_ivfpq_topk": _ivfpq_oracle(),
+    # bucketing is layout, not semantics: same oracle as the driver row
+    "mutations_compact_bucketed": ORACLES["mutations_compact"],
 }

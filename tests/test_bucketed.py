@@ -79,3 +79,28 @@ def test_bucketed_compaction_matches_unbucketed(spark, bucketed_tables):
     }
     assert got == want
     assert got[3][0] == 1000 and 7 not in got and got[100001][0] == 7
+
+
+def test_registry_bucketed_compaction_row_never_shuffles(spark, sf_smoke):
+    """The registered mutations_compact_bucketed query — not just the raw
+    mechanism — must never hash-repartition the base: no shuffle
+    Exchange under default conf (a BroadcastExchange of the tiny log is
+    the right small-input plan), and zero Exchanges of ANY kind in the
+    100 TB shape where the log side can't broadcast."""
+    from distributed_vector_search_system_spark import registry
+
+    q = registry.extra_queries()["mutations_compact_bucketed"]
+    plan = (
+        q(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange hashpartitioning" not in plan, plan
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = q(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange ") == 0, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
