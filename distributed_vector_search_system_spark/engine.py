@@ -78,10 +78,12 @@ class VectorEngine:
         self._pcache = persistent_cache
         self._shard_col = shard_col
         self.version = 0
-        # PQ codebooks are data-derived → memoized per snapshot version
-        # (a mutation bumps the version, invalidating them like the cache)
+        # PQ codebooks are data-derived → memoized per (snapshot version,
+        # geometry); a mutation bumps the version, invalidating them like
+        # the cache, and different pq_m/pq_ksub must never reuse books
+        # trained with another geometry
         self._pq_books: list | None = None
-        self._pq_books_version = -1
+        self._pq_books_key: tuple[int, int, int] | None = None
 
     # -- reads -------------------------------------------------------------
 
@@ -124,11 +126,12 @@ class VectorEngine:
                 raise ValueError("method='pq' requires the engine's dim")
             from .operators.pq import pq_adc_topk, pq_sample_codebooks
 
-            if self._pq_books is None or self._pq_books_version != self.version:
+            key = (self.version, pq_m, pq_ksub)
+            if self._pq_books is None or self._pq_books_key != key:
                 self._pq_books = pq_sample_codebooks(
                     snap, dim=self._dim, m=pq_m, ksub=pq_ksub
                 )
-                self._pq_books_version = self.version
+                self._pq_books_key = key
             return pq_adc_topk(snap, queries, k, self._pq_books)
         return knn(snap, queries, k, shard_col=self._shard_col, method=method)
 

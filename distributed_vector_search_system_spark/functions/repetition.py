@@ -29,6 +29,13 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+#: default gate thresholds (shared with the registry row's second
+#: projection, which derives the flag from ALREADY-COMPUTED signal
+#: columns instead of re-expanding the expressions)
+MAX_DUP_LINE_FRAC = 0.30
+MAX_DUP_PARAGRAPH_FRAC = 0.30
+MAX_TOP_BIGRAM_FRAC = 0.20
+
 
 def _nonempty(parts: Column) -> Column:
     return F.filter(parts, lambda p: F.trim(p) != "")
@@ -79,10 +86,15 @@ def top_bigram_frac(text_col) -> Column:
 def repetition_flagged(
     text_col,
     *,
-    max_dup_line_frac: float = 0.30,
-    max_dup_paragraph_frac: float = 0.30,
-    max_top_bigram_frac: float = 0.20,
+    max_dup_line_frac: float = MAX_DUP_LINE_FRAC,
+    max_dup_paragraph_frac: float = MAX_DUP_PARAGRAPH_FRAC,
+    max_top_bigram_frac: float = MAX_TOP_BIGRAM_FRAC,
 ) -> Column:
+    """Composite gate.  NOTE: this re-expands all three signal
+    expressions (HOFs are CodegenFallback — no subexpression
+    elimination); when also selecting the individual signals, project
+    them first and derive the flag from the materialized columns
+    (see registry/llm.q_text_repetition)."""
     return (
         (dup_line_frac(text_col) > max_dup_line_frac)
         | (dup_paragraph_frac(text_col) > max_dup_paragraph_frac)

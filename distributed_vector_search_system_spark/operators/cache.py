@@ -176,10 +176,28 @@ class PersistentResultCache:
         # surface as a Py4J FileNotFound mid-collect; a transiently
         # unreadable epoch must degrade to "no epoch known", not crash
         # the probe.  The writer re-lands the file immediately after.
+        # A PERSISTENT failure, though, silently disables cross-session
+        # invalidation — so non-absence errors warn once until a read
+        # succeeds again.
+        from pyspark.errors import AnalysisException
+
         try:
             rows = self._spark.read.parquet(self._epoch_path).collect()
-        except Exception:
+        except AnalysisException:  # epoch never written
             return None
+        except Exception as e:
+            if not getattr(self, "_epoch_warned", False):
+                import warnings
+
+                warnings.warn(
+                    f"persistent cache epoch unreadable ({e!r}); serving "
+                    "without cross-session invalidation until it reads again",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                self._epoch_warned = True
+            return None
+        self._epoch_warned = False
         return max((r["epoch"] for r in rows), default=None)
 
     def _refresh_epoch(self) -> None:
@@ -361,8 +379,14 @@ def semantic_probe(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("_cid").asc())
     best = scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
-    hit = F.col("cosine") >= float(threshold)
-    return best.select(
+    # left join from the query set: an EMPTY cache (cold start) must
+    # yield a miss row per query — NULL cosine, hit=false — not zero
+    # rows, or the caller would fall through for no query at all
+    out = queries.select(F.col(query_id_col).alias("query_id")).join(
+        best.drop("_rn"), on="query_id", how="left"
+    )
+    hit = F.col("cosine").isNotNull() & (F.col("cosine") >= float(threshold))
+    return out.select(
         "query_id",
         F.when(hit, F.col("_cid")).alias("served_by"),
         "cosine",

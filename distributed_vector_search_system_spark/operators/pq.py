@@ -83,28 +83,20 @@ def pq_sample_codebooks(
     """Deterministic codebooks: the first ``ksub`` portable-hash-thinned
     rows (by id order), sliced into ``m`` subvectors — the zero-iteration
     special case of PQ training, chosen so a SQL oracle can replay
-    codebook selection bit-for-bit (same scheme as ``ann_ivf_topk``'s
-    centroid thinning).  Selection is ``orderBy.limit`` =
-    TakeOrderedAndProject, a distributed partial top-k."""
+    codebook selection bit-for-bit (same sampler as ``ann_ivf_topk``'s
+    centroid thinning — ``sampling.thinned_head_rows``, whose edge
+    semantics the replay oracles depend on: fewer than ``ksub``
+    survivors yields smaller codebooks on BOTH engines identically)."""
+    from .sampling import thinned_head_rows
+
     dsub = _check_geometry(dim, m, ksub)
-    total = vectors.count()
-    step = max(total // (ksub * 4), 1)
-    rows = (
-        vectors.filter(
-            F.pmod(
-                portable_hash64(F.col(id_col).cast("string"), seed=PQ_THIN_SEED),
-                F.lit(step),
-            )
-            == 0
-        )
-        .orderBy(F.col(id_col))
-        .limit(ksub)
-        .select(vector_col)
-        .collect()
+    rows = thinned_head_rows(
+        vectors.select(F.col(id_col).alias("_id"), F.col(vector_col).alias("_v")),
+        ksub,
+        seed=PQ_THIN_SEED,
+        id_col="_id",
     )
-    if len(rows) < ksub:
-        rows = vectors.orderBy(F.col(id_col)).limit(ksub).select(vector_col).collect()
-    full = [[float(x) for x in r[0]] for r in rows]
+    full = [[float(x) for x in r["_v"]] for r in rows]
     return [
         [vec[j * dsub : (j + 1) * dsub] for vec in full] for j in range(m)
     ]

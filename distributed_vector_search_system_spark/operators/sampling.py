@@ -106,3 +106,45 @@ def decontaminate(
         .distinct()
     )
     return train.join(tainted, on=id_col, how="left_anti")
+
+
+def thinned_head_rows(
+    df: DataFrame,
+    n: int,
+    *,
+    seed: str,
+    id_col: str = "vec_id",
+) -> list:
+    """Deterministic, SQL-replayable small sample: thin rows by
+    ``portable_hash64(id) % step == 0`` (``step = max(total // (n*4),
+    1)``) and take the first ``n`` survivors by id order —
+    TakeOrderedAndProject, a distributed partial top-k, never a global
+    sort.  This is THE sampler behind IVF centroid selection and PQ
+    codebook selection; the oracles replay it verbatim (same hash, same
+    step, same LIMIT), so its edge semantics must stay uniform:
+
+    - fewer than ``n`` survivors is fine — the caller (and the SQL
+      replay) just get fewer rows;
+    - the first-rows-by-id fallback triggers ONLY when ZERO rows
+      survive (degenerate tiny inputs; the oracles do not replay this
+      branch — fixture corpora can never reach it);
+    - an empty ``df`` raises instead of returning a malformed empty
+      sample (an empty centroid/codebook list would otherwise build a
+      broken argmin expression downstream).
+    """
+    total = df.count()
+    if total == 0:
+        raise ValueError("thinned_head_rows: input has no rows")
+    step = max(total // (n * 4), 1)
+    rows = (
+        df.filter(
+            F.pmod(portable_hash64(F.col(id_col).cast("string"), seed=seed), F.lit(step))
+            == 0
+        )
+        .orderBy(F.col(id_col))
+        .limit(n)
+        .collect()
+    )
+    if not rows:
+        rows = df.orderBy(F.col(id_col)).limit(n).collect()
+    return rows

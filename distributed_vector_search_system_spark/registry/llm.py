@@ -1181,19 +1181,34 @@ GROUP BY d.source
 
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.repetition import (
+        MAX_DUP_LINE_FRAC,
+        MAX_DUP_PARAGRAPH_FRAC,
+        MAX_TOP_BIGRAM_FRAC,
         dup_line_frac,
         dup_paragraph_frac,
-        repetition_flagged,
         top_bigram_frac,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    # two-step projection: each HOF signal (CodegenFallback, no
+    # subexpression elimination) evaluates ONCE; the flag and the
+    # rounded outputs derive from the materialized columns
+    raw = docs.select(
         "doc_id",
-        F.round(dup_line_frac("text"), 6).alias("dup_line_frac"),
-        F.round(dup_paragraph_frac("text"), 6).alias("dup_paragraph_frac"),
-        F.round(top_bigram_frac("text"), 6).alias("top_bigram_frac"),
-        repetition_flagged("text").alias("repetition_flagged"),
+        dup_line_frac("text").alias("_lf"),
+        dup_paragraph_frac("text").alias("_pf"),
+        top_bigram_frac("text").alias("_gf"),
+    )
+    return raw.select(
+        "doc_id",
+        F.round("_lf", 6).alias("dup_line_frac"),
+        F.round("_pf", 6).alias("dup_paragraph_frac"),
+        F.round("_gf", 6).alias("top_bigram_frac"),
+        (
+            (F.col("_lf") > MAX_DUP_LINE_FRAC)
+            | (F.col("_pf") > MAX_DUP_PARAGRAPH_FRAC)
+            | (F.col("_gf") > MAX_TOP_BIGRAM_FRAC)
+        ).alias("repetition_flagged"),
     )
 
 

@@ -639,24 +639,16 @@ _IVF_INDEX_STATE: dict[str, tuple[str, list[list[float]]]] = {}
 def _ivf_thinned_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     """The ann_ivf_topk default centroid sample (similarity.py): thin to
     ~4× num_cells candidates by portable hash, take the first num_cells
-    by id — deterministic and SQL-replayable."""
-    from ..functions.hashing import portable_hash64
+    by id — deterministic and SQL-replayable (shared sampler:
+    operators/sampling.thinned_head_rows)."""
+    from ..operators.sampling import thinned_head_rows
     from ..operators.similarity import IVF_THIN_SEED
 
-    emb = _emb(spark, sf_dir)
-    step = max(emb.count() // (_IVF_NUM_CELLS * 4), 1)
-    rows = (
-        emb.filter(
-            F.pmod(
-                portable_hash64(F.col("vec_id").cast("string"), seed=IVF_THIN_SEED),
-                F.lit(step),
-            )
-            == 0
-        )
-        .orderBy("vec_id")
-        .limit(_IVF_NUM_CELLS)
-        .select("embedding")
-        .collect()
+    rows = thinned_head_rows(
+        _emb(spark, sf_dir).select("vec_id", "embedding"),
+        _IVF_NUM_CELLS,
+        seed=IVF_THIN_SEED,
+        id_col="vec_id",
     )
     return [[float(x) for x in r["embedding"]] for r in rows]
 

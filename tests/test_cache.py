@@ -206,3 +206,21 @@ def test_semantic_probe_hit_and_miss(spark):
     assert got[2] == (None, False, 0.0)     # orthogonal to everything
     # q3 vs cached 12: cos = 0.9/sqrt(0.82) ~= 0.993884 -> hit
     assert got[3][0] == 12 and got[3][1] is True
+
+
+def test_semantic_probe_empty_cache_yields_miss_rows(spark):
+    """Cold start (zero cached entries) must return one miss row per
+    query — NULL served_by, hit=false — not zero rows (review finding)."""
+    from pyspark.sql import functions as F
+
+    from distributed_vector_search_system_spark.operators.cache import semantic_probe
+
+    cached = spark.createDataFrame(
+        [], "cached_id long, cvec array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "query_id long, qvec array<double>"
+    )
+    rows = semantic_probe(cached, queries, threshold=0.8).collect()
+    assert {r["query_id"] for r in rows} == {1, 2}
+    assert all(r["served_by"] is None and not r["hit"] for r in rows)

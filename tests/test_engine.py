@@ -358,3 +358,18 @@ def test_pq_search_requires_dim_and_no_shard_col(spark):
     e2 = VectorEngine(spark, vectors, dim=2, shard_col="shard_id")
     with _pytest.raises(ValueError, match="shard"):
         e2.search(_q(spark, 0, [0.0, 0.0], 2), 2, method="pq")
+
+
+def test_pq_books_rederived_when_geometry_changes(spark):
+    """Different pq_m/pq_ksub must never reuse books built for another
+    geometry (review finding: memo was keyed by snapshot version only)."""
+    e = _engine(spark)
+    q = _q(spark, 0, [0.0, 0.0], 3)
+    e.search(q, 3, method="pq", pq_m=2, pq_ksub=4).collect()
+    books_a = e._pq_books
+    e.search(q, 3, method="pq", pq_m=1, pq_ksub=3).collect()
+    books_b = e._pq_books
+    assert len(books_a) == 2 and len(books_b) == 1  # geometry actually honored
+    # and switching back re-derives for the original geometry again
+    e.search(q, 3, method="pq", pq_m=2, pq_ksub=4).collect()
+    assert len(e._pq_books) == 2
