@@ -1,0 +1,57 @@
+"""Token-window document chunking — the embedding/training prep step.
+
+Long documents feed both embedding models and LM training as bounded
+token windows with overlap (context carry-over at chunk boundaries).
+This is a pure map-side explode — no shuffle, no Python — and fully
+SQL-expressible, so the registry row carries an exact DuckDB oracle.
+
+Semantics (deterministic, replayed verbatim by the oracle):
+
+- tokens = whitespace-split, empties dropped (same tokenizer as the
+  text-analysis ops);
+- chunk starts at 1-based token offsets ``1, 1+stride, 1+2·stride, …``
+  while ``start ≤ n_tokens`` (``stride = chunk_tokens − overlap``);
+  the final chunk may be shorter than ``chunk_tokens``;
+- a zero-token document emits no chunks;
+- ``chunk_text`` re-joins the window with single spaces (whitespace is
+  normalized — chunking happens after text normalization in a real
+  pipeline anyway).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, chunk_id, n_tokens, chunk_text) rows, ``chunk_id`` 0-based
+    in offset order."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    with_toks = docs.select(F.col(id_col), toks.alias("_toks"), n.alias("_n")).filter(
+        F.col("_n") > 0
+    )
+    starts = F.sequence(F.lit(1), F.col("_n"), F.lit(stride))
+    exploded = with_toks.select(
+        id_col, "_toks", F.explode(starts).alias("_start")
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_start"), chunk_tokens)
+    return exploded.select(
+        id_col,
+        ((F.col("_start") - 1) / stride).cast("int").alias("chunk_id"),
+        F.size(chunk).alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -148,3 +148,35 @@ def thinned_head_rows(
     if not rows:
         rows = df.orderBy(F.col(id_col)).limit(n).collect()
     return rows
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    *,
+    key_col: str = "doc_id",
+    seed: str = "strat",
+) -> DataFrame:
+    """Deterministic per-stratum hash sampling — corpus rebalancing
+    (e.g. language proportions) as a map-only filter.
+
+    Each stratum keeps its own fraction of hash buckets (same scheme as
+    :func:`hash_sample`, so samples are reproducible on any partitioning
+    and disjoint seeds are independent).  Strata absent from
+    ``fractions`` are DROPPED — the dict is the complete recipe of what
+    the output corpus contains."""
+    for s, r in fractions.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"fraction for {s!r} must be in [0, 1], got {r}")
+    # integer bucket thresholds (same floor as hash_sample) so a SQL
+    # oracle can embed the identical literals
+    thresh = F.create_map(
+        *[
+            x
+            for k, v in fractions.items()
+            for x in (F.lit(k), F.lit(int(v * BUCKETS)))
+        ]
+    )[F.col(strata_col)]
+    key = F.col(key_col).cast("string")
+    return df.filter(thresh.isNotNull() & (_bucket(key, seed) < thresh))

@@ -1273,6 +1273,62 @@ FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
 """
 
 
+# --- token-window chunking + stratified corpus rebalancing -----------------
+
+_CHUNK_W, _CHUNK_OVERLAP = 32, 8
+_CHUNK_STRIDE = _CHUNK_W - _CHUNK_OVERLAP
+
+
+def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, chunk_tokens=_CHUNK_W, overlap=_CHUNK_OVERLAP
+    )
+
+
+_CHUNK_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(str_split_regex(text, '\s+'), t -> t <> '') AS w
+  FROM documents
+),
+nz AS (SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) > 0),
+st AS (SELECT doc_id, w, n, unnest(range(1, n + 1, {_CHUNK_STRIDE})) AS s FROM nz)
+SELECT doc_id,
+       CAST((s - 1) // {_CHUNK_STRIDE} AS INT) AS chunk_id,
+       CAST(len(list_slice(w, s, least(s + {_CHUNK_W - 1}, n))) AS INT) AS n_tokens,
+       array_to_string(list_slice(w, s, least(s + {_CHUNK_W - 1}, n)), ' ') AS chunk_text
+FROM st
+"""
+
+#: language rebalancing recipe — zh deliberately absent (dropped), the
+#: others at staggered rates, exercising both semantics of the operator
+_STRAT_FRACTIONS = {"en": 0.25, "de": 0.5, "fr": 0.75, "es": 1.0}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", _STRAT_FRACTIONS).select("doc_id", "lang")
+
+
+def _stratified_oracle() -> str:
+    from ..functions.hashing import portable_hash64_sql
+    from ..operators.sampling import BUCKETS
+
+    h = portable_hash64_sql("CAST(doc_id AS VARCHAR)", seed="strat")
+    arms = " ".join(
+        f"WHEN '{k}' THEN ({h}) % {BUCKETS} < {int(v * BUCKETS)}"
+        for k, v in _STRAT_FRACTIONS.items()
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE CASE lang {arms} ELSE FALSE END
+"""
+
+
 # the flagship curation composition is DRIVER-tier (promoted in round 2);
 # it is defined below with the other composition queries, so register it
 # here after the definitions
@@ -1294,6 +1350,8 @@ EXTRA_QUERIES: dict = {
     "corpus_decontaminate": q_corpus_decontaminate,
     "text_repetition": q_text_repetition,
     "paragraph_dedup": q_paragraph_dedup,
+    "text_chunking": q_text_chunking,
+    "stratified_sample": q_stratified_sample,
 }
 EXTRA_ORACLES: dict = {
     "text_tfidf_topk": _TFIDF_SQL,
@@ -1304,4 +1362,6 @@ EXTRA_ORACLES: dict = {
     "corpus_decontaminate": _DECONTAM_SQL,
     "text_repetition": _REPETITION_SQL,
     "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
+    "text_chunking": _CHUNK_SQL,
+    "stratified_sample": _stratified_oracle(),
 }
