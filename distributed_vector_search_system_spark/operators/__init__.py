@@ -1,2 +1,6 @@
 from .knn import knn, merge_topk, shard_cardinality, warm  # noqa: F401
 from .mutations import MutationLog, apply_mutations  # noqa: F401
+from .chunking import chunk_documents  # noqa: F401
+from .paragraphs import paragraph_dedup  # noqa: F401
+from .pq import pq_adc_topk, pq_encode, pq_fit, pq_sample_codebooks  # noqa: F401
+from .sampling import hash_sample, hash_split, stratified_sample  # noqa: F401
