@@ -61,8 +61,9 @@ def dup_paragraph_frac(text_col) -> Column:
 
 def word_bigrams(text_col) -> Column:
     """Lowercased whitespace-token bigrams as 'a b' strings."""
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+    from .text import ws_tokens
+
+    toks = ws_tokens(text_col, lowercase=True)
     n = F.size(toks)
     return F.when(n < 2, F.array().cast("array<string>")).otherwise(
         F.transform(

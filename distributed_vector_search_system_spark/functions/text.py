@@ -39,6 +39,20 @@ def tokens(text) -> Column:
     return F.filter(F.split(F.lower(t), TOKEN_RE), lambda x: x != "")
 
 
+def ws_tokens(text, *, lowercase: bool = False) -> Column:
+    """Case-preserving whitespace tokens (empties dropped) — the
+    segmentation used where the ORIGINAL text must be reconstructable
+    (chunking) or where case/punctuation carry signal (repetition
+    bigrams, with ``lowercase=True``).  Distinct from :func:`tokens`,
+    which lowercases and strips punctuation for the analysis ops; the
+    DuckDB oracles mirror whichever segmentation each op declares
+    (``str_split_regex(text, '\\s+')`` for this one)."""
+    t = F.col(text) if isinstance(text, str) else text
+    if lowercase:
+        t = F.lower(t)
+    return F.filter(F.split(t, r"\s+"), lambda x: x != "")
+
+
 def distinct_tokens(text) -> Column:
     return F.array_distinct(tokens(text))
 

@@ -7,11 +7,17 @@ SQL-expressible, so the registry row carries an exact DuckDB oracle.
 
 Semantics (deterministic, replayed verbatim by the oracle):
 
-- tokens = whitespace-split, empties dropped (same tokenizer as the
-  text-analysis ops);
+- tokens = case-preserving whitespace split, empties dropped
+  (``functions.text.ws_tokens`` — NOT the lowercasing/punctuation-
+  stripping ``tokens`` of the analysis ops: chunk text must
+  reconstruct the original stream);
 - chunk starts at 1-based token offsets ``1, 1+stride, 1+2·stride, …``
-  while ``start ≤ n_tokens`` (``stride = chunk_tokens − overlap``);
-  the final chunk may be shorter than ``chunk_tokens``;
+  while ``start ≤ max(n_tokens − overlap, 1)`` (``stride =
+  chunk_tokens − overlap``): every token is covered (the last emitted
+  window always reaches the end), and a tail window whose tokens ALL
+  lie inside the previous chunk is never emitted — a ≤ ``overlap``
+  remainder would otherwise duplicate training data;
+- the final chunk may be shorter than ``chunk_tokens``;
 - a zero-token document emits no chunks;
 - ``chunk_text`` re-joins the window with single spaces (whitespace is
   normalized — chunking happens after text normalization in a real
@@ -38,13 +44,17 @@ def chunk_documents(
         raise ValueError(
             f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}"
         )
+    from ..functions.text import ws_tokens
+
     stride = chunk_tokens - overlap
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    toks = ws_tokens(text_col)
     n = F.size(toks)
     with_toks = docs.select(F.col(id_col), toks.alias("_toks"), n.alias("_n")).filter(
         F.col("_n") > 0
     )
-    starts = F.sequence(F.lit(1), F.col("_n"), F.lit(stride))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.col("_n") - overlap, F.lit(1)), F.lit(stride)
+    )
     exploded = with_toks.select(
         id_col, "_toks", F.explode(starts).alias("_start")
     )

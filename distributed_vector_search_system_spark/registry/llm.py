@@ -1294,7 +1294,9 @@ WITH toks AS (
   FROM documents
 ),
 nz AS (SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) > 0),
-st AS (SELECT doc_id, w, n, unnest(range(1, n + 1, {_CHUNK_STRIDE})) AS s FROM nz)
+st AS (SELECT doc_id, w, n,
+       unnest(range(1, greatest(n - {_CHUNK_OVERLAP}, 1) + 1, {_CHUNK_STRIDE})) AS s
+       FROM nz)
 SELECT doc_id,
        CAST((s - 1) // {_CHUNK_STRIDE} AS INT) AS chunk_id,
        CAST(len(list_slice(w, s, least(s + {_CHUNK_W - 1}, n))) AS INT) AS n_tokens,

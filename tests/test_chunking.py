@@ -25,12 +25,36 @@ def test_chunk_windows_and_overlap(spark):
         chunk_documents(_docs(spark, [(1, text)]), chunk_tokens=4, overlap=1).collect(),
         key=lambda r: r["chunk_id"],
     )
-    # stride 3 over 10 tokens → starts 1,4,7,10
-    assert [r["chunk_id"] for r in rows] == [0, 1, 2, 3]
+    # stride 3, emit while start <= n - overlap = 9 → starts 1,4,7; a
+    # start-10 window would be 't9' alone — fully inside chunk 2,
+    # suppressed (review finding: redundant tails duplicate data)
+    assert [r["chunk_id"] for r in rows] == [0, 1, 2]
     assert rows[0]["chunk_text"] == "t0 t1 t2 t3"
     assert rows[1]["chunk_text"] == "t3 t4 t5 t6"  # one-token overlap
-    assert rows[3]["chunk_text"] == "t9"  # short tail chunk
-    assert [r["n_tokens"] for r in rows] == [4, 4, 4, 1]
+    assert rows[2]["chunk_text"] == "t6 t7 t8 t9"  # reaches the end
+    assert [r["n_tokens"] for r in rows] == [4, 4, 4]
+
+
+def test_no_redundant_tail_but_full_coverage(spark):
+    """For any n, the union of chunks covers every token and no chunk's
+    tokens are a subset of the previous chunk's."""
+    W, OV = 8, 3
+    for n in (1, 2, 3, 5, 8, 9, 10, 12, 13, 20, 21):
+        text = " ".join(f"w{i}" for i in range(n))
+        rows = sorted(
+            chunk_documents(
+                _docs(spark, [(1, text)]), chunk_tokens=W, overlap=OV
+            ).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        covered = []
+        prev: set = set()
+        for r in rows:
+            cur = set(r["chunk_text"].split(" "))
+            assert not cur <= prev, (n, r["chunk_id"])  # adds new tokens
+            covered.extend(cur)
+            prev = cur
+        assert set(covered) == {f"w{i}" for i in range(n)}, n
 
 
 def test_chunk_short_and_empty_docs(spark):
@@ -50,8 +74,9 @@ def test_chunk_validates_geometry(spark):
 
 def test_chunks_cover_every_token(spark, sf_smoke):
     """Conservation at the corpus: each doc's chunk 0..last at stride
-    reconstructs the token stream (dedup overlaps)."""
-    docs = load_table(spark, sf_smoke, "documents").limit(50)
+    reconstructs the token stream (dedup overlaps).  orderBy before
+    limit: a bare LIMIT is not deterministic across the two actions."""
+    docs = load_table(spark, sf_smoke, "documents").orderBy("doc_id").limit(50)
     chunks = chunk_documents(docs, chunk_tokens=32, overlap=8)
     got = (
         chunks.groupBy("doc_id")
