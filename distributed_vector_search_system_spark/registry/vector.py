@@ -951,6 +951,91 @@ WHERE rank <= 5
 """
 
 
+# --- merge-on-read streaming IVF search (streaming/ivf_stream.py) -----------
+# The LSM-style index maintenance as an ORACLE-VERIFIED row: base built
+# once, the derived mutation log streamed in as three append batches
+# (batch boundaries are immaterial — LWW arbitrates on seq), then a
+# partition-pruned probe over base+delta+arbiter.  The oracle replays
+# the END STATE: SQL LWW compaction (the mutations_compact CTE), IVF
+# centroid/assignment replay over the compacted rows, probes, exact
+# re-rank — so the row proves streamed-in mutations and the pruned
+# merge-on-read search land exactly where batch compaction + search
+# would.
+
+_IVF_STREAM_STATE: dict[str, object] = {}
+
+
+def ivf_stream_store(spark: SparkSession, sf_dir: str):
+    """Build the merge-on-read index once per process: base at seq 0,
+    then the derived mutation log appended in three batches."""
+    import tempfile
+
+    from ..streaming.ivf_stream import IvfIndexStore
+
+    store = _IVF_STREAM_STATE.get(sf_dir)
+    if store is None:
+        name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(
+            tempfile.gettempdir(), f"dvss_spark_ivfstream_{os.getpid()}", name
+        )
+        store = IvfIndexStore(root, _ivf_thinned_centroids(spark, sf_dir))
+        store.init_base(_emb(spark, sf_dir))
+        log = _mutation_log(_emb(spark, sf_dir))
+        for i in range(3):  # arbitrary batching: LWW is order-insensitive
+            store.append_batch(log.filter(F.pmod(F.col("seq"), F.lit(3)) == i))
+        _IVF_STREAM_STATE[sf_dir] = store
+    return store
+
+
+def q_ivf_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = ivf_stream_store(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    q = _query_set(emb, F.col("vec_id") % 100 == 0)
+    return _round_result(store.search(spark, q, 5, n_probe=_IVF_NPROBE))
+
+
+def _ivf_stream_oracle() -> str:
+    from ..functions.hashing import portable_hash64_sql
+    from ..operators.similarity import IVF_THIN_SEED
+
+    h = portable_hash64_sql("CAST(vec_id AS VARCHAR)", seed=IVF_THIN_SEED)
+    l2_vc = _SQL_SQ_L2.format(q="v.embedding", v="c.cvec")
+    l2_qc = _SQL_SQ_L2.format(q="q.qe", v="c.cvec")
+    l2_qa = _SQL_SQ_L2.format(q="qp.qe", v="a.embedding")
+    return f"""
+WITH {_MUTATION_LOG_SQL},
+nt AS (SELECT GREATEST(COUNT(*) // {_IVF_NUM_CELLS * 4}, 1) AS step FROM embeddings),
+sel AS (
+  SELECT vec_id, embedding FROM embeddings, nt
+  WHERE ({h}) % step = 0
+  ORDER BY vec_id LIMIT {_IVF_NUM_CELLS}
+),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
+         embedding AS cvec
+  FROM sel
+),
+vd AS (SELECT v.vec_id, v.embedding, c.cell_id, {l2_vc} AS d
+       FROM compacted v CROSS JOIN cents c),
+asg AS (SELECT vec_id, embedding, cell_id FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+         FROM vd)
+        WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
+qd AS (SELECT q.query_id, q.qe, c.cell_id, {l2_qc} AS d FROM q CROSS JOIN cents c),
+qp AS (SELECT query_id, qe, cell_id FROM
+       (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, cell_id) AS rn
+        FROM qd)
+       WHERE rn <= {_IVF_NPROBE}),
+scored AS (SELECT qp.query_id, a.vec_id AS id, {l2_qa} AS distance
+           FROM qp JOIN asg a ON a.cell_id = qp.cell_id),
+ranked AS (SELECT query_id, id, distance,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, id) AS INT) AS rank
+           FROM scored)
+SELECT query_id, id, ROUND(distance, 6) AS distance, rank FROM ranked WHERE rank <= 5
+"""
+
+
 # --- bucketed zero-exchange compaction (sources/bucketed.py) ----------------
 # The mutation path's 100 TB mechanism as a QUERY row: base + derived
 # log persisted as co-bucketed (CLUSTERED BY vec_id) tables, so the LWW
@@ -1131,6 +1216,7 @@ EXTRA_QUERIES = {
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "mutations_compact_bucketed": q_mutations_compact_bucketed,
+    "ivf_stream_topk": q_ivf_stream_topk,
 }
 EXTRA_ORACLES = {
     "cache_ttl_prune": _CACHE_TTL_SQL,
@@ -1141,4 +1227,5 @@ EXTRA_ORACLES = {
     "ann_ivfpq_topk": _ivfpq_oracle(),
     # bucketing is layout, not semantics: same oracle as the driver row
     "mutations_compact_bucketed": ORACLES["mutations_compact"],
+    "ivf_stream_topk": _ivf_stream_oracle(),
 }

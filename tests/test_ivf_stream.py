@@ -194,3 +194,20 @@ def test_streaming_sink_applies_stream(spark, sf_smoke, store, tmp_path):
     live = store.live_rows(spark)
     assert live.filter(F.col("vec_id") == 3).count() == 0  # deleted at seq 4
     assert live.filter(F.col("vec_id") == 11).count() == 1  # reinserted at seq 5
+
+
+def test_registry_stream_row_prunes_base_and_delta(spark, sf_oracle):
+    """The registered merge-on-read search must partition-prune BOTH the
+    base and the delta scans (cell_id PartitionFilters on each)."""
+    from distributed_vector_search_system_spark import registry
+
+    df = registry.extra_queries()["ivf_stream_topk"](spark, sf_oracle)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pf = [
+        l
+        for l in plan.splitlines()
+        if "PartitionFilters" in l and "cell_id" in l and "dynamicpruning" not in l
+    ]
+    assert len(pf) >= 2, plan  # base scan + delta scan
