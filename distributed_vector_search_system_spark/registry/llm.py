@@ -1273,6 +1273,54 @@ FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
 """
 
 
+# --- quality-gated sampling (quantile threshold as broadcast scalar) -------
+
+_QGATE_LOW_RATE_BUCKETS = 2500  # below-median tier kept at 25%
+
+
+def q_quality_gated_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation by quality quantile: at-or-above the exact median
+    survives whole; the below-median tier is hash-downsampled to 25%.
+
+    The threshold is an exact interpolated percentile computed as a
+    1-row BROADCAST scalar — never a global NTILE/rank window (banned
+    repo-wide: a partition-less window single-threads the corpus).
+    Both engines interpolate identically (Spark PERCENTILE ≡ DuckDB
+    QUANTILE_CONT) over the round-6 quality scores, so the >= gate is
+    deterministic cross-engine."""
+    from ..functions.hashing import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", quality_score("text").alias("quality"))
+    thr = scored.agg(F.percentile("quality", F.lit(0.5)).alias("_thr"))
+    keep_low = (
+        F.pmod(
+            portable_hash64(F.col("doc_id").cast("string"), seed="qgate"),
+            F.lit(10000),
+        )
+        < _QGATE_LOW_RATE_BUCKETS
+    )
+    premium = F.col("quality") >= F.col("_thr")
+    return (
+        scored.join(F.broadcast(thr))
+        .filter(premium | keep_low)
+        .select("doc_id", "quality", premium.alias("premium"))
+    )
+
+
+def _qgate_oracle() -> str:
+    from ..functions.hashing import portable_hash64_sql
+
+    h = portable_hash64_sql("CAST(doc_id AS VARCHAR)", seed="qgate")
+    return f"""
+WITH s AS (SELECT doc_id, quality FROM ({_TEXT_QUALITY_SQL})),
+t AS (SELECT quantile_cont(quality, 0.5) AS thr FROM s)
+SELECT doc_id, quality, quality >= thr AS premium
+FROM s, t
+WHERE quality >= thr OR ({h}) % 10000 < {_QGATE_LOW_RATE_BUCKETS}
+"""
+
+
 # --- token-window chunking + stratified corpus rebalancing -----------------
 
 _CHUNK_W, _CHUNK_OVERLAP = 32, 8
@@ -1354,6 +1402,7 @@ EXTRA_QUERIES: dict = {
     "paragraph_dedup": q_paragraph_dedup,
     "text_chunking": q_text_chunking,
     "stratified_sample": q_stratified_sample,
+    "quality_gated_sample": q_quality_gated_sample,
 }
 EXTRA_ORACLES: dict = {
     "text_tfidf_topk": _TFIDF_SQL,
@@ -1366,4 +1415,5 @@ EXTRA_ORACLES: dict = {
     "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
     "text_chunking": _CHUNK_SQL,
     "stratified_sample": _stratified_oracle(),
+    "quality_gated_sample": _qgate_oracle(),
 }
