@@ -78,10 +78,15 @@ class VectorEngine:
         self._pcache = persistent_cache
         self._shard_col = shard_col
         self.version = 0
-        # PQ codebooks are data-derived → memoized per (snapshot version,
-        # geometry); a mutation bumps the version, invalidating them like
-        # the cache, and different pq_m/pq_ksub must never reuse books
-        # trained with another geometry
+        # PQ codebooks are data-derived → memoized per (snapshot EPOCH,
+        # geometry).  The epoch bumps only when the compacted snapshot's
+        # content actually changes (compact / bulk apply), NOT at
+        # mutation time like ``version``: an EVENTUAL pq search between
+        # a mutation and its compaction reads the pre-mutation snapshot,
+        # so books trained there must be keyed to that snapshot — keying
+        # on ``version`` would cache stale books under the new version
+        # and keep serving them after compaction (ADVICE r04).
+        self._snapshot_epoch = 0
         self._pq_books: list | None = None
         self._pq_books_key: tuple[int, int, int] | None = None
 
@@ -126,7 +131,7 @@ class VectorEngine:
                 raise ValueError("method='pq' requires the engine's dim")
             from .operators.pq import pq_adc_topk, pq_sample_codebooks
 
-            key = (self.version, pq_m, pq_ksub)
+            key = (self._snapshot_epoch, pq_m, pq_ksub)
             if self._pq_books is None or self._pq_books_key != key:
                 self._pq_books = pq_sample_codebooks(
                     snap, dim=self._dim, m=pq_m, ksub=pq_ksub
@@ -222,6 +227,7 @@ class VectorEngine:
             ],
         )
         self._snapshot = apply_mutations(self._snapshot, log)
+        self._snapshot_epoch += 1
         self._on_mutation(applied=True)
 
     def _on_mutation(self, applied: bool = False) -> None:
@@ -242,6 +248,7 @@ class VectorEngine:
             self._snapshot = self._log.compact_into(self._snapshot)
             self._log = MutationLog(self._spark, dim=self._dim)
             self._pending = 0
+            self._snapshot_epoch += 1
             self._compactions += 1
             if (
                 self._auto_checkpoint is not None

@@ -32,6 +32,14 @@ LANG_PROFILES: list[tuple[str, tuple[str, ...]]] = [
 
 FINGERPRINT_MOD = 2147483647  # 2^31 - 1
 
+#: Whitespace class for ws_tokens, written out EXPLICITLY because the
+#: shorthand ``\s`` is not engine-portable: Java's ``\s`` (Spark side)
+#: includes vertical tab \x0B while RE2's (DuckDB oracle side) does not,
+#: so a document containing \v would tokenize differently across the
+#: two engines (ADVICE r04).  Both Java regex and RE2 parse this exact
+#: class identically; the oracle SQL interpolates the same constant.
+WS_SPLIT_RE = r"[ \t\n\x0B\f\r]+"
+
 
 def tokens(text) -> Column:
     """Lower-cased word tokens (duplicates kept)."""
@@ -46,11 +54,11 @@ def ws_tokens(text, *, lowercase: bool = False) -> Column:
     bigrams, with ``lowercase=True``).  Distinct from :func:`tokens`,
     which lowercases and strips punctuation for the analysis ops; the
     DuckDB oracles mirror whichever segmentation each op declares
-    (``str_split_regex(text, '\\s+')`` for this one)."""
+    (``str_split_regex(text, WS_SPLIT_RE)`` for this one)."""
     t = F.col(text) if isinstance(text, str) else text
     if lowercase:
         t = F.lower(t)
-    return F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    return F.filter(F.split(t, WS_SPLIT_RE), lambda x: x != "")
 
 
 def distinct_tokens(text) -> Column:

@@ -79,6 +79,7 @@ def pq_sample_codebooks(
     ksub: int = 16,
     id_col: str = "vec_id",
     vector_col: str = "embedding",
+    count_key: str | None = None,
 ) -> list[list[list[float]]]:
     """Deterministic codebooks: the first ``ksub`` portable-hash-thinned
     rows (by id order), sliced into ``m`` subvectors — the zero-iteration
@@ -95,6 +96,7 @@ def pq_sample_codebooks(
         ksub,
         seed=PQ_THIN_SEED,
         id_col="_id",
+        count_key=count_key,
     )
     full = [[float(x) for x in r["_v"]] for r in rows]
     return [

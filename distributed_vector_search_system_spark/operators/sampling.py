@@ -108,12 +108,22 @@ def decontaminate(
     return train.join(tainted, on=id_col, how="left_anti")
 
 
+#: memoized corpus counts for thinned_head_rows, keyed by a caller-
+#: provided identity of an IMMUTABLE input (e.g. a fixture dir + table).
+#: The count only sets the thinning step, but it is an eager Spark job —
+#: memoizing it removes the last per-derivation driver action from cold
+#: tier builds (VERDICT r04 item 7).  Callers with mutable inputs
+#: (engine snapshots) pass no key and keep the exact per-call count.
+_COUNT_MEMO: dict[str, int] = {}
+
+
 def thinned_head_rows(
     df: DataFrame,
     n: int,
     *,
     seed: str,
     id_col: str = "vec_id",
+    count_key: str | None = None,
 ) -> list:
     """Deterministic, SQL-replayable small sample: thin rows by
     ``portable_hash64(id) % step == 0`` (``step = max(total // (n*4),
@@ -132,7 +142,11 @@ def thinned_head_rows(
       sample (an empty centroid/codebook list would otherwise build a
       broken argmin expression downstream).
     """
-    total = df.count()
+    total = _COUNT_MEMO.get(count_key) if count_key is not None else None
+    if total is None:
+        total = df.count()
+        if count_key is not None:
+            _COUNT_MEMO[count_key] = total
     if total == 0:
         raise ValueError("thinned_head_rows: input has no rows")
     step = max(total // (n * 4), 1)

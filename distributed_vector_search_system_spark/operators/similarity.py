@@ -230,6 +230,7 @@ def ann_ivf_topk(
     query_id_col: str = "query_id",
     query_vector_col: str = "qvec",
     centroids: list[list[float]] | None = None,
+    thin_count_key: str | None = None,
 ) -> DataFrame:
     """IVF-style approximate kNN (squared-L2): deterministic centroids
     (every ``ntotal/num_cells``-th vector by id order), map-side cell
@@ -265,6 +266,7 @@ def ann_ivf_topk(
             num_cells,
             seed=IVF_THIN_SEED,
             id_col="cell_id",
+            count_key=thin_count_key,
         )
 
     def nearest_cells(col_name: str, n: int) -> Column:

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import (
     LANG_PROFILES,
+    WS_SPLIT_RE,
     detect_language,
     fingerprint,
     quality_score,
@@ -341,7 +342,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") % 100 == 7).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    return ann_ivf_topk(emb, q, 5).select(
+    return ann_ivf_topk(emb, q, 5, thin_count_key=f"{sf_dir}:embeddings").select(
         "query_id", "id", F.round("distance", 6).alias("distance"), "rank"
     )
 
@@ -477,7 +478,9 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_cos = cosine_topk(emb, q, 5).select("query_id", "id")
     exact_l2 = knn(emb, q, 5).select("query_id", "id")
     lsh = ann_lsh_topk(emb, q, 5, dim=64).select("query_id", "id")
-    ivf = ann_ivf_topk(emb, q, 5).select("query_id", "id")
+    ivf = ann_ivf_topk(emb, q, 5, thin_count_key=f"{sf_dir}:embeddings").select(
+        "query_id", "id"
+    )
     quant = quantized_knn(emb, q, 5, rerank=3).select("query_id", "id")
     pq = pq_adc_topk(
         pq_tier(spark, sf_dir), q, 5, pq_books(spark, sf_dir), rerank=10
@@ -1212,12 +1215,23 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_REPETITION_SQL = r"""
+def _repetition_oracle() -> str:
+    # thresholds + whitespace class interpolated from the SHARED
+    # constants (functions/repetition.py, functions/text.py) so editing
+    # the Python side can never silently desync the oracle (ADVICE r04)
+    from ..functions.repetition import (
+        MAX_DUP_LINE_FRAC,
+        MAX_DUP_PARAGRAPH_FRAC,
+        MAX_TOP_BIGRAM_FRAC,
+    )
+    from ..functions.text import WS_SPLIT_RE
+
+    return rf"""
 WITH base AS (
   SELECT doc_id,
     list_filter(str_split(text, chr(10)), p -> trim(p) <> '') AS ln,
     list_filter(str_split(text, chr(10) || chr(10)), p -> trim(p) <> '') AS pr,
-    list_filter(str_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+    list_filter(str_split_regex(lower(text), '{WS_SPLIT_RE}'), t -> t <> '') AS toks
   FROM documents
 ),
 bg AS (
@@ -1240,7 +1254,8 @@ sc AS (
 )
 SELECT doc_id, ROUND(lf, 6) AS dup_line_frac, ROUND(pf, 6) AS dup_paragraph_frac,
        ROUND(gf, 6) AS top_bigram_frac,
-       (lf > 0.30 OR pf > 0.30 OR gf > 0.20) AS repetition_flagged
+       (lf > {MAX_DUP_LINE_FRAC} OR pf > {MAX_DUP_PARAGRAPH_FRAC}
+        OR gf > {MAX_TOP_BIGRAM_FRAC}) AS repetition_flagged
 FROM sc
 """
 
@@ -1338,7 +1353,8 @@ def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHUNK_SQL = rf"""
 WITH toks AS (
-  SELECT doc_id, list_filter(str_split_regex(text, '\s+'), t -> t <> '') AS w
+  SELECT doc_id,
+    list_filter(str_split_regex(text, '{WS_SPLIT_RE}'), t -> t <> '') AS w
   FROM documents
 ),
 nz AS (SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) > 0),
@@ -1411,7 +1427,7 @@ EXTRA_ORACLES: dict = {
     "multimodal_magic": _MAGIC_SQL,
     "corpus_split": _split_oracle(),
     "corpus_decontaminate": _DECONTAM_SQL,
-    "text_repetition": _REPETITION_SQL,
+    "text_repetition": _repetition_oracle(),
     "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
     "text_chunking": _CHUNK_SQL,
     "stratified_sample": _stratified_oracle(),

@@ -649,6 +649,7 @@ def _ivf_thinned_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]
         _IVF_NUM_CELLS,
         seed=IVF_THIN_SEED,
         id_col="vec_id",
+        count_key=f"{sf_dir}:embeddings",
     )
     return [[float(x) for x in r["embedding"]] for r in rows]
 
@@ -810,7 +811,8 @@ def pq_books(spark: SparkSession, sf_dir: str) -> list:
     books = _PQ_BOOKS.get(sf_dir)
     if books is None:
         books = pq_sample_codebooks(
-            _emb(spark, sf_dir), dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB
+            _emb(spark, sf_dir), dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB,
+            count_key=f"{sf_dir}:embeddings",
         )
         _PQ_BOOKS[sf_dir] = books
     return books

@@ -34,6 +34,19 @@ delivery, exactly-once effect).
 rows and tombstones) and truncates the logs — amortized O(index),
 identical net state by construction (pytest-verified against the batch
 ``apply_mutations`` oracle).
+
+Reader/crash safety: all three directories live under a numbered
+*generation* dir (``gen-000000/…``) named by a one-line ``MANIFEST``
+pointer file at the store root.  ``compact()`` writes the folded base
+into the NEXT generation and only then atomically swaps the manifest
+(`os.replace` of a file — atomic on POSIX), so a reader that resolved
+the manifest before the swap keeps scanning the old generation's
+intact files, a reader after it sees the compacted snapshot, and a
+crash mid-compact leaves the manifest — and therefore every reader —
+on the old, complete generation.  Old generations are GC'd lazily
+(the previous one is kept one cycle for in-flight readers).  This is
+the same manifest-pointer commit protocol Iceberg/Delta use for
+table snapshots.
 """
 
 from __future__ import annotations
@@ -55,9 +68,58 @@ class IvfIndexStore:
     def __init__(self, root: str, centroids: list[list[float]]):
         self.root = root
         self.centroids = centroids
-        self.base = os.path.join(root, "base")
-        self.delta = os.path.join(root, "delta")
-        self.muts = os.path.join(root, "muts")
+
+    # -- generation manifest ------------------------------------------------
+
+    @property
+    def _manifest(self) -> str:
+        return os.path.join(self.root, "MANIFEST")
+
+    def _current_gen(self) -> str:
+        """Resolve the committed generation; absent manifest = gen 0
+        (pre-init or legacy store)."""
+        try:
+            with open(self._manifest, encoding="ascii") as f:
+                return f.read().strip()
+        except FileNotFoundError:
+            return "gen-000000"
+
+    def _commit_gen(self, gen: str) -> None:
+        """Atomically point the manifest at ``gen`` (write-temp + rename:
+        readers see either the old pointer or the new one, never a
+        partial file)."""
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._manifest + ".tmp"
+        with open(tmp, "w", encoding="ascii") as f:
+            f.write(gen + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._manifest)
+
+    def _snapshot_paths(self) -> tuple[str, str, str]:
+        """(base, delta, muts) of the CURRENT generation, resolved ONCE —
+        callers use one snapshot for a whole read/append so a concurrent
+        manifest swap can't mix generations mid-operation."""
+        d = os.path.join(self.root, self._current_gen())
+        return (
+            os.path.join(d, "base"),
+            os.path.join(d, "delta"),
+            os.path.join(d, "muts"),
+        )
+
+    # Path views of the current generation (resolved per access) — handy
+    # for tests/tooling; read paths internally use _snapshot_paths().
+    @property
+    def base(self) -> str:
+        return self._snapshot_paths()[0]
+
+    @property
+    def delta(self) -> str:
+        return self._snapshot_paths()[1]
+
+    @property
+    def muts(self) -> str:
+        return self._snapshot_paths()[2]
 
     # -- write path ---------------------------------------------------------
 
@@ -65,12 +127,14 @@ class IvfIndexStore:
         """One-time base build: cell-partitioned snapshot at seq 0."""
         from ..sources.ivf_index import write_ivf_index
 
+        gen = "gen-000000"
         write_ivf_index(
             vectors.withColumn("seq", F.lit(0).cast("long")),
-            self.base,
+            os.path.join(self.root, gen, "base"),
             self.centroids,
             vector_col=vector_col,
         )
+        self._commit_gen(gen)
 
     def append_batch(self, batch: DataFrame, *, vector_col: str = "embedding") -> None:
         """Fold one mutation micro-batch in: O(batch), never O(index).
@@ -78,6 +142,7 @@ class IvfIndexStore:
         Upserts land in ``delta/`` under their (possibly new) cell;
         every mutation lands in ``muts/`` as an (id, seq, op) arbiter
         row.  Both writes are appends of batch-sized data."""
+        _, delta, muts = self._snapshot_paths()
         ups = batch.filter(F.col("op") == UPSERT)
         if ups.limit(1).count() > 0:
             assigned = ups.withColumn(
@@ -87,12 +152,12 @@ class IvfIndexStore:
                 assigned.select("vec_id", vector_col, "label", "seq", "cell_id")
                 .write.mode("append")
                 .partitionBy("cell_id")
-                .parquet(self.delta)
+                .parquet(delta)
             )
         (
             batch.select("vec_id", "seq", "op")
             .write.mode("append")
-            .parquet(self.muts)
+            .parquet(muts)
         )
 
     def streaming_sink(self, stream: DataFrame, *, checkpoint: str):
@@ -110,14 +175,14 @@ class IvfIndexStore:
 
     # -- read path ----------------------------------------------------------
 
-    def _mutation_arbiter(self, spark: SparkSession) -> DataFrame | None:
+    def _mutation_arbiter(self, spark: SparkSession, muts_path: str) -> DataFrame | None:
         """(vec_id, max seq) over all mutations, or None if no mutations
         yet.  One row per mutated id — broadcastable at any corpus size
         where mutations ≪ corpus."""
         from pyspark.errors import AnalysisException
 
         try:
-            muts = spark.read.parquet(self.muts)
+            muts = spark.read.parquet(muts_path)
         except AnalysisException:  # no mutations appended yet
             return None
         return muts.groupBy("vec_id").agg(F.max("seq").alias("_max_seq"))
@@ -128,14 +193,16 @@ class IvfIndexStore:
         """The current (id, embedding, label, cell_id) state, optionally
         restricted to ``cells`` — both base and delta scans partition-
         prune on ``cell_id IN (...)``, and LWW arbitration joins against
-        the (small, broadcast) mutation arbiter."""
-        base = spark.read.parquet(self.base)
+        the (small, broadcast) mutation arbiter.  The generation is
+        resolved once up front: the whole read is one snapshot."""
+        base_path, delta_path, muts_path = self._snapshot_paths()
+        base = spark.read.parquet(base_path)
         if cells is not None:
             base = base.filter(F.col("cell_id").isin(cells))
         from pyspark.errors import AnalysisException
 
         try:
-            delta = spark.read.parquet(self.delta)
+            delta = spark.read.parquet(delta_path)
             if cells is not None:
                 delta = delta.filter(F.col("cell_id").isin(cells))
             rows = base.select("vec_id", "embedding", "label", "seq", "cell_id").unionByName(
@@ -145,7 +212,7 @@ class IvfIndexStore:
             rows = base.select("vec_id", "embedding", "label", "seq", "cell_id")
         # duplicate appends from redelivered batches collapse here
         rows = rows.dropDuplicates(["vec_id", "seq"])
-        arb = self._mutation_arbiter(spark)
+        arb = self._mutation_arbiter(spark, muts_path)
         if arb is None:
             return rows.drop("seq")
         # alive iff this physical row carries the id's newest seq (a
@@ -193,21 +260,37 @@ class IvfIndexStore:
     # -- maintenance --------------------------------------------------------
 
     def compact(self, spark: SparkSession) -> None:
-        """Fold delta+muts into a fresh base and truncate the logs.
-        Net state is unchanged (live_rows before == base rows after);
-        amortized cost, run off the write path."""
-        import shutil
+        """Fold delta+muts into the NEXT generation's base, then commit
+        it with an atomic manifest swap.  Net state is unchanged
+        (live_rows before == base rows after); amortized cost, run off
+        the write path.
 
+        Safety: the old generation's files are untouched until after the
+        swap, so concurrent ``live_rows``/``search`` calls (which resolve
+        the manifest once per read) always scan a complete snapshot —
+        old or new, never a mix — and a crash at ANY point leaves the
+        manifest on the old, intact generation (a half-written next-gen
+        dir is simply overwritten by the next compact).  Only the
+        single-writer contract (one compactor/appender) is assumed;
+        readers need no coordination."""
+        cur = self._current_gen()
+        nxt = "gen-%06d" % (int(cur.rsplit("-", 1)[1]) + 1)
         live = self.live_rows(spark).withColumn("seq", F.lit(0).cast("long"))
-        # stage next to base (same filesystem) — the write is the action
-        # that drains reads from the dirs being replaced
-        staged = os.path.join(self.root, "_compact_base")
         (
             live.select("vec_id", "embedding", "label", "seq", "cell_id")
             .write.mode("overwrite")
             .partitionBy("cell_id")
-            .parquet(staged)
+            .parquet(os.path.join(self.root, nxt, "base"))
         )
-        for p in (self.base, self.delta, self.muts):
-            shutil.rmtree(p, ignore_errors=True)
-        os.replace(staged, self.base)
+        self._commit_gen(nxt)
+        self._gc_generations(keep={cur, nxt})
+
+    def _gc_generations(self, *, keep: set[str]) -> None:
+        """Delete generation dirs not in ``keep``.  The just-replaced
+        generation stays one cycle for in-flight readers; anything older
+        has had a full compaction cycle to drain."""
+        import shutil
+
+        for name in os.listdir(self.root):
+            if name.startswith("gen-") and name not in keep:
+                shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)

@@ -343,7 +343,27 @@ def test_pq_search_tier_exact_distances_and_invalidation(spark):
     e.upsert(99, [50.0, 0.0])
     e.compact()
     e.search(q, 3, method="pq", pq_m=2, pq_ksub=4).collect()
-    assert e._pq_books is not books_before  # version bump re-derived them
+    assert e._pq_books is not books_before  # snapshot changed → re-derived
+
+
+def test_pq_books_not_stale_after_eventual_train_then_compact(spark):
+    """ADVICE r04: books trained by an EVENTUAL pq search BETWEEN a
+    mutation and its compaction are trained on the pre-mutation snapshot
+    and must NOT be served after compaction — the memo keys on the
+    snapshot epoch (bumps at compact), not the mutation-time version."""
+    e = _engine(spark)
+    q = _q(spark, 0, [0.0, 0.0], 3)
+    e.upsert(99, [50.0, 0.0])          # version bump, snapshot unchanged
+    e.search(q, 3, method="pq", pq_m=2, pq_ksub=4).collect()  # EVENTUAL
+    stale_books = e._pq_books          # trained on pre-mutation data
+    assert stale_books is not None
+    e.compact()                        # snapshot now includes the upsert
+    e.search(q, 3, method="pq", pq_m=2, pq_ksub=4).collect()
+    assert e._pq_books is not stale_books  # retrained on compacted state
+    # and a further EVENTUAL search with no new mutations reuses them
+    kept = e._pq_books
+    e.search(q, 3, method="pq", pq_m=2, pq_ksub=4).collect()
+    assert e._pq_books is kept
 
 
 def test_pq_search_requires_dim_and_no_shard_col(spark):

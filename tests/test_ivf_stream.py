@@ -178,6 +178,90 @@ def test_compact_preserves_live_set_and_truncates_logs(spark, sf_smoke, store):
     assert before == after
 
 
+def test_reader_resolved_before_compact_stays_consistent(spark, sf_smoke, store):
+    """A reader that resolved its snapshot BEFORE compact() must keep
+    reading a complete, consistent old-generation snapshot while and
+    after the swap — the manifest-pointer contract (VERDICT r04 item 5 /
+    ADVICE r04 medium)."""
+    emb = _emb(spark, sf_smoke)
+    for b in _batches(spark, emb):
+        store.append_batch(b)
+
+    # Resolve a lazy read plan against the pre-compact generation.
+    old_reader = store.live_rows(spark)
+    want = {
+        (r["vec_id"], tuple(round(float(x), 5) for x in r["embedding"]))
+        for r in old_reader.collect()
+    }
+
+    queries = emb.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    old_search = store.search(spark, queries, 5)
+    want_search = {
+        (r["query_id"], r["id"], round(r["distance"], 6))
+        for r in old_search.collect()
+    }
+
+    store.compact(spark)
+
+    # The old plans still scan intact files (old generation kept one
+    # cycle) and return the identical result...
+    got = {
+        (r["vec_id"], tuple(round(float(x), 5) for x in r["embedding"]))
+        for r in old_reader.collect()
+    }
+    assert got == want
+    got_search = {
+        (r["query_id"], r["id"], round(r["distance"], 6))
+        for r in old_search.collect()
+    }
+    assert got_search == want_search
+    # ...and a NEW reader sees the same live set from the compacted gen.
+    fresh = {
+        (r["vec_id"], tuple(round(float(x), 5) for x in r["embedding"]))
+        for r in store.live_rows(spark).collect()
+    }
+    assert fresh == want
+
+
+def test_crash_mid_compact_leaves_store_readable(spark, sf_smoke, store, tmp_path):
+    """A half-written next-generation dir (crash before the manifest
+    swap) must be invisible: reads stay on the old generation, and a
+    retried compact() overwrites the partial dir and succeeds."""
+    import os
+
+    emb = _emb(spark, sf_smoke)
+    for b in _batches(spark, emb):
+        store.append_batch(b)
+    want = {r["vec_id"] for r in store.live_rows(spark).collect()}
+
+    # Simulate a crash: partial next-gen base exists, manifest not swapped.
+    partial = os.path.join(store.root, "gen-000001", "base")
+    os.makedirs(partial, exist_ok=True)
+    with open(os.path.join(partial, "part-00000.parquet"), "wb") as f:
+        f.write(b"\x00garbage, not parquet")
+
+    assert {r["vec_id"] for r in store.live_rows(spark).collect()} == want
+    store.compact(spark)  # retry overwrites the partial gen and commits
+    assert {r["vec_id"] for r in store.live_rows(spark).collect()} == want
+
+
+def test_generation_gc_keeps_exactly_two(spark, sf_smoke, store):
+    """After two compactions only the current + previous generations
+    remain on disk (older ones are GC'd)."""
+    import os
+
+    emb = _emb(spark, sf_smoke)
+    for b in _batches(spark, emb):
+        store.append_batch(b)
+    store.compact(spark)
+    store.compact(spark)
+    gens = sorted(n for n in os.listdir(store.root) if n.startswith("gen-"))
+    assert gens == ["gen-000001", "gen-000002"]
+    assert store._current_gen() == "gen-000002"
+
+
 def test_streaming_sink_applies_stream(spark, sf_smoke, store, tmp_path):
     """End-to-end through writeStream/foreachBatch: same mutations, same
     live set as direct appends."""

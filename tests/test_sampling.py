@@ -90,3 +90,40 @@ def test_decontaminate_broadcasts_eval_side(spark, sf_oracle):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_thinned_head_rows_count_memoized_per_key(spark):
+    """With a count_key, the eager df.count() runs at most once per key
+    (VERDICT r04 item 7): the second derivation computes its step from
+    the memo, not a fresh job — observable because we hand it a df whose
+    true count DIFFERS but whose memoized step must be reused."""
+    from distributed_vector_search_system_spark.operators import sampling
+
+    df100 = spark.range(100).select(F.col("id").alias("vec_id"))
+    key = "test-memo-key-thr"
+    sampling._COUNT_MEMO.pop(key, None)
+    rows_a = sampling.thinned_head_rows(df100, 4, seed="s", count_key=key)
+    assert sampling._COUNT_MEMO[key] == 100
+    # Same key, different (bigger) input: step must come from the memo
+    # (still 100 → step 6), so selection equals the 100-count derivation
+    # applied to the new rows — NOT what a fresh count (1000 → step 62)
+    # would produce.
+    df1000 = spark.range(1000).select(F.col("id").alias("vec_id"))
+    rows_b = sampling.thinned_head_rows(df1000, 4, seed="s", count_key=key)
+    from distributed_vector_search_system_spark.functions.hashing import (
+        portable_hash64,
+    )
+
+    step = max(100 // 16, 1)
+    want_b = [
+        r["vec_id"]
+        for r in df1000.filter(
+            F.pmod(portable_hash64(F.col("vec_id").cast("string"), seed="s"),
+                   F.lit(step)) == 0
+        ).orderBy("vec_id").limit(4).collect()
+    ]
+    assert [r["vec_id"] for r in rows_b] == want_b
+    # no key → always a fresh count (mutable-input contract)
+    rows_c = sampling.thinned_head_rows(df100, 4, seed="s")
+    assert [r["vec_id"] for r in rows_c] == [r["vec_id"] for r in rows_a]
+    sampling._COUNT_MEMO.pop(key, None)

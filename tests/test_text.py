@@ -99,3 +99,28 @@ def test_scrub_pii_idempotent(spark):
     once = df.select(scrub_pii("text").alias("s"))
     twice = once.select(scrub_pii("s").alias("s"))
     assert once.first()["s"] == twice.first()["s"]
+
+
+def test_ws_tokens_vertical_tab_parity_with_duckdb(spark):
+    """ADVICE r04: Java's \\s includes \\x0B (vertical tab), RE2's does
+    not — ws_tokens uses an explicit class so both engines split the
+    SAME way on a document containing \\v."""
+    import duckdb
+
+    from distributed_vector_search_system_spark.functions.text import (
+        WS_SPLIT_RE,
+        ws_tokens,
+    )
+
+    text = "alpha\x0bbeta\tgamma  delta\x0b\x0bepsilon"
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    got_spark = df.select(ws_tokens("text").alias("t")).first()["t"]
+
+    con = duckdb.connect()
+    got_duck = con.execute(
+        "SELECT list_filter(str_split_regex(?, ?), t -> t <> '')",
+        [text, WS_SPLIT_RE],
+    ).fetchone()[0]
+    want = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    assert got_spark == want
+    assert got_duck == want
