@@ -1210,24 +1210,29 @@ WHERE rank <= 5
 # --- pytest-only tier (beyond the driver's 50-query correctness window;
 # verified by tests/test_oracle_parity.py with the same DuckDB harness) ----
 
+# Round-5 promotions (VERDICT r04 item 2): the round-4 flagship tiers —
+# PQ ADC search, the persisted IVF+PQ index, and merge-on-read streaming
+# IVF — move INTO the driver window so the independent oracle checks
+# them (three thin relational rows demoted in exchange).
+QUERIES["ann_pq_topk"] = q_ann_pq_topk
+ORACLES["ann_pq_topk"] = _pq_topk_oracle()
+QUERIES["ann_ivfpq_topk"] = q_ann_ivfpq_topk
+ORACLES["ann_ivfpq_topk"] = _ivfpq_oracle()
+QUERIES["ivf_stream_topk"] = q_ivf_stream_topk
+ORACLES["ivf_stream_topk"] = _ivf_stream_oracle()
+
 EXTRA_QUERIES = {
     "cache_ttl_prune": q_cache_ttl_prune,
     "embedding_quantize": q_embedding_quantize,
     "semantic_cache_reuse": q_semantic_cache_reuse,
     "embedding_pq_codes": q_embedding_pq_codes,
-    "ann_pq_topk": q_ann_pq_topk,
-    "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "mutations_compact_bucketed": q_mutations_compact_bucketed,
-    "ivf_stream_topk": q_ivf_stream_topk,
 }
 EXTRA_ORACLES = {
     "cache_ttl_prune": _CACHE_TTL_SQL,
     "embedding_quantize": _QUANTIZE_SQL,
     "semantic_cache_reuse": _SEMCACHE_SQL,
     "embedding_pq_codes": _pq_codes_oracle(),
-    "ann_pq_topk": _pq_topk_oracle(),
-    "ann_ivfpq_topk": _ivfpq_oracle(),
     # bucketing is layout, not semantics: same oracle as the driver row
     "mutations_compact_bucketed": ORACLES["mutations_compact"],
-    "ivf_stream_topk": _ivf_stream_oracle(),
 }

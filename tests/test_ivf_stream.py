@@ -285,7 +285,7 @@ def test_registry_stream_row_prunes_base_and_delta(spark, sf_oracle):
     base and the delta scans (cell_id PartitionFilters on each)."""
     from distributed_vector_search_system_spark import registry
 
-    df = registry.extra_queries()["ivf_stream_topk"](spark, sf_oracle)
+    df = registry.queries()["ivf_stream_topk"](spark, sf_oracle)
     plan = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )

@@ -109,7 +109,7 @@ def test_distances_exact_and_candidates_within_probed_cells(spark, sf_oracle):
 
 
 def test_registry_row_runs_and_ranks_contiguously(spark, sf_smoke):
-    rows = registry.extra_queries()["ann_ivfpq_topk"](spark, sf_smoke).collect()
+    rows = registry.queries()["ann_ivfpq_topk"](spark, sf_smoke).collect()
     by_q: dict = {}
     for r in rows:
         by_q.setdefault(r["query_id"], []).append(r["rank"])
