@@ -78,6 +78,98 @@ FAST_TIERS = [
 
 _WORKER_ENV = "SPARK_GRAFT_BENCH_WORKER"
 
+#: recall@5 tracking for the ANN serving ladder (VERDICT r04 item 1):
+#: the trained-centroid tiers have no SQL-replayable oracle, so their
+#: quality knob — the recall-vs-n_probe curve — is measured per round
+#: here.  One pass, not repeated: recall is a deterministic function of
+#: the data (timings are what host noise perturbs, and the timing
+#: sections already handle that).
+RECALL_K = 5
+RECALL_NPROBES = [1, 2, 4, 6, 8]
+
+
+def _measure_recall(sf_dir: str) -> dict:
+    """Recall@K of the serving tiers vs the exact-kNN baseline."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from distributed_vector_search_system_spark.operators.clustering import (
+        kmeans_fit,
+    )
+    from distributed_vector_search_system_spark.operators.knn import knn
+    from distributed_vector_search_system_spark.operators.pq import pq_fit
+    from distributed_vector_search_system_spark.registry.vector import (
+        _ivf_thinned_centroids,
+    )
+    from distributed_vector_search_system_spark.session import get_spark
+    from distributed_vector_search_system_spark.sources.ivf_index import (
+        search_ivf_index,
+        write_ivf_index,
+    )
+    from distributed_vector_search_system_spark.sources.ivfpq_index import (
+        search_ivfpq_index,
+        write_ivfpq_index,
+    )
+    from distributed_vector_search_system_spark.tables import load_table
+
+    spark = get_spark(app_name="dvss-bench-recall")
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    q = emb.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = {
+        (r["query_id"], r["id"]) for r in knn(emb, q, RECALL_K).collect()
+    }
+
+    def recall(df) -> float:
+        got = {(r["query_id"], r["id"]) for r in df.collect()}
+        return round(len(got & exact) / len(exact), 4)
+
+    cents, _ = kmeans_fit(emb, 10, max_iterations=15)
+    books, _ = pq_fit(emb, dim=dim, m=8, ksub=16, max_iterations=8)
+    root = tempfile.mkdtemp(prefix="dvss_bench_recall_")
+    ivf_r2 = os.path.join(root, "ivf_r2")
+    write_ivf_index(emb, ivf_r2, cents, replicas=2)
+    ivfpq_r2 = os.path.join(root, "ivfpq_r2")
+    write_ivfpq_index(emb, ivfpq_r2, cents, books, replicas=2)
+
+    out: dict = {"k": RECALL_K, "num_cells": 10, "replicas": 2}
+    out["trained_ivf_r2"] = {
+        str(np): recall(
+            search_ivf_index(
+                spark, ivf_r2, q, RECALL_K, cents, n_probe=np, replicated=True
+            )
+        )
+        for np in RECALL_NPROBES
+    }
+    out["trained_ivfpq_r2_rerank20"] = {
+        str(np): recall(
+            search_ivfpq_index(
+                spark, ivfpq_r2, q, RECALL_K, cents, books,
+                n_probe=np, rerank=20, replicated=True,
+            )
+        )
+        for np in (4, 8)
+    }
+    out["adc_only_nprobe4"] = recall(
+        search_ivfpq_index(
+            spark, ivfpq_r2, q, RECALL_K, cents, books,
+            n_probe=4, rerank=0, replicated=True,
+        )
+    )
+    # the oracle-replayable hash-sampled tier (the ann_recall driver
+    # row's configuration) for contrast with the trained curve
+    sampled = _ivf_thinned_centroids(spark, sf_dir)
+    sampled_idx = os.path.join(root, "ivf_sampled")
+    write_ivf_index(emb, sampled_idx, sampled)
+    out["sampled_ivf_nprobe4"] = recall(
+        search_ivf_index(spark, sampled_idx, q, RECALL_K, sampled, n_probe=4)
+    )
+    spark.stop()
+    return out
+
 
 def _measure_once(sf_dir: str) -> dict:
     """One full measurement pass in THIS process (one fresh JVM)."""
@@ -137,6 +229,9 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
 
+    if os.environ.get(_WORKER_ENV) == "recall":
+        print(json.dumps(_measure_recall(sf_dir)))
+        return
     if os.environ.get(_WORKER_ENV):
         print(json.dumps(_measure_once(sf_dir)))
         return
@@ -153,6 +248,18 @@ def main() -> None:
         )
         line = [l for l in proc.stdout.splitlines() if l.strip().startswith("{")][-1]
         runs.append(json.loads(line))
+
+    recall_section: dict = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_RECALL", "1") != "0":
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env={**os.environ, _WORKER_ENV: "recall"},
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.strip().startswith("{")][-1]
+        recall_section = json.loads(line)
 
     headline, fast = runs[0]["headline"], runs[0]["fast"]
     cold = _agg_by_query(runs, "cold", headline, min)
@@ -181,6 +288,7 @@ def main() -> None:
                 "median_steady_queries": _agg_by_query(
                     runs, "steady", headline, statistics.median
                 ),
+                "recall_vs_nprobe": recall_section,
                 "per_run_cold_totals": run_totals,
                 "per_run_steady_totals": steady_run_totals,
                 "host_noise_spread": round(max(run_totals) / min(run_totals), 3),

@@ -187,6 +187,11 @@ def pq_adc_topk(
     Output matches :func:`operators.knn.knn`: (query_id, id, distance,
     rank) with EXACT distances — the approximation only picks which
     candidates reach phase 2.
+
+    ``rerank=0`` = ADC-only mode: phase 2 is skipped and ``distance``
+    is the APPROXIMATE ADC reconstruction distance — for latency-
+    critical serving where the exact re-rank join is the tail (its
+    ranking quality is tracked in bench's recall section).
     """
     m = len(codebooks)
     dsub = len(codebooks[0][0])
@@ -208,6 +213,10 @@ def pq_adc_topk(
             adc_distance_expr("_codes", "_lut").alias("_adc"),
         )
     )
+    if rerank == 0:
+        return merge_topk(
+            coarse.select("query_id", "id", F.col("_adc").alias("distance")), k
+        )
     # per-query partial top-(k·rerank) — WindowGroupLimit keeps the
     # shuffle at candidate-triples size, same shape as quantized_knn
     from pyspark.sql import Window

@@ -60,11 +60,31 @@ def write_ivf_index(
     *,
     vector_col: str = "embedding",
     mode: str = "overwrite",
+    replicas: int = 1,
 ) -> None:
-    """Persist ``vectors`` partitioned by nearest-centroid cell id."""
-    assigned = vectors.withColumn(
-        "cell_id", nearest_centroid_expr(F.col(vector_col), centroids)
-    )
+    """Persist ``vectors`` partitioned by nearest-centroid cell id.
+
+    ``replicas > 1`` stores each vector in its ``replicas`` nearest
+    cells (map-side explode — still no shuffle; partitionBy splits files
+    per task).  This is the index-side recall lever: a true neighbor
+    sitting just across a cell boundary becomes visible to a probe of
+    either adjacent cell, at the cost of ``replicas``× index storage —
+    the classic spill/overlap trade every production IVF deployment
+    tunes alongside n_probe.  Searches over a replicated index must
+    deduplicate candidates (``search_ivf_index(replicated=True)``)."""
+    if replicas < 1:
+        raise ValueError("replicas must be >= 1")
+    if replicas > len(centroids):
+        raise ValueError("replicas cannot exceed the number of cells")
+    if replicas == 1:
+        assigned = vectors.withColumn(
+            "cell_id", nearest_centroid_expr(F.col(vector_col), centroids)
+        )
+    else:
+        assigned = vectors.withColumn(
+            "cell_id",
+            F.explode(_probe_cells_expr(vector_col, centroids, replicas)),
+        )
     assigned.write.mode(mode).partitionBy("cell_id").parquet(path)
 
 
@@ -80,13 +100,19 @@ def search_ivf_index(
     vector_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vector_col: str = "qvec",
+    replicated: bool = False,
 ) -> DataFrame:
     """Exact top-k within the probed cells of a persisted IVF index.
 
     The probe set (union of every query's n_probe cells) becomes a
     ``cell_id IN (...)`` partition filter — unprobed cell directories
     are never opened.
-    """
+
+    ``replicated=True`` (required for indexes written with
+    ``replicas > 1``): a vector stored in two probed cells would rank
+    twice, so candidates collapse to one row per (query, id) first —
+    an extra aggregation on the candidate set only (probed rows, not
+    the corpus), with map-side partial combine."""
     probes = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vector_col).alias("_qv"),
@@ -103,4 +129,8 @@ def search_ivf_index(
         F.col(id_col).alias("id"),
         squared_l2(F.col(vector_col), F.col("_qv")).alias("distance"),
     )
+    if replicated:
+        scored = scored.groupBy("query_id", "id").agg(
+            F.min("distance").alias("distance")
+        )
     return merge_topk(scored, k)

@@ -53,15 +53,33 @@ def write_ivfpq_index(
     vector_col: str = "embedding",
     id_col: str = "vec_id",
     mode: str = "overwrite",
+    replicas: int = 1,
 ) -> None:
     """Persist ``vectors`` partitioned by nearest-centroid cell with PQ
     codes alongside — ONE map-side pass (cell argmin + per-subspace
     argmin are both codegen expressions over literals), one
     partitioned write.  The float column is stored too: it serves the
-    exact re-rank reads and full-fidelity rebuilds."""
-    assigned = pq_encode(vectors, codebooks, vector_col=vector_col).withColumn(
-        "cell_id", nearest_centroid_expr(F.col(vector_col), centroids)
-    )
+    exact re-rank reads and full-fidelity rebuilds.
+
+    ``replicas > 1`` stores each row in its ``replicas`` nearest cells
+    (see sources/ivf_index.write_ivf_index — the index-side recall
+    lever); searches must then pass ``replicated=True``."""
+    if replicas < 1:
+        raise ValueError("replicas must be >= 1")
+    if replicas > len(centroids):
+        raise ValueError("replicas cannot exceed the number of cells")
+    encoded = pq_encode(vectors, codebooks, vector_col=vector_col)
+    if replicas == 1:
+        assigned = encoded.withColumn(
+            "cell_id", nearest_centroid_expr(F.col(vector_col), centroids)
+        )
+    else:
+        from .ivf_index import _probe_cells_expr
+
+        assigned = encoded.withColumn(
+            "cell_id",
+            F.explode(_probe_cells_expr(vector_col, centroids, replicas)),
+        )
     assigned.write.mode(mode).partitionBy("cell_id").parquet(path)
 
 
@@ -79,6 +97,7 @@ def search_ivfpq_index(
     vector_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vector_col: str = "qvec",
+    replicated: bool = False,
 ) -> DataFrame:
     """Three-stage probe over the persisted IVF+PQ index.
 
@@ -92,7 +111,15 @@ def search_ivfpq_index(
     3. **Exact re-rank**: candidates equi-join back to the float column
        (same pruned scan path), exact squared-L2, final top-``k``.
 
-    Returned distances are exact (see module docstring)."""
+    Returned distances are exact (see module docstring) — EXCEPT in
+    ADC-only mode, ``rerank=0``: phase 3 is skipped and the returned
+    ``distance`` is the APPROXIMATE ADC reconstruction distance.  That
+    mode exists for latency-critical serving where the exact re-rank
+    join is the tail; callers accept quantization error in the
+    distances (ranking quality tracked in bench's recall section).
+
+    ``replicated=True`` (required for ``replicas > 1`` indexes): coarse
+    candidates and re-rank rows collapse to one per (query, id)."""
     from .ivf_index import _probe_cells_expr
 
     m = len(codebooks)
@@ -117,6 +144,16 @@ def search_ivfpq_index(
         F.col(id_col).alias("id"),
         adc_distance_expr("pq_codes", "_lut").alias("_adc"),
     )
+    if replicated:
+        # a row stored in two probed cells scores identically in both;
+        # collapse before ranking (candidate-set-sized aggregation)
+        coarse = coarse.groupBy("query_id", "id").agg(F.min("_adc").alias("_adc"))
+    if rerank == 0:
+        # ADC-only: the coarse ranking IS the result; distances are the
+        # approximate reconstruction distances (see docstring)
+        return merge_topk(
+            coarse.select("query_id", "id", F.col("_adc").alias("distance")), k
+        )
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(F.col("_adc").asc(), F.col("id").asc())
@@ -140,4 +177,6 @@ def search_ivfpq_index(
             "query_id", "id", squared_l2(F.col("_fv"), F.col("_qv")).alias("distance")
         )
     )
+    if replicated:
+        exact = exact.dropDuplicates(["query_id", "id"])
     return merge_topk(exact, k)

@@ -1,0 +1,221 @@
+"""Trained-centroid persisted IVF / IVF+PQ tiers (VERDICT r04 item 1).
+
+The driver-tier IVF rows use zero-iteration hash-sampled centroids so
+DuckDB can replay them — the right ORACLE design and the wrong SERVING
+design (recall@5 = 0.52 at sf0.01).  The serving tier trains real
+centroids with Lloyd k-means (operators/clustering.kmeans_fit) and, for
+the recall-critical configuration, stores each vector in its 2 nearest
+cells (``write_ivf_index(replicas=2)`` — the index-side spill/overlap
+lever).  Lloyd isn't exactly SQL-replayable, so this tier is verified
+by recall FLOORS against the exact-kNN baseline, raised from the old
+0.6 to >=0.85 (the bench's recall_vs_nprobe section tracks the full
+curve round-over-round).
+
+Fixture geometry note: the synthetic embeddings carry 10 label
+clusters, so k=10 trained cells align with the true structure; measured
+recall at sf0.01 (2026-08, this round): r=2 n_probe 4/6/8 ->
+0.92/0.96/1.00, r=1 n_probe=6 -> 0.96, IVF+PQ trained books rerank=20
+-> 0.92.  Floors leave margin for float-summation jitter in Lloyd.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_vector_search_system_spark.operators.clustering import kmeans_fit
+from distributed_vector_search_system_spark.operators.knn import knn
+from distributed_vector_search_system_spark.operators.pq import pq_fit
+from distributed_vector_search_system_spark.sources.ivf_index import (
+    search_ivf_index,
+    write_ivf_index,
+)
+from distributed_vector_search_system_spark.sources.ivfpq_index import (
+    search_ivfpq_index,
+    write_ivfpq_index,
+)
+from distributed_vector_search_system_spark.tables import load_table
+
+K = 5
+NUM_CELLS = 10  # matches the fixture's 10 latent label clusters
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _queries(emb):
+    return emb.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+
+def _topk_ids(df):
+    return {(r["query_id"], r["id"]) for r in df.collect()}
+
+
+def _recall(approx, exact):
+    return len(approx & exact) / len(exact)
+
+
+@pytest.fixture(scope="module")
+def trained(spark, tmp_path_factory):
+    """One Lloyd fit + one PQ fit + both persisted indexes, shared by
+    every test in the module (fitting is the slow part)."""
+    sf = "/root/testdata/sf0.01"
+    emb = _emb(spark, sf)
+    cents, _ = kmeans_fit(emb, NUM_CELLS, max_iterations=15)
+    books, _ = pq_fit(emb, dim=64, m=8, ksub=16, max_iterations=8)
+    root = tmp_path_factory.mktemp("trained")
+    ivf_r2 = str(root / "ivf_r2")
+    write_ivf_index(emb, ivf_r2, cents, replicas=2)
+    ivf_r1 = str(root / "ivf_r1")
+    write_ivf_index(emb, ivf_r1, cents)
+    ivfpq_r2 = str(root / "ivfpq_r2")
+    write_ivfpq_index(emb, ivfpq_r2, cents, books, replicas=2)
+    exact = _topk_ids(knn(emb, _queries(emb), K))
+    return {
+        "sf": sf,
+        "cents": cents,
+        "books": books,
+        "ivf_r2": ivf_r2,
+        "ivf_r1": ivf_r1,
+        "ivfpq_r2": ivfpq_r2,
+        "exact": exact,
+    }
+
+
+def test_trained_replicated_ivf_recall_floors(spark, trained):
+    """The serving-quality configuration: trained cells + replicas=2.
+    recall@5 >= 0.85 across the n_probe ladder (VERDICT r04 item 1's
+    'done' bar), monotone non-decreasing in n_probe."""
+    emb = _emb(spark, trained["sf"])
+    q = _queries(emb)
+    floors = {4: 0.85, 6: 0.88, 8: 0.95}
+    prev = 0.0
+    for n_probe, floor in floors.items():
+        got = _topk_ids(
+            search_ivf_index(
+                spark, trained["ivf_r2"], q, K, trained["cents"],
+                n_probe=n_probe, replicated=True,
+            )
+        )
+        r = _recall(got, trained["exact"])
+        assert r >= floor, f"n_probe={n_probe}: recall {r:.3f} < {floor}"
+        assert r >= prev - 1e-9, "recall must not degrade as n_probe grows"
+        prev = r
+
+
+def test_trained_unreplicated_ivf_recall_floor(spark, trained):
+    emb = _emb(spark, trained["sf"])
+    q = _queries(emb)
+    got = _topk_ids(
+        search_ivf_index(
+            spark, trained["ivf_r1"], q, K, trained["cents"], n_probe=6
+        )
+    )
+    assert _recall(got, trained["exact"]) >= 0.85
+
+
+def test_trained_ivfpq_recall_floor(spark, trained):
+    """Trained cells × trained codebooks × exact re-rank: the compressed
+    serving tier also clears 0.85 (rerank=20 absorbs ADC ranking
+    noise)."""
+    emb = _emb(spark, trained["sf"])
+    q = _queries(emb)
+    got = _topk_ids(
+        search_ivfpq_index(
+            spark, trained["ivfpq_r2"], q, K, trained["cents"], trained["books"],
+            n_probe=4, rerank=20, replicated=True,
+        )
+    )
+    assert _recall(got, trained["exact"]) >= 0.85
+
+
+def test_replicated_index_stores_replicas_and_dedupes_results(spark, trained):
+    """replicas=2 writes ~2x physical rows (each vector in its 2 nearest
+    cells), yet a replicated search returns each id at most once per
+    query and exactly K rows per query."""
+    emb = _emb(spark, trained["sf"])
+    n = emb.count()
+    stored = spark.read.parquet(trained["ivf_r2"]).count()
+    assert stored == 2 * n
+    # every vector's two cells are distinct by construction
+    dup_cells = (
+        spark.read.parquet(trained["ivf_r2"])
+        .groupBy("vec_id", "cell_id").count().filter(F.col("count") > 1).count()
+    )
+    assert dup_cells == 0
+    q = _queries(emb)
+    res = search_ivf_index(
+        spark, trained["ivf_r2"], q, K, trained["cents"], n_probe=8, replicated=True
+    )
+    per_q = res.groupBy("query_id").agg(
+        F.count("*").alias("n"), F.countDistinct("id").alias("nd")
+    )
+    bad = per_q.filter((F.col("n") != K) | (F.col("nd") != K)).count()
+    assert bad == 0
+
+
+def test_replicated_search_matches_unreplicated_at_full_probe(spark, trained):
+    """Probing ALL cells, the replicated and plain indexes must return
+    identical results — replication changes IO/recall trade, never
+    semantics."""
+    emb = _emb(spark, trained["sf"])
+    q = _queries(emb)
+    a = {
+        (r["query_id"], r["id"], round(r["distance"], 6), r["rank"])
+        for r in search_ivf_index(
+            spark, trained["ivf_r2"], q, K, trained["cents"],
+            n_probe=NUM_CELLS, replicated=True,
+        ).collect()
+    }
+    b = {
+        (r["query_id"], r["id"], round(r["distance"], 6), r["rank"])
+        for r in search_ivf_index(
+            spark, trained["ivf_r1"], q, K, trained["cents"], n_probe=NUM_CELLS
+        ).collect()
+    }
+    assert a == b
+
+
+def test_adc_only_mode_contract(spark, trained):
+    """rerank=0 skips the exact re-rank: exactly K rows per query, ids
+    deduplicated, distances are ADC approximations (non-negative,
+    deterministic), and ranking still finds a usable fraction of true
+    neighbors (quality curve tracked in bench, not asserted high
+    here)."""
+    emb = _emb(spark, trained["sf"])
+    q = _queries(emb)
+
+    def run():
+        return search_ivfpq_index(
+            spark, trained["ivfpq_r2"], q, K, trained["cents"], trained["books"],
+            n_probe=4, rerank=0, replicated=True,
+        )
+
+    rows = run().collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        assert len(rs) == K
+        assert len({r["id"] for r in rs}) == K
+        assert all(r["distance"] >= 0.0 for r in rs)
+    # deterministic across invocations
+    again = {(r["query_id"], r["id"], round(r["distance"], 6)) for r in run().collect()}
+    assert {(r["query_id"], r["id"], round(r["distance"], 6)) for r in rows} == again
+    got = {(r["query_id"], r["id"]) for r in rows}
+    assert _recall(got, trained["exact"]) >= 0.2  # sanity floor only
+
+
+def test_write_ivf_index_validates_replicas(spark, trained):
+    emb = _emb(spark, trained["sf"]).limit(10)
+    with pytest.raises(ValueError, match="replicas"):
+        write_ivf_index(emb, "/tmp/never", trained["cents"], replicas=0)
+    with pytest.raises(ValueError, match="replicas"):
+        write_ivf_index(
+            emb, "/tmp/never", trained["cents"], replicas=NUM_CELLS + 1
+        )
