@@ -224,6 +224,67 @@ def _agg_by_query(
     return {n: round(fn(r[tier][n] for r in runs), 4) for n in names}
 
 
+#: reference-width bench (VERDICT r04 item 3): the reference serves
+#: d=768 (config/node1.textproto:13) while every fixture is d=64.  One
+#: deterministic synthetic corpus at the real width, timing the tiers
+#: whose cost is width-sensitive: expr vs GEMM exact kNN (the crossover
+#: moves with d), int8 coarse scan, PQ ADC (m=8 -> dsub=96 — fat
+#: codebook literals stress plan build).
+D768_N = int(os.environ.get("SPARK_GRAFT_BENCH_D768_N", "20000"))
+
+
+def _measure_d768() -> dict:
+    import time
+
+    from pyspark.sql import functions as F
+
+    from distributed_vector_search_system_spark.operators.knn import knn
+    from distributed_vector_search_system_spark.operators.pq import (
+        pq_adc_topk,
+        pq_encode,
+        pq_sample_codebooks,
+    )
+    from distributed_vector_search_system_spark.operators.quantize import (
+        quantized_knn,
+    )
+    from distributed_vector_search_system_spark.session import get_spark
+    from distributed_vector_search_system_spark.sources.synthetic import (
+        synthetic_vectors,
+    )
+
+    spark = get_spark(app_name="dvss-bench-d768")
+    corpus = synthetic_vectors(spark, D768_N, 768).localCheckpoint(eager=True)
+    queries = corpus.filter(F.col("vec_id") % 1000 == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    from distributed_vector_search_system_spark.operators.quantize import (
+        quantize_vectors,
+    )
+
+    books = pq_sample_codebooks(corpus, dim=768, m=8, ksub=16)
+    tier = pq_encode(corpus, books).localCheckpoint(eager=True)
+    int8_tier = quantize_vectors(corpus).localCheckpoint(eager=True)
+
+    def t(df_builder) -> float:
+        t0 = time.perf_counter()
+        df_builder().write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 4)
+
+    out = {"n": D768_N, "dim": 768, "n_queries": D768_N // 1000}
+    # steady-ish: run each twice, keep the second (JIT + shuffle warm)
+    for name, fn in (
+        ("knn_expr", lambda: knn(corpus, queries, 10, method="expr")),
+        ("knn_numpy", lambda: knn(corpus, queries, 10, method="numpy")),
+        ("knn_quantized", lambda: quantized_knn(int8_tier, queries, 10, rerank=4)),
+        ("pq_adc", lambda: pq_adc_topk(tier, queries, 10, books, rerank=10)),
+        ("pq_adc_only", lambda: pq_adc_topk(tier, queries, 10, books, rerank=0)),
+    ):
+        t(fn)
+        out[name] = t(fn)
+    spark.stop()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -231,6 +292,9 @@ def main() -> None:
 
     if os.environ.get(_WORKER_ENV) == "recall":
         print(json.dumps(_measure_recall(sf_dir)))
+        return
+    if os.environ.get(_WORKER_ENV) == "d768":
+        print(json.dumps(_measure_d768()))
         return
     if os.environ.get(_WORKER_ENV):
         print(json.dumps(_measure_once(sf_dir)))
@@ -249,17 +313,23 @@ def main() -> None:
         line = [l for l in proc.stdout.splitlines() if l.strip().startswith("{")][-1]
         runs.append(json.loads(line))
 
-    recall_section: dict = {}
-    if os.environ.get("SPARK_GRAFT_BENCH_RECALL", "1") != "0":
+    def _section(mode: str) -> dict:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
-            env={**os.environ, _WORKER_ENV: "recall"},
+            env={**os.environ, _WORKER_ENV: mode},
             capture_output=True,
             text=True,
             check=True,
         )
         line = [l for l in proc.stdout.splitlines() if l.strip().startswith("{")][-1]
-        recall_section = json.loads(line)
+        return json.loads(line)
+
+    recall_section: dict = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_RECALL", "1") != "0":
+        recall_section = _section("recall")
+    d768_section: dict = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_D768", "1") != "0":
+        d768_section = _section("d768")
 
     headline, fast = runs[0]["headline"], runs[0]["fast"]
     cold = _agg_by_query(runs, "cold", headline, min)
@@ -289,6 +359,7 @@ def main() -> None:
                     runs, "steady", headline, statistics.median
                 ),
                 "recall_vs_nprobe": recall_section,
+                "d768": d768_section,
                 "per_run_cold_totals": run_totals,
                 "per_run_steady_totals": steady_run_totals,
                 "host_noise_spread": round(max(run_totals) / min(run_totals), 3),
