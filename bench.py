@@ -285,6 +285,111 @@ def _measure_d768() -> dict:
     return out
 
 
+#: >sf0.1 scale anchor (VERDICT r04 item 4): one measured point above
+#: the shipped fixtures.  A 10x key-offset copy of $SPARK_GRAFT_SF_DIR
+#: (sources/scaleup.py — FK-consistent, copy-distinct text so dedup
+#: scales linearly) is materialized once into .scale_cache/, then each
+#: headline/fast/dedup query is timed at BOTH scales in one JVM and
+#: judged against its expected growth: aggregation/scan/window plans
+#: should grow ~linearly with the corpus; brute-force vector plans grow
+#: ~quadratically IN SF because the registry's query SET also scales
+#: with the corpus (fixed %-predicate), i.e. O(Q x N) work.  SUPERLINEAR
+#: = worse than the expected class x2 slack — the regression the anchor
+#: exists to catch (e.g. a pair-explosion in the dedup joins).
+SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_COPIES", "10"))
+
+#: queries whose WORK is O(Q x N) at fixed probe fraction (query count
+#: scales with the corpus): expected ratio ~ copies^2
+_QUADRATIC_CLASS = {
+    "knn_batch",
+    "knn_after_mutations",
+    "knn_quantized",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ivf_persisted_topk",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+}
+
+#: dedup plans the anchor explicitly watches for pair explosions
+_SCALE_DEDUP = ["dedup_exact", "dedup_minhash_lsh", "dedup_simhash"]
+
+
+def _measure_scale(sf_dir: str) -> dict:
+    import time
+
+    from distributed_vector_search_system_spark import registry
+    from distributed_vector_search_system_spark.registry.vector import (
+        bucketed_mutation_tables,
+        ivfpq_index,
+        persisted_ivf_index,
+        pq_tier,
+        quantized_tier,
+    )
+    from distributed_vector_search_system_spark.session import get_spark
+    from distributed_vector_search_system_spark.sources.scaleup import (
+        scale_fixture_dir,
+    )
+
+    spark = get_spark(app_name="dvss-bench-scale")
+    dst = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".scale_cache",
+        f"{os.path.basename(os.path.normpath(sf_dir))}x{SCALE_COPIES}",
+    )
+    t0 = time.perf_counter()
+    scale_fixture_dir(spark, sf_dir, dst, copies=SCALE_COPIES)
+    gen_s = round(time.perf_counter() - t0, 1)
+
+    qs = registry.all_queries()
+    names = (
+        [n for n in HEADLINE if n in qs]
+        + [n for n in FAST_TIERS if n in qs]
+        + [n for n in _SCALE_DEDUP if n in qs]
+    )
+    # one-time tier builds at BOTH dirs, excluded from timings
+    for d in (sf_dir, dst):
+        quantized_tier(spark, d)
+        persisted_ivf_index(spark, d)
+        pq_tier(spark, d)
+        ivfpq_index(spark, d)
+        bucketed_mutation_tables(spark, d)
+
+    def steady(name: str, d: str) -> float:
+        qs[name](spark, d).write.format("noop").mode("overwrite").save()
+        t1 = time.perf_counter()
+        qs[name](spark, d).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t1, 4)
+
+    out: dict = {
+        "copies": SCALE_COPIES,
+        "generate_sec": gen_s,
+        "queries": {},
+    }
+    for name in names:
+        tb = steady(name, sf_dir)
+        ts = steady(name, dst)
+        ratio = round(ts / tb, 2) if tb > 0 else float("inf")
+        expected = SCALE_COPIES ** 2 if name in _QUADRATIC_CLASS else SCALE_COPIES
+        verdict = (
+            "~linear"
+            if ratio <= 2 * SCALE_COPIES
+            else (
+                "~quadratic(QxN, expected)"
+                if name in _QUADRATIC_CLASS and ratio <= 2 * expected
+                else "SUPERLINEAR"
+            )
+        )
+        out["queries"][name] = {
+            "base_sec": tb,
+            "scaled_sec": ts,
+            "ratio": ratio,
+            "verdict": verdict,
+        }
+    spark.stop()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -295,6 +400,9 @@ def main() -> None:
         return
     if os.environ.get(_WORKER_ENV) == "d768":
         print(json.dumps(_measure_d768()))
+        return
+    if os.environ.get(_WORKER_ENV) == "scale":
+        print(json.dumps(_measure_scale(sf_dir)))
         return
     if os.environ.get(_WORKER_ENV):
         print(json.dumps(_measure_once(sf_dir)))
@@ -330,6 +438,9 @@ def main() -> None:
     d768_section: dict = {}
     if os.environ.get("SPARK_GRAFT_BENCH_D768", "1") != "0":
         d768_section = _section("d768")
+    scale_section: dict = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0":
+        scale_section = _section("scale")
 
     headline, fast = runs[0]["headline"], runs[0]["fast"]
     cold = _agg_by_query(runs, "cold", headline, min)
@@ -360,6 +471,7 @@ def main() -> None:
                 ),
                 "recall_vs_nprobe": recall_section,
                 "d768": d768_section,
+                "scale_anchor": scale_section,
                 "per_run_cold_totals": run_totals,
                 "per_run_steady_totals": steady_run_totals,
                 "host_noise_spread": round(max(run_totals) / min(run_totals), 3),

@@ -89,6 +89,12 @@ class VectorEngine:
         self._snapshot_epoch = 0
         self._pq_books: list | None = None
         self._pq_books_key: tuple[int, int, int] | None = None
+        # semantic cache store (C4 made live at the ENGINE surface,
+        # VERDICT r04 item 6): (cached_id, qvec, k, rows) of previously
+        # computed searches, probed by operators/cache.semantic_probe.
+        # Bounded like the exact cache; cleared on every mutation (M4).
+        self._semantic_entries: list[tuple[int, list[float], int, list]] = []
+        self._semantic_next_id = 0
 
     # -- reads -------------------------------------------------------------
 
@@ -108,6 +114,7 @@ class VectorEngine:
         method: str = "expr",
         pq_m: int = 8,
         pq_ksub: int = 16,
+        semantic_threshold: float | None = None,
     ) -> DataFrame:
         """Search == BatchSearch: N query rows, one plan (SURVEY §3.2).
 
@@ -116,8 +123,25 @@ class VectorEngine:
         IO-bound tier, operators/quantize.py), or "pq" (product-
         quantized ADC coarse scan + exact re-rank, operators/pq.py;
         needs ``dim``).  Approximate tiers return EXACT distances —
-        approximation only selects which candidates reach the re-rank."""
+        approximation only selects which candidates reach the re-rank.
+
+        ``semantic_threshold``: enable SEMANTIC cache reuse (the
+        reference's dead ``exact_match`` hook made live — C4): each
+        query is first probed against previously computed searches
+        (operators/cache.semantic_probe); a query whose cosine to some
+        cached query vector is >= the threshold is served that entry's
+        stored rows, the rest fall through to the exact path and fill
+        the store.  The result gains a ``served_by`` column (serving
+        cache-entry id, NULL for computed rows).  Served rows carry the
+        CACHED query's distances — exact only when the probe matched an
+        identical vector (threshold 1.0); any lower threshold is an
+        explicit approximation opt-in.  The store is invalidated by
+        every mutation, like the digest cache (M4)."""
         snap = self._read_snapshot(consistency)
+        if semantic_threshold is not None:
+            return self._search_semantic(
+                queries, k, semantic_threshold, method=method, consistency=consistency
+            )
         if method in ("quantized", "pq") and self._shard_col is not None:
             raise ValueError(
                 f"{method} search does not carry shard columns; use method='expr'"
@@ -139,6 +163,71 @@ class VectorEngine:
                 self._pq_books_key = key
             return pq_adc_topk(snap, queries, k, self._pq_books)
         return knn(snap, queries, k, shard_col=self._shard_col, method=method)
+
+    #: bound on the semantic store, mirroring the exact cache default
+    SEMANTIC_MAX_ENTRIES = 1024
+
+    def _search_semantic(
+        self,
+        queries: DataFrame,
+        k: int,
+        threshold: float,
+        *,
+        method: str,
+        consistency: str,
+    ) -> DataFrame:
+        """probe → exact search on miss → store fill (see ``search``)."""
+        from .operators.cache import semantic_probe
+
+        spark = self._spark
+        qcols = queries.select("query_id", "qvec")
+        entries = [e for e in self._semantic_entries if e[2] == k]
+        if entries:
+            cached_df = spark.createDataFrame(
+                [(cid, qv) for cid, qv, _, _ in entries],
+                "cached_id long, cvec array<double>",
+            )
+            probe = semantic_probe(cached_df, qcols, threshold=threshold)
+            hit_map = {
+                r["query_id"]: r["served_by"]
+                for r in probe.filter("hit").collect()
+            }
+        else:
+            hit_map = {}
+        rows_by_cid = {cid: rows for cid, _, kk, rows in entries if kk == k}
+        served_rows = [
+            (qid, rid, dist, rank, cid)
+            for qid, cid in hit_map.items()
+            for (rid, dist, rank) in rows_by_cid[cid]
+        ]
+        miss_q = qcols.filter(~F.col("query_id").isin(list(hit_map)))
+        # compute misses ONCE (materialized — this IS the cache-fill
+        # action, same contract as search_one's collect+insert; query
+        # batches are small so the collected set is k x |misses| rows)
+        qv_by_id = {
+            r["query_id"]: [float(x) for x in r["qvec"]] for r in miss_q.collect()
+        }
+        new_by_q: dict[int, list] = {qid: [] for qid in qv_by_id}
+        if qv_by_id:
+            for r in self.search(
+                miss_q, k, consistency=consistency, method=method
+            ).collect():
+                new_by_q[r["query_id"]].append((r["id"], r["distance"], r["rank"]))
+        for qid, rows in new_by_q.items():
+            self._semantic_entries.append(
+                (self._semantic_next_id, qv_by_id[qid], k,
+                 sorted(rows, key=lambda t: t[2]))
+            )
+            self._semantic_next_id += 1
+        while len(self._semantic_entries) > self.SEMANTIC_MAX_ENTRIES:
+            self._semantic_entries.pop(0)
+        out_schema = "query_id long, id long, distance double, rank int, served_by long"
+        computed_rows = [
+            (qid, rid, dist, rank, None)
+            for qid, rows in new_by_q.items()
+            for (rid, dist, rank) in rows
+        ]
+        return spark.createDataFrame(computed_rows + served_rows, out_schema)
 
     def search_one(
         self, query_id: int, qvec, k: int, *, consistency: str = EVENTUAL
@@ -235,6 +324,7 @@ class VectorEngine:
         if not applied:
             self._pending += 1
         self._cache.invalidate()  # M4: full clear on any write
+        self._semantic_entries.clear()  # semantic tier follows M4 too
         if self._pcache is not None:
             self._pcache.invalidate()  # epoch bump — no table rewrite
         if self._auto_compact is not None and self._pending >= self._auto_compact:

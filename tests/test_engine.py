@@ -393,3 +393,59 @@ def test_pq_books_rederived_when_geometry_changes(spark):
     # and switching back re-derives for the original geometry again
     e.search(q, 3, method="pq", pq_m=2, pq_ksub=4).collect()
     assert len(e._pq_books) == 2
+
+
+def test_semantic_search_engine_surface(spark):
+    """VERDICT r04 item 6: semantic_threshold= on VectorEngine.search —
+    probe -> exact on miss -> store fill.  Cache-on results equal
+    cache-off results when hits come from identical vectors
+    (threshold=1.0-epsilon), served_by marks the serving entry, and
+    mutations invalidate the store."""
+    e = _engine(spark)
+    q1 = _q(spark, 0, [1.0, 0.0], 3)
+
+    # cold store: everything computed, served_by NULL
+    r1 = e.search(q1, 3, semantic_threshold=0.999).collect()
+    assert len(r1) == 3 and all(r["served_by"] is None for r in r1)
+
+    # same vector, new query id: served semantically with identical rows
+    q2 = _q(spark, 7, [1.0, 0.0], 3)
+    r2 = e.search(q2, 3, semantic_threshold=0.999).collect()
+    assert len(r2) == 3 and all(r["served_by"] is not None for r in r2)
+    off = {(r["id"], round(r["distance"], 9), r["rank"])
+           for r in e.search(q2, 3).collect()}
+    assert {(r["id"], round(r["distance"], 9), r["rank"]) for r in r2} == off
+
+    # mixed batch: dup vector served, new vector computed — and the
+    # combined result equals the cache-off search row-for-row
+    from pyspark.sql import functions as F
+    # note: [4.0, 0.0] would HIT — cosine is scale-invariant, and the
+    # cached [1.0, 0.0] is colinear; the miss case needs a new direction
+    qmix = spark.createDataFrame(
+        [(11, [1.0, 0.0], 3), (12, [0.5, 4.0], 3)], schema=QUERIES_SCHEMA
+    )
+    rmix = e.search(qmix, 3, semantic_threshold=0.999)
+    served_flags = {r["query_id"]: r["served_by"] is not None for r in rmix.collect()}
+    assert served_flags[11] is True and served_flags[12] is False
+    on = {(r["query_id"], r["id"], round(r["distance"], 9), r["rank"])
+          for r in rmix.collect()}
+    base = {(r["query_id"], r["id"], round(r["distance"], 9), r["rank"])
+            for r in e.search(qmix, 3).collect()}
+    assert on == base
+
+    # mutations clear the semantic store (M4)
+    e.upsert(99, [50.0, 0.0])
+    r3 = e.search(_q(spark, 21, [1.0, 0.0], 3), 3, semantic_threshold=0.999).collect()
+    assert all(r["served_by"] is None for r in r3)
+
+
+def test_semantic_search_threshold_gates_serving(spark):
+    """A looser threshold serves a merely-similar query (approximation
+    opt-in); a strict one does not."""
+    e = _engine(spark)
+    e.search(_q(spark, 0, [1.0, 0.1], 3), 3, semantic_threshold=0.9)
+    near = [1.0, 0.12]  # cosine to [1.0, 0.1] ~ 0.9998
+    strict = e.search(_q(spark, 1, near, 3), 3, semantic_threshold=0.99999999)
+    assert all(r["served_by"] is None for r in strict.collect())
+    loose = e.search(_q(spark, 2, near, 3), 3, semantic_threshold=0.999)
+    assert all(r["served_by"] is not None for r in loose.collect())
