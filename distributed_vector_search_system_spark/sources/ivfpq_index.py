@@ -132,8 +132,9 @@ def search_ivfpq_index(
             _probe_cells_expr(query_vector_col, centroids, n_probe)
         ).alias("_probe"),
     )
-    # small by contract (an RPC batch): the probe list must be a literal
-    # to reach PartitionFilters
+    # driver-side by necessity (the probe list must be a literal to
+    # reach PartitionFilters) and bounded by construction: DISTINCT cell
+    # ids — at most len(centroids) rows regardless of query-batch size
     cells = sorted({r["_probe"] for r in probes.select("_probe").distinct().collect()})
     idx = spark.read.parquet(path).filter(F.col("cell_id").isin(cells))
     coarse = idx.select(id_col, "pq_codes", "cell_id").join(

@@ -246,6 +246,8 @@ class IvfIndexStore:
                 _probe_cells_expr(query_vector_col, self.centroids, n_probe)
             ).alias("_probe"),
         )
+        # distinct cell ids: bounded by len(self.centroids), never
+        # n_probe x #queries (see sources/ivf_index.search_ivf_index)
         cells = sorted({r["_probe"] for r in probes.select("_probe").distinct().collect()})
         live = self.live_rows(spark, cells=cells)
         scored = live.join(
