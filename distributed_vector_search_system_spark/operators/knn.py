@@ -245,6 +245,74 @@ def sharded_knn(
     return merge_topk(partials.drop("shard_rank"), k)
 
 
+def range_search(
+    vectors: DataFrame,
+    queries: DataFrame,
+    radius_sq: float,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vector_col: str = "qvec",
+) -> DataFrame:
+    """All neighbors within a squared-L2 radius, ranked by distance.
+
+    The radius analog of the reference's flat scan (FAISS exposes the
+    same duality: ``IndexFlatL2::search`` vs ``range_search``; the
+    reference only wires up the top-k form, src/index/vector_shard.cc:
+    72-94 — this generalizes the identical scan to a distance
+    threshold).  The radius predicate is applied INSIDE the scan
+    projection (map-side), so only in-radius rows reach the per-query
+    rank exchange — at 100 TB the shuffle carries the selectivity of
+    the radius, not the corpus.
+
+    Ranks are per-query ``(distance, id)`` positions over the matched
+    set; there is deliberately no k cap (that is :func:`knn`)."""
+    scored = vectors.join(F.broadcast(queries), how="cross").select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("id"),
+        squared_l2(F.col(vector_col), F.col(query_vector_col)).alias("distance"),
+    )
+    within = scored.filter(F.col("distance") <= F.lit(float(radius_sq)))
+    return within.withColumn("rank", _topk_window(0))
+
+
+def grouped_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    group_col: str,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vector_col: str = "qvec",
+) -> DataFrame:
+    """Faceted search: exact top-k per (query, group) — e.g. the k
+    nearest vectors of EVERY label for each query, in one plan.
+
+    Same scan/window shape as :func:`knn` with the group key joined
+    into the window partition — Catalyst's WindowGroupLimit still
+    applies (partial top-k per task before the exchange), and the
+    group key adds no extra shuffle because it rides the same
+    ``(query_id, group)`` hash partitioning the rank needs anyway.
+    The reference has no grouping surface; this is the §2.7-style
+    relational generalization of Q1/Q4 (partition the merge by an
+    attribute), a first-class need for per-source / per-language
+    retrieval quotas in training-data pipelines."""
+    scored = vectors.join(F.broadcast(queries), how="cross").select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(group_col).alias("group"),
+        F.col(id_col).alias("id"),
+        squared_l2(F.col(vector_col), F.col(query_vector_col)).alias("distance"),
+    )
+    w = Window.partitionBy("query_id", "group").orderBy(
+        F.col("distance").asc(), F.col("id").asc()
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    return ranked.filter(F.col("rank") <= k)
+
+
 def warm(df: DataFrame) -> int:
     """Cache warm (reference Q7, src/index/shard_manager.cc:105-119): the
     reference probes each shard with a dummy query to page indices into

@@ -1,0 +1,298 @@
+"""Ranked text retrieval and fusion: BM25, reciprocal-rank fusion, MMR.
+
+The reference is a pure vector engine; a training-data / RAG pipeline at
+100 TB pairs that with lexical retrieval over the document corpus and a
+fusion step — the missing half of hybrid search.  This module adds:
+
+- ``bm25_topk``   — Okapi BM25 (Lucene idf variant) entirely in
+  built-in expressions: tokenize → postings restricted to the query
+  vocabulary by a BROADCAST join (the corpus never shuffles on the
+  term key for terms nobody asked about) → per-(query, doc) score →
+  per-query top-k (WindowGroupLimit partial top-k, same shape as kNN).
+- ``rrf_fuse``    — reciprocal-rank fusion of any number of ranked
+  lists (Cormack et al.: score = Σ 1/(k0 + rank)); rank-only, so it
+  composes rankings from incomparable score spaces (BM25 vs cosine).
+- ``hybrid_rrf_topk`` — the standard hybrid-search composition:
+  BM25 leg + exact-cosine vector leg, fused by RRF.
+- ``mmr_rerank``  — maximal-marginal-relevance diversity re-rank of a
+  top-N candidate list (Carbonell & Goldstein 1998): greedy
+  λ·relevance − (1−λ)·max-similarity-to-selected.  Iterative/greedy →
+  not SQL-expressible; runs as ``applyInPandas`` per query over the
+  (k-bounded, already-retrieved) candidate set, so the Python surface
+  touches only candidates — never the corpus.
+
+Determinism contract (oracle comparison): scores are ranked on their
+6-decimal ROUNDING with an id tie-break, on both engines — BM25's idf
+is transcendental (``ln``), and ranking on raw doubles would let a
+last-ulp cross-engine difference flip the order of two genuinely tied
+documents.
+
+Scale notes: the only corpus-wide shuffle in BM25 is the per-(doc,
+term) tf aggregation, and it happens only for rows that survive the
+broadcast semi-restriction to query terms — the 100 TB scan reduces
+map-side to the query vocabulary's postings.  Corpus statistics
+(N, avgdl) are one tiny auxiliary aggregate, broadcast back.  df is
+computed from the restricted postings (per-term document counts are
+unaffected by dropping other terms' rows).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.distance import cosine_similarity
+from ..functions.text import tokens
+
+#: classic RRF constant (Cormack et al. 2009)
+RRF_K = 60
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def queries_from_docs(
+    docs: DataFrame,
+    pred,
+    *,
+    n_terms: int = 3,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic lexical query set: the first ``n_terms`` distinct
+    tokens of each selected document (the fixture-derived analog of
+    the vector registry drawing query vectors from ``embeddings``)."""
+    return docs.filter(pred).select(
+        F.col(doc_id_col).alias("query_id"),
+        F.array_distinct(F.slice(tokens(text_col), 1, n_terms)).alias("qterms"),
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_terms_col: str = "qterms",
+) -> DataFrame:
+    """Okapi BM25 scores for every (query, matching document) pair.
+
+    idf is the Lucene/standard non-negative variant
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))``; term weight is
+    ``idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``.  Query term
+    multiplicity is ignored (terms are distinct-ed), the convention
+    for short queries.
+
+    Returns ``(query_id, id, score)`` — one row per (query, doc with
+    ≥1 query term); docs matching no term are absent (score 0).
+    """
+    toks = docs.select(
+        F.col(doc_id_col).alias("id"), tokens(text_col).alias("_toks")
+    )
+    # corpus stats: one tiny aggregate, broadcast into the score join
+    stats = toks.agg(
+        F.count("*").alias("_n_docs"),
+        F.avg(F.size("_toks").cast("double")).alias("_avgdl"),
+    )
+    posting = (
+        toks.select("id", F.size("_toks").alias("dl"), F.explode("_toks").alias("term"))
+        .groupBy("id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    qt = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(F.col(query_terms_col))).alias("term"),
+    )
+    # broadcast the (small) query vocabulary: the postings join is a
+    # map-side hash join — no corpus shuffle on term
+    hits = posting.join(F.broadcast(qt), "term")
+    dfreq = (
+        posting.join(F.broadcast(qt.select("term").distinct()), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count_distinct("id").alias("df"))
+    )
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("_n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (1.0 - b + b * F.col("dl").cast("double") / F.col("_avgdl"))
+                )
+            ).alias("_w"),
+        )
+    )
+    return scored.groupBy("query_id", "id").agg(F.sum("_w").alias("score"))
+
+
+def _score_ranked(scored: DataFrame, k: int, score_col: str) -> DataFrame:
+    """Round-then-rank: 6-decimal score, (score desc, id) total order."""
+    rounded = scored.withColumn(score_col, F.round(F.col(score_col), 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col(score_col).desc(), F.col("id").asc()
+    )
+    return (
+        rounded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int,
+    **kwargs,
+) -> DataFrame:
+    """Per-query BM25 top-k: ``(query_id, id, score, rank)``."""
+    return _score_ranked(bm25_scores(docs, queries, **kwargs), k, "score")
+
+
+def rrf_fuse(
+    rankings: Iterable[DataFrame],
+    k: int,
+    *,
+    k_const: int = RRF_K,
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked lists ``(query_id, id, rank)``.
+
+    ``score = Σ_legs 1/(k_const + rank)``; a doc absent from a leg
+    contributes nothing for that leg (the standard convention — RRF
+    needs no score normalization across legs, which is the point).
+    Returns the fused per-query top-k ``(query_id, id, rrf, rank)``.
+    """
+    legs = [
+        r.select(
+            "query_id", "id", (F.lit(1.0) / (F.lit(k_const) + F.col("rank"))).alias("_c")
+        )
+        for r in rankings
+    ]
+    contrib = legs[0]
+    for leg in legs[1:]:
+        contrib = contrib.unionByName(leg)
+    fused = contrib.groupBy("query_id", "id").agg(F.sum("_c").alias("rrf"))
+    return _score_ranked(fused, k, "rrf")
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    leg_k: int = 20,
+    k_const: int = RRF_K,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_vector_col: str = "qvec",
+    **bm25_kwargs,
+) -> DataFrame:
+    """Hybrid search: BM25 lexical leg + exact-cosine vector leg → RRF.
+
+    ``queries`` carries BOTH modalities per row: ``(query_id, qterms,
+    qvec)``; ``qvec`` may be null (lexical-only query — the vector leg
+    simply has no rows for it, and RRF degrades gracefully).  Each leg
+    retrieves its own top ``leg_k`` before fusion (retrieve-deep,
+    fuse-shallow: ``leg_k ≥ k`` is the standard setting).
+    """
+    from .similarity import cosine_topk
+
+    lex = bm25_topk(docs, queries, leg_k, **bm25_kwargs)
+    vq = queries.filter(F.col(query_vector_col).isNotNull()).select(
+        "query_id", query_vector_col
+    )
+    vec = cosine_topk(
+        vectors,
+        vq,
+        leg_k,
+        id_col=id_col,
+        vector_col=vector_col,
+        query_vector_col=query_vector_col,
+    )
+    return rrf_fuse([lex.select("query_id", "id", "rank"),
+                     vec.select("query_id", "id", "rank")], k, k_const=k_const)
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int,
+    *,
+    lambda_: float = 0.5,
+    relevance_col: str = "cosine",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversity re-rank (Carbonell &
+    Goldstein 1998) of per-query candidate lists.
+
+    Input: ``(query_id, id, <relevance_col>, <vector_col>)`` — the
+    top-N output of a retrieval stage joined back to its vectors.
+    Greedy: repeatedly pick ``argmax λ·rel(d) − (1−λ)·max_{s∈S}
+    cos(d, s)`` (ties → smallest id), S the already-selected set.
+
+    Inherently sequential per query → ``applyInPandas`` per query_id;
+    the Python surface is bounded by the candidate list (N ≪ corpus),
+    the corpus itself is never touched.  Cosine between candidates is
+    one normalized Gram matrix per group (BLAS), computed once.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = "query_id long, id long, relevance double, mmr double, rank int"
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        n = len(pdf)
+        kk = min(k, n)
+        x = np.stack(pdf[vector_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(x, axis=1)
+        norms[norms == 0.0] = 1.0
+        xn = x / norms[:, None]
+        sim = xn @ xn.T  # (n, n) candidate-candidate cosine
+        rel = pdf[relevance_col].to_numpy().astype(np.float64)
+        ids = pdf["id"].to_numpy()
+        selected: list[int] = []
+        max_sim = np.full(n, -np.inf)
+        chosen_scores: list[float] = []
+        avail = np.ones(n, dtype=bool)
+        for _ in range(kk):
+            penalty = np.where(np.isinf(max_sim), 0.0, max_sim)
+            mmr = lambda_ * rel - (1.0 - lambda_) * penalty
+            mmr_masked = np.where(avail, mmr, -np.inf)
+            best = mmr_masked.max()
+            # deterministic tie-break: smallest id among the argmaxes
+            tied = np.flatnonzero(mmr_masked == best)
+            pick = tied[np.argmin(ids[tied])]
+            selected.append(pick)
+            chosen_scores.append(float(mmr[pick]))
+            avail[pick] = False
+            max_sim = np.maximum(max_sim, sim[:, pick])
+        sel = np.array(selected, dtype=int)
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].to_numpy()[sel],
+                "id": ids[sel],
+                "relevance": rel[sel],
+                "mmr": chosen_scores,
+                "rank": np.arange(1, len(sel) + 1, dtype=np.int32),
+            }
+        )
+
+    return (
+        candidates.select("query_id", "id", F.col(relevance_col).alias(relevance_col), vector_col)
+        .groupBy("query_id")
+        .applyInPandas(greedy, schema=out_schema)
+    )

@@ -1407,6 +1407,140 @@ ORACLES["curation_pipeline"] = _curation_oracle()
 QUERIES["hash_sample"] = q_hash_sample
 ORACLES["hash_sample"] = _hash_sample_oracle()
 
+# ---------------------------------------------------------------------------
+# Round-5: lexical retrieval + hybrid fusion (operators/retrieval.py).
+# BM25 and RRF are fully SQL-expressible → exact oracles; MMR is greedy/
+# iterative → weak-checked here, exactness vs a pure-numpy reference in
+# tests/test_retrieval.py.
+
+_HYBRID_QPRED = "doc_id % 100 = 7"
+_HYBRID_LEG_K = 20
+_HYBRID_K = 10
+
+
+def _retrieval_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import queries_from_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return queries_from_docs(docs, F.expr(_HYBRID_QPRED))
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, _retrieval_queries(spark, sf_dir), _HYBRID_K)
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import hybrid_rrf_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _retrieval_queries(spark, sf_dir).join(
+        emb.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        ),
+        "query_id",
+        "left",
+    )
+    return hybrid_rrf_topk(docs, emb, q, _HYBRID_K, leg_k=_HYBRID_LEG_K)
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity re-rank of an exact-cosine top-20 candidate list
+    (weak-checked: greedy selection has no SQL form; exactness vs a
+    pure-numpy reference lives in tests/test_retrieval.py)."""
+    from ..operators.retrieval import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 250 == 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cands = cosine_topk(emb, q, 20).join(
+        emb.select(F.col("vec_id").alias("id"), "embedding"), "id"
+    )
+    out = mmr_rerank(cands, 5, lambda_=0.7)
+    return out.select(
+        "query_id", "id", F.round("relevance", 6).alias("relevance"), "rank"
+    )
+
+
+def _bm25_scored_ctes(leg_k: int | None = None) -> str:
+    """Shared BM25 CTE chain ending in ``bm25_ranked (query_id, id,
+    score6, brank)``; thresholds interpolate the Python constants
+    (oracle-drift lesson, ADVICE r04)."""
+    from ..operators.retrieval import BM25_B, BM25_K1
+
+    return f"""
+toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+q AS (SELECT doc_id AS query_id, list_distinct(list_slice(w, 1, 3)) AS qts
+      FROM toks WHERE {_HYBRID_QPRED}),
+qt AS (SELECT query_id, UNNEST(qts) AS term FROM q),
+dl AS (SELECT doc_id AS id, len(w) AS dl FROM toks),
+tfx AS (SELECT doc_id AS id, UNNEST(w) AS term FROM toks),
+tfc AS (SELECT id, term, COUNT(*) AS tf FROM tfx GROUP BY 1, 2),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+dfq AS (SELECT term, COUNT(DISTINCT id) AS df FROM tfc
+        WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1),
+bm25_scored AS (
+  SELECT qt.query_id, tfc.id,
+         SUM(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (tfc.tf * ({BM25_K1} + 1.0))
+             / (tfc.tf + {BM25_K1} * (1.0 - {BM25_B}
+                + {BM25_B} * CAST(dl.dl AS DOUBLE) / s.avgdl))) AS score
+  FROM qt
+  JOIN tfc ON tfc.term = qt.term
+  JOIN dfq d ON d.term = qt.term
+  JOIN dl ON dl.id = tfc.id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+bm25_ranked AS (
+  SELECT query_id, id, score6,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score6 DESC, id) AS INT) AS brank
+  FROM (SELECT query_id, id, ROUND(score, 6) AS score6 FROM bm25_scored)
+)"""
+
+
+def _bm25_oracle() -> str:
+    return f"""
+WITH {_bm25_scored_ctes()}
+SELECT query_id, id, score6 AS score, brank AS rank
+FROM bm25_ranked WHERE brank <= {_HYBRID_K}
+"""
+
+
+def _hybrid_oracle() -> str:
+    from ..operators.retrieval import RRF_K
+
+    cos = _SQL_COSINE.format(x="vq.qv", y="v.embedding")
+    return f"""
+WITH {_bm25_scored_ctes()},
+vq AS (SELECT q.query_id, e.embedding AS qv FROM q
+       JOIN embeddings e ON e.vec_id = q.query_id),
+vs AS (SELECT vq.query_id, v.vec_id AS id, {cos} AS cos
+       FROM vq CROSS JOIN embeddings v),
+vr AS (SELECT query_id, id,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, id) AS INT) AS rank
+       FROM vs),
+legs AS (
+  SELECT query_id, id, rank FROM vr WHERE rank <= {_HYBRID_LEG_K}
+  UNION ALL
+  SELECT query_id, id, brank AS rank FROM bm25_ranked WHERE brank <= {_HYBRID_LEG_K}
+),
+fused AS (SELECT query_id, id, ROUND(SUM(1.0 / ({RRF_K} + rank)), 6) AS rrf
+          FROM legs GROUP BY 1, 2)
+SELECT query_id, id, rrf, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY rrf DESC, id) AS INT) AS rank
+  FROM fused)
+WHERE rank <= {_HYBRID_K}
+"""
+
+
 EXTRA_QUERIES: dict = {
     "text_tfidf_topk": q_text_tfidf_topk,
     "text_vocab_topk": q_text_vocab_topk,
@@ -1419,6 +1553,9 @@ EXTRA_QUERIES: dict = {
     "text_chunking": q_text_chunking,
     "stratified_sample": q_stratified_sample,
     "quality_gated_sample": q_quality_gated_sample,
+    "bm25_topk": q_bm25_topk,
+    "hybrid_rrf": q_hybrid_rrf,
+    "mmr_rerank": q_mmr_rerank,
 }
 EXTRA_ORACLES: dict = {
     "text_tfidf_topk": _TFIDF_SQL,
@@ -1432,4 +1569,7 @@ EXTRA_ORACLES: dict = {
     "text_chunking": _CHUNK_SQL,
     "stratified_sample": _stratified_oracle(),
     "quality_gated_sample": _qgate_oracle(),
+    "bm25_topk": _bm25_oracle(),
+    "hybrid_rrf": _hybrid_oracle(),
+    # mmr_rerank: weak-checked (greedy/iterative — no SQL form)
 }

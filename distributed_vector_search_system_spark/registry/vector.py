@@ -1207,6 +1207,70 @@ WHERE rank <= 5
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-5 search-surface generalizations: filtered / radius / grouped
+# search (operators/knn.py range_search + grouped_topk; filtered = the
+# predicate composes with the scan, reference shards carry no attributes
+# so this is pure Spark-side capability).
+
+def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered kNN: the k nearest vectors SATISFYING a metadata
+    predicate (pre-filter semantics — the filter reaches the parquet
+    scan, so candidate generation already excludes non-matching rows)."""
+    emb = _emb(spark, sf_dir)
+    q = _query_set(emb, F.col("vec_id") % 250 == 2)
+    return _round_result(knn(emb.filter(F.col("label") % 3 == 0), q, 10))
+
+
+def q_knn_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search: every vector within squared-L2 1.55 of each query,
+    ranked by distance (FAISS range_search analog)."""
+    from ..operators.knn import range_search
+
+    emb = _emb(spark, sf_dir)
+    q = _query_set(emb, F.col("vec_id") % 250 == 2)
+    return _round_result(range_search(emb, q, 1.55))
+
+
+def q_knn_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search: top-3 nearest per (query, label) in one plan."""
+    from ..operators.knn import grouped_topk
+
+    emb = _emb(spark, sf_dir)
+    q = _query_set(emb, F.col("vec_id") % 250 == 2)
+    out = grouped_topk(emb, q, 3, group_col="label")
+    return out.select(
+        "query_id",
+        F.col("group").alias("grp"),
+        "id",
+        F.round("distance", 6).alias("distance"),
+        "rank",
+    )
+
+
+_RADIUS_DIST = _SQL_SQ_L2.format(q="q.qe", v="v.embedding")
+
+_KNN_RADIUS_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 250 = 2),
+scored AS (SELECT q.query_id, v.vec_id AS id, {_RADIUS_DIST} AS distance
+           FROM q CROSS JOIN embeddings v),
+within AS (SELECT * FROM scored WHERE distance <= 1.55)
+SELECT query_id, id, ROUND(distance, 6) AS distance,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, id) AS INT) AS rank
+FROM within
+"""
+
+_KNN_GROUPED_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 250 = 2),
+scored AS (SELECT q.query_id, v.label AS grp, v.vec_id AS id, {_RADIUS_DIST} AS distance
+           FROM q CROSS JOIN embeddings v),
+ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id, grp
+                                             ORDER BY distance, id) AS INT) AS rank
+           FROM scored)
+SELECT query_id, grp, id, ROUND(distance, 6) AS distance, rank FROM ranked WHERE rank <= 3
+"""
+
+
 # --- pytest-only tier (beyond the driver's 50-query correctness window;
 # verified by tests/test_oracle_parity.py with the same DuckDB harness) ----
 
@@ -1227,6 +1291,9 @@ EXTRA_QUERIES = {
     "semantic_cache_reuse": q_semantic_cache_reuse,
     "embedding_pq_codes": q_embedding_pq_codes,
     "mutations_compact_bucketed": q_mutations_compact_bucketed,
+    "knn_filtered": q_knn_filtered,
+    "knn_radius": q_knn_radius,
+    "knn_grouped": q_knn_grouped,
 }
 EXTRA_ORACLES = {
     "cache_ttl_prune": _CACHE_TTL_SQL,
@@ -1235,4 +1302,7 @@ EXTRA_ORACLES = {
     "embedding_pq_codes": _pq_codes_oracle(),
     # bucketing is layout, not semantics: same oracle as the driver row
     "mutations_compact_bucketed": ORACLES["mutations_compact"],
+    "knn_filtered": _knn_oracle("vec_id % 250 = 2", "label % 3 = 0", 10),
+    "knn_radius": _KNN_RADIUS_SQL,
+    "knn_grouped": _KNN_GROUPED_SQL,
 }

@@ -101,6 +101,7 @@ def search_ivf_index(
     query_id_col: str = "query_id",
     query_vector_col: str = "qvec",
     replicated: bool = False,
+    where=None,
 ) -> DataFrame:
     """Exact top-k within the probed cells of a persisted IVF index.
 
@@ -112,7 +113,18 @@ def search_ivf_index(
     ``replicas > 1``): a vector stored in two probed cells would rank
     twice, so candidates collapse to one row per (query, id) first —
     an extra aggregation on the candidate set only (probed rows, not
-    the corpus), with map-side partial combine."""
+    the corpus), with map-side partial combine.
+
+    ``where`` (Column or SQL string) is a metadata PRE-filter: it is
+    applied to index rows before distance scoring, so the k results
+    are the k nearest *matching* vectors (the filtered-ANN contract of
+    every production vector store, and the composition the reference
+    cannot express — its shards carry no attributes).  Catalyst pushes
+    simple predicates into the parquet scan (PushedFilters), stacking
+    with the cell-id partition pruning: a probe reads only probed
+    directories AND row-groups whose min/max admit the predicate.
+    Pre- (not post-) filtering matters at low selectivity: a post
+    filter over top-k would return < k rows or miss matches entirely."""
     probes = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vector_col).alias("_qv"),
@@ -126,6 +138,8 @@ def search_ivf_index(
     # n_probe x #queries (VERDICT r04 wrong-item 3)
     cells = sorted({r["_probe"] for r in probes.select("_probe").distinct().collect()})
     idx = spark.read.parquet(path).filter(F.col("cell_id").isin(cells))
+    if where is not None:
+        idx = idx.filter(F.expr(where) if isinstance(where, str) else where)
     scored = idx.join(F.broadcast(probes), idx["cell_id"] == probes["_probe"]).select(
         "query_id",
         F.col(id_col).alias("id"),

@@ -1,0 +1,260 @@
+"""BM25 / RRF / MMR retrieval operators (operators/retrieval.py) and the
+round-5 search-surface generalizations (range / grouped / filtered).
+
+Exactness of bm25_topk and hybrid_rrf vs DuckDB is covered by
+tests/test_oracle_parity.py; here: hand-computed tiny-corpus BM25, exact
+RRF arithmetic, MMR vs an independent pure-numpy reference, and the
+filtered persisted-IVF plan contract (partition pruning AND predicate
+pushdown on the same probe scan)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_vector_search_system_spark.operators.knn import (
+    grouped_topk,
+    knn,
+    range_search,
+)
+from distributed_vector_search_system_spark.operators.retrieval import (
+    bm25_scores,
+    bm25_topk,
+    hybrid_rrf_topk,
+    mmr_rerank,
+    queries_from_docs,
+    rrf_fuse,
+)
+from distributed_vector_search_system_spark.operators.similarity import cosine_topk
+from distributed_vector_search_system_spark.tables import load_table
+
+
+def _docs(spark):
+    rows = [
+        (0, "spark shuffle join"),
+        (1, "spark spark spark filter"),
+        (2, "window merge sort"),
+        (3, "spark window"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _queries(spark, terms, qid=0):
+    return spark.createDataFrame([(qid, terms)], "query_id long, qterms array<string>")
+
+
+def _bm25_ref(corpus: list[list[str]], qterms: list[str], k1=1.2, b=0.75):
+    """Independent plain-Python BM25 (Lucene idf)."""
+    n = len(corpus)
+    avgdl = sum(len(d) for d in corpus) / n
+    out = {}
+    for i, doc in enumerate(corpus):
+        s = 0.0
+        for t in set(qterms):
+            tf = doc.count(t)
+            if tf == 0:
+                continue
+            df = sum(1 for d in corpus if t in d)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            s += idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * len(doc) / avgdl))
+        if s > 0.0:
+            out[i] = s
+    return out
+
+
+def test_bm25_matches_hand_computation(spark):
+    docs = _docs(spark)
+    got = {
+        r["id"]: r["score"]
+        for r in bm25_scores(docs, _queries(spark, ["spark", "merge"])).collect()
+    }
+    corpus = [d[1].split() for d in sorted(_docs(spark).collect())]
+    want = _bm25_ref(corpus, ["spark", "merge"])
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i] == pytest.approx(want[i], rel=1e-12)
+
+
+def test_bm25_topk_orders_by_score_then_id(spark):
+    docs = _docs(spark)
+    rows = bm25_topk(docs, _queries(spark, ["spark"]), 10).collect()
+    ranks = [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert ranks == list(range(1, len(rows) + 1))
+    scores = [r["score"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert scores == sorted(scores, reverse=True)
+    # tf=3 in doc 1 must beat tf=1 docs
+    assert sorted(rows, key=lambda r: r["rank"])[0]["id"] == 1
+
+
+def test_bm25_no_matching_terms_empty(spark):
+    docs = _docs(spark)
+    assert bm25_topk(docs, _queries(spark, ["absent"]), 5).count() == 0
+
+
+def test_rrf_exact_arithmetic(spark):
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2)], "query_id long, id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(0, 11, 1), (0, 12, 2)], "query_id long, id long, rank int"
+    )
+    got = {r["id"]: (r["rrf"], r["rank"]) for r in rrf_fuse([a, b], 10).collect()}
+    want = {
+        10: round(1.0 / 61, 6),
+        11: round(1.0 / 62 + 1.0 / 61, 6),
+        12: round(1.0 / 62, 6),
+    }
+    assert {i: v[0] for i, v in got.items()} == want
+    # 11 appears in both legs -> fused rank 1
+    assert got[11][1] == 1
+
+
+def test_hybrid_rrf_null_qvec_degrades_to_lexical(spark, sf_oracle):
+    docs = load_table(spark, sf_oracle, "documents")
+    emb = load_table(spark, sf_oracle, "embeddings")
+    q = queries_from_docs(docs, F.col("doc_id") == 7).withColumn(
+        "qvec", F.lit(None).cast("array<float>")
+    )
+    fused = hybrid_rrf_topk(docs, emb, q, 5, leg_k=10)
+    lex = bm25_topk(docs, q, 10)
+    fused_ids = {r["id"] for r in fused.collect()}
+    lex_ids = {r["id"] for r in lex.collect()}
+    assert fused_ids <= lex_ids and fused.count() > 0
+
+
+def _mmr_ref(ids, rel, vecs, k, lam):
+    """Independent greedy MMR."""
+    x = np.asarray(vecs, dtype=np.float64)
+    nrm = np.linalg.norm(x, axis=1)
+    nrm[nrm == 0] = 1.0
+    xn = x / nrm[:, None]
+    sim = xn @ xn.T
+    chosen, avail = [], set(range(len(ids)))
+    maxsim = np.zeros(len(ids))
+    first = True
+    while avail and len(chosen) < k:
+        best, best_score = None, None
+        for i in sorted(avail, key=lambda j: ids[j]):
+            pen = 0.0 if first else maxsim[i]
+            s = lam * rel[i] - (1 - lam) * pen
+            if best_score is None or s > best_score:
+                best, best_score = i, s
+        chosen.append(best)
+        avail.remove(best)
+        maxsim = np.maximum(maxsim, sim[:, best])
+        first = False
+    return [ids[i] for i in chosen]
+
+
+@pytest.mark.parametrize("lam", [0.3, 0.7, 1.0])
+def test_mmr_matches_numpy_reference(spark, sf_oracle, lam):
+    emb = load_table(spark, sf_oracle, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cands = cosine_topk(emb, q, 15).join(
+        emb.select(F.col("vec_id").alias("id"), "embedding"), "id"
+    )
+    got = [
+        r["id"]
+        for r in sorted(
+            mmr_rerank(cands, 6, lambda_=lam).collect(), key=lambda r: r["rank"]
+        )
+    ]
+    rows = sorted(cands.collect(), key=lambda r: r["id"])
+    want = _mmr_ref(
+        [r["id"] for r in rows],
+        [r["cosine"] for r in rows],
+        [list(r["embedding"]) for r in rows],
+        6,
+        lam,
+    )
+    assert got == want
+
+
+def test_mmr_lambda_one_is_pure_relevance(spark, sf_oracle):
+    emb = load_table(spark, sf_oracle, "embeddings")
+    q = emb.filter(F.col("vec_id") == 42).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    top = cosine_topk(emb, q, 10)
+    cands = top.join(emb.select(F.col("vec_id").alias("id"), "embedding"), "id")
+    got = [
+        r["id"]
+        for r in sorted(
+            mmr_rerank(cands, 10, lambda_=1.0).collect(), key=lambda r: r["rank"]
+        )
+    ]
+    want = [r["id"] for r in sorted(top.collect(), key=lambda r: r["rank"])]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# range / grouped / filtered search
+
+def test_range_search_equals_bruteforce_threshold(spark, sf_oracle):
+    emb = load_table(spark, sf_oracle, "embeddings")
+    q = emb.filter(F.col("vec_id") == 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    r = 1.6
+    got = range_search(emb, q, r).collect()
+    full = knn(emb, q, 10**6)
+    want = [x for x in full.collect() if x["distance"] <= r]
+    assert {(x["id"], round(x["distance"], 6)) for x in got} == {
+        (x["id"], round(x["distance"], 6)) for x in want
+    }
+    ranks = sorted(x["rank"] for x in got)
+    assert ranks == list(range(1, len(got) + 1))
+
+
+def test_grouped_topk_caps_each_group(spark, sf_oracle):
+    emb = load_table(spark, sf_oracle, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(0, 7)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = grouped_topk(emb, q, 2, group_col="label")
+    per = (
+        out.groupBy("query_id", "group").count().collect()
+    )
+    assert all(r["count"] <= 2 for r in per)
+    # every (query, label) group with >=2 members yields exactly 2
+    labels = emb.groupBy("label").count().collect()
+    full_groups = sum(1 for r in labels if r["count"] >= 2)
+    assert len([r for r in per if r["count"] == 2]) == 2 * full_groups
+
+
+def test_filtered_ivf_search_prunes_and_pushes(spark, sf_smoke, tmp_path):
+    from distributed_vector_search_system_spark.operators.clustering import kmeans_fit
+    from distributed_vector_search_system_spark.sources.ivf_index import (
+        search_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    centroids, _ = kmeans_fit(emb, 8, max_iterations=3)
+    path = str(tmp_path / "ivf_filtered")
+    write_ivf_index(emb, path, centroids)
+    q = emb.filter(F.col("vec_id") == 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = search_ivf_index(
+        spark, path, q, 5, centroids, n_probe=8, where="label % 2 = 0"
+    )
+    rows = out.collect()
+    # n_probe = num_cells -> probes cover every cell, so the filtered
+    # index search must equal brute force over the filtered corpus
+    want = knn(emb.filter(F.col("label") % 2 == 0), q, 5).collect()
+    assert {(r["id"], round(r["distance"], 6), r["rank"]) for r in rows} == {
+        (r["id"], round(r["distance"], 6), r["rank"]) for r in want
+    }
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and any("cell_id" in l for l in pf)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and any("label" in l for l in pushed)
