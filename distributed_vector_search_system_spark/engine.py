@@ -115,6 +115,7 @@ class VectorEngine:
         pq_m: int = 8,
         pq_ksub: int = 16,
         semantic_threshold: float | None = None,
+        where=None,
     ) -> DataFrame:
         """Search == BatchSearch: N query rows, one plan (SURVEY §3.2).
 
@@ -136,12 +137,31 @@ class VectorEngine:
         CACHED query's distances — exact only when the probe matched an
         identical vector (threshold 1.0); any lower threshold is an
         explicit approximation opt-in.  The store is invalidated by
-        every mutation, like the digest cache (M4)."""
+        every mutation, like the digest cache (M4).
+
+        ``where`` (Column or SQL string): metadata PRE-filter — the k
+        results are the k nearest vectors SATISFYING the predicate
+        (filtered search, mirroring ``search_ivf_index(where=)``).  The
+        filter restricts candidate scanning on every method; the PQ
+        codebooks stay trained on the unfiltered snapshot (they are a
+        property of the corpus, and the memo key stays filter-free —
+        approximation only affects candidate selection, the re-rank is
+        exact over matching rows).  Incompatible with
+        ``semantic_threshold``: cached results were computed under a
+        different (or no) predicate and must not serve filtered reads."""
         snap = self._read_snapshot(consistency)
+        if where is not None and semantic_threshold is not None:
+            raise ValueError(
+                "where= cannot combine with semantic_threshold=: the semantic "
+                "store is keyed by query vector only, not by predicate"
+            )
         if semantic_threshold is not None:
             return self._search_semantic(
                 queries, k, semantic_threshold, method=method, consistency=consistency
             )
+        scan = snap
+        if where is not None:
+            scan = snap.filter(F.expr(where) if isinstance(where, str) else where)
         if method in ("quantized", "pq") and self._shard_col is not None:
             raise ValueError(
                 f"{method} search does not carry shard columns; use method='expr'"
@@ -149,7 +169,7 @@ class VectorEngine:
         if method == "quantized":
             from .operators.quantize import quantized_knn
 
-            return quantized_knn(snap, queries, k)
+            return quantized_knn(scan, queries, k)
         if method == "pq":
             if self._dim is None:
                 raise ValueError("method='pq' requires the engine's dim")
@@ -157,12 +177,13 @@ class VectorEngine:
 
             key = (self._snapshot_epoch, pq_m, pq_ksub)
             if self._pq_books is None or self._pq_books_key != key:
+                # trained on the UNFILTERED snapshot (see docstring)
                 self._pq_books = pq_sample_codebooks(
                     snap, dim=self._dim, m=pq_m, ksub=pq_ksub
                 )
                 self._pq_books_key = key
-            return pq_adc_topk(snap, queries, k, self._pq_books)
-        return knn(snap, queries, k, shard_col=self._shard_col, method=method)
+            return pq_adc_topk(scan, queries, k, self._pq_books)
+        return knn(scan, queries, k, shard_col=self._shard_col, method=method)
 
     #: bound on the semantic store, mirroring the exact cache default
     SEMANTIC_MAX_ENTRIES = 1024

@@ -449,3 +449,45 @@ def test_semantic_search_threshold_gates_serving(spark):
     assert all(r["served_by"] is None for r in strict.collect())
     loose = e.search(_q(spark, 2, near, 3), 3, semantic_threshold=0.999)
     assert all(r["served_by"] is not None for r in loose.collect())
+
+
+# -- filtered search (round 5: where= pre-filter on the engine surface) ----
+
+def test_filtered_search_returns_nearest_matching(spark):
+    e = _engine(spark)
+    q = _q(spark, 0, [0.0, 0.0], 3)
+    got = [
+        (r["id"], r["rank"])
+        for r in sorted(e.search(q, 3, where="label = 0").collect(),
+                        key=lambda r: r["rank"])
+    ]
+    # label = i % 3 == 0 -> ids 0, 3, 6 are the nearest matching
+    assert got == [(0, 1), (3, 2), (6, 3)]
+
+
+def test_filtered_search_column_predicate_and_methods_agree(spark):
+    e = _engine(spark)
+    q = _q(spark, 0, [0.0, 0.0], 4)
+    pred = F.col("label") != 1
+    want = [(r["id"], r["rank"]) for r in sorted(
+        e.search(q, 4, where=pred).collect(), key=lambda r: r["rank"])]
+    got_np = [(r["id"], r["rank"]) for r in sorted(
+        e.search(q, 4, where=pred, method="numpy").collect(),
+        key=lambda r: r["rank"])]
+    assert want == got_np and len(want) == 4
+
+
+def test_filtered_search_rejects_semantic_combo(spark):
+    e = _engine(spark)
+    q = _q(spark, 0, [0.0, 0.0], 3)
+    with pytest.raises(ValueError, match="semantic_threshold"):
+        e.search(q, 3, where="label = 0", semantic_threshold=0.9)
+
+
+def test_filtered_search_respects_strong_consistency(spark):
+    e = _engine(spark)
+    e.upsert(50, [0.1, 0.0], label=0)
+    ids = {r["id"] for r in e.search(
+        _q(spark, 0, [0.0, 0.0], 2), 2, where="label = 0",
+        consistency=STRONG).collect()}
+    assert 50 in ids
