@@ -241,6 +241,64 @@ def pq_adc_topk(
     return merge_topk(exact, k)
 
 
+def centroid_array_sql(centroids: list[list[float]]) -> str:
+    """One parsed literal ``array<array<double>>`` of centroids —
+    ``element_at(..., cell + 1)`` then indexes a centroid row without
+    per-literal py4j calls (the lsh_bucket_expr lesson)."""
+    rows = ", ".join(
+        "array(" + ", ".join(f"{float(x)!r}D" for x in c) + ")" for c in centroids
+    )
+    return f"array({rows})"
+
+
+def residual_expr(vector_col, cell_col, centroids: list[list[float]]) -> Column:
+    """Residual ``x − centroid[cell]`` as a map-side expression (double
+    precision).  The IVFPQ refinement: residuals concentrate around the
+    origin, so the same ``m × ksub`` code budget quantizes them with
+    far less error than raw vectors — the lever that matters when the
+    ADC ranking itself is served (``rerank=0``)."""
+    if not isinstance(vector_col, str) or not isinstance(cell_col, str):
+        raise TypeError("residual_expr takes column NAMES (parsed-SQL tier)")
+    cents = centroid_array_sql(centroids)
+    return F.expr(
+        f"zip_with(`{vector_col}`, element_at({cents}, CAST(`{cell_col}` AS INT) + 1), "
+        f"(a, b) -> CAST(a AS DOUBLE) - b)"
+    )
+
+
+def pq_residual_codebooks(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    *,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    trained: bool = False,
+    **fit_kwargs,
+) -> list[list[list[float]]]:
+    """Codebooks over the RESIDUAL distribution ``x − centroid[cell(x)]``
+    (cell = nearest centroid): the training counterpart of residual
+    IVF+PQ encoding.  ``trained=True`` runs :func:`pq_fit` on the
+    residuals; default is the deterministic sample (same sampler
+    contract as :func:`pq_sample_codebooks`)."""
+    from .clustering import nearest_centroid_expr
+
+    res = vectors.withColumn(
+        "_cell", nearest_centroid_expr(F.col(vector_col), centroids)
+    ).withColumn("_res", residual_expr(vector_col, "_cell", centroids))
+    if trained:
+        books, _ = pq_fit(
+            res, dim=dim, m=m, ksub=ksub, id_col=id_col, vector_col="_res",
+            **fit_kwargs,
+        )
+        return books
+    return pq_sample_codebooks(
+        res, dim=dim, m=m, ksub=ksub, id_col=id_col, vector_col="_res"
+    )
+
+
 def pq_fit(
     vectors: DataFrame,
     *,

@@ -25,12 +25,15 @@ sums, re-rank — replays in a DuckDB oracle (registry/vector.py
 ``ann_ivfpq_topk``).
 
 Residual note: classic IVFPQ quantizes the residual ``x - centroid``;
-this implementation quantizes ``x`` directly and re-ranks exactly, so
-the approximation only affects candidate choice, never returned
-distances.  Residual encoding would couple the codebooks to the cell
-layout (retrain on re-cluster); direct encoding keeps the PQ tier
-reusable across layouts — the right trade when an exact re-rank column
-exists, and simpler operationally at scale.
+the DEFAULT here quantizes ``x`` directly and re-ranks exactly, so the
+approximation only affects candidate choice, never returned distances,
+and the codebooks stay decoupled from the cell layout (retrain-free on
+re-cluster) — the right trade when an exact re-rank column exists.
+``residual=True`` (write + search) opts into the classic refinement
+for ADC-only serving (``rerank=0``), where the coarse ranking is the
+result and residual codes carry materially less quantization error;
+codebooks then come from ``operators.pq.pq_residual_codebooks`` and
+are valid only for the cell layout they were encoded against.
 """
 
 from __future__ import annotations
@@ -54,6 +57,7 @@ def write_ivfpq_index(
     id_col: str = "vec_id",
     mode: str = "overwrite",
     replicas: int = 1,
+    residual: bool = False,
 ) -> None:
     """Persist ``vectors`` partitioned by nearest-centroid cell with PQ
     codes alongside — ONE map-side pass (cell argmin + per-subspace
@@ -63,23 +67,46 @@ def write_ivfpq_index(
 
     ``replicas > 1`` stores each row in its ``replicas`` nearest cells
     (see sources/ivf_index.write_ivf_index — the index-side recall
-    lever); searches must then pass ``replicated=True``."""
+    lever); searches must then pass ``replicated=True``.
+
+    ``residual=True`` — classic FAISS-IVFPQ refinement: codes quantize
+    ``x − centroid[cell]`` instead of ``x`` (codebooks should come from
+    :func:`operators.pq.pq_residual_codebooks`).  Residuals concentrate
+    around the origin, so the same code budget carries far less
+    quantization error — the lever that matters for ADC-ONLY serving
+    (``rerank=0``), where the coarse ranking IS the result.  The cost
+    is operational coupling: codes are valid only for the cell layout
+    they were encoded against (re-cluster ⇒ re-encode), which is why
+    direct encoding stays the default (module docstring).  Under
+    ``replicas > 1`` each stored copy encodes against ITS OWN cell's
+    centroid.  Searches must pass the same ``residual=True``."""
     if replicas < 1:
         raise ValueError("replicas must be >= 1")
     if replicas > len(centroids):
         raise ValueError("replicas cannot exceed the number of cells")
-    encoded = pq_encode(vectors, codebooks, vector_col=vector_col)
     if replicas == 1:
-        assigned = encoded.withColumn(
+        assigned = vectors.withColumn(
             "cell_id", nearest_centroid_expr(F.col(vector_col), centroids)
         )
     else:
         from .ivf_index import _probe_cells_expr
 
-        assigned = encoded.withColumn(
+        assigned = vectors.withColumn(
             "cell_id",
             F.explode(_probe_cells_expr(vector_col, centroids, replicas)),
         )
+    if residual:
+        from ..operators.pq import residual_expr
+
+        assigned = (
+            assigned.withColumn(
+                "_res", residual_expr(vector_col, "cell_id", centroids)
+            )
+            .transform(lambda df: pq_encode(df, codebooks, vector_col="_res"))
+            .drop("_res")
+        )
+    else:
+        assigned = pq_encode(assigned, codebooks, vector_col=vector_col)
     assigned.write.mode(mode).partitionBy("cell_id").parquet(path)
 
 
@@ -98,6 +125,7 @@ def search_ivfpq_index(
     query_id_col: str = "query_id",
     query_vector_col: str = "qvec",
     replicated: bool = False,
+    residual: bool = False,
 ) -> DataFrame:
     """Three-stage probe over the persisted IVF+PQ index.
 
@@ -119,7 +147,13 @@ def search_ivfpq_index(
     distances (ranking quality tracked in bench's recall section).
 
     ``replicated=True`` (required for ``replicas > 1`` indexes): coarse
-    candidates and re-rank rows collapse to one per (query, id)."""
+    candidates and re-rank rows collapse to one per (query, id).
+
+    ``residual=True`` (required for indexes written with
+    ``residual=True``): the per-query ADC lookup table is built from
+    the QUERY residual against each probed cell's centroid — one LUT
+    per (query, probed cell) instead of one per query (the standard
+    IVFPQ asymmetry; still broadcast-side, still tiny)."""
     from .ivf_index import _probe_cells_expr
 
     m = len(codebooks)
@@ -127,11 +161,20 @@ def search_ivfpq_index(
     probes = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vector_col).alias("_qv"),
-        F.expr(_lut_sql(query_vector_col, codebooks, dsub)).alias("_lut"),
         F.explode(
             _probe_cells_expr(query_vector_col, centroids, n_probe)
         ).alias("_probe"),
     )
+    if residual:
+        from ..operators.pq import residual_expr
+
+        probes = probes.withColumn(
+            "_qres", residual_expr("_qv", "_probe", centroids)
+        ).withColumn("_lut", F.expr(_lut_sql("_qres", codebooks, dsub)))
+    else:
+        probes = probes.withColumn(
+            "_lut", F.expr(_lut_sql("_qv", codebooks, dsub))
+        )
     # driver-side by necessity (the probe list must be a literal to
     # reach PartitionFilters) and bounded by construction: DISTINCT cell
     # ids — at most len(centroids) rows regardless of query-batch size

@@ -7,6 +7,7 @@ pruning AND code-column-only coarse IO — and the semantic contract
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from distributed_vector_search_system_spark import registry
@@ -115,3 +116,151 @@ def test_registry_row_runs_and_ranks_contiguously(spark, sf_smoke):
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+# -- residual encoding (round 5: classic FAISS-IVFPQ refinement, opt-in) ---
+
+def _residual_setup(spark, sf_dir, tmp_path, *, replicas=1):
+    import numpy as np
+
+    from distributed_vector_search_system_spark.operators.clustering import (
+        kmeans_fit,
+    )
+    from distributed_vector_search_system_spark.operators.pq import (
+        pq_residual_codebooks,
+    )
+    from distributed_vector_search_system_spark.sources.ivfpq_index import (
+        write_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, _ = kmeans_fit(emb, 8, max_iterations=3)
+    books = pq_residual_codebooks(emb, centroids, dim=64, m=8, ksub=16)
+    path = str(tmp_path / "ivfpq_res")
+    write_ivfpq_index(
+        emb, path, centroids, books, residual=True, replicas=replicas
+    )
+    q = emb.filter(F.col("vec_id") % 100 == 23).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return emb, centroids, books, path, q
+
+
+def test_residual_adc_matches_numpy(spark, sf_oracle, tmp_path):
+    """ADC-only distances from the residual plan == an independent numpy
+    recomputation of classic residual IVFPQ (encode x−c, LUT from q−c)."""
+    import numpy as np
+
+    emb, centroids, books, path, q = _residual_setup(spark, sf_oracle, tmp_path)
+    got = {
+        (r["query_id"], r["id"]): r["distance"]
+        for r in search_ivfpq_index(
+            spark, path, q, 5, centroids, books, n_probe=3, rerank=0,
+            residual=True,
+        ).collect()
+    }
+    C = np.array(centroids)
+    B = [np.array(b) for b in books]  # m x (ksub, dsub)
+    X = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+         for r in emb.collect()}
+    cell = {i: int(np.argmin(((C - x) ** 2).sum(axis=1))) for i, x in X.items()}
+    m, dsub = len(B), len(B[0][0])
+
+    def codes(x, c):
+        r = x - C[c]
+        return [
+            int(np.argmin(((B[j] - r[j * dsub:(j + 1) * dsub]) ** 2).sum(axis=1)))
+            for j in range(m)
+        ]
+
+    code_map = {i: codes(x, cell[i]) for i, x in X.items()}
+    for (qid, vid), dist in got.items():
+        qv = X[qid]
+        c = cell[vid]
+        qres = qv - C[c]
+        want = sum(
+            ((B[j][code_map[vid][j]] - qres[j * dsub:(j + 1) * dsub]) ** 2).sum()
+            for j in range(m)
+        )
+        assert dist == pytest.approx(want, rel=1e-9), (qid, vid)
+
+
+def test_residual_full_coverage_equals_bruteforce(spark, sf_oracle, tmp_path):
+    """n_probe = all cells + generous rerank ⇒ exact top-k (residual
+    approximation only selects candidates; re-rank restores exactness)."""
+    from distributed_vector_search_system_spark.operators.knn import knn
+
+    emb, centroids, books, path, q = _residual_setup(spark, sf_oracle, tmp_path)
+    got = {
+        (r["query_id"], r["id"], r["rank"])
+        for r in search_ivfpq_index(
+            spark, path, q, 5, centroids, books, n_probe=len(centroids),
+            rerank=100, residual=True,
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["id"], r["rank"]) for r in knn(emb, q, 5).collect()
+    }
+    assert got == want
+
+
+def test_residual_quantization_error_beats_direct(spark, sf_oracle, tmp_path):
+    """The point of residual codes: ADC reconstruction error vs true
+    distance is smaller than direct encoding's at the same geometry
+    (aggregate over all probed pairs — the distribution-level claim)."""
+    import numpy as np
+
+    from distributed_vector_search_system_spark.operators.pq import (
+        pq_sample_codebooks,
+    )
+    from distributed_vector_search_system_spark.sources.ivfpq_index import (
+        write_ivfpq_index,
+    )
+    from distributed_vector_search_system_spark.functions.distance import squared_l2
+
+    emb, centroids, res_books, res_path, q = _residual_setup(
+        spark, sf_oracle, tmp_path
+    )
+    dir_books = pq_sample_codebooks(emb, dim=64, m=8, ksub=16)
+    dir_path = str(tmp_path / "ivfpq_dir")
+    write_ivfpq_index(emb, dir_path, centroids, dir_books)
+
+    truth = {}
+    qv = {r["query_id"]: np.array(r["qvec"], dtype=np.float64)
+          for r in q.collect()}
+    X = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+         for r in emb.collect()}
+
+    def mean_err(path_, books, residual):
+        out = search_ivfpq_index(
+            spark, path_, q, 20, centroids, books, n_probe=4, rerank=0,
+            residual=residual,
+        ).collect()
+        errs = []
+        for r in out:
+            true = ((qv[r["query_id"]] - X[r["id"]]) ** 2).sum()
+            errs.append(abs(r["distance"] - true))
+        return sum(errs) / len(errs)
+
+    assert mean_err(res_path, res_books, True) < mean_err(dir_path, dir_books, False)
+
+
+def test_residual_replicated_copies_encode_per_cell(spark, sf_oracle, tmp_path):
+    """replicas=2 + residual: each stored copy's codes decode against its
+    own cell; full-coverage search still collapses to exact top-k."""
+    from distributed_vector_search_system_spark.operators.knn import knn
+
+    emb, centroids, books, path, q = _residual_setup(
+        spark, sf_oracle, tmp_path, replicas=2
+    )
+    got = {
+        (r["query_id"], r["id"], r["rank"])
+        for r in search_ivfpq_index(
+            spark, path, q, 5, centroids, books, n_probe=len(centroids),
+            rerank=100, residual=True, replicated=True,
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["id"], r["rank"]) for r in knn(emb, q, 5).collect()
+    }
+    assert got == want
