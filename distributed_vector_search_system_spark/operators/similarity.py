@@ -218,6 +218,96 @@ def ann_lsh_topk(
     return _cosine_ranked(scored, k)
 
 
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    *,
+    num_cells: int = 16,
+    n_probe: int = 4,
+    left_id_col: str = "vec_id",
+    left_vector_col: str = "embedding",
+    right_id_col: str = "vec_id",
+    right_vector_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    thin_count_key: str | None = None,
+) -> DataFrame:
+    """Large-to-large approximate kNN JOIN: for every LEFT row, its k
+    nearest RIGHT rows (squared-L2) — with NEITHER side broadcast.
+
+    ``operators.knn.knn`` broadcasts the query set (correct for RPC-
+    sized batches); when the "query" side is itself a corpus — embedding
+    decontamination, cross-snapshot drift analysis, train/test linkage —
+    broadcasting is impossible and all-pairs is O(|L|·|R|).  This is the
+    IVF-blocked shape: centroids (tiny, literal) come from a
+    deterministic hash-thinned sample of RIGHT (or are passed in, e.g.
+    from ``clustering.kmeans_fit``); RIGHT rows get their nearest cell
+    map-side; LEFT rows explode to their ``n_probe`` nearest cells
+    map-side; candidates come from ONE shuffle equi-join on ``cell_id``
+    and per-left top-k ranks them (WindowGroupLimit partial top-k).
+
+    At scale: ``num_cells`` should grow ~√|R| (FAISS practice) so cells
+    stay balanced and the equi-join key keeps enough cardinality for
+    parallelism; AQE's skew-join split handles residual hot cells.  The
+    shuffle carries each side once (+the left side ×n_probe), versus
+    |L| full corpus scans for repeated broadcast kNN.
+
+    Same recall contract as ``ann_ivf_topk``: a true neighbor outside
+    the probed cells is missed; recall tunes with n_probe/num_cells.
+
+    Output: ``(left_id, right_id, distance, rank)``, rank 1..k per
+    left row by ``(distance, right_id)``.
+    """
+    if centroids is not None:
+        cents = [{"cell_id": i, "cvec": c} for i, c in enumerate(centroids)]
+    else:
+        from .sampling import thinned_head_rows
+
+        cents = thinned_head_rows(
+            right.select(
+                F.col(right_id_col).alias("cell_id"),
+                F.col(right_vector_col).alias("cvec"),
+            ),
+            num_cells,
+            seed=IVF_THIN_SEED,
+            id_col="cell_id",
+            count_key=thin_count_key,
+        )
+
+    def nearest_cells(col_name: str, n: int) -> Column:
+        from ..functions.distance import squared_l2_lit_sql
+
+        structs = ", ".join(
+            f"named_struct('d', {squared_l2_lit_sql(f'`{col_name}`', c['cvec'])}, "
+            f"'cid', {int(c['cell_id'])})"
+            for c in cents
+        )
+        return F.expr(f"slice(array_sort(array({structs})), 1, {n})")
+
+    r = right.select(
+        F.col(right_id_col).alias("right_id"),
+        F.col(right_vector_col).alias("_rv"),
+    ).withColumn("_cell", nearest_cells("_rv", 1)[0]["cid"])
+    l = left.select(
+        F.col(left_id_col).alias("left_id"),
+        F.col(left_vector_col).alias("_lv"),
+    ).withColumn(
+        "_probe",
+        F.explode(F.transform(nearest_cells("_lv", n_probe), lambda s: s["cid"])),
+    )
+    scored = l.join(r, l["_probe"] == r["_cell"]).select(
+        "left_id",
+        "right_id",
+        squared_l2(F.col("_lv"), F.col("_rv")).alias("distance"),
+    )
+    w = Window.partitionBy("left_id").orderBy(
+        F.col("distance").asc(), F.col("right_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def ann_ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,

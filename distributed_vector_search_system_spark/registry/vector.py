@@ -1271,6 +1271,77 @@ SELECT query_id, grp, id, ROUND(distance, 6) AS distance, rank FROM ranked WHERE
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-5: large-to-large ANN kNN JOIN (operators/similarity.knn_join) —
+# neither side broadcast; candidates from one shuffle equi-join on the
+# shared IVF cell.  The oracle replays centroid thinning, both sides'
+# cell routing, and the per-left top-k, like _ivf_persisted_oracle.
+
+_KNNJOIN_LEFT_PRED = "vec_id % 3 = 1"
+_KNNJOIN_K = 3
+
+
+def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import knn_join
+
+    emb = _emb(spark, sf_dir)
+    left = emb.filter(F.expr(_KNNJOIN_LEFT_PRED))
+    out = knn_join(
+        left,
+        emb,
+        _KNNJOIN_K,
+        num_cells=_IVF_NUM_CELLS,
+        n_probe=_IVF_NPROBE,
+        thin_count_key=f"{sf_dir}:embeddings",
+    )
+    return out.select(
+        "left_id", "right_id", F.round("distance", 6).alias("distance"), "rank"
+    )
+
+
+def _knn_join_oracle() -> str:
+    from ..functions.hashing import portable_hash64_sql
+    from ..operators.similarity import IVF_THIN_SEED
+
+    h = portable_hash64_sql("CAST(vec_id AS VARCHAR)", seed=IVF_THIN_SEED)
+    l2_vc = _SQL_SQ_L2.format(q="v.embedding", v="c.cvec")
+    l2_lc = _SQL_SQ_L2.format(q="l.le", v="c.cvec")
+    l2_lr = _SQL_SQ_L2.format(q="lp.le", v="a.embedding")
+    return f"""
+WITH nt AS (SELECT GREATEST(COUNT(*) // {_IVF_NUM_CELLS * 4}, 1) AS step FROM embeddings),
+sel AS (
+  SELECT vec_id, embedding FROM embeddings, nt
+  WHERE ({h}) % step = 0
+  ORDER BY vec_id LIMIT {_IVF_NUM_CELLS}
+),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
+         embedding AS cvec
+  FROM sel
+),
+vd AS (SELECT v.vec_id, v.embedding, c.cell_id, {l2_vc} AS d
+       FROM embeddings v CROSS JOIN cents c),
+asg AS (SELECT vec_id, embedding, cell_id FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+         FROM vd)
+        WHERE rn = 1),
+l AS (SELECT vec_id AS left_id, embedding AS le FROM embeddings
+      WHERE {_KNNJOIN_LEFT_PRED}),
+ld AS (SELECT l.left_id, l.le, c.cell_id, {l2_lc} AS d FROM l CROSS JOIN cents c),
+lp AS (SELECT left_id, le, cell_id FROM
+       (SELECT *, ROW_NUMBER() OVER (PARTITION BY left_id ORDER BY d, cell_id) AS rn
+        FROM ld)
+       WHERE rn <= {_IVF_NPROBE}),
+scored AS (SELECT lp.left_id, a.vec_id AS right_id, {l2_lr} AS distance
+           FROM lp JOIN asg a ON a.cell_id = lp.cell_id),
+ranked AS (SELECT left_id, right_id, distance,
+           CAST(ROW_NUMBER() OVER (PARTITION BY left_id ORDER BY distance, right_id) AS INT) AS rank
+           FROM scored)
+SELECT left_id, right_id, ROUND(distance, 6) AS distance, rank
+FROM ranked WHERE rank <= {_KNNJOIN_K}
+"""
+
+
 # --- pytest-only tier (beyond the driver's 50-query correctness window;
 # verified by tests/test_oracle_parity.py with the same DuckDB harness) ----
 
@@ -1294,6 +1365,7 @@ EXTRA_QUERIES = {
     "knn_filtered": q_knn_filtered,
     "knn_radius": q_knn_radius,
     "knn_grouped": q_knn_grouped,
+    "ann_knn_join": q_ann_knn_join,
 }
 EXTRA_ORACLES = {
     "cache_ttl_prune": _CACHE_TTL_SQL,
@@ -1305,4 +1377,5 @@ EXTRA_ORACLES = {
     "knn_filtered": _knn_oracle("vec_id % 250 = 2", "label % 3 = 0", 10),
     "knn_radius": _KNN_RADIUS_SQL,
     "knn_grouped": _KNN_GROUPED_SQL,
+    "ann_knn_join": _knn_join_oracle(),
 }

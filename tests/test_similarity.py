@@ -6,6 +6,8 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import functions as F
 
+from distributed_vector_search_system_spark.tables import load_table
+
 from distributed_vector_search_system_spark.operators.similarity import (
     ann_ivf_topk,
     ann_lsh_topk,
@@ -133,3 +135,67 @@ def test_lsh_multiprobe2_candidates_superset(spark, sf_smoke):
     a1 = _topk_ids(ann_lsh_topk(emb, q, 5, dim=64, multiprobe_bits=1))
     a2 = _topk_ids(ann_lsh_topk(emb, q, 5, dim=64, multiprobe_bits=2))
     assert _recall(a2, exact) >= _recall(a1, exact)
+
+
+# -- knn_join (round 5: large-to-large ANN join, neither side broadcast) ---
+
+def test_knn_join_self_contains_identity(spark, sf_oracle):
+    """left ⊂ right ⇒ every left row's rank-1 neighbor is itself at
+    distance 0 (its own cell is always its nearest probe)."""
+    from distributed_vector_search_system_spark.operators.similarity import knn_join
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    left = emb.filter(F.col("vec_id") % 50 == 3)
+    out = knn_join(left, emb, 3, n_probe=2).collect()
+    rank1 = {r["left_id"]: (r["right_id"], r["distance"]) for r in out if r["rank"] == 1}
+    n_left = left.count()
+    assert len(rank1) == n_left
+    assert all(rid == lid and d == 0.0 for lid, (rid, d) in rank1.items())
+
+
+def test_knn_join_no_broadcast_no_cartesian(spark, sf_oracle):
+    """The scale contract: with broadcast disabled the plan still builds —
+    one shuffle equi-join on the cell id, no CartesianProduct and no
+    BroadcastNestedLoopJoin anywhere (an all-pairs fallback would show
+    up as exactly those)."""
+    from distributed_vector_search_system_spark.operators.similarity import knn_join
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    left = emb.filter(F.col("vec_id") % 10 == 1)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = knn_join(left, emb, 3, n_probe=2)
+        plan = out._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert out.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_knn_join_trained_centroids_full_probe_is_exact(spark, sf_oracle):
+    """n_probe = num_cells ⇒ every pair is a candidate ⇒ exact kNN join."""
+    from distributed_vector_search_system_spark.operators.clustering import kmeans_fit
+    from distributed_vector_search_system_spark.operators.knn import knn
+    from distributed_vector_search_system_spark.operators.similarity import knn_join
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    left = emb.filter(F.col("vec_id") % 100 == 9)
+    cents, _ = kmeans_fit(emb, 6, max_iterations=2)
+    got = {
+        (r["left_id"], r["right_id"], r["rank"])
+        for r in knn_join(
+            left, emb, 4, centroids=cents, n_probe=len(cents)
+        ).collect()
+    }
+    q = left.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    want = {
+        (r["query_id"], r["id"], r["rank"]) for r in knn(emb, q, 4).collect()
+    }
+    assert got == want
