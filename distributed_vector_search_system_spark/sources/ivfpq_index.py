@@ -126,6 +126,7 @@ def search_ivfpq_index(
     query_vector_col: str = "qvec",
     replicated: bool = False,
     residual: bool = False,
+    where=None,
 ) -> DataFrame:
     """Three-stage probe over the persisted IVF+PQ index.
 
@@ -148,6 +149,12 @@ def search_ivfpq_index(
 
     ``replicated=True`` (required for ``replicas > 1`` indexes): coarse
     candidates and re-rank rows collapse to one per (query, id).
+
+    ``where`` (Column or SQL string): metadata pre-filter — applied to
+    the coarse scan, so the k results are the k nearest MATCHING
+    vectors (same contract as ``search_ivf_index(where=)``); simple
+    predicates reach the pruned parquet scan as PushedFilters stacked
+    on the cell PartitionFilters.
 
     ``residual=True`` (required for indexes written with
     ``residual=True``): the per-query ADC lookup table is built from
@@ -180,6 +187,8 @@ def search_ivfpq_index(
     # ids — at most len(centroids) rows regardless of query-batch size
     cells = sorted({r["_probe"] for r in probes.select("_probe").distinct().collect()})
     idx = spark.read.parquet(path).filter(F.col("cell_id").isin(cells))
+    if where is not None:
+        idx = idx.filter(F.expr(where) if isinstance(where, str) else where)
     coarse = idx.select(id_col, "pq_codes", "cell_id").join(
         F.broadcast(probes.select("query_id", "_lut", "_probe")),
         idx["cell_id"] == F.col("_probe"),

@@ -233,10 +233,17 @@ class IvfIndexStore:
         n_probe: int = 4,
         query_id_col: str = "query_id",
         query_vector_col: str = "qvec",
+        where=None,
     ) -> DataFrame:
         """Partition-pruned IVF probe over base+delta with LWW merge —
         the same probe shape as sources.ivf_index.search_ivf_index, but
-        correct under un-compacted streaming mutations."""
+        correct under un-compacted streaming mutations.
+
+        ``where`` (Column or SQL string): metadata pre-filter on the
+        LIVE state (applied after LWW arbitration, so a predicate can
+        never resurrect a superseded row; Catalyst still pushes simple
+        stored-column predicates into both pruned scans).  Same
+        filtered-search contract as ``search_ivf_index(where=)``."""
         from ..sources.ivf_index import _probe_cells_expr
 
         probes = queries.select(
@@ -250,6 +257,8 @@ class IvfIndexStore:
         # n_probe x #queries (see sources/ivf_index.search_ivf_index)
         cells = sorted({r["_probe"] for r in probes.select("_probe").distinct().collect()})
         live = self.live_rows(spark, cells=cells)
+        if where is not None:
+            live = live.filter(F.expr(where) if isinstance(where, str) else where)
         scored = live.join(
             F.broadcast(probes), live["cell_id"] == probes["_probe"]
         ).select(

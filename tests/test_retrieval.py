@@ -258,3 +258,49 @@ def test_filtered_ivf_search_prunes_and_pushes(spark, sf_smoke, tmp_path):
     assert pf and any("cell_id" in l for l in pf)
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert pushed and any("label" in l for l in pushed)
+
+
+def test_filtered_ivfpq_and_stream_store_agree_with_bruteforce(spark, sf_smoke, tmp_path):
+    """where= on the IVF+PQ index and the streaming store: full probe
+    coverage + generous rerank ⇒ exactly the k nearest MATCHING rows."""
+    from distributed_vector_search_system_spark.operators.clustering import kmeans_fit
+    from distributed_vector_search_system_spark.operators.pq import pq_sample_codebooks
+    from distributed_vector_search_system_spark.sources.ivfpq_index import (
+        search_ivfpq_index,
+        write_ivfpq_index,
+    )
+    from distributed_vector_search_system_spark.streaming.ivf_stream import (
+        IvfIndexStore,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    cents, _ = kmeans_fit(emb, 6, max_iterations=2)
+    books = pq_sample_codebooks(emb, dim=64, m=8, ksub=16)
+    q = emb.filter(F.col("vec_id") == 11).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    want = {
+        (r["query_id"], r["id"], r["rank"])
+        for r in knn(emb.filter(F.col("label") % 2 == 1), q, 4).collect()
+    }
+
+    pq_path = str(tmp_path / "ivfpq_f")
+    write_ivfpq_index(emb, pq_path, cents, books)
+    got_pq = {
+        (r["query_id"], r["id"], r["rank"])
+        for r in search_ivfpq_index(
+            spark, pq_path, q, 4, cents, books, n_probe=len(cents),
+            rerank=100, where="label % 2 = 1",
+        ).collect()
+    }
+    assert got_pq == want
+
+    store = IvfIndexStore(str(tmp_path / "stream_f"), cents)
+    store.init_base(emb)
+    got_stream = {
+        (r["query_id"], r["id"], r["rank"])
+        for r in store.search(
+            spark, q, 4, n_probe=len(cents), where="label % 2 = 1"
+        ).collect()
+    }
+    assert got_stream == want
