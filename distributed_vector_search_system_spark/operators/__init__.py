@@ -1,5 +1,6 @@
 from .knn import grouped_topk, knn, merge_topk, range_search, shard_cardinality, warm  # noqa: F401
 from .retrieval import bm25_topk, hybrid_rrf_topk, mmr_rerank, rrf_fuse  # noqa: F401
+from .similarity import ann_ivf_topk, ann_lsh_topk, cosine_topk, knn_join  # noqa: F401
 from .mutations import MutationLog, apply_mutations  # noqa: F401
 from .chunking import chunk_documents  # noqa: F401
 from .paragraphs import paragraph_dedup  # noqa: F401

@@ -1407,6 +1407,10 @@ ORACLES["curation_pipeline"] = _curation_oracle()
 QUERIES["hash_sample"] = q_hash_sample
 ORACLES["hash_sample"] = _hash_sample_oracle()
 
+# round-5 flagships (lexical BM25, hybrid BM25+cosine RRF) are
+# DRIVER-tier per the r04 item-2 rotation policy; they are defined and
+# registered below, after their oracle builders.
+
 # ---------------------------------------------------------------------------
 # Round-5: lexical retrieval + hybrid fusion (operators/retrieval.py).
 # BM25 and RRF are fully SQL-expressible → exact oracles; MMR is greedy/
@@ -1541,6 +1545,14 @@ WHERE rank <= {_HYBRID_K}
 """
 
 
+# driver-tier registration of the round-5 retrieval flagships (see the
+# rotation note above hash_sample)
+QUERIES["bm25_topk"] = q_bm25_topk
+ORACLES["bm25_topk"] = _bm25_oracle()
+QUERIES["hybrid_rrf"] = q_hybrid_rrf
+ORACLES["hybrid_rrf"] = _hybrid_oracle()
+
+
 EXTRA_QUERIES: dict = {
     "text_tfidf_topk": q_text_tfidf_topk,
     "text_vocab_topk": q_text_vocab_topk,
@@ -1553,8 +1565,6 @@ EXTRA_QUERIES: dict = {
     "text_chunking": q_text_chunking,
     "stratified_sample": q_stratified_sample,
     "quality_gated_sample": q_quality_gated_sample,
-    "bm25_topk": q_bm25_topk,
-    "hybrid_rrf": q_hybrid_rrf,
     "mmr_rerank": q_mmr_rerank,
 }
 EXTRA_ORACLES: dict = {
@@ -1569,7 +1579,5 @@ EXTRA_ORACLES: dict = {
     "text_chunking": _CHUNK_SQL,
     "stratified_sample": _stratified_oracle(),
     "quality_gated_sample": _qgate_oracle(),
-    "bm25_topk": _bm25_oracle(),
-    "hybrid_rrf": _hybrid_oracle(),
     # mmr_rerank: weak-checked (greedy/iterative — no SQL form)
 }

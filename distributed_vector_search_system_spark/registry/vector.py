@@ -1355,6 +1355,11 @@ QUERIES["ann_ivfpq_topk"] = q_ann_ivfpq_topk
 ORACLES["ann_ivfpq_topk"] = _ivfpq_oracle()
 QUERIES["ivf_stream_topk"] = q_ivf_stream_topk
 ORACLES["ivf_stream_topk"] = _ivf_stream_oracle()
+# round-5 flagship: the large-to-large ANN kNN join is DRIVER-tier (the
+# r04 item-2 rotation policy; a thin relational row was demoted in
+# exchange — registry/relational.py)
+QUERIES["ann_knn_join"] = q_ann_knn_join
+ORACLES["ann_knn_join"] = _knn_join_oracle()
 
 EXTRA_QUERIES = {
     "cache_ttl_prune": q_cache_ttl_prune,
@@ -1365,7 +1370,6 @@ EXTRA_QUERIES = {
     "knn_filtered": q_knn_filtered,
     "knn_radius": q_knn_radius,
     "knn_grouped": q_knn_grouped,
-    "ann_knn_join": q_ann_knn_join,
 }
 EXTRA_ORACLES = {
     "cache_ttl_prune": _CACHE_TTL_SQL,
@@ -1377,5 +1381,4 @@ EXTRA_ORACLES = {
     "knn_filtered": _knn_oracle("vec_id % 250 = 2", "label % 3 = 0", 10),
     "knn_radius": _KNN_RADIUS_SQL,
     "knn_grouped": _KNN_GROUPED_SQL,
-    "ann_knn_join": _knn_join_oracle(),
 }
