@@ -304,3 +304,48 @@ def test_filtered_ivfpq_and_stream_store_agree_with_bruteforce(spark, sf_smoke, 
         ).collect()
     }
     assert got_stream == want
+
+
+def test_posting_index_serves_identical_bm25(spark, sf_oracle, tmp_path):
+    """The persisted inverted index returns exactly the from-scratch
+    bm25_topk result (same formula over precomputed stats), and its
+    postings scan pushes the term predicate down — no document text is
+    read at query time."""
+    from distributed_vector_search_system_spark.sources.posting_index import (
+        bm25_search_index,
+        write_posting_index,
+    )
+
+    docs = load_table(spark, sf_oracle, "documents")
+    path = str(tmp_path / "postings")
+    write_posting_index(docs, path)
+    # literal query set (an RPC batch): the plan assertion below checks
+    # the SEARCH reads no document text, so the query-set derivation
+    # must not itself scan documents
+    q = spark.createDataFrame(
+        [
+            (r["query_id"], list(r["qterms"]))
+            for r in queries_from_docs(
+                docs, F.col("doc_id") % 100 == 7
+            ).collect()
+        ],
+        "query_id long, qterms array<string>",
+    )
+    got = bm25_search_index(spark, path, q, 10)
+    want = {
+        (r["query_id"], r["id"], r["score"], r["rank"])
+        for r in bm25_topk(docs, q, 10).collect()
+    }
+    assert {
+        (r["query_id"], r["id"], r["score"], r["rank"]) for r in got.collect()
+    } == want
+
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("term" in l and "IN" in l.upper() for l in pushed), pushed
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert not any("text" in l for l in read), read
