@@ -206,3 +206,18 @@ def test_embedding_neardup_bounded_scans(spark, sf_smoke):
     of num_tables (was 2·num_tables + 2)."""
     plan = _plan(registry.queries()["dedup_embedding_cosine"](spark, sf_smoke))
     assert _count_embedding_scans(plan) <= 4, plan
+
+
+def test_bm25_joins_broadcast_no_cartesian(spark, sf_smoke):
+    """BM25's posting/df/stats joins must all broadcast (the corpus
+    never shuffles on the term key) — no SortMergeJoin, no
+    CartesianProduct in the whole plan."""
+    plan = _plan(registry.all_queries()["bm25_topk"](spark, sf_smoke))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hybrid_rrf_no_cartesian(spark, sf_smoke):
+    plan = _plan(registry.all_queries()["hybrid_rrf"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan

@@ -349,3 +349,28 @@ def test_posting_index_serves_identical_bm25(spark, sf_oracle, tmp_path):
     assert any("term" in l and "IN" in l.upper() for l in pushed), pushed
     read = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert not any("text" in l for l in read), read
+
+
+def test_rrf_leg_order_invariant(spark):
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)], "query_id long, id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(0, 12, 1), (0, 10, 2)], "query_id long, id long, rank int"
+    )
+    ab = {(r["id"], r["rrf"], r["rank"]) for r in rrf_fuse([a, b], 5).collect()}
+    ba = {(r["id"], r["rrf"], r["rank"]) for r in rrf_fuse([b, a], 5).collect()}
+    assert ab == ba
+
+
+def test_mmr_k_exceeding_candidates_returns_all(spark, sf_oracle):
+    emb = load_table(spark, sf_oracle, "embeddings")
+    q = emb.filter(F.col("vec_id") == 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cands = cosine_topk(emb, q, 4).join(
+        emb.select(F.col("vec_id").alias("id"), "embedding"), "id"
+    )
+    out = mmr_rerank(cands, 100, lambda_=0.5).collect()
+    assert len(out) == 4
+    assert sorted(r["rank"] for r in out) == [1, 2, 3, 4]
