@@ -64,6 +64,14 @@ HEADLINE = [
     "rel_replay_fold",
 ]
 
+# Lexical/hybrid retrieval (round 5): BM25 and BM25+cosine RRF over the
+# documents corpus — timed alongside but reported in their own section
+# (they scan documents, not embeddings; different growth class).
+RETRIEVAL = [
+    "bm25_topk",
+    "hybrid_rrf",
+]
+
 # The 100 TB serving tiers (quantized IO / bucketed ANN / physically
 # pruned IVF) — timed per-round, reported outside the headline total.
 FAST_TIERS = [
@@ -159,6 +167,26 @@ def _measure_recall(sf_dir: str) -> dict:
             n_probe=4, rerank=0, replicated=True,
         )
     )
+    # residual encoding (round 5): the classic-IVFPQ refinement whose
+    # payoff is exactly this ADC-only line — same geometry, residual
+    # codebooks + per-cell query LUTs
+    from distributed_vector_search_system_spark.operators.pq import (
+        pq_residual_codebooks,
+    )
+
+    res_books = pq_residual_codebooks(
+        emb, cents, dim=dim, m=8, ksub=16, trained=True, max_iterations=8
+    )
+    ivfpq_res = os.path.join(root, "ivfpq_res")
+    write_ivfpq_index(
+        emb, ivfpq_res, cents, res_books, replicas=2, residual=True
+    )
+    out["adc_only_residual_nprobe4"] = recall(
+        search_ivfpq_index(
+            spark, ivfpq_res, q, RECALL_K, cents, res_books,
+            n_probe=4, rerank=0, replicated=True, residual=True,
+        )
+    )
     # the oracle-replayable hash-sampled tier (the ann_recall driver
     # row's configuration) for contrast with the trained curve
     sampled = _ivf_thinned_centroids(spark, sf_dir)
@@ -187,6 +215,7 @@ def _measure_once(sf_dir: str) -> dict:
     qs = registry.all_queries()  # headline names may sit in either tier
     names = [n for n in HEADLINE if n in qs]
     fast = [n for n in FAST_TIERS if n in qs]
+    retrieval = [n for n in RETRIEVAL if n in qs]
     # warm the JVM + parquet footers with ONE query — the same warm-up
     # rounds 1-3 used, keeping headline cold timings round-comparable
     qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -214,8 +243,16 @@ def _measure_once(sf_dir: str) -> dict:
     bucketed_mutation_tables(spark, sf_dir)
     for name in fast:
         _time(name)
+    for name in retrieval:
+        _time(name)
     spark.stop()
-    return {"cold": cold, "steady": steady, "headline": names, "fast": fast}
+    return {
+        "cold": cold,
+        "steady": steady,
+        "headline": names,
+        "fast": fast,
+        "retrieval": retrieval,
+    }
 
 
 def _agg_by_query(
@@ -288,48 +325,75 @@ def _measure_d768() -> dict:
 #: >sf0.1 scale anchor (VERDICT r04 item 4): one measured point above
 #: the shipped fixtures.  A 10x key-offset copy of $SPARK_GRAFT_SF_DIR
 #: (sources/scaleup.py — FK-consistent, copy-distinct text so dedup
-#: scales linearly) is materialized once into .scale_cache/, then each
-#: headline/fast/dedup query is timed at BOTH scales in one JVM and
-#: judged against its expected growth: aggregation/scan/window plans
-#: should grow ~linearly with the corpus; brute-force vector plans grow
-#: ~quadratically IN SF because the registry's query SET also scales
-#: with the corpus (fixed %-predicate), i.e. O(Q x N) work.  SUPERLINEAR
-#: = worse than the expected class x2 slack — the regression the anchor
-#: exists to catch (e.g. a pair-explosion in the dedup joins).
+#: scales linearly) is materialized once into .scale_cache/, then:
+#:
+#: - registry rows whose work is corpus-proportional (aggregation /
+#:   window / compaction / dedup joins / lexical retrieval) are timed
+#:   once per dir — single-shot, because a 10x ratio is far above
+#:   timing noise and double-execution doubled the section's cost;
+#: - the vector tiers are timed at OPERATOR level with a FIXED 8-query
+#:   set present at both scales, so their measured growth is pure
+#:   corpus scaling (expected ~linear).  The registry's vector rows
+#:   scale their query set with the corpus (fixed %-predicate ⇒
+#:   O(Q x N) work, ~copies² in sf) — correct behavior, but it
+#:   measures query-batch growth, not plan scaling, and at 10x it made
+#:   the section take the better part of an hour (round-5 calibration:
+#:   knn_batch alone was 91 s per execution at 10x).
+#:
+#: SUPERLINEAR = ratio worse than copies x2 slack — the regression the
+#: anchor exists to catch (e.g. a pair-explosion in the dedup joins).
 SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_COPIES", "10"))
 
-#: queries whose WORK is O(Q x N) at fixed probe fraction (query count
-#: scales with the corpus): expected ratio ~ copies^2
-_QUADRATIC_CLASS = {
-    "knn_batch",
-    "knn_after_mutations",
-    "knn_quantized",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ivf_persisted_topk",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-}
+#: corpus-proportional registry rows timed at both scales.  Two rows
+#: are deliberately ABSENT (round-5 calibration, measured at 10x):
+#: - dedup_simhash: its registered radius (hamming <= 12 of 60 bits)
+#:   forces 4-bit pigeonhole chunks whose join keys have only 16
+#:   values — candidates grow ~N²/16 BY CONSTRUCTION (1117.9 s at 10x,
+#:   measured once).  Not a plan regression, a radius choice; the
+#:   production-radius configuration (h=3, 15-bit chunks) is timed
+#:   below as dedup_simhash_h3 and scales linearly (10.2 -> 48.1 s).
+#: - hybrid_rrf: its registered query set scales with the corpus
+#:   (doc_id %-predicate), so its vector leg is O(Q x N) — ~34x at 10x,
+#:   measured once.  The fixed-query variant below isolates corpus
+#:   scaling.
+_SCALE_ROWS = [
+    "rel_pricing_summary",
+    "rel_revenue_by_region",
+    "rel_events_sessions",
+    "rel_replay_fold",
+    "mutations_compact",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "bm25_topk",
+]
 
-#: dedup plans the anchor explicitly watches for pair explosions
-_SCALE_DEDUP = ["dedup_exact", "dedup_minhash_lsh", "dedup_simhash"]
+#: fixed query ids for the vector-tier anchor (all < 2000, so present
+#: at sf0.1 and in copy 0 of every scaled dir)
+_SCALE_QUERY_IDS = [7, 107, 207, 307, 407, 507, 607, 707]
 
 
 def _measure_scale(sf_dir: str) -> dict:
     import time
 
+    from pyspark.sql import functions as F
+
     from distributed_vector_search_system_spark import registry
-    from distributed_vector_search_system_spark.registry.vector import (
-        bucketed_mutation_tables,
-        ivfpq_index,
-        persisted_ivf_index,
-        pq_tier,
-        quantized_tier,
+    from distributed_vector_search_system_spark.operators.knn import knn
+    from distributed_vector_search_system_spark.operators.pq import (
+        pq_adc_topk,
+        pq_sample_codebooks,
+    )
+    from distributed_vector_search_system_spark.operators.quantize import (
+        quantized_knn,
+    )
+    from distributed_vector_search_system_spark.operators.similarity import (
+        ann_ivf_topk,
     )
     from distributed_vector_search_system_spark.session import get_spark
     from distributed_vector_search_system_spark.sources.scaleup import (
         scale_fixture_dir,
     )
+    from distributed_vector_search_system_spark.tables import load_table
 
     spark = get_spark(app_name="dvss-bench-scale")
     dst = os.path.join(
@@ -342,50 +406,80 @@ def _measure_scale(sf_dir: str) -> dict:
     gen_s = round(time.perf_counter() - t0, 1)
 
     qs = registry.all_queries()
-    names = (
-        [n for n in HEADLINE if n in qs]
-        + [n for n in FAST_TIERS if n in qs]
-        + [n for n in _SCALE_DEDUP if n in qs]
-    )
-    # one-time tier builds at BOTH dirs, excluded from timings
-    for d in (sf_dir, dst):
-        quantized_tier(spark, d)
-        persisted_ivf_index(spark, d)
-        pq_tier(spark, d)
-        ivfpq_index(spark, d)
-        bucketed_mutation_tables(spark, d)
+    rows = [n for n in _SCALE_ROWS if n in qs]
+    # one light warm so the first timed row doesn't pay JVM/JIT startup
+    qs[rows[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    def steady(name: str, d: str) -> float:
-        qs[name](spark, d).write.format("noop").mode("overwrite").save()
+    def once(builder) -> float:
         t1 = time.perf_counter()
-        qs[name](spark, d).write.format("noop").mode("overwrite").save()
+        builder().write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t1, 4)
+
+    def vector_ops(d: str) -> dict:
+        from distributed_vector_search_system_spark.operators.dedup import (
+            simhash_pairs,
+        )
+        from distributed_vector_search_system_spark.operators.retrieval import (
+            hybrid_rrf_topk,
+            queries_from_docs,
+        )
+
+        emb = load_table(spark, d, "embeddings")
+        docs = load_table(spark, d, "documents")
+        dim = len(emb.select("embedding").first()[0])
+        q = emb.filter(F.col("vec_id").isin(_SCALE_QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        hq = queries_from_docs(
+            docs, F.col("doc_id").isin(_SCALE_QUERY_IDS)
+        ).join(
+            emb.select(
+                F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+            ),
+            "query_id",
+            "left",
+        )
+        books = pq_sample_codebooks(emb, dim=dim, m=8, ksub=16)
+        return {
+            "knn_fixedq_expr": lambda: knn(emb, q, 10),
+            "knn_fixedq_numpy": lambda: knn(emb, q, 10, method="numpy"),
+            "knn_fixedq_quantized": lambda: quantized_knn(emb, q, 10),
+            "ann_fixedq_ivf": lambda: ann_ivf_topk(
+                emb, q, 10, thin_count_key=f"{d}:embeddings"
+            ),
+            "pq_fixedq_adc": lambda: pq_adc_topk(emb, q, 10, books),
+            "hybrid_fixedq_rrf": lambda: hybrid_rrf_topk(docs, emb, hq, 10),
+            "dedup_simhash_h3": lambda: simhash_pairs(
+                docs, 3, banded=True, band_bits=15
+            ),
+        }
 
     out: dict = {
         "copies": SCALE_COPIES,
         "generate_sec": gen_s,
+        "fixed_query_count": len(_SCALE_QUERY_IDS),
         "queries": {},
     }
-    for name in names:
-        tb = steady(name, sf_dir)
-        ts = steady(name, dst)
+
+    def record(name: str, tb: float, ts: float) -> None:
         ratio = round(ts / tb, 2) if tb > 0 else float("inf")
-        expected = SCALE_COPIES ** 2 if name in _QUADRATIC_CLASS else SCALE_COPIES
-        verdict = (
-            "~linear"
-            if ratio <= 2 * SCALE_COPIES
-            else (
-                "~quadratic(QxN, expected)"
-                if name in _QUADRATIC_CLASS and ratio <= 2 * expected
-                else "SUPERLINEAR"
-            )
-        )
+        verdict = "~linear" if ratio <= 2 * SCALE_COPIES else "SUPERLINEAR"
         out["queries"][name] = {
             "base_sec": tb,
             "scaled_sec": ts,
             "ratio": ratio,
             "verdict": verdict,
         }
+
+    for name in rows:
+        record(
+            name,
+            once(lambda: qs[name](spark, sf_dir)),
+            once(lambda: qs[name](spark, dst)),
+        )
+    base_ops, scaled_ops = vector_ops(sf_dir), vector_ops(dst)
+    for name in base_ops:
+        record(name, once(base_ops[name]), once(scaled_ops[name]))
     spark.stop()
     return out
 
@@ -443,10 +537,13 @@ def main() -> None:
         scale_section = _section("scale")
 
     headline, fast = runs[0]["headline"], runs[0]["fast"]
+    retrieval = runs[0].get("retrieval", [])
     cold = _agg_by_query(runs, "cold", headline, min)
     steady = _agg_by_query(runs, "steady", headline, min)
     fast_cold = _agg_by_query(runs, "cold", fast, min)
     fast_steady = _agg_by_query(runs, "steady", fast, min)
+    retrieval_cold = _agg_by_query(runs, "cold", retrieval, min)
+    retrieval_steady = _agg_by_query(runs, "steady", retrieval, min)
     run_totals = [round(sum(r["cold"][n] for n in headline), 4) for r in runs]
     steady_run_totals = [
         round(sum(r["steady"][n] for n in headline), 4) for r in runs
@@ -465,6 +562,8 @@ def main() -> None:
                 "fast_tier_steady_queries": fast_steady,
                 "fast_tier_total_sec": round(sum(fast_cold.values()), 4),
                 "fast_tier_steady_total_sec": round(sum(fast_steady.values()), 4),
+                "retrieval_queries": retrieval_cold,
+                "retrieval_steady_queries": retrieval_steady,
                 "median_queries": _agg_by_query(runs, "cold", headline, statistics.median),
                 "median_steady_queries": _agg_by_query(
                     runs, "steady", headline, statistics.median

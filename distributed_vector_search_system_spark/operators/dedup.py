@@ -338,6 +338,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     banded: bool = False,
     band_bits: int = 15,
+    band_combo: int = 1,
 ) -> DataFrame:
     """(doc_a < doc_b) pairs with SimHash hamming distance ≤ max_hamming.
 
@@ -345,6 +346,25 @@ def simhash_pairs(
     ``max_hamming < SIMHASH_BITS/band_bits`` differing bits must agree on
     at least one ``band_bits``-wide chunk, so candidates come from an
     equi-join on (chunk_index, chunk_value) instead of |docs|².
+
+    ``band_combo = c > 1`` is the LOOSE-RADIUS scale dial (round-5 scale
+    anchor finding): a radius like 12 of 60 bits forces 4-bit chunks
+    for single-chunk pigeonhole, and 4-bit join keys have only 16
+    values — buckets grow like N/16 and candidates like N²/16, a
+    by-construction quadratic.  Multi-index refinement: a pair within
+    ``max_hamming`` has at least ``nb − max_hamming`` INTACT chunks, so
+    if ``c ≤ nb − max_hamming`` it must agree on at least one
+    c-combination of chunks — join on (combo_index, concatenated chunk
+    values) instead.  Key cardinality grows to ``2^(c·band_bits)``
+    (buckets shrink exponentially in c) at the cost of ``C(nb, c)``
+    replicated rows per doc (map-side explode, no extra shuffle).
+    Exactness is preserved; raises if ``c`` exceeds the pigeonhole
+    bound.  Measured guidance (sf0.1): the replication constant
+    dominates until buckets are genuinely overfull — at 5k docs,
+    c=3 over 4-bit chunks (455 combos) cost 10× MORE than c=1; the
+    dial pays off only when ``N / 2^(c·band_bits)`` still leaves
+    thousands of docs per bucket.  For loose radii the first lever is
+    usually a smaller radius or wider chunks, not a larger c.
     """
     sigs = docs.select(
         F.col(id_col).alias("_id"), simhash(text_tokens(text_col)).alias("_sig")
@@ -352,22 +372,37 @@ def simhash_pairs(
     if banded:
         nb = SIMHASH_BITS // band_bits
         mask = (1 << band_bits) - 1
-        chunks = sigs.select(
-            "_id",
-            "_sig",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("ci"),
-                            F.shiftright(F.col("_sig"), i * band_bits)
-                            .bitwiseAND(F.lit(mask))
-                            .alias("cv"),
-                        )
-                        for i in range(nb)
-                    ]
+        if not 1 <= band_combo <= nb - max_hamming:
+            raise ValueError(
+                f"band_combo must be in [1, nb - max_hamming] = "
+                f"[1, {nb - max_hamming}] for exact pigeonhole coverage, "
+                f"got {band_combo}"
+            )
+
+        def chunk(i: int):
+            return (
+                F.shiftright(F.col("_sig"), i * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .cast("long")
+            )
+
+        if band_combo == 1:
+            keys = [F.struct(F.lit(i).alias("ci"), chunk(i).alias("cv")) for i in range(nb)]
+        else:
+            from itertools import combinations
+
+            keys = [
+                F.struct(
+                    F.lit(ci).alias("ci"),
+                    sum(
+                        (chunk(i) * F.lit(1 << (band_bits * pos)) for pos, i in enumerate(combo)),
+                        F.lit(0).cast("long"),
+                    ).alias("cv"),
                 )
-            ).alias("c"),
+                for ci, combo in enumerate(combinations(range(nb), band_combo))
+            ]
+        chunks = sigs.select(
+            "_id", "_sig", F.explode(F.array(*keys)).alias("c")
         ).select("_id", "_sig", "c.ci", "c.cv")
         l = chunks.select(F.col("_id").alias("doc_a"), F.col("_sig").alias("_sa"), "ci", "cv")
         r = chunks.select(F.col("_id").alias("doc_b"), F.col("_sig").alias("_sb"), "ci", "cv")

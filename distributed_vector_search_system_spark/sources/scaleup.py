@@ -16,13 +16,15 @@ Correct up-scaling is not naive replication:
   deployments scale facts, not dims; nation keys referenced by copied
   customers/suppliers resolve against the single dim copy.
 - **Document text is made copy-distinct** (every whitespace token gets
-  a ``c<copy>·`` prefix): replicated text would make every doc an
-  exact/near duplicate of its 9 clones, and dedup pair counts would
-  blow up quadratically in copies — a DATA artifact that would mask
-  the plan-scaling signal the anchor exists to measure.  With
-  copy-distinct tokens, cross-copy shingle overlap is zero and the
-  per-copy duplicate structure is preserved, so dedup work scales
-  linearly like the corpus.
+  an ATTACHED alphanumeric ``c<copy>x`` prefix): replicated text would
+  make every doc an exact/near duplicate of its 9 clones, and dedup
+  pair counts would blow up quadratically in copies — a DATA artifact
+  that would mask the plan-scaling signal the anchor exists to
+  measure.  The prefix must survive the analysis tokenizer as part of
+  its token (see the inline comment in ``_scaled``): then cross-copy
+  shingle overlap is zero AND the per-copy bigram/df structure is
+  byte-for-byte isomorphic to the base, so dedup work scales linearly
+  like the corpus.
 - **Embeddings get per-copy deterministic jitter** (±5e-4 per
   component, derived from the new vec_id) so copies are not exact
   ties in distance ranking while remaining semantically identical.
@@ -78,14 +80,24 @@ def _scaled(df: DataFrame, table: str, copies: int) -> DataFrame:
         )
     if table == "documents":
         # copy-distinct tokens: zero cross-copy shingle overlap (see
-        # module docstring); copy 0 keeps the original text verbatim
+        # module docstring); copy 0 keeps the original text verbatim.
+        # The marker MUST stay alphanumeric and attached ("c3xfoo"):
+        # round-5 found that a separator marker ("c3·foo") re-tokenizes
+        # under functions.text.tokens' [^a-z0-9]+ split into a FREE
+        # "c3" token inserted between every pair of original tokens —
+        # destroying word-bigram shingles (every doc in a copy then
+        # shares a "c3 <word>" shingle with every doc containing that
+        # word, and minhash candidate pairs explode ~quadratically:
+        # 56.8M candidates at 10x sf0.1 vs the expected ~3k).  An
+        # attached prefix preserves token count, bigram structure, and
+        # df distribution exactly, per copy.
         out = out.withColumn(
             "text",
             F.when(F.col("_copy") == 0, F.col("text")).otherwise(
                 F.regexp_replace(
                     F.col("text"),
                     r"(\S+)",
-                    F.concat(F.lit("c"), F.col("_copy").cast("string"), F.lit("·$1")),
+                    F.concat(F.lit("c"), F.col("_copy").cast("string"), F.lit("x$1")),
                 )
             ),
         )

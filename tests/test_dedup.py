@@ -3,6 +3,7 @@ SimHash, embedding near-dup blocking."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from distributed_vector_search_system_spark.operators.dedup import (
@@ -378,3 +379,27 @@ def test_ngram_fractional_cap_builds_plan_without_jobs(spark, sf_smoke):
         sc.setJobGroup("", "")
     # and the in-plan τ produces the same result as before the fix
     assert df.count() == ngram_jaccard_pairs(docs, 0.5, n=2).count()
+
+
+def test_simhash_band_combo_exact_and_bounded(spark, sf_oracle):
+    """Multi-index (combo) banding returns EXACTLY the single-chunk
+    banded result at the same radius (pigeonhole holds for every
+    c <= nb - max_hamming), and rejects a combo beyond the bound."""
+    from distributed_vector_search_system_spark.tables import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+    base = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_pairs(docs, 12, banded=True, band_bits=4).collect()
+    }
+    assert base  # fixture has near-dup structure at this radius
+    for combo in (2, 3):
+        got = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in simhash_pairs(
+                docs, 12, banded=True, band_bits=4, band_combo=combo
+            ).collect()
+        }
+        assert got == base, combo
+    with pytest.raises(ValueError, match="band_combo"):
+        simhash_pairs(docs, 12, banded=True, band_bits=4, band_combo=4)

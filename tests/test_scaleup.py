@@ -140,3 +140,53 @@ def test_scale_is_idempotent_and_marker_committed(spark, scaled, tmp_path):
     before = os.path.getmtime(os.path.join(scaled, "lineitem.parquet"))
     scale_fixture_dir(spark, SRC, scaled, copies=2)
     assert os.path.getmtime(os.path.join(scaled, "lineitem.parquet")) == before
+
+
+def test_near_dup_candidate_structure_scales_linearly(spark, scaled):
+    """The round-5 regression the scale anchor caught: the copy marker
+    must stay INSIDE its token under the analysis tokenizer, or every
+    copy's docs share marker-word shingles and minhash candidates
+    explode quadratically.  Invariants: (a) zero CROSS-copy minhash
+    candidate pairs (copy vocabularies are disjoint; bucket equality
+    across copies would be a 60-bit hash coincidence), (b) copy-0
+    candidates are exactly the base corpus's (copy-0 text is
+    verbatim), and (c) tokenized docs carry NO free marker tokens —
+    token counts match the base doc-for-doc."""
+    from distributed_vector_search_system_spark.functions.text import tokens
+    from distributed_vector_search_system_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+    from distributed_vector_search_system_spark.sources.scaleup import STRIDES
+
+    docs = spark.read.parquet(f"{scaled}/documents.parquet")
+    src = spark.read.parquet(f"{SRC}/documents.parquet")
+    stride = STRIDES["doc_id"]
+
+    cands = minhash_lsh_candidates(docs)
+    cross = cands.filter(
+        F.floor(F.col("doc_a") / stride) != F.floor(F.col("doc_b") / stride)
+    ).count()
+    assert cross == 0
+
+    base_cands = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_candidates(src).collect()
+    }
+    c0_cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in cands.filter(F.col("doc_b") < stride).collect()
+    }
+    assert c0_cands == base_cands
+
+    tc = docs.select(
+        (F.col("doc_id") % stride).alias("base_id"),
+        F.size(tokens("text")).alias("n"),
+    )
+    base_tc = src.select(
+        F.col("doc_id").alias("base_id"), F.size(tokens("text")).alias("n")
+    )
+    mismatch = (
+        tc.join(base_tc.withColumnRenamed("n", "n0"), "base_id")
+        .filter(F.col("n") != F.col("n0"))
+        .count()
+    )
+    assert mismatch == 0
