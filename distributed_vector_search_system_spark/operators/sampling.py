@@ -194,3 +194,35 @@ def stratified_sample(
     )[F.col(strata_col)]
     key = F.col(key_col).cast("string")
     return df.filter(thresh.isNotNull() & (_bucket(key, seed) < thresh))
+
+
+def capped_per_key_sample(
+    df: DataFrame,
+    key_col: str,
+    cap: int,
+    *,
+    id_col: str = "doc_id",
+    seed: str = "cap",
+) -> DataFrame:
+    """At most ``cap`` rows per ``key_col`` value, chosen by stable hash
+    order — the per-domain / per-source quota every crawl-curation
+    pipeline applies so one hot site cannot dominate the corpus.
+
+    Selection ranks rows within each key by
+    ``(portable_hash64(id), id)`` — deterministic, replayable in SQL,
+    and unbiased by any physical row order.  One shuffle on the key
+    (the window partition); WindowGroupLimit caps each task's output
+    at ``cap`` per key BEFORE the exchange, so a viral key ships
+    ``cap × partitions`` rows, never its full fan-in.
+    """
+    if cap < 0:
+        raise ValueError("cap must be >= 0")
+    from pyspark.sql import Window
+
+    h = portable_hash64(F.col(id_col).cast("string"), seed=seed)
+    w = Window.partitionBy(key_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )

@@ -1545,6 +1545,35 @@ WHERE rank <= {_HYBRID_K}
 """
 
 
+# --- per-source quota sampling (round 5) ----------------------------------
+
+_CAP_PER_SOURCE = 20
+
+
+def q_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At most N docs per source by stable hash order (crawl-curation
+    domain quota; operators/sampling.capped_per_key_sample)."""
+    from ..operators.sampling import capped_per_key_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return capped_per_key_sample(docs, "source", _CAP_PER_SOURCE).select(
+        "doc_id", "source"
+    )
+
+
+def _capped_sample_oracle() -> str:
+    from ..functions.hashing import portable_hash64_sql
+
+    h = portable_hash64_sql("CAST(doc_id AS VARCHAR)", seed="cap")
+    return f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY ({h}), doc_id) AS rk
+  FROM documents
+) WHERE rk <= {_CAP_PER_SOURCE}
+"""
+
+
 # driver-tier registration of the round-5 retrieval flagships (see the
 # rotation note above hash_sample)
 QUERIES["bm25_topk"] = q_bm25_topk
@@ -1566,6 +1595,7 @@ EXTRA_QUERIES: dict = {
     "stratified_sample": q_stratified_sample,
     "quality_gated_sample": q_quality_gated_sample,
     "mmr_rerank": q_mmr_rerank,
+    "capped_sample": q_capped_sample,
 }
 EXTRA_ORACLES: dict = {
     "text_tfidf_topk": _TFIDF_SQL,
@@ -1580,4 +1610,5 @@ EXTRA_ORACLES: dict = {
     "stratified_sample": _stratified_oracle(),
     "quality_gated_sample": _qgate_oracle(),
     # mmr_rerank: weak-checked (greedy/iterative — no SQL form)
+    "capped_sample": _capped_sample_oracle(),
 }

@@ -147,3 +147,277 @@ def bm25_search_index(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+class PostingIndexStore:
+    """Merge-on-read posting index: the lexical analog of
+    ``streaming.ivf_stream.IvfIndexStore``.
+
+    Training corpora are append-mostly, so the store optimizes the
+    append path and defers clustering to compaction:
+
+    - ``<gen>/postings/``  — term-clustered base (write_posting_index
+      layout: repartitioned + sorted on ``term`` for row-group
+      skipping);
+    - ``<gen>/delta/``     — per-batch posting appends, UNclustered
+      (O(batch) writes; deltas are small between compactions, so the
+      full-delta scan a query pays is bounded by the compaction
+      cadence);
+    - ``<gen>/stats_log/`` — one ``(batch_id, n_docs, sum_dl)`` row per
+      ingested batch: corpus stats are ADDITIVE under append-only
+      ingestion, so N and avgdl come from a sum over this tiny log —
+      never a corpus scan.
+
+    Retry safety (same contract as the IVF store): a redelivered batch
+    re-appends identical rows; reads deduplicate postings on
+    ``(term, id)`` and stats on ``batch_id``, so duplicate appends
+    change nothing.
+
+    df is computed at query time from the QUERY-RESTRICTED postings
+    (per-term document counts over posting lists the scan already
+    pruned to) — identical numbers to a stored terms table, with no
+    table to keep consistent under appends.
+
+    ``compact()`` folds delta into a re-clustered next-generation base
+    behind the same atomic MANIFEST pointer swap as the IVF store
+    (readers resolve one generation per read; a crash leaves the old
+    complete snapshot).
+    """
+
+    def __init__(self, root: str):
+        import os
+
+        self.root = root
+        self._os = os
+
+    @property
+    def _manifest(self) -> str:
+        return self._os.path.join(self.root, "MANIFEST")
+
+    def _current_gen(self) -> str:
+        try:
+            with open(self._manifest, encoding="ascii") as f:
+                return f.read().strip()
+        except FileNotFoundError:
+            return "gen-000000"
+
+    def _commit_gen(self, gen: str) -> None:
+        os = self._os
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._manifest + ".tmp"
+        with open(tmp, "w", encoding="ascii") as f:
+            f.write(gen + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._manifest)
+
+    def _paths(self) -> tuple[str, str, str]:
+        d = self._os.path.join(self.root, self._current_gen())
+        return (
+            self._os.path.join(d, "postings"),
+            self._os.path.join(d, "delta"),
+            self._os.path.join(d, "stats_log"),
+        )
+
+    # -- write path ---------------------------------------------------------
+
+    @staticmethod
+    def _derive(docs: DataFrame, doc_id_col: str, text_col: str) -> DataFrame:
+        toks = docs.select(
+            F.col(doc_id_col).alias("id"), tokens(text_col).alias("_toks")
+        )
+        return (
+            toks.select(
+                "id", F.size("_toks").alias("dl"), F.explode("_toks").alias("term")
+            )
+            .groupBy("term", "id", "dl")
+            .agg(F.count("*").alias("tf"))
+        )
+
+    def _append_stats(
+        self, docs: DataFrame, batch_id: int, stats_path: str,
+        doc_id_col: str, text_col: str,
+    ) -> None:
+        (
+            docs.select(F.size(tokens(text_col)).alias("_dl"))
+            .agg(
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                F.count("*").alias("n_docs"),
+                F.sum(F.col("_dl").cast("double")).alias("sum_dl"),
+            )
+            .write.mode("append")
+            .parquet(stats_path)
+        )
+
+    def init_base(
+        self, docs: DataFrame, *, doc_id_col: str = "doc_id", text_col: str = "text"
+    ) -> None:
+        gen = "gen-000000"
+        base = self._os.path.join(self.root, gen, "postings")
+        (
+            self._derive(docs, doc_id_col, text_col)
+            .repartition(POSTING_PARTITIONS, "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(base)
+        )
+        self._append_stats(
+            docs, -1, self._os.path.join(self.root, gen, "stats_log"),
+            doc_id_col, text_col,
+        )
+        self._commit_gen(gen)
+
+    def append_batch(
+        self,
+        docs: DataFrame,
+        batch_id: int,
+        *,
+        doc_id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        """O(batch): derive the batch's postings and append, plus one
+        additive stats row.  ``batch_id`` keys retry deduplication —
+        pass ``foreachBatch``'s id."""
+        _, delta, stats = self._paths()
+        (
+            self._derive(docs, doc_id_col, text_col)
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("append")
+            .parquet(delta)
+        )
+        self._append_stats(docs, batch_id, stats, doc_id_col, text_col)
+
+    def streaming_sink(self, stream: DataFrame, *, checkpoint: str):
+        def _apply(batch: DataFrame, batch_id: int) -> None:
+            self.append_batch(batch, batch_id)
+
+        return (
+            stream.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # -- read path ----------------------------------------------------------
+
+    def _live_postings(self, spark: SparkSession, terms: list[str]) -> DataFrame:
+        from pyspark.errors import AnalysisException
+
+        base_path, delta_path, _ = self._paths()
+        rows = spark.read.parquet(base_path).filter(F.col("term").isin(terms))
+        try:
+            delta = (
+                spark.read.parquet(delta_path)
+                .filter(F.col("term").isin(terms))
+                .drop("batch_id")
+            )
+            rows = rows.unionByName(delta)
+        except AnalysisException:  # no deltas yet
+            pass
+        # redelivered-batch duplicates collapse here
+        return rows.dropDuplicates(["term", "id"])
+
+    def _stats(self, spark: SparkSession) -> DataFrame:
+        _, _, stats_path = self._paths()
+        return (
+            spark.read.parquet(stats_path)
+            .dropDuplicates(["batch_id"])
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
+            )
+        )
+
+    def search(
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        k: int,
+        *,
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+        query_id_col: str = "query_id",
+        query_terms_col: str = "qterms",
+    ) -> DataFrame:
+        """BM25 top-k over base+delta — scores identical to a compacted
+        index (postings rows and corpus stats are the same numbers
+        either way)."""
+        qt = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(F.array_distinct(F.col(query_terms_col))).alias("term"),
+        )
+        terms = sorted({r["term"] for r in qt.select("term").distinct().collect()})
+        posting = self._live_postings(spark, terms)
+        dfreq = posting.groupBy("term").agg(F.count_distinct("id").alias("df"))
+        scored = (
+            posting.join(F.broadcast(qt), "term")
+            .join(F.broadcast(dfreq), "term")
+            .crossJoin(F.broadcast(self._stats(spark)))
+            .select(
+                "query_id",
+                "id",
+                (
+                    F.log(
+                        F.lit(1.0)
+                        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    )
+                    * (F.col("tf") * (k1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + k1
+                        * (1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+                    )
+                ).alias("_w"),
+            )
+            .groupBy("query_id", "id")
+            .agg(F.round(F.sum("_w"), 6).alias("score"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("id").asc()
+        )
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+
+    # -- maintenance --------------------------------------------------------
+
+    def compact(self, spark: SparkSession) -> None:
+        """Fold delta into a re-clustered next-generation base behind an
+        atomic manifest swap; stats log is rewritten as one folded row."""
+        from pyspark.errors import AnalysisException
+
+        os = self._os
+        cur = self._current_gen()
+        nxt = "gen-%06d" % (int(cur.rsplit("-", 1)[1]) + 1)
+        base_path, delta_path, stats_path = self._paths()
+        rows = spark.read.parquet(base_path)
+        try:
+            rows = rows.unionByName(
+                spark.read.parquet(delta_path).drop("batch_id")
+            )
+        except AnalysisException:
+            pass
+        (
+            rows.dropDuplicates(["term", "id"])
+            .repartition(POSTING_PARTITIONS, "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.root, nxt, "postings"))
+        )
+        (
+            spark.read.parquet(stats_path)
+            .dropDuplicates(["batch_id"])
+            .agg(
+                F.lit(-1).cast("long").alias("batch_id"),
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("sum_dl").alias("sum_dl"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.root, nxt, "stats_log"))
+        )
+        self._commit_gen(nxt)
+        import shutil
+
+        for name in os.listdir(self.root):
+            if name.startswith("gen-") and name not in {cur, nxt}:
+                shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)

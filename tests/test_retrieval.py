@@ -374,3 +374,93 @@ def test_mmr_k_exceeding_candidates_returns_all(spark, sf_oracle):
     out = mmr_rerank(cands, 100, lambda_=0.5).collect()
     assert len(out) == 4
     assert sorted(r["rank"] for r in out) == [1, 2, 3, 4]
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read posting index store
+
+def _store_setup(spark, sf_oracle, tmp_path):
+    from distributed_vector_search_system_spark.sources.posting_index import (
+        PostingIndexStore,
+    )
+
+    docs = load_table(spark, sf_oracle, "documents")
+    base = docs.filter(F.col("doc_id") < 300)
+    b1 = docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
+    b2 = docs.filter(F.col("doc_id") >= 400)
+    store = PostingIndexStore(str(tmp_path / "pstore"))
+    store.init_base(base)
+    store.append_batch(b1, 1)
+    store.append_batch(b2, 2)
+    q = spark.createDataFrame(
+        [
+            (r["query_id"], list(r["qterms"]))
+            for r in queries_from_docs(
+                docs, F.col("doc_id") % 100 == 7
+            ).collect()
+        ],
+        "query_id long, qterms array<string>",
+    )
+    return store, docs, q
+
+
+def _rows(df):
+    return {(r["query_id"], r["id"], r["score"], r["rank"]) for r in df.collect()}
+
+
+def test_posting_store_appends_match_from_scratch(spark, sf_oracle, tmp_path):
+    """base + two appended batches serve EXACTLY the scores/ranks of the
+    from-scratch plan over the full corpus (stats are additive, df is
+    restricted-computed — same numbers either way)."""
+    store, docs, q = _store_setup(spark, sf_oracle, tmp_path)
+    got = _rows(store.search(spark, q, 10))
+    want = _rows(bm25_topk(docs, q, 10))
+    assert got == want
+
+
+def test_posting_store_redelivery_and_compaction_idempotent(
+    spark, sf_oracle, tmp_path
+):
+    """A redelivered batch changes nothing (content-keyed dedupe), and
+    compaction preserves results exactly while folding the delta away."""
+    store, docs, q = _store_setup(spark, sf_oracle, tmp_path)
+    before = _rows(store.search(spark, q, 10))
+    b2 = docs.filter(F.col("doc_id") >= 400)
+    store.append_batch(b2, 2)  # crash-redelivery of the same batch id
+    assert _rows(store.search(spark, q, 10)) == before
+    gen_before = store._current_gen()
+    store.compact(spark)
+    assert store._current_gen() != gen_before
+    assert _rows(store.search(spark, q, 10)) == before
+    # compacted base carries everything; a further compact is a no-op set
+    store.compact(spark)
+    assert _rows(store.search(spark, q, 10)) == before
+
+
+def test_posting_store_streaming_sink(spark, sf_oracle, tmp_path):
+    """Documents streamed through foreachBatch land exactly like batch
+    appends: post-stream search == from-scratch over the union."""
+    from distributed_vector_search_system_spark.sources.posting_index import (
+        PostingIndexStore,
+    )
+
+    docs = load_table(spark, sf_oracle, "documents")
+    base = docs.filter(F.col("doc_id") < 400)
+    tail = docs.filter(F.col("doc_id") >= 400)
+    src = str(tmp_path / "stream_src")
+    tail.write.mode("overwrite").parquet(src)
+    store = PostingIndexStore(str(tmp_path / "pstore_s"))
+    store.init_base(base)
+    stream = spark.readStream.schema(tail.schema).parquet(src)
+    q = store.streaming_sink(stream, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    queries = spark.createDataFrame(
+        [
+            (r["query_id"], list(r["qterms"]))
+            for r in queries_from_docs(docs, F.col("doc_id") % 100 == 7).collect()
+        ],
+        "query_id long, qterms array<string>",
+    )
+    got = _rows(store.search(spark, queries, 10))
+    want = _rows(bm25_topk(docs, queries, 10))
+    assert got == want
