@@ -121,9 +121,10 @@ class VectorEngine:
 
         ``method``: "expr" (codegen expressions), "numpy" (Arrow GEMM),
         "quantized" (int8 coarse scan + exact re-rank — the 100 TB
-        IO-bound tier, operators/quantize.py), or "pq" (product-
+        IO-bound tier, operators/quantize.py), "pq" (product-
         quantized ADC coarse scan + exact re-rank, operators/pq.py;
-        needs ``dim``).  Approximate tiers return EXACT distances —
+        needs ``dim``), or "auto" (expr vs GEMM by the engine's
+        declared dimension — the measured d768 crossover).  Approximate tiers return EXACT distances —
         approximation only selects which candidates reach the re-rank.
 
         ``semantic_threshold``: enable SEMANTIC cache reuse (the
@@ -166,6 +167,15 @@ class VectorEngine:
             raise ValueError(
                 f"{method} search does not carry shard columns; use method='expr'"
             )
+        if method == "auto":
+            # measured dispatch (bench d768 section): the Arrow GEMM
+            # kernel beats the codegen expression tier once the row
+            # width makes the per-element HOF fold dominate — crossover
+            # sits well below the reference's d=768 (0.97 s GEMM vs
+            # 3.5 s expr at 20k x 768) and above the 64-dim fixtures.
+            # Unknown dim (no engine dim declared) stays on expr, the
+            # oracle-comparable default.
+            method = "numpy" if (self._dim or 0) >= self.AUTO_GEMM_MIN_DIM else "expr"
         if method == "quantized":
             from .operators.quantize import quantized_knn
 
@@ -187,6 +197,10 @@ class VectorEngine:
 
     #: bound on the semantic store, mirroring the exact cache default
     SEMANTIC_MAX_ENTRIES = 1024
+
+    #: method="auto" picks the Arrow GEMM kernel at or above this
+    #: dimension (see the dispatch comment in ``search``)
+    AUTO_GEMM_MIN_DIM = 256
 
     def _search_semantic(
         self,

@@ -491,3 +491,37 @@ def test_filtered_search_respects_strong_consistency(spark):
         _q(spark, 0, [0.0, 0.0], 2), 2, where="label = 0",
         consistency=STRONG).collect()}
     assert 50 in ids
+
+
+def test_auto_method_dispatch_matches_expr(spark):
+    e = _engine(spark)  # dim=2 -> auto resolves to expr
+    q = _q(spark, 0, [0.0, 0.0], 4)
+    assert [
+        (r["id"], r["rank"])
+        for r in sorted(e.search(q, 4, method="auto").collect(),
+                        key=lambda r: r["rank"])
+    ] == [
+        (r["id"], r["rank"])
+        for r in sorted(e.search(q, 4, method="expr").collect(),
+                        key=lambda r: r["rank"])
+    ]
+
+
+def test_auto_method_picks_gemm_at_reference_width(spark):
+    from distributed_vector_search_system_spark.sources.synthetic import (
+        synthetic_vectors,
+    )
+    from distributed_vector_search_system_spark.engine import VectorEngine
+
+    corpus = synthetic_vectors(spark, 200, 768)
+    e = VectorEngine(spark, corpus, dim=768)
+    q = corpus.filter(F.col("vec_id") == 0).selectExpr(
+        "vec_id AS query_id", "embedding AS qvec", "5 AS top_k"
+    )
+    auto = sorted(
+        ((r["id"], r["rank"]) for r in e.search(q, 5, method="auto").collect()),
+    )
+    gemm = sorted(
+        ((r["id"], r["rank"]) for r in e.search(q, 5, method="numpy").collect()),
+    )
+    assert auto == gemm and len(auto) == 5
