@@ -221,3 +221,10 @@ def test_bm25_joins_broadcast_no_cartesian(spark, sf_smoke):
 def test_hybrid_rrf_no_cartesian(spark, sf_smoke):
     plan = _plan(registry.all_queries()["hybrid_rrf"](spark, sf_smoke))
     assert "CartesianProduct" not in plan
+
+
+def test_capped_sample_partial_topk_below_shuffle(spark, sf_smoke):
+    """The per-source quota must cap map-side (WindowGroupLimit) so a
+    viral key ships cap x partitions rows, never its full fan-in."""
+    plan = _plan(registry.all_queries()["capped_sample"](spark, sf_smoke))
+    assert "WindowGroupLimit" in plan
