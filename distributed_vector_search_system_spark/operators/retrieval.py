@@ -181,6 +181,8 @@ def rrf_fuse(
         )
         for r in rankings
     ]
+    if not legs:
+        raise ValueError("rrf_fuse needs at least one ranking")
     contrib = legs[0]
     for leg in legs[1:]:
         contrib = contrib.unionByName(leg)
