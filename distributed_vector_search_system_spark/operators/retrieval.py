@@ -21,11 +21,17 @@ fusion step — the missing half of hybrid search.  This module adds:
   (k-bounded, already-retrieved) candidate set, so the Python surface
   touches only candidates — never the corpus.
 
-Determinism contract (oracle comparison): scores are ranked on their
-6-decimal ROUNDING with an id tie-break, on both engines — BM25's idf
-is transcendental (``ln``), and ranking on raw doubles would let a
-last-ulp cross-engine difference flip the order of two genuinely tied
-documents.
+Determinism contract (oracle comparison): the BM25 and RRF scores are
+ranked on their 6-decimal ROUNDING with an id tie-break, on both
+engines — BM25's idf is transcendental (``ln``), and ranking on raw
+doubles would let a last-ulp cross-engine difference flip the order of
+two genuinely tied documents.  The COSINE leg of ``hybrid_rrf_topk``
+ranks on raw doubles (matching ``cosine_topk`` and its oracle, which
+both compute the identical expression); a last-ulp difference at the
+``leg_k`` cutoff could in principle flip fused-input membership, but
+only for docs whose cosine is bit-identical up to the summation order
+— the fixtures' distinct float sums make this unobserved, and the
+rounding guarantee is claimed only for the lexical/fused scores.
 
 Scale notes: the only corpus-wide shuffle in BM25 is the per-(doc,
 term) tf aggregation, and it happens only for rows that survive the
@@ -100,23 +106,30 @@ def bm25_scores(
         F.count("*").alias("_n_docs"),
         F.avg(F.size("_toks").cast("double")).alias("_avgdl"),
     )
-    posting = (
-        toks.select("id", F.size("_toks").alias("dl"), F.explode("_toks").alias("term"))
-        .groupBy("id", "dl", "term")
-        .agg(F.count("*").alias("tf"))
-    )
     qt = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.explode(F.array_distinct(F.col(query_terms_col))).alias("term"),
     )
-    # broadcast the (small) query vocabulary: the postings join is a
-    # map-side hash join — no corpus shuffle on term
-    hits = posting.join(F.broadcast(qt), "term")
-    dfreq = (
-        posting.join(F.broadcast(qt.select("term").distinct()), "term", "left_semi")
-        .groupBy("term")
-        .agg(F.count_distinct("id").alias("df"))
+    # Restrict the exploded (doc, term) rows to the query vocabulary
+    # BEFORE the tf aggregate.  The semi join must be written below the
+    # groupBy explicitly: Catalyst's PushDownLeftSemiAntiJoin pushes
+    # semi/anti joins under aggregates, but an INNER join written above
+    # the aggregate stays above it — which would shuffle every (doc,
+    # term) pair of the corpus to compute tf values nobody reads
+    # (verified in the optimized plan, VERDICT r05 item 2).  tf of
+    # non-query terms is never used and dl is computed pre-explode, so
+    # the restriction cannot change any score.
+    posting = (
+        toks.select("id", F.size("_toks").alias("dl"), F.explode("_toks").alias("term"))
+        .join(F.broadcast(qt.select("term").distinct()), "term", "left_semi")
+        .groupBy("id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
     )
+    # per-query fan-out is a map-side broadcast hash join — no shuffle
+    hits = posting.join(F.broadcast(qt), "term")
+    # df (docs containing term) is unchanged by dropping OTHER terms'
+    # rows, so it can be computed from the restricted postings
+    dfreq = posting.groupBy("term").agg(F.count_distinct("id").alias("df"))
     scored = (
         hits.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
@@ -214,8 +227,11 @@ def hybrid_rrf_topk(
     from .similarity import cosine_topk
 
     lex = bm25_topk(docs, queries, leg_k, **bm25_kwargs)
+    # the BM25 leg may rename its query-id column; the vector leg must
+    # follow the same rename or the two legs cannot fuse (ADVICE r05)
+    qid = bm25_kwargs.get("query_id_col", "query_id")
     vq = queries.filter(F.col(query_vector_col).isNotNull()).select(
-        "query_id", query_vector_col
+        F.col(qid).alias("query_id"), query_vector_col
     )
     vec = cosine_topk(
         vectors,

@@ -80,12 +80,17 @@ def write_posting_index(
         .write.mode(mode)
         .parquet(f"{path}/terms")
     )
+    # corpus stats come from the DOCS table, not distinct posting ids:
+    # a doc that tokenizes to zero tokens (punctuation-only, non-Latin
+    # under the [^a-z0-9]+ tokenizer) has no posting rows but still
+    # counts toward N and avgdl in the from-scratch bm25_scores — the
+    # "scores are IDENTICAL" contract requires the same denominator
+    # (ADVICE r05).
     (
-        pst.select("id", "dl")
-        .distinct()
+        docs.select(F.size(tokens(text_col)).alias("_dl"))
         .agg(
             F.count("*").alias("n_docs"),
-            F.avg(F.col("dl").cast("double")).alias("avgdl"),
+            F.avg(F.col("_dl").cast("double")).alias("avgdl"),
         )
         .write.mode(mode)
         .parquet(f"{path}/stats")
@@ -383,7 +388,12 @@ class PostingIndexStore:
 
     def compact(self, spark: SparkSession) -> None:
         """Fold delta into a re-clustered next-generation base behind an
-        atomic manifest swap; stats log is rewritten as one folded row."""
+        atomic manifest swap.  The stats log is deduplicated and carried
+        forward with its batch ids PRESERVED — folding it to a single
+        row would forget which batches were ingested, so a
+        crash-redelivered pre-compaction batch (same batch_id) would
+        double-count n_docs/sum_dl and skew idf/avgdl (ADVICE r05); the
+        log stays one tiny row per batch ever ingested."""
         from pyspark.errors import AnalysisException
 
         os = self._os
@@ -407,11 +417,6 @@ class PostingIndexStore:
         (
             spark.read.parquet(stats_path)
             .dropDuplicates(["batch_id"])
-            .agg(
-                F.lit(-1).cast("long").alias("batch_id"),
-                F.sum("n_docs").cast("long").alias("n_docs"),
-                F.sum("sum_dl").alias("sum_dl"),
-            )
             .write.mode("overwrite")
             .parquet(os.path.join(self.root, nxt, "stats_log"))
         )

@@ -218,6 +218,48 @@ def test_bm25_joins_broadcast_no_cartesian(spark, sf_smoke):
     assert "BroadcastHashJoin" in plan
 
 
+def _node_subtrees(plan: str, pattern: str):
+    """(line, subtree-lines) for each plan node matching ``pattern``.
+
+    Tree printouts place a node's children on later lines with the node
+    name further right; the subtree ends at the first line whose name
+    position is at or left of the node's.
+    """
+    import re
+
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        m = re.search(pattern, line)
+        if not m:
+            continue
+        depth = m.start()
+        sub = []
+        for l2 in lines[i + 1 :]:
+            m2 = re.search(r"[A-Za-z]", l2)
+            if not m2 or m2.start() <= depth:
+                break
+            sub.append(l2)
+        yield line, sub
+
+
+def test_bm25_query_restriction_below_tf_aggregate(spark, sf_smoke):
+    """The query-vocabulary restriction must execute BELOW the tf
+    aggregate (VERDICT r05 item 2): Catalyst pushes left-SEMI joins
+    under aggregates but never INNER joins, so an inner join written
+    above the groupBy silently shuffles every (doc, term) pair of the
+    corpus to compute tf values nobody reads.  Assert every tf
+    Aggregate's optimized subtree contains the LeftSemi restriction and
+    no inner join (the per-query fan-out joins strictly above it)."""
+    df = registry.all_queries()["bm25_topk"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    tf_aggs = list(_node_subtrees(plan, r"Aggregate \[id#"))
+    assert tf_aggs, plan
+    for line, sub in tf_aggs:
+        body = "\n".join(sub)
+        assert "Join LeftSemi" in body, (line, plan)
+        assert "Join Inner" not in body, (line, plan)
+
+
 def test_hybrid_rrf_no_cartesian(spark, sf_smoke):
     plan = _plan(registry.all_queries()["hybrid_rrf"](spark, sf_smoke))
     assert "CartesianProduct" not in plan

@@ -351,6 +351,35 @@ def test_posting_index_serves_identical_bm25(spark, sf_oracle, tmp_path):
     assert not any("text" in l for l in read), read
 
 
+def test_hybrid_rrf_renamed_query_id_col(spark, sf_oracle):
+    """query_id_col= must rename BOTH legs (ADVICE r05: the vector leg
+    hardcoded 'query_id', so a renamed lexical leg could never fuse)."""
+    docs = load_table(spark, sf_oracle, "documents")
+    emb = load_table(spark, sf_oracle, "embeddings")
+    hq = (
+        queries_from_docs(docs, F.col("doc_id") % 100 == 7)
+        .join(
+            emb.select(
+                F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+            ),
+            "query_id",
+            "left",
+        )
+    )
+    want = {
+        (r["query_id"], r["id"], r["rank"])
+        for r in hybrid_rrf_topk(docs, emb, hq, 5).collect()
+    }
+    renamed = hq.withColumnRenamed("query_id", "qid")
+    got = {
+        (r["query_id"], r["id"], r["rank"])
+        for r in hybrid_rrf_topk(
+            docs, emb, renamed, 5, query_id_col="qid"
+        ).collect()
+    }
+    assert got == want
+
+
 def test_rrf_leg_order_invariant(spark):
     a = spark.createDataFrame(
         [(0, 10, 1), (0, 11, 2), (0, 12, 3)], "query_id long, id long, rank int"
@@ -434,6 +463,53 @@ def test_posting_store_redelivery_and_compaction_idempotent(
     assert _rows(store.search(spark, q, 10)) == before
     # compacted base carries everything; a further compact is a no-op set
     store.compact(spark)
+    assert _rows(store.search(spark, q, 10)) == before
+
+
+def test_posting_index_stats_count_zero_token_docs(spark, tmp_path):
+    """A doc that tokenizes to ZERO tokens (punctuation-only under the
+    [^a-z0-9]+ tokenizer) has no posting rows but still counts toward
+    N and avgdl in the from-scratch plan — the persisted index must use
+    the same denominators or its idf/length normalization diverges
+    (ADVICE r05: stats must come from the docs table, not from distinct
+    posting ids)."""
+    from distributed_vector_search_system_spark.sources.posting_index import (
+        bm25_search_index,
+        write_posting_index,
+    )
+
+    rows = [
+        (0, "spark shuffle join"),
+        (1, "spark spark spark filter"),
+        (2, "!!! ??? ..."),  # zero tokens
+        (3, "spark window"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "p_empty")
+    write_posting_index(docs, path)
+    stats = spark.read.parquet(f"{path}/stats").collect()[0]
+    assert stats["n_docs"] == 4  # not 3
+    q = _queries(spark, ["spark", "join"])
+    got = _rows(bm25_search_index(spark, path, q, 10))
+    want = _rows(bm25_topk(docs, q, 10))
+    assert got == want
+
+
+def test_posting_store_cross_compaction_redelivery(spark, sf_oracle, tmp_path):
+    """A batch redelivered AFTER a compaction (crash between the sink's
+    append and its checkpoint commit, compaction in between) must still
+    be deduplicated: the compacted stats log preserves batch ids, so the
+    re-appended stats row collapses instead of double-counting
+    n_docs/sum_dl (ADVICE r05)."""
+    store, docs, q = _store_setup(spark, sf_oracle, tmp_path)
+    before = _rows(store.search(spark, q, 10))
+    stats_before = store._stats(spark).collect()[0]
+    store.compact(spark)
+    b2 = docs.filter(F.col("doc_id") >= 400)
+    store.append_batch(b2, 2)  # redelivery ACROSS the compaction boundary
+    stats_after = store._stats(spark).collect()[0]
+    assert stats_after["n_docs"] == stats_before["n_docs"]
+    assert stats_after["avgdl"] == pytest.approx(stats_before["avgdl"])
     assert _rows(store.search(spark, q, 10)) == before
 
 
