@@ -213,17 +213,27 @@ FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
 GROUP BY d.doc_id
 """
 
-# dedup: SimHash (60-bit portable hash, hamming ≤ 12).  The REGISTERED
-# plan is the banded scale path: band_bits=4 → 15 chunks, and by
-# pigeonhole any pair within 14 differing bits agrees on ≥1 chunk, so
-# candidates come from a (chunk_index, chunk_value) equi-join — exact for
-# max_hamming=12, no |docs|² scan (VERDICT r01 item 4).  The all-pairs
-# formulation survives only inside the DuckDB oracle, where it is the
-# ground truth the banded plan must reproduce.
+# dedup: SimHash (60-bit portable hash), banded scale path: candidates
+# come from a (chunk_index, chunk_value) equi-join; by pigeonhole a pair
+# within (chunks − 1) differing bits agrees on ≥1 chunk, so banding is
+# exact for the radius (VERDICT r01 item 4).  The all-pairs formulation
+# survives only inside the DuckDB oracle, the ground truth the banded
+# plan must reproduce.
+#
+# The DRIVER row is the PRODUCTION radius — hamming ≤ 3 with 15-bit
+# chunks (60/15 = 4 chunks, pigeonhole-exact for ≤ 3): join keys carry
+# 2^15 values, so buckets shrink as ~N/2^15 and candidates stay ~linear
+# (measured at the 10× scale anchor: 10.2 → 48.1 s).  The LOOSE radius
+# (hamming ≤ 12 → 4-bit chunks whose keys have only 16 values —
+# candidates ~N²/16 BY CONSTRUCTION, 1117.9 s at 10×) is demoted to the
+# pytest tier as dedup_simhash_loose (VERDICT r05 item 3): the
+# independently-verified row must be the plan you would run at 100×.
 
-_SIMHASH_MAXHAM = 12
 _SIMHASH_BITS = 60
-_SIMHASH_BAND_BITS = 4  # 60/4 = 15 chunks → pigeonhole-exact for hamming ≤ 14
+_SIMHASH_MAXHAM = 3
+_SIMHASH_BAND_BITS = 15  # 4 chunks → pigeonhole-exact for hamming ≤ 3
+_SIMHASH_LOOSE_MAXHAM = 12
+_SIMHASH_LOOSE_BAND_BITS = 4  # 15 chunks → exact for ≤ 14, but 16-value keys
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,7 +243,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_oracle() -> str:
+def q_dedup_simhash_loose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loose-radius variant — quadratic-by-construction bucket keys;
+    fixture-scale only (see the radius note above)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(
+        docs, _SIMHASH_LOOSE_MAXHAM, banded=True,
+        band_bits=_SIMHASH_LOOSE_BAND_BITS,
+    )
+
+
+def _simhash_oracle(max_hamming: int) -> str:
     bit_sums = ",\n    ".join(
         f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
         for i in range(_SIMHASH_BITS)
@@ -250,7 +270,7 @@ sigs AS (SELECT doc_id, {assemble} AS sig FROM bits)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
 FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.sig, b.sig)) <= {_SIMHASH_MAXHAM}
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
 """
 
 
@@ -813,7 +833,7 @@ ORACLES = {
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": _MINHASH_SQL,
-    "dedup_simhash": _simhash_oracle(),
+    "dedup_simhash": _simhash_oracle(_SIMHASH_MAXHAM),
     "dedup_resolve": _RESOLVE_SQL,
     "dedup_embedding_cosine": _emb_neardup_oracle(),
     "ann_cosine_topk": _ANN_COSINE_SQL,
@@ -1596,6 +1616,7 @@ EXTRA_QUERIES: dict = {
     "quality_gated_sample": q_quality_gated_sample,
     "mmr_rerank": q_mmr_rerank,
     "capped_sample": q_capped_sample,
+    "dedup_simhash_loose": q_dedup_simhash_loose,
 }
 EXTRA_ORACLES: dict = {
     "text_tfidf_topk": _TFIDF_SQL,
@@ -1611,4 +1632,5 @@ EXTRA_ORACLES: dict = {
     "quality_gated_sample": _qgate_oracle(),
     # mmr_rerank: weak-checked (greedy/iterative — no SQL form)
     "capped_sample": _capped_sample_oracle(),
+    "dedup_simhash_loose": _simhash_oracle(_SIMHASH_LOOSE_MAXHAM),
 }
