@@ -546,7 +546,10 @@ GROUP BY 2
 # flagships): `rel_setops` / `rel_string_agg` / `rel_small_lots_subquery`
 # demoted to the pytest tier (identical DuckDB check retained below) to
 # make room for `bm25_topk` / `hybrid_rrf` / `ann_knn_join` in the
-# 50-row driver window.
+# 50-row driver window.  Round-6 rotation (VERDICT r05 items 4+5):
+# `rel_grouping_ops` / `rel_array_funcs` demoted in exchange for
+# `ivf_trained_topk` (the serving-quality trained-centroid tier) and
+# `knn_filtered` (the filtered-ANN production contract).
 
 QUERIES = {
     "rel_pricing_summary": _sql(_PRICING_SQL),
@@ -554,8 +557,6 @@ QUERIES = {
     "rel_nation_volume": _sql(_NATION_VOLUME_SQL),
     "rel_anti_semi_join": _sql(_ANTI_SEMI_SQL),
     "rel_window_suite": _sql(_WINDOW_SUITE_SQL_SPARK),
-    "rel_grouping_ops": _sql(_GROUPING_OPS_SQL),
-    "rel_array_funcs": _sql(_ARRAY_SQL_SPARK),
     "rel_range_filter": _sql(_RANGE_FILTER_SQL),
     "rel_asof_purchase_click": q_asof_purchase_click,
     "rel_events_windows": q_rel_events_windows,
@@ -567,8 +568,6 @@ ORACLES = {
     "rel_nation_volume": _NATION_VOLUME_SQL,
     "rel_anti_semi_join": _ANTI_SEMI_SQL,
     "rel_window_suite": _WINDOW_SUITE_SQL_DUCK,
-    "rel_grouping_ops": _GROUPING_OPS_SQL,
-    "rel_array_funcs": _ARRAY_SQL_DUCK,
     "rel_range_filter": _RANGE_FILTER_SQL,
     "rel_asof_purchase_click": _ASOF_SQL_DUCK,
     "rel_events_windows": _EVENTS_WINDOWS_SQL_DUCK,
@@ -824,6 +823,10 @@ EXTRA_QUERIES = {
     "rel_setops": _sql(_SETOPS_SQL),
     "rel_string_agg": _sql(_STRAGG_SQL_SPARK),
     "rel_small_lots_subquery": _sql(_SMALL_LOTS_SQL),
+    # demoted round 6 for ivf_trained_topk / knn_filtered (VERDICT r05
+    # items 4+5); identical DuckDB check either way
+    "rel_grouping_ops": _sql(_GROUPING_OPS_SQL),
+    "rel_array_funcs": _sql(_ARRAY_SQL_SPARK),
     # scalar/date function enumerations: demoted from the driver tier in
     # round 2 to free window slots for the quantization and curation
     # surfaces (identical DuckDB check either way)
@@ -853,6 +856,8 @@ EXTRA_ORACLES = {
     "rel_setops": _SETOPS_SQL,
     "rel_string_agg": _STRAGG_SQL_DUCK,
     "rel_small_lots_subquery": _SMALL_LOTS_SQL,
+    "rel_grouping_ops": _GROUPING_OPS_SQL,
+    "rel_array_funcs": _ARRAY_SQL_DUCK,
     "rel_scalar_funcs": _SCALAR_SQL_DUCK,
     "rel_date_funcs": _DATE_SQL_DUCK,
     "rel_revenue_by_order": _REVENUE_BY_ORDER_SQL,

@@ -1342,6 +1342,89 @@ FROM ranked WHERE rank <= {_KNNJOIN_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-6: the TRAINED-centroid IVF tier under the independent driver
+# (VERDICT r05 item 4).  Lloyd's algorithm cannot be replayed in SQL, so
+# the registry row serves from centroids a kmeans_fit run PRODUCED and
+# we froze as literals (registry/trained_cents.py); the oracle replays
+# assignment / probe routing / exact re-rank from the same literals —
+# the established _knn_join_oracle pattern.  This is the serving-quality
+# configuration (recall 0.92-1.00 at n_probe 4-8 vs the hash-sampled
+# tier's 0.50, bench recall curve), previously pytest-floor-only.
+
+_TRAINED_NPROBE = 4
+_TRAINED_QPRED = "vec_id % 100 = 31"
+_TRAINED_INDEX_STATE: dict[str, tuple[str, list[list[float]]]] = {}
+
+
+def trained_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, list[list[float]]]:
+    """Cell-partitioned index built from the frozen trained centroids,
+    memoized per process like persisted_ivf_index."""
+    import os
+    import tempfile
+
+    from ..sources.ivf_index import write_ivf_index
+    from .trained_cents import TRAINED_CENTROIDS_SF001
+
+    state = _TRAINED_INDEX_STATE.get(sf_dir)
+    if state is None:
+        cents = TRAINED_CENTROIDS_SF001
+        name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        path = os.path.join(
+            tempfile.gettempdir(), f"dvss_spark_ivf_trained_{os.getpid()}", name
+        )
+        write_ivf_index(_emb(spark, sf_dir), path, cents)
+        state = (path, cents)
+        _TRAINED_INDEX_STATE[sf_dir] = state
+    return state
+
+
+def q_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.ivf_index import search_ivf_index
+
+    path, cents = trained_ivf_index(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    q = _query_set(emb, F.expr(_TRAINED_QPRED))
+    return search_ivf_index(
+        spark, path, q, 5, cents, n_probe=_TRAINED_NPROBE
+    ).select("query_id", "id", F.round("distance", 6).alias("distance"), "rank")
+
+
+def _ivf_trained_oracle() -> str:
+    from .trained_cents import TRAINED_CENTROIDS_SF001
+
+    rows = ",\n  ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(TRAINED_CENTROIDS_SF001)
+    )
+    l2_vc = _SQL_SQ_L2.format(q="v.embedding", v="c.cvec")
+    l2_qc = _SQL_SQ_L2.format(q="q.qe", v="c.cvec")
+    l2_qa = _SQL_SQ_L2.format(q="qp.qe", v="a.embedding")
+    return f"""
+WITH cents(cell_id, cvec) AS (VALUES
+  {rows}
+),
+vd AS (SELECT v.vec_id, v.embedding, c.cell_id, {l2_vc} AS d
+       FROM embeddings v CROSS JOIN cents c),
+asg AS (SELECT vec_id, embedding, cell_id FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+         FROM vd)
+        WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE {_TRAINED_QPRED}),
+qd AS (SELECT q.query_id, q.qe, c.cell_id, {l2_qc} AS d FROM q CROSS JOIN cents c),
+qp AS (SELECT query_id, qe, cell_id FROM
+       (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, cell_id) AS rn
+        FROM qd)
+       WHERE rn <= {_TRAINED_NPROBE}),
+scored AS (SELECT qp.query_id, a.vec_id AS id, {l2_qa} AS distance
+           FROM qp JOIN asg a ON a.cell_id = qp.cell_id),
+ranked AS (SELECT query_id, id, distance,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, id) AS INT) AS rank
+           FROM scored)
+SELECT query_id, id, ROUND(distance, 6) AS distance, rank FROM ranked WHERE rank <= 5
+"""
+
+
 # --- pytest-only tier (beyond the driver's 50-query correctness window;
 # verified by tests/test_oracle_parity.py with the same DuckDB harness) ----
 
@@ -1360,6 +1443,13 @@ ORACLES["ivf_stream_topk"] = _ivf_stream_oracle()
 # exchange — registry/relational.py)
 QUERIES["ann_knn_join"] = q_ann_knn_join
 ORACLES["ann_knn_join"] = _knn_join_oracle()
+# round-6 rotation (VERDICT r05 items 4+5): the trained-centroid serving
+# tier and the filtered-ANN contract move INTO the driver window (two
+# thin relational rows demoted in exchange — registry/relational.py)
+QUERIES["ivf_trained_topk"] = q_ivf_trained_topk
+ORACLES["ivf_trained_topk"] = _ivf_trained_oracle()
+QUERIES["knn_filtered"] = q_knn_filtered
+ORACLES["knn_filtered"] = _knn_oracle("vec_id % 250 = 2", "label % 3 = 0", 10)
 
 EXTRA_QUERIES = {
     "cache_ttl_prune": q_cache_ttl_prune,
@@ -1367,7 +1457,6 @@ EXTRA_QUERIES = {
     "semantic_cache_reuse": q_semantic_cache_reuse,
     "embedding_pq_codes": q_embedding_pq_codes,
     "mutations_compact_bucketed": q_mutations_compact_bucketed,
-    "knn_filtered": q_knn_filtered,
     "knn_radius": q_knn_radius,
     "knn_grouped": q_knn_grouped,
 }
@@ -1378,7 +1467,6 @@ EXTRA_ORACLES = {
     "embedding_pq_codes": _pq_codes_oracle(),
     # bucketing is layout, not semantics: same oracle as the driver row
     "mutations_compact_bucketed": ORACLES["mutations_compact"],
-    "knn_filtered": _knn_oracle("vec_id % 250 = 2", "label % 3 = 0", 10),
     "knn_radius": _KNN_RADIUS_SQL,
     "knn_grouped": _KNN_GROUPED_SQL,
 }

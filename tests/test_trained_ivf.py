@@ -219,3 +219,41 @@ def test_write_ivf_index_validates_replicas(spark, trained):
         write_ivf_index(
             emb, "/tmp/never", trained["cents"], replicas=NUM_CELLS + 1
         )
+
+
+def test_frozen_centroid_literals_are_trained(spark, sf_oracle):
+    """The ivf_trained_topk driver row serves from FROZEN kmeans output
+    (registry/trained_cents.py).  Assert the literals are genuinely
+    trained, not just any 16 vectors: their mean quantization error
+    (squared-L2 to the nearest centroid) on the sf0.01 fixture must be
+    measurably below the zero-iteration hash-sampled centroids' — the
+    monotone improvement Lloyd iterations buy."""
+    from distributed_vector_search_system_spark.operators.clustering import (
+        assign_clusters,
+        nearest_centroid_expr,
+    )
+    from distributed_vector_search_system_spark.registry.trained_cents import (
+        TRAINED_CENTROIDS_SF001,
+    )
+    from distributed_vector_search_system_spark.registry.vector import (
+        _ivf_thinned_centroids,
+    )
+    from distributed_vector_search_system_spark.functions.distance import squared_l2
+
+    assert len(TRAINED_CENTROIDS_SF001) == 16
+    assert all(len(c) == 64 for c in TRAINED_CENTROIDS_SF001)
+    emb = load_table(spark, sf_oracle, "embeddings")
+
+    def mean_qerr(cents) -> float:
+        lits = [
+            F.array(*[F.lit(float(x)) for x in c]).alias(f"c{i}")
+            for i, c in enumerate(cents)
+        ]
+        d = F.array_min(
+            F.array(*[squared_l2(F.col("embedding"), lit) for lit in lits])
+        )
+        return emb.agg(F.avg(d)).collect()[0][0]
+
+    trained = mean_qerr(TRAINED_CENTROIDS_SF001)
+    sampled = mean_qerr(_ivf_thinned_centroids(spark, sf_oracle))
+    assert trained < sampled * 0.9, (trained, sampled)
