@@ -179,7 +179,16 @@ class VectorEngine:
         if method == "quantized":
             from .operators.quantize import quantized_knn
 
-            return quantized_knn(scan, queries, k)
+            # same measured crossover as exact kNN (bench d768): at high
+            # dims the per-element codegen fold loses to the Arrow GEMM
+            # kernel by ~4×, so the coarse int8 scan dispatches on the
+            # declared dimension too (ADVICE/VERDICT r05 item 8)
+            coarse = (
+                "numpy"
+                if (self._dim or 0) >= self.AUTO_GEMM_MIN_DIM
+                else "expr"
+            )
+            return quantized_knn(scan, queries, k, coarse_method=coarse)
         if method == "pq":
             if self._dim is None:
                 raise ValueError("method='pq' requires the engine's dim")

