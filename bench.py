@@ -40,6 +40,13 @@ Tiers reported:
   partition-pruned IVF, PQ, IVF+PQ, co-bucketed compaction), timed
   after their one-time builds (index/tier BUILD time is a write-path
   cost, excluded from per-query read timings).
+
+Output contract (VERDICT r05 item 1): the LAST stdout line is a COMPACT
+summary JSON (< 1800 chars, asserted) — the external driver captures
+only a ~2000-char stdout tail, and round 5's single fat line outgrew it
+and lost the round's perf record.  Per-tier per-query numbers, the
+recall curve, the d768 section, and the scale anchor are written to
+``BENCH_DETAIL.json`` next to this file.
 """
 
 from __future__ import annotations
@@ -308,16 +315,26 @@ def _measure_d768() -> dict:
         return round(time.perf_counter() - t0, 4)
 
     out = {"n": D768_N, "dim": 768, "n_queries": D768_N // 1000}
-    # steady-ish: run each twice, keep the second (JIT + shuffle warm)
+    # warm once, then MIN over 2 timed runs: a single-shot second run is
+    # still exposed to host steal — r05 recorded pq_adc_only at 12.5 s
+    # from one steal spike (noise spread 1.226 that run) where calm-host
+    # reruns give 1.6 s, below pq_adc as the mode's design requires
+    # (VERDICT r05 item 6 root cause)
     for name, fn in (
         ("knn_expr", lambda: knn(corpus, queries, 10, method="expr")),
         ("knn_numpy", lambda: knn(corpus, queries, 10, method="numpy")),
         ("knn_quantized", lambda: quantized_knn(int8_tier, queries, 10, rerank=4)),
+        (
+            "knn_quantized_numpy",
+            lambda: quantized_knn(
+                int8_tier, queries, 10, rerank=4, coarse_method="numpy"
+            ),
+        ),
         ("pq_adc", lambda: pq_adc_topk(tier, queries, 10, books, rerank=10)),
         ("pq_adc_only", lambda: pq_adc_topk(tier, queries, 10, books, rerank=0)),
     ):
         t(fn)
-        out[name] = t(fn)
+        out[name] = min(t(fn), t(fn))
     spark.stop()
     return out
 
@@ -346,12 +363,12 @@ SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_COPIES", "10"))
 
 #: corpus-proportional registry rows timed at both scales.  Two rows
 #: are deliberately ABSENT (round-5 calibration, measured at 10x):
-#: - dedup_simhash: its registered radius (hamming <= 12 of 60 bits)
-#:   forces 4-bit pigeonhole chunks whose join keys have only 16
-#:   values — candidates grow ~N²/16 BY CONSTRUCTION (1117.9 s at 10x,
-#:   measured once).  Not a plan regression, a radius choice; the
-#:   production-radius configuration (h=3, 15-bit chunks) is timed
-#:   below as dedup_simhash_h3 and scales linearly (10.2 -> 48.1 s).
+#: - dedup_simhash_loose (pytest tier): hamming <= 12 of 60 bits forces
+#:   4-bit pigeonhole chunks whose join keys have only 16 values —
+#:   candidates grow ~N²/16 BY CONSTRUCTION (1117.9 s at 10x, measured
+#:   once).  Not a plan regression, a radius choice; the driver row
+#:   dedup_simhash is the production radius (h=3, 15-bit chunks) since
+#:   round 6 and is anchored below (r05: 10.2 -> 48.1 s, ~linear).
 #: - hybrid_rrf: its registered query set scales with the corpus
 #:   (doc_id %-predicate), so its vector leg is O(Q x N) — ~34x at 10x,
 #:   measured once.  The fixed-query variant below isolates corpus
@@ -364,6 +381,7 @@ _SCALE_ROWS = [
     "mutations_compact",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "bm25_topk",
 ]
 
@@ -416,12 +434,15 @@ def _measure_scale(sf_dir: str) -> dict:
         return round(time.perf_counter() - t1, 4)
 
     def vector_ops(d: str) -> dict:
-        from distributed_vector_search_system_spark.operators.dedup import (
-            simhash_pairs,
-        )
+        import tempfile
+
         from distributed_vector_search_system_spark.operators.retrieval import (
             hybrid_rrf_topk,
             queries_from_docs,
+        )
+        from distributed_vector_search_system_spark.sources.posting_index import (
+            bm25_search_index,
+            write_posting_index,
         )
 
         emb = load_table(spark, d, "embeddings")
@@ -440,6 +461,16 @@ def _measure_scale(sf_dir: str) -> dict:
             "left",
         )
         books = pq_sample_codebooks(emb, dim=dim, m=8, ksub=16)
+        # posting-index anchor (VERDICT r05 item 7): the index build is a
+        # one-time write-path cost (excluded, like the vector tiers'
+        # builds); the timed row is query-time search only.  The
+        # up-scaler's copy-distinct tokens mean the fixed copy-0 query
+        # vocabulary's posting lists do NOT grow with copies, so the
+        # indexed path should be ~flat where from-scratch bm25_topk pays
+        # the full corpus tokenize+restrict at any scale.
+        idx = tempfile.mkdtemp(prefix="dvss_bench_posting_")
+        write_posting_index(docs, idx)
+        lexq = queries_from_docs(docs, F.col("doc_id").isin(_SCALE_QUERY_IDS))
         return {
             "knn_fixedq_expr": lambda: knn(emb, q, 10),
             "knn_fixedq_numpy": lambda: knn(emb, q, 10, method="numpy"),
@@ -449,9 +480,7 @@ def _measure_scale(sf_dir: str) -> dict:
             ),
             "pq_fixedq_adc": lambda: pq_adc_topk(emb, q, 10, books),
             "hybrid_fixedq_rrf": lambda: hybrid_rrf_topk(docs, emb, hq, 10),
-            "dedup_simhash_h3": lambda: simhash_pairs(
-                docs, 3, banded=True, band_bits=15
-            ),
+            "bm25_index_topk": lambda: bm25_search_index(spark, idx, lexq, 10),
         }
 
     out: dict = {
@@ -548,37 +577,53 @@ def main() -> None:
     steady_run_totals = [
         round(sum(r["steady"][n] for n in headline), 4) for r in runs
     ]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": round(sum(cold.values()), 4),
-                "unit": "sec",
-                "estimator": "per-query min over repeats (see module docstring)",
-                "queries": cold,
-                "steady_state_total_sec": round(sum(steady.values()), 4),
-                "steady_state_queries": steady,
-                "fast_tier_queries": fast_cold,
-                "fast_tier_steady_queries": fast_steady,
-                "fast_tier_total_sec": round(sum(fast_cold.values()), 4),
-                "fast_tier_steady_total_sec": round(sum(fast_steady.values()), 4),
-                "retrieval_queries": retrieval_cold,
-                "retrieval_steady_queries": retrieval_steady,
-                "median_queries": _agg_by_query(runs, "cold", headline, statistics.median),
-                "median_steady_queries": _agg_by_query(
-                    runs, "steady", headline, statistics.median
-                ),
-                "recall_vs_nprobe": recall_section,
-                "d768": d768_section,
-                "scale_anchor": scale_section,
-                "per_run_cold_totals": run_totals,
-                "per_run_steady_totals": steady_run_totals,
-                "host_noise_spread": round(max(run_totals) / min(run_totals), 3),
-                "repeats": repeats,
-                "sf": sf,
-            }
-        )
+    # Full per-section detail goes to a FILE; the driver captures only
+    # the last ~2000 chars of stdout, and round 5's single fat JSON line
+    # outgrew that window, losing the round's independent perf record
+    # (VERDICT r05 item 1).  The final printed line is a compact summary
+    # that must stay comfortably under the window.
+    detail = {
+        "fast_tier_queries": fast_cold,
+        "fast_tier_steady_queries": fast_steady,
+        "retrieval_queries": retrieval_cold,
+        "retrieval_steady_queries": retrieval_steady,
+        "median_queries": _agg_by_query(runs, "cold", headline, statistics.median),
+        "median_steady_queries": _agg_by_query(
+            runs, "steady", headline, statistics.median
+        ),
+        "recall_vs_nprobe": recall_section,
+        "d768": d768_section,
+        "scale_anchor": scale_section,
+        "per_run_cold_totals": run_totals,
+        "per_run_steady_totals": steady_run_totals,
+        "repeats": repeats,
+        "sf": sf,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w", encoding="utf-8") as f:
+        json.dump(detail, f, indent=1)
+    summary = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(cold.values()), 4),
+        "unit": "sec",
+        "estimator": "per-query min over repeats",
+        "queries": cold,
+        "steady_state_total_sec": round(sum(steady.values()), 4),
+        "steady_state_queries": steady,
+        "fast_tier_total_sec": round(sum(fast_cold.values()), 4),
+        "fast_tier_steady_total_sec": round(sum(fast_steady.values()), 4),
+        "retrieval_total_sec": round(sum(retrieval_cold.values()), 4),
+        "retrieval_steady_total_sec": round(sum(retrieval_steady.values()), 4),
+        "host_noise_spread": round(max(run_totals) / min(run_totals), 3),
+        "repeats": repeats,
+        "sf": sf,
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(summary)
+    assert len(line) < 1800, f"summary line {len(line)} chars — shrink it"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -1490,7 +1490,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_scored_ctes(leg_k: int | None = None) -> str:
+def _bm25_scored_ctes(leg_k: int | None = None, qpred: str = _HYBRID_QPRED) -> str:
     """Shared BM25 CTE chain ending in ``bm25_ranked (query_id, id,
     score6, brank)``; thresholds interpolate the Python constants
     (oracle-drift lesson, ADVICE r04)."""
@@ -1499,7 +1499,7 @@ def _bm25_scored_ctes(leg_k: int | None = None) -> str:
     return f"""
 toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
 q AS (SELECT doc_id AS query_id, list_distinct(list_slice(w, 1, 3)) AS qts
-      FROM toks WHERE {_HYBRID_QPRED}),
+      FROM toks WHERE {qpred}),
 qt AS (SELECT query_id, UNNEST(qts) AS term FROM q),
 dl AS (SELECT doc_id AS id, len(w) AS dl FROM toks),
 tfx AS (SELECT doc_id AS id, UNNEST(w) AS term FROM toks),
@@ -1565,6 +1565,63 @@ WHERE rank <= {_HYBRID_K}
 """
 
 
+# --- streaming posting-index end-to-end row (round 6, VERDICT r05
+# item 9): the lexical analog of ivf_stream_topk.  The merge-on-read
+# posting store ingests the corpus as base + two appended batches, takes
+# a crash-REDELIVERED batch, compacts, then takes the same batch
+# redelivered AGAIN across the compaction boundary (the ADVICE r05
+# stats-log contract) — and its search must equal the from-scratch BM25
+# over the full corpus, which is exactly what the DuckDB oracle
+# computes.  Pytest tier this round (the window is full at 50); the
+# natural round-7 rotation candidate.
+
+_BM25_STREAM_QPRED = "doc_id % 100 = 13"
+_BM25_STREAM_STATE: dict[str, object] = {}
+
+
+def bm25_stream_store(spark: SparkSession, sf_dir: str):
+    import os as _os
+    import tempfile
+
+    from ..sources.posting_index import PostingIndexStore
+
+    store = _BM25_STREAM_STATE.get(sf_dir)
+    if store is None:
+        docs = load_table(spark, sf_dir, "documents")
+        name = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+        root = _os.path.join(
+            tempfile.gettempdir(), f"dvss_spark_bm25stream_{_os.getpid()}", name
+        )
+        store = PostingIndexStore(root)
+        store.init_base(docs.filter(F.col("doc_id") % 5 < 3))
+        store.append_batch(docs.filter(F.col("doc_id") % 5 == 3), 1)
+        store.append_batch(docs.filter(F.col("doc_id") % 5 == 4), 2)
+        store.append_batch(docs.filter(F.col("doc_id") % 5 == 3), 1)  # redelivery
+        store.compact(spark)
+        # redelivery ACROSS the compaction boundary: batch ids are
+        # preserved by compact(), so this must also change nothing
+        store.append_batch(docs.filter(F.col("doc_id") % 5 == 4), 2)
+        _BM25_STREAM_STATE[sf_dir] = store
+    return store
+
+
+def q_bm25_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import queries_from_docs
+
+    store = bm25_stream_store(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    q = queries_from_docs(docs, F.expr(_BM25_STREAM_QPRED))
+    return store.search(spark, q, _HYBRID_K)
+
+
+def _bm25_stream_oracle() -> str:
+    return f"""
+WITH {_bm25_scored_ctes(qpred=_BM25_STREAM_QPRED)}
+SELECT query_id, id, score6 AS score, brank AS rank
+FROM bm25_ranked WHERE brank <= {_HYBRID_K}
+"""
+
+
 # --- per-source quota sampling (round 5) ----------------------------------
 
 _CAP_PER_SOURCE = 20
@@ -1617,6 +1674,7 @@ EXTRA_QUERIES: dict = {
     "mmr_rerank": q_mmr_rerank,
     "capped_sample": q_capped_sample,
     "dedup_simhash_loose": q_dedup_simhash_loose,
+    "bm25_stream_topk": q_bm25_stream_topk,
 }
 EXTRA_ORACLES: dict = {
     "text_tfidf_topk": _TFIDF_SQL,
@@ -1633,4 +1691,5 @@ EXTRA_ORACLES: dict = {
     # mmr_rerank: weak-checked (greedy/iterative — no SQL form)
     "capped_sample": _capped_sample_oracle(),
     "dedup_simhash_loose": _simhash_oracle(_SIMHASH_LOOSE_MAXHAM),
+    "bm25_stream_topk": _bm25_stream_oracle(),
 }
