@@ -245,6 +245,62 @@ def hybrid_rrf_topk(
                      vec.select("query_id", "id", "rank")], k, k_const=k_const)
 
 
+def hybrid_rrf_indexed_topk(
+    spark,
+    posting_path: str,
+    ivf_path: str,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int,
+    *,
+    leg_k: int = 20,
+    n_probe: int = 4,
+    k_const: int = RRF_K,
+    query_id_col: str = "query_id",
+    query_terms_col: str = "qterms",
+    query_vector_col: str = "qvec",
+    replicated: bool = False,
+) -> DataFrame:
+    """Hybrid search served entirely from PERSISTED index tiers — the
+    100 TB shape of :func:`hybrid_rrf_topk`, whose from-scratch legs
+    re-scan the corpus per query batch.
+
+    - lexical leg: :func:`sources.posting_index.bm25_search_index` —
+      reads only the queried terms' posting rows (term-pushdown scan,
+      no document text);
+    - vector leg: :func:`sources.ivf_index.search_ivf_index` — reads
+      only the probed cells' partitions (``cell_id`` PartitionFilters),
+      ranking by exact squared-L2 within the probe set.  RRF is
+      rank-only, so an L2-ranked leg fuses cleanly with the BM25 leg
+      (for normalized embeddings the L2 ranking IS the cosine ranking;
+      at full probe coverage the leg equals exact kNN — tested).
+
+    Queries carry both modalities per row (``query_id, qterms, qvec``);
+    null ``qvec`` degrades that query to lexical-only, as in the
+    from-scratch operator.
+    """
+    from ..sources.ivf_index import search_ivf_index
+    from ..sources.posting_index import bm25_search_index
+
+    lex = bm25_search_index(
+        spark, posting_path, queries, leg_k,
+        query_id_col=query_id_col, query_terms_col=query_terms_col,
+    )
+    vq = queries.filter(F.col(query_vector_col).isNotNull()).select(
+        F.col(query_id_col).alias("query_id"), query_vector_col
+    )
+    vec = search_ivf_index(
+        spark, ivf_path, vq, leg_k, centroids,
+        n_probe=n_probe, replicated=replicated,
+        query_vector_col=query_vector_col,
+    )
+    return rrf_fuse(
+        [lex.select("query_id", "id", "rank"), vec.select("query_id", "id", "rank")],
+        k,
+        k_const=k_const,
+    )
+
+
 def mmr_rerank(
     candidates: DataFrame,
     k: int,

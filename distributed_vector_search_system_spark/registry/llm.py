@@ -1622,6 +1622,112 @@ FROM bm25_ranked WHERE brank <= {_HYBRID_K}
 """
 
 
+# --- fully-indexed hybrid search (round 6) ---------------------------------
+# hybrid_rrf serves both legs from scratch (corpus re-scan per batch);
+# hybrid_indexed_rrf is the 100 TB serving shape — lexical leg from the
+# persisted posting index (term-pushdown, no text read), vector leg from
+# the persisted IVF index (cell_id PartitionFilters).  The oracle
+# replays EVERYTHING: the BM25 chain, the thinned-centroid selection,
+# cell assignment, probe routing, the per-query L2 leg, and the RRF
+# fusion — so the pytest tier checks the composed indexed plan end to
+# end against ground truth.
+
+_HYBRID_IDX_STATE: dict[str, str] = {}
+
+
+def _hybrid_posting_index(spark: SparkSession, sf_dir: str) -> str:
+    import os as _os
+    import tempfile
+
+    from ..sources.posting_index import write_posting_index
+
+    path = _HYBRID_IDX_STATE.get(sf_dir)
+    if path is None:
+        name = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+        path = _os.path.join(
+            tempfile.gettempdir(), f"dvss_spark_posting_{_os.getpid()}", name
+        )
+        write_posting_index(load_table(spark, sf_dir, "documents"), path)
+        _HYBRID_IDX_STATE[sf_dir] = path
+    return path
+
+
+def q_hybrid_indexed_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import hybrid_rrf_indexed_topk
+    from .vector import _IVF_NPROBE, persisted_ivf_index
+
+    posting = _hybrid_posting_index(spark, sf_dir)
+    ivf_path, cents = persisted_ivf_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _retrieval_queries(spark, sf_dir).join(
+        emb.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        ),
+        "query_id",
+        "left",
+    )
+    return hybrid_rrf_indexed_topk(
+        spark, posting, ivf_path, cents, q, _HYBRID_K,
+        leg_k=_HYBRID_LEG_K, n_probe=_IVF_NPROBE,
+    )
+
+
+def _hybrid_indexed_oracle() -> str:
+    from ..functions.hashing import portable_hash64_sql
+    from ..operators.retrieval import RRF_K
+    from ..operators.similarity import IVF_THIN_SEED
+    from .vector import _IVF_NPROBE, _IVF_NUM_CELLS, _SQL_SQ_L2
+
+    h = portable_hash64_sql("CAST(vec_id AS VARCHAR)", seed=IVF_THIN_SEED)
+    l2_vc = _SQL_SQ_L2.format(q="v.embedding", v="c.cvec")
+    l2_qc = _SQL_SQ_L2.format(q="iq.qe", v="c.cvec")
+    l2_qa = _SQL_SQ_L2.format(q="qp.qe", v="a.embedding")
+    return f"""
+WITH {_bm25_scored_ctes()},
+nt AS (SELECT GREATEST(COUNT(*) // {_IVF_NUM_CELLS * 4}, 1) AS step FROM embeddings),
+sel AS (
+  SELECT vec_id, embedding FROM embeddings, nt
+  WHERE ({h}) % step = 0
+  ORDER BY vec_id LIMIT {_IVF_NUM_CELLS}
+),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
+         embedding AS cvec
+  FROM sel
+),
+vd AS (SELECT v.vec_id, v.embedding, c.cell_id, {l2_vc} AS d
+       FROM embeddings v CROSS JOIN cents c),
+asg AS (SELECT vec_id, embedding, cell_id FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+         FROM vd)
+        WHERE rn = 1),
+iq AS (SELECT q.query_id, e.embedding AS qe FROM q
+       JOIN embeddings e ON e.vec_id = q.query_id),
+qd AS (SELECT iq.query_id, iq.qe, c.cell_id, {l2_qc} AS d FROM iq CROSS JOIN cents c),
+qp AS (SELECT query_id, qe, cell_id FROM
+       (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, cell_id) AS rn
+        FROM qd)
+       WHERE rn <= {_IVF_NPROBE}),
+iscored AS (SELECT qp.query_id, a.vec_id AS id, {l2_qa} AS distance
+            FROM qp JOIN asg a ON a.cell_id = qp.cell_id),
+iranked AS (SELECT query_id, id,
+            CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, id) AS INT) AS rank
+            FROM iscored),
+legs AS (
+  SELECT query_id, id, rank FROM iranked WHERE rank <= {_HYBRID_LEG_K}
+  UNION ALL
+  SELECT query_id, id, brank AS rank FROM bm25_ranked WHERE brank <= {_HYBRID_LEG_K}
+),
+fused AS (SELECT query_id, id, ROUND(SUM(1.0 / ({RRF_K} + rank)), 6) AS rrf
+          FROM legs GROUP BY 1, 2)
+SELECT query_id, id, rrf, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY rrf DESC, id) AS INT) AS rank
+  FROM fused)
+WHERE rank <= {_HYBRID_K}
+"""
+
+
 # --- per-source quota sampling (round 5) ----------------------------------
 
 _CAP_PER_SOURCE = 20
@@ -1675,6 +1781,7 @@ EXTRA_QUERIES: dict = {
     "capped_sample": q_capped_sample,
     "dedup_simhash_loose": q_dedup_simhash_loose,
     "bm25_stream_topk": q_bm25_stream_topk,
+    "hybrid_indexed_rrf": q_hybrid_indexed_rrf,
 }
 EXTRA_ORACLES: dict = {
     "text_tfidf_topk": _TFIDF_SQL,
@@ -1692,4 +1799,5 @@ EXTRA_ORACLES: dict = {
     "capped_sample": _capped_sample_oracle(),
     "dedup_simhash_loose": _simhash_oracle(_SIMHASH_LOOSE_MAXHAM),
     "bm25_stream_topk": _bm25_stream_oracle(),
+    "hybrid_indexed_rrf": _hybrid_indexed_oracle(),
 }

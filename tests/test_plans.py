@@ -176,6 +176,15 @@ def test_ivf_persisted_driver_row_prunes_partitions(spark, sf_smoke):
     assert any("cell_id" in l for l in pf), plan
 
 
+def test_ivf_trained_driver_row_prunes_partitions(spark, sf_smoke):
+    """Same contract for the round-6 trained-centroid driver row — it
+    serves through the identical search path, but the plan lock must
+    hold on the row the driver actually verifies."""
+    plan = _plan(registry.queries()["ivf_trained_topk"](spark, sf_smoke))
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("cell_id" in l for l in pf), plan
+
+
 def _count_embedding_scans(plan: str) -> int:
     """Count '(N) Scan parquet' detail blocks whose Location references
     the embeddings table (formatted explain lists each scan's path in

@@ -380,6 +380,61 @@ def test_hybrid_rrf_renamed_query_id_col(spark, sf_oracle):
     assert got == want
 
 
+def test_hybrid_indexed_full_probe_equals_from_scratch_legs(
+    spark, sf_oracle, tmp_path
+):
+    """At FULL probe coverage the IVF leg is exact squared-L2 top-k, and
+    the posting-index leg is identical to from-scratch BM25 — so the
+    fully-indexed hybrid must equal an RRF of the two from-scratch legs
+    exactly.  (At n_probe < num_cells only the vector leg's membership
+    may differ — that approximation is the tier's documented contract.)"""
+    from distributed_vector_search_system_spark.operators.clustering import (
+        kmeans_fit,
+    )
+    from distributed_vector_search_system_spark.operators.retrieval import (
+        hybrid_rrf_indexed_topk,
+    )
+    from distributed_vector_search_system_spark.operators.knn import knn
+    from distributed_vector_search_system_spark.sources.ivf_index import (
+        write_ivf_index,
+    )
+    from distributed_vector_search_system_spark.sources.posting_index import (
+        write_posting_index,
+    )
+
+    docs = load_table(spark, sf_oracle, "documents")
+    emb = load_table(spark, sf_oracle, "embeddings")
+    posting = str(tmp_path / "posting")
+    write_posting_index(docs, posting)
+    cents, _ = kmeans_fit(emb, 8, max_iterations=5)
+    ivf = str(tmp_path / "ivf")
+    write_ivf_index(emb, ivf, cents)
+    q = queries_from_docs(docs, F.col("doc_id") % 100 == 7).join(
+        emb.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        ),
+        "query_id",
+        "left",
+    )
+    got = {
+        (r["query_id"], r["id"], r["rrf"], r["rank"])
+        for r in hybrid_rrf_indexed_topk(
+            spark, posting, ivf, cents, q, 10, leg_k=20, n_probe=len(cents)
+        ).collect()
+    }
+    lex = bm25_topk(docs, q, 20)
+    vec = knn(emb, q.filter(F.col("qvec").isNotNull()), 20)
+    want = {
+        (r["query_id"], r["id"], r["rrf"], r["rank"])
+        for r in rrf_fuse(
+            [lex.select("query_id", "id", "rank"),
+             vec.select("query_id", "id", "rank")],
+            10,
+        ).collect()
+    }
+    assert got == want
+
+
 def test_rrf_leg_order_invariant(spark):
     a = spark.createDataFrame(
         [(0, 10, 1), (0, 11, 2), (0, 12, 3)], "query_id long, id long, rank int"
