@@ -86,6 +86,7 @@ def bm25_scores(
     text_col: str = "text",
     query_id_col: str = "query_id",
     query_terms_col: str = "qterms",
+    where=None,
 ) -> DataFrame:
     """Okapi BM25 scores for every (query, matching document) pair.
 
@@ -97,6 +98,14 @@ def bm25_scores(
 
     Returns ``(query_id, id, score)`` — one row per (query, doc with
     ≥1 query term); docs matching no term are absent (score 0).
+
+    ``where`` (Column or SQL string over ``docs``): FILTERED lexical
+    search, the same contract as filtered ANN — results are restricted
+    to matching documents, but idf / N / avgdl stay CORPUS-level
+    (per-doc scores are independent given the stats, so the filtered
+    ranking equals the unfiltered ranking restricted to matching docs —
+    tested).  The restriction is a left-semi join on the doc id applied
+    to the scored hits, so the filter never perturbs the statistics.
     """
     toks = docs.select(
         F.col(doc_id_col).alias("id"), tokens(text_col).alias("_toks")
@@ -127,8 +136,15 @@ def bm25_scores(
     )
     # per-query fan-out is a map-side broadcast hash join — no shuffle
     hits = posting.join(F.broadcast(qt), "term")
+    if where is not None:
+        match = docs.filter(
+            F.expr(where) if isinstance(where, str) else where
+        ).select(F.col(doc_id_col).alias("id"))
+        hits = hits.join(match, "id", "left_semi")
     # df (docs containing term) is unchanged by dropping OTHER terms'
-    # rows, so it can be computed from the restricted postings
+    # rows, so it can be computed from the restricted postings; it is
+    # deliberately computed BEFORE the where= restriction (corpus-level
+    # idf, see the docstring)
     dfreq = posting.groupBy("term").agg(F.count_distinct("id").alias("df"))
     scored = (
         hits.join(F.broadcast(dfreq), "term")

@@ -1728,6 +1728,40 @@ WHERE rank <= {_HYBRID_K}
 """
 
 
+# --- filtered lexical search (round 6) --------------------------------------
+# The BM25 analog of the filtered-ANN contract: results restricted to
+# metadata-matching docs, idf / N / avgdl corpus-level (per-doc scores
+# are independent given the stats, so the filtered ranking equals the
+# unfiltered ranking restricted to matching docs).
+
+_BM25_FILTER_PRED = "source IN ('src1', 'src2', 'src3', 'src4', 'src5')"
+
+
+def q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, _retrieval_queries(spark, sf_dir), _HYBRID_K,
+        where=_BM25_FILTER_PRED,
+    )
+
+
+def _bm25_filtered_oracle() -> str:
+    return f"""
+WITH {_bm25_scored_ctes()},
+flt AS (
+  SELECT query_id, id, ROUND(score, 6) AS score6 FROM bm25_scored
+  WHERE id IN (SELECT doc_id FROM documents WHERE {_BM25_FILTER_PRED})
+)
+SELECT query_id, id, score6 AS score, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY score6 DESC, id) AS INT) AS rank
+  FROM flt)
+WHERE rank <= {_HYBRID_K}
+"""
+
+
 # --- per-source quota sampling (round 5) ----------------------------------
 
 _CAP_PER_SOURCE = 20
@@ -1782,6 +1816,7 @@ EXTRA_QUERIES: dict = {
     "dedup_simhash_loose": q_dedup_simhash_loose,
     "bm25_stream_topk": q_bm25_stream_topk,
     "hybrid_indexed_rrf": q_hybrid_indexed_rrf,
+    "bm25_filtered": q_bm25_filtered,
 }
 EXTRA_ORACLES: dict = {
     "text_tfidf_topk": _TFIDF_SQL,
@@ -1800,4 +1835,5 @@ EXTRA_ORACLES: dict = {
     "dedup_simhash_loose": _simhash_oracle(_SIMHASH_LOOSE_MAXHAM),
     "bm25_stream_topk": _bm25_stream_oracle(),
     "hybrid_indexed_rrf": _hybrid_indexed_oracle(),
+    "bm25_filtered": _bm25_filtered_oracle(),
 }

@@ -107,12 +107,21 @@ def bm25_search_index(
     b: float = BM25_B,
     query_id_col: str = "query_id",
     query_terms_col: str = "qterms",
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 top-k served from the persisted index — no document text is
     read; the postings scan carries a pushed-down ``term IN (…)``
     literal predicate (query vocabularies are RPC-small by the same
     contract as vector query batches), so unqueried terms' row groups
-    are skipped."""
+    are skipped.
+
+    ``filter_ids``: FILTERED lexical search — a one-column ``id`` frame
+    of admissible documents (derive it from your metadata table:
+    ``docs.filter(pred).select(F.col("doc_id").alias("id"))``).  The
+    index stores no metadata, so the filter arrives as an id set and is
+    left-semi joined onto the term-restricted postings; idf / N / avgdl
+    stay corpus-level (the filtered-ANN contract — same numbers as
+    ``bm25_topk(where=…)``, tested)."""
     qt = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.explode(F.array_distinct(F.col(query_terms_col))).alias("term"),
@@ -121,6 +130,8 @@ def bm25_search_index(
     posting = spark.read.parquet(f"{path}/postings").filter(
         F.col("term").isin(terms)
     )
+    if filter_ids is not None:
+        posting = posting.join(filter_ids.select("id"), "id", "left_semi")
     dfreq = spark.read.parquet(f"{path}/terms").filter(F.col("term").isin(terms))
     stats = spark.read.parquet(f"{path}/stats")
     scored = (
@@ -343,19 +354,26 @@ class PostingIndexStore:
         b: float = BM25_B,
         query_id_col: str = "query_id",
         query_terms_col: str = "qterms",
+        filter_ids: DataFrame | None = None,
     ) -> DataFrame:
         """BM25 top-k over base+delta — scores identical to a compacted
         index (postings rows and corpus stats are the same numbers
-        either way)."""
+        either way).  ``filter_ids`` restricts RESULTS to an admissible
+        id set while df / N / avgdl stay corpus-level (the same
+        filtered-search contract as ``bm25_search_index``)."""
         qt = queries.select(
             F.col(query_id_col).alias("query_id"),
             F.explode(F.array_distinct(F.col(query_terms_col))).alias("term"),
         )
         terms = sorted({r["term"] for r in qt.select("term").distinct().collect()})
         posting = self._live_postings(spark, terms)
+        # corpus-level df: computed BEFORE the filter restriction
         dfreq = posting.groupBy("term").agg(F.count_distinct("id").alias("df"))
+        hits = posting
+        if filter_ids is not None:
+            hits = hits.join(filter_ids.select("id"), "id", "left_semi")
         scored = (
-            posting.join(F.broadcast(qt), "term")
+            hits.join(F.broadcast(qt), "term")
             .join(F.broadcast(dfreq), "term")
             .crossJoin(F.broadcast(self._stats(spark)))
             .select(

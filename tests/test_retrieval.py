@@ -521,6 +521,55 @@ def test_posting_store_redelivery_and_compaction_idempotent(
     assert _rows(store.search(spark, q, 10)) == before
 
 
+def test_filtered_bm25_uniform_across_all_three_paths(spark, sf_oracle, tmp_path):
+    """Filtered lexical search (the filtered-ANN contract: restricted
+    results, corpus-level idf/N/avgdl) must agree across the
+    from-scratch operator (where=), the persisted index (filter_ids=),
+    and the merge-on-read store (filter_ids=) — and must equal the
+    UNFILTERED ranking restricted to matching docs and re-ranked, which
+    is what corpus-level stats guarantee."""
+    from pyspark.sql import Window
+
+    from distributed_vector_search_system_spark.sources.posting_index import (
+        PostingIndexStore,
+        bm25_search_index,
+        write_posting_index,
+    )
+
+    docs = load_table(spark, sf_oracle, "documents")
+    pred = "source IN ('src1', 'src2', 'src3', 'src4', 'src5')"
+    q = spark.createDataFrame(
+        [
+            (r["query_id"], list(r["qterms"]))
+            for r in queries_from_docs(docs, F.col("doc_id") % 100 == 7).collect()
+        ],
+        "query_id long, qterms array<string>",
+    )
+    got = _rows(bm25_topk(docs, q, 10, where=pred))
+
+    # reference: unfiltered scores, restrict to matching ids, re-rank
+    ids = docs.filter(F.expr(pred)).select(F.col("doc_id").alias("id"))
+    unfiltered = bm25_scores(docs, q).join(ids, "id", "left_semi")
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("score", 6).desc(), F.col("id").asc()
+    )
+    want = _rows(
+        unfiltered.withColumn("score", F.round("score", 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+    assert got == want
+
+    path = str(tmp_path / "p_filter")
+    write_posting_index(docs, path)
+    assert _rows(bm25_search_index(spark, path, q, 10, filter_ids=ids)) == want
+
+    store = PostingIndexStore(str(tmp_path / "p_store_filter"))
+    store.init_base(docs.filter(F.col("doc_id") < 300))
+    store.append_batch(docs.filter(F.col("doc_id") >= 300), 1)
+    assert _rows(store.search(spark, q, 10, filter_ids=ids)) == want
+
+
 def test_posting_index_stats_count_zero_token_docs(spark, tmp_path):
     """A doc that tokenizes to ZERO tokens (punctuation-only under the
     [^a-z0-9]+ tokenizer) has no posting rows but still counts toward
