@@ -77,6 +77,11 @@ HEADLINE = [
 RETRIEVAL = [
     "bm25_topk",
     "hybrid_rrf",
+    # round 6: the INDEXED serving paths — query-time reads are posting
+    # lists / probed cells, not corpus bytes (builds excluded, like the
+    # vector tiers')
+    "bm25_index_topk",
+    "hybrid_indexed_rrf",
 ]
 
 # The 100 TB serving tiers (quantized IO / bucketed ANN / physically
@@ -259,6 +264,13 @@ def _measure_once(sf_dir: str) -> dict:
     bucketed_mutation_tables(spark, sf_dir)
     for name in fast:
         _time(name)
+    # the indexed retrieval rows' one-time posting-index build must not
+    # pollute their cold timings (persisted_ivf_index is already built)
+    from distributed_vector_search_system_spark.registry.llm import (
+        _hybrid_posting_index,
+    )
+
+    _hybrid_posting_index(spark, sf_dir)
     for name in retrieval:
         _time(name)
     spark.stop()

@@ -87,6 +87,7 @@ def bm25_scores(
     query_id_col: str = "query_id",
     query_terms_col: str = "qterms",
     where=None,
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Okapi BM25 scores for every (query, matching document) pair.
 
@@ -106,6 +107,8 @@ def bm25_scores(
     ranking equals the unfiltered ranking restricted to matching docs —
     tested).  The restriction is a left-semi join on the doc id applied
     to the scored hits, so the filter never perturbs the statistics.
+    ``filter_ids`` (one-column ``id`` frame) is the same restriction as
+    a pre-materialized admissible set — the form the index paths take.
     """
     toks = docs.select(
         F.col(doc_id_col).alias("id"), tokens(text_col).alias("_toks")
@@ -141,6 +144,8 @@ def bm25_scores(
             F.expr(where) if isinstance(where, str) else where
         ).select(F.col(doc_id_col).alias("id"))
         hits = hits.join(match, "id", "left_semi")
+    if filter_ids is not None:
+        hits = hits.join(filter_ids.select("id"), "id", "left_semi")
     # df (docs containing term) is unchanged by dropping OTHER terms'
     # rows, so it can be computed from the restricted postings; it is
     # deliberately computed BEFORE the where= restriction (corpus-level
@@ -230,6 +235,7 @@ def hybrid_rrf_topk(
     id_col: str = "vec_id",
     vector_col: str = "embedding",
     query_vector_col: str = "qvec",
+    filter_ids: DataFrame | None = None,
     **bm25_kwargs,
 ) -> DataFrame:
     """Hybrid search: BM25 lexical leg + exact-cosine vector leg → RRF.
@@ -239,18 +245,30 @@ def hybrid_rrf_topk(
     simply has no rows for it, and RRF degrades gracefully).  Each leg
     retrieves its own top ``leg_k`` before fusion (retrieve-deep,
     fuse-shallow: ``leg_k ≥ k`` is the standard setting).
+
+    ``filter_ids`` (one-column ``id`` frame): FILTERED hybrid search
+    (tenant isolation, the RAG production shape) — the admissible set
+    restricts BOTH legs BEFORE their per-leg top-k (a post-fusion
+    filter would under-fill k and fuse against inadmissible ranks);
+    BM25 statistics stay corpus-level per the filtered-lexical
+    contract.
     """
     from .similarity import cosine_topk
 
-    lex = bm25_topk(docs, queries, leg_k, **bm25_kwargs)
+    lex = bm25_topk(docs, queries, leg_k, filter_ids=filter_ids, **bm25_kwargs)
     # the BM25 leg may rename its query-id column; the vector leg must
     # follow the same rename or the two legs cannot fuse (ADVICE r05)
     qid = bm25_kwargs.get("query_id_col", "query_id")
     vq = queries.filter(F.col(query_vector_col).isNotNull()).select(
         F.col(qid).alias("query_id"), query_vector_col
     )
+    vcorpus = vectors
+    if filter_ids is not None:
+        vcorpus = vcorpus.join(
+            filter_ids.select(F.col("id").alias(id_col)), id_col, "left_semi"
+        )
     vec = cosine_topk(
-        vectors,
+        vcorpus,
         vq,
         leg_k,
         id_col=id_col,
@@ -276,10 +294,15 @@ def hybrid_rrf_indexed_topk(
     query_terms_col: str = "qterms",
     query_vector_col: str = "qvec",
     replicated: bool = False,
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Hybrid search served entirely from PERSISTED index tiers — the
     100 TB shape of :func:`hybrid_rrf_topk`, whose from-scratch legs
     re-scan the corpus per query batch.
+
+    ``filter_ids``: FILTERED indexed hybrid — the admissible id set
+    restricts both index legs pre-rank (semi joins on the pruned
+    scans), matching ``hybrid_rrf_topk(filter_ids=)`` semantics.
 
     - lexical leg: :func:`sources.posting_index.bm25_search_index` —
       reads only the queried terms' posting rows (term-pushdown scan,
@@ -301,6 +324,7 @@ def hybrid_rrf_indexed_topk(
     lex = bm25_search_index(
         spark, posting_path, queries, leg_k,
         query_id_col=query_id_col, query_terms_col=query_terms_col,
+        filter_ids=filter_ids,
     )
     vq = queries.filter(F.col(query_vector_col).isNotNull()).select(
         F.col(query_id_col).alias("query_id"), query_vector_col
@@ -309,6 +333,7 @@ def hybrid_rrf_indexed_topk(
         spark, ivf_path, vq, leg_k, centroids,
         n_probe=n_probe, replicated=replicated,
         query_vector_col=query_vector_col,
+        filter_ids=filter_ids,
     )
     return rrf_fuse(
         [lex.select("query_id", "id", "rank"), vec.select("query_id", "id", "rank")],

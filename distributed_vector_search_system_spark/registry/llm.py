@@ -1652,6 +1652,19 @@ def _hybrid_posting_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def q_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from the persisted posting index — same queries as
+    the bm25_topk driver row, and by the index's exactness contract the
+    same results, so the row REUSES bm25_topk's oracle verbatim (the
+    mutations_compact_bucketed pattern: layout changes, values don't)."""
+    from ..sources.posting_index import bm25_search_index
+
+    path = _hybrid_posting_index(spark, sf_dir)
+    return bm25_search_index(
+        spark, path, _retrieval_queries(spark, sf_dir), _HYBRID_K
+    )
+
+
 def q_hybrid_indexed_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.retrieval import hybrid_rrf_indexed_topk
     from .vector import _IVF_NPROBE, persisted_ivf_index
@@ -1817,6 +1830,7 @@ EXTRA_QUERIES: dict = {
     "bm25_stream_topk": q_bm25_stream_topk,
     "hybrid_indexed_rrf": q_hybrid_indexed_rrf,
     "bm25_filtered": q_bm25_filtered,
+    "bm25_index_topk": q_bm25_index_topk,
 }
 EXTRA_ORACLES: dict = {
     "text_tfidf_topk": _TFIDF_SQL,
@@ -1836,4 +1850,6 @@ EXTRA_ORACLES: dict = {
     "bm25_stream_topk": _bm25_stream_oracle(),
     "hybrid_indexed_rrf": _hybrid_indexed_oracle(),
     "bm25_filtered": _bm25_filtered_oracle(),
+    # the index serves IDENTICAL numbers to the from-scratch plan
+    "bm25_index_topk": _bm25_oracle(),
 }

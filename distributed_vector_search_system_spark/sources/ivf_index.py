@@ -102,6 +102,7 @@ def search_ivf_index(
     query_vector_col: str = "qvec",
     replicated: bool = False,
     where=None,
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Exact top-k within the probed cells of a persisted IVF index.
 
@@ -124,7 +125,13 @@ def search_ivf_index(
     with the cell-id partition pruning: a probe reads only probed
     directories AND row-groups whose min/max admit the predicate.
     Pre- (not post-) filtering matters at low selectivity: a post
-    filter over top-k would return < k rows or miss matches entirely."""
+    filter over top-k would return < k rows or miss matches entirely.
+
+    ``filter_ids`` (one-column ``id`` frame): the same pre-filter as an
+    admissible id SET, left-semi joined onto the pruned scan before
+    scoring — for callers whose filter lives in another table (e.g. the
+    hybrid path filtering on document metadata).  Composes with
+    ``where``."""
     probes = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vector_col).alias("_qv"),
@@ -140,6 +147,10 @@ def search_ivf_index(
     idx = spark.read.parquet(path).filter(F.col("cell_id").isin(cells))
     if where is not None:
         idx = idx.filter(F.expr(where) if isinstance(where, str) else where)
+    if filter_ids is not None:
+        idx = idx.join(
+            filter_ids.select(F.col("id").alias(id_col)), id_col, "left_semi"
+        )
     scored = idx.join(F.broadcast(probes), idx["cell_id"] == probes["_probe"]).select(
         "query_id",
         F.col(id_col).alias("id"),

@@ -435,6 +435,88 @@ def test_hybrid_indexed_full_probe_equals_from_scratch_legs(
     assert got == want
 
 
+def test_filtered_hybrid_uniform_from_scratch_and_indexed(
+    spark, sf_oracle, tmp_path
+):
+    """Filtered hybrid search (tenant isolation): the admissible id set
+    must restrict BOTH legs before their per-leg top-k, and the
+    from-scratch and fully-indexed paths (at full probe coverage) must
+    agree exactly — with each other and with an RRF of independently
+    filtered legs."""
+    from distributed_vector_search_system_spark.operators.clustering import (
+        kmeans_fit,
+    )
+    from distributed_vector_search_system_spark.operators.knn import knn
+    from distributed_vector_search_system_spark.operators.retrieval import (
+        hybrid_rrf_indexed_topk,
+    )
+    from distributed_vector_search_system_spark.sources.ivf_index import (
+        write_ivf_index,
+    )
+    from distributed_vector_search_system_spark.sources.posting_index import (
+        write_posting_index,
+    )
+
+    docs = load_table(spark, sf_oracle, "documents")
+    emb = load_table(spark, sf_oracle, "embeddings")
+    ids = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("id")
+    )
+    q = queries_from_docs(docs, F.col("doc_id") % 100 == 7).join(
+        emb.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        ),
+        "query_id",
+        "left",
+    )
+    scratch = {
+        (r["query_id"], r["id"], r["rrf"], r["rank"])
+        for r in hybrid_rrf_topk(docs, emb, q, 10, filter_ids=ids).collect()
+    }
+    # reference: independently filtered legs, fused
+    lex = bm25_topk(docs, q, 20, filter_ids=ids)
+    # cosine ranking == the hybrid vector leg's; restrict the corpus
+    vfiltered = emb.join(
+        ids.select(F.col("id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    vec = cosine_topk(vfiltered, q.filter(F.col("qvec").isNotNull()), 20)
+    want = {
+        (r["query_id"], r["id"], r["rrf"], r["rank"])
+        for r in rrf_fuse(
+            [lex.select("query_id", "id", "rank"),
+             vec.select("query_id", "id", "rank")],
+            10,
+        ).collect()
+    }
+    assert scratch == want
+
+    # indexed path at FULL probe: the L2 leg over normalized-free
+    # fixtures ranks differently from cosine, so compare against an RRF
+    # of the filtered BM25 leg and the filtered exact-L2 leg instead
+    posting = str(tmp_path / "posting")
+    write_posting_index(docs, posting)
+    cents, _ = kmeans_fit(emb, 8, max_iterations=5)
+    ivf = str(tmp_path / "ivf")
+    write_ivf_index(emb, ivf, cents)
+    indexed = {
+        (r["query_id"], r["id"], r["rrf"], r["rank"])
+        for r in hybrid_rrf_indexed_topk(
+            spark, posting, ivf, cents, q, 10,
+            leg_k=20, n_probe=len(cents), filter_ids=ids,
+        ).collect()
+    }
+    l2leg = knn(vfiltered, q.filter(F.col("qvec").isNotNull()), 20)
+    want_idx = {
+        (r["query_id"], r["id"], r["rrf"], r["rank"])
+        for r in rrf_fuse(
+            [lex.select("query_id", "id", "rank"),
+             l2leg.select("query_id", "id", "rank")],
+            10,
+        ).collect()
+    }
+    assert indexed == want_idx
+
+
 def test_rrf_leg_order_invariant(spark):
     a = spark.createDataFrame(
         [(0, 10, 1), (0, 11, 2), (0, 12, 3)], "query_id long, id long, rank int"
