@@ -274,6 +274,60 @@ def test_hybrid_rrf_no_cartesian(spark, sf_smoke):
     assert "CartesianProduct" not in plan
 
 
+def test_hybrid_indexed_reads_no_text_and_prunes_cells(spark, sf_smoke, tmp_path):
+    """The fully-indexed hybrid plan must show both index contracts at
+    once: the lexical leg never reads document text (only posting
+    rows), and the vector leg's probe arrives as cell_id partition
+    pruning.  Queries are a literal batch (an RPC batch) so the query
+    derivation can't read text either."""
+    from pyspark.sql import functions as F
+
+    from distributed_vector_search_system_spark.operators.clustering import (
+        kmeans_fit,
+    )
+    from distributed_vector_search_system_spark.operators.retrieval import (
+        hybrid_rrf_indexed_topk,
+        queries_from_docs,
+    )
+    from distributed_vector_search_system_spark.sources.ivf_index import (
+        write_ivf_index,
+    )
+    from distributed_vector_search_system_spark.sources.posting_index import (
+        write_posting_index,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    emb = load_table(spark, sf_smoke, "embeddings")
+    posting = str(tmp_path / "posting")
+    write_posting_index(docs, posting)
+    cents, _ = kmeans_fit(emb, 4, max_iterations=2)
+    ivf = str(tmp_path / "ivf")
+    write_ivf_index(emb, ivf, cents)
+    qrows = [
+        (r["query_id"], list(r["qterms"]), list(r["qvec"]) if r["qvec"] else None)
+        for r in queries_from_docs(docs, F.col("doc_id") % 100 == 7)
+        .join(
+            emb.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qvec"),
+            ),
+            "query_id",
+            "left",
+        )
+        .collect()
+    ]
+    q = spark.createDataFrame(
+        qrows, "query_id long, qterms array<string>, qvec array<double>"
+    )
+    df = hybrid_rrf_indexed_topk(spark, posting, ivf, cents, q, 5, n_probe=2)
+    plan = _plan(df)
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert not any("text" in l for l in read), read
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("cell_id" in l for l in pf), plan
+    assert "CartesianProduct" not in plan
+
+
 def test_capped_sample_partial_topk_below_shuffle(spark, sf_smoke):
     """The per-source quota must cap map-side (WindowGroupLimit) so a
     viral key ships cap x partitions rows, never its full fan-in."""
