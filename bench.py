@@ -255,22 +255,33 @@ def _measure_once(sf_dir: str) -> dict:
         _time(name)
     # storage tiers materialize only AFTER the headline measurements
     # (one-time build cost, excluded from per-query timings — and their
-    # JVM churn must not warm or GC-pressure the headline numbers)
-    quantized_tier(spark, sf_dir)
-    persisted_ivf_index(spark, sf_dir)
-    trained_ivf_index(spark, sf_dir)
-    pq_tier(spark, sf_dir)
-    ivfpq_index(spark, sf_dir)
-    bucketed_mutation_tables(spark, sf_dir)
-    for name in fast:
-        _time(name)
-    # the indexed retrieval rows' one-time posting-index build must not
-    # pollute their cold timings (persisted_ivf_index is already built)
+    # JVM churn must not warm or GC-pressure the headline numbers).
+    # Build seconds are RECORDED (BENCH_DETAIL "tier_build_sec"): at
+    # 100 TB the write path is the compaction-cadence budget, and an
+    # index whose build regresses 10x is a real regression even if
+    # every read stays fast.
     from distributed_vector_search_system_spark.registry.llm import (
         _hybrid_posting_index,
     )
 
-    _hybrid_posting_index(spark, sf_dir)
+    builds: dict[str, float] = {}
+
+    def _build(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn(spark, sf_dir)
+        builds[name] = round(time.perf_counter() - t0, 4)
+
+    _build("quantized_tier", quantized_tier)
+    _build("persisted_ivf_index", persisted_ivf_index)
+    _build("trained_ivf_index", trained_ivf_index)
+    _build("pq_tier", pq_tier)
+    _build("ivfpq_index", ivfpq_index)
+    _build("bucketed_mutation_tables", bucketed_mutation_tables)
+    for name in fast:
+        _time(name)
+    # the indexed retrieval rows' one-time posting-index build must not
+    # pollute their cold timings (persisted_ivf_index is already built)
+    _build("posting_index", _hybrid_posting_index)
     for name in retrieval:
         _time(name)
     spark.stop()
@@ -280,6 +291,7 @@ def _measure_once(sf_dir: str) -> dict:
         "headline": names,
         "fast": fast,
         "retrieval": retrieval,
+        "builds": builds,
     }
 
 
@@ -603,7 +615,11 @@ def main() -> None:
     # outgrew that window, losing the round's independent perf record
     # (VERDICT r05 item 1).  The final printed line is a compact summary
     # that must stay comfortably under the window.
+    build_names = sorted(runs[0].get("builds", {}))
     detail = {
+        "tier_build_sec": {
+            n: round(min(r["builds"][n] for r in runs), 4) for n in build_names
+        },
         "fast_tier_queries": fast_cold,
         "fast_tier_steady_queries": fast_steady,
         "retrieval_queries": retrieval_cold,
