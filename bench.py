@@ -467,8 +467,6 @@ def _measure_scale(sf_dir: str) -> dict:
         return round(time.perf_counter() - t1, 4)
 
     def vector_ops(d: str) -> dict:
-        import tempfile
-
         from distributed_vector_search_system_spark.operators.retrieval import (
             hybrid_rrf_topk,
             queries_from_docs,
@@ -500,8 +498,15 @@ def _measure_scale(sf_dir: str) -> dict:
         # up-scaler's copy-distinct tokens mean the fixed copy-0 query
         # vocabulary's posting lists do NOT grow with copies, so the
         # indexed path should be ~flat where from-scratch bm25_topk pays
-        # the full corpus tokenize+restrict at any scale.
-        idx = tempfile.mkdtemp(prefix="dvss_bench_posting_")
+        # the full corpus tokenize+restrict at any scale.  The index
+        # lives at a DETERMINISTIC per-dir path under .scale_cache and
+        # is overwritten each run — a fresh mkdtemp per run would
+        # accumulate full posting indexes in /tmp with no reclamation.
+        idx = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".scale_cache",
+            f"posting_{os.path.basename(os.path.normpath(d))}",
+        )
         write_posting_index(docs, idx)
         lexq = queries_from_docs(docs, F.col("doc_id").isin(_SCALE_QUERY_IDS))
         return {

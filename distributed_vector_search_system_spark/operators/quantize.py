@@ -103,9 +103,9 @@ def _quantized_coarse_numpy(
     """Arrow/GEMM coarse scan over the int8 tier: per Arrow batch,
     dequantize (codes · scale) and compute the squared-L2 matrix against
     the broadcast query matrix with one BLAS call, keep the per-batch
-    partial top-``n_cands`` (argpartition) — the int8 analog of
-    ``knn(method="numpy")``.  Returns the globally merged per-query
-    candidate triples ``(query_id, id, _coarse)``.
+    partial top-``n_cands`` — the int8 analog of ``knn(method="numpy")``.
+    Returns the globally merged per-query candidate set
+    ``(query_id, id)``.
 
     Measured regime (bench d768, 20k×768): expr coarse scan ~3.2 s,
     this kernel ~1.7 s — per-element codegen cost dominates at high
@@ -117,6 +117,16 @@ def _quantized_coarse_numpy(
     candidate re-rank join); the int8 tier's advantage is the 4× column
     IO reduction, which only matters when the float column is actually
     read from storage.
+
+    Per-batch selection keeps the smallest ``(distance, id)`` PAIRS
+    (lexsort, not bare argpartition): int8 codes make exact coarse ties
+    common — duplicate vectors quantize to identical (codes, scale) —
+    and an arbitrary tie cut at the candidate boundary would make the
+    result differ from the expr path and vary with Spark partitioning.
+    Prefix-closed per-batch selection under the same order as the
+    global merge makes the candidate set deterministic and identical to
+    the expr path's (tested).  Ids follow the engine's long-id contract
+    (same as ``knn(method="numpy")``).
     """
     import numpy as np
     import pandas as pd
@@ -124,8 +134,13 @@ def _quantized_coarse_numpy(
     from .knn import merge_topk
 
     qrows = queries.select(query_id_col, query_vector_col).collect()
+    if not qrows:
+        # empty query batch: empty candidate set, same columns as the
+        # non-empty branch (the guard _knn_numpy has and this kernel
+        # originally dropped)
+        return tier.sparkSession.createDataFrame([], "query_id long, id long")
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
-    qmat = np.array([r[1] for r in qrows], dtype=np.float64)  # (Q, d)
+    qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)  # (Q, d)
     qsq = (qmat * qmat).sum(axis=1)
 
     src = tier.select(
@@ -138,31 +153,34 @@ def _quantized_coarse_numpy(
         for pdf in batches:
             if pdf.empty:
                 continue
-            codes = np.stack(pdf["codes"].to_numpy()).astype(np.float64)  # (B, d)
+            codes = np.asarray(
+                np.stack(pdf["codes"].to_numpy()), dtype=np.float64
+            )  # (B, d)
             x = codes * pdf["scale"].to_numpy()[:, None]  # dequantized
             xsq = (x * x).sum(axis=1)
             d2 = xsq[:, None] - 2.0 * (x @ qmat.T) + qsq[None, :]
             np.maximum(d2, 0.0, out=d2)
             kk = min(n_cands, d2.shape[0])
-            part = np.argpartition(d2, kk - 1, axis=0)[:kk, :]
             ids = pdf["id"].to_numpy()
+            # smallest kk by (distance, id) per query — see docstring
+            sel = np.stack(
+                [np.lexsort((ids, d2[:, j]))[:kk] for j in range(len(qids))],
+                axis=1,
+            )  # (kk, Q)
             yield pd.DataFrame(
                 {
                     "query_id": np.repeat(qids, kk),
-                    "id": ids[part].ravel(order="F"),
-                    "_coarse": np.take_along_axis(d2, part, axis=0).ravel(order="F"),
+                    "id": ids[sel].ravel(order="F"),
+                    "_coarse": np.take_along_axis(d2, sel, axis=0).ravel(order="F"),
                 }
             )
 
     partials = src.mapInPandas(
         scan, schema="query_id long, id long, _coarse double"
     )
-    return (
-        merge_topk(
-            partials.withColumnRenamed("_coarse", "distance"), n_cands
-        )
-        .select("query_id", "id", F.col("distance").alias("_coarse"))
-    )
+    return merge_topk(
+        partials.withColumnRenamed("_coarse", "distance"), n_cands
+    ).select("query_id", "id")
 
 
 def quantized_knn(
@@ -228,7 +246,7 @@ def quantized_knn(
             query_vector_col=query_vector_col,
             codes_col=codes_col,
             scale_col=scale_col,
-        ).select("query_id", "id")
+        )
     else:
         coarse = q.select(
             F.col(id_col).alias("id"),

@@ -191,3 +191,57 @@ def test_engine_quantized_dispatches_gemm_at_high_dim(spark):
         for r in quantized_knn(corpus, q, 5, coarse_method="numpy").collect()
     }
     assert got == want
+
+
+def test_numpy_coarse_kernel_empty_queries(spark, sf_oracle):
+    """An empty query batch must return an empty result on the numpy
+    coarse path exactly like the expr path (the guard the kernel copy
+    originally dropped — review r06)."""
+    from distributed_vector_search_system_spark.operators.quantize import (
+        quantized_knn,
+    )
+    from distributed_vector_search_system_spark.tables import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    q = emb.filter(F.lit(False)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = quantized_knn(emb, q, 5, coarse_method="numpy")
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "id", "distance", "rank"}
+
+
+def test_numpy_coarse_kernel_deterministic_on_duplicate_vectors(spark):
+    """Duplicate vectors quantize to identical (codes, scale), so coarse
+    distances tie EXACTLY; the per-batch cut must keep the smallest
+    (distance, id) pairs — matching the expr path — not an arbitrary
+    argpartition survivor (review r06)."""
+    from distributed_vector_search_system_spark.operators.quantize import (
+        quantized_knn,
+    )
+
+    # 8 identical vectors + 2 distinct, k*rerank below the tie-group
+    # size so the cut lands inside the tied group
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(8)]
+    rows += [(100, [9.0, 9.0, 9.0, 9.0]), (101, [1.1, 2.1, 3.1, 4.1])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0])], "query_id long, qvec array<double>"
+    )
+    for attempt in range(3):  # partitioning-independence probe
+        a = [
+            (r["query_id"], r["id"], r["rank"])
+            for r in quantized_knn(
+                emb.repartition(3 + attempt), q, 2, rerank=2,
+                coarse_method="numpy",
+            ).collect()
+        ]
+        b = [
+            (r["query_id"], r["id"], r["rank"])
+            for r in quantized_knn(
+                emb.repartition(3 + attempt), q, 2, rerank=2,
+            ).collect()
+        ]
+        assert sorted(a) == sorted(b), (a, b)
+        # smallest ids among the tied duplicates must win
+        assert {x[1] for x in a} == {0, 1}, a
