@@ -175,9 +175,18 @@ def _knn_numpy(
             np.maximum(d2, 0.0, out=d2)
             b = d2.shape[0]
             kk = min(k, b)
-            # partial top-k per query within this Arrow batch
-            part = np.argpartition(d2, kk - 1, axis=0)[:kk, :]  # (kk, Q)
             ids = pdf["id"].to_numpy()
+            # partial top-k per query within this Arrow batch, by
+            # (distance, id) — the same total order as merge_topk's
+            # final rank.  lexsort, not bare argpartition: an arbitrary
+            # cut among exactly-tied distances (duplicate vectors) would
+            # make the merged result differ from the expr path and vary
+            # with Spark partitioning; prefix-closed selection under the
+            # merge order keeps it deterministic and identical.
+            part = np.stack(
+                [np.lexsort((ids, d2[:, j]))[:kk] for j in range(len(qids))],
+                axis=1,
+            )  # (kk, Q)
             rows = {
                 "id": ids[part].ravel(order="F"),
                 "query_id": np.repeat(qids, kk),

@@ -160,3 +160,26 @@ def test_numpy_empty_queries_schema_matches(spark):
     cols_full = knn(vectors, full, 2, shard_col="shard_id", method="numpy").columns
     cols_empty = knn(vectors, empty, 2, shard_col="shard_id", method="numpy").columns
     assert cols_empty == cols_full
+
+
+def test_knn_numpy_deterministic_on_duplicate_vectors(spark):
+    """Exactly-tied distances (duplicate vectors) straddling the
+    per-batch cut must resolve by (distance, id) — identical to the
+    expr path and independent of partitioning (review r06)."""
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(8)]
+    rows += [(100, [9.0, 9.0, 9.0, 9.0]), (101, [1.1, 2.1, 3.1, 4.1])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0])], "query_id long, qvec array<double>"
+    )
+    for parts in (2, 3, 5):
+        a = sorted(
+            (r["query_id"], r["id"], r["rank"])
+            for r in knn(emb.repartition(parts), q, 3, method="numpy").collect()
+        )
+        b = sorted(
+            (r["query_id"], r["id"], r["rank"])
+            for r in knn(emb.repartition(parts), q, 3).collect()
+        )
+        assert a == b, (parts, a, b)
+        assert {x[1] for x in a} == {0, 1, 2}, a
