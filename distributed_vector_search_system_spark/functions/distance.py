@@ -57,6 +57,17 @@ def cosine_similarity(a, b) -> Column:
     return F.when(den == 0.0, F.lit(0.0)).otherwise(num / den)
 
 
+def l2_normalize(a) -> Column:
+    """Unit-normalized copy of the vector (double); a zero-norm vector
+    stays all-zero (it has no direction — callers that need cosine
+    semantics should exclude such rows, see the cosine IVF tier)."""
+    v = F.col(a) if isinstance(a, str) else a
+    n = l2_norm(v)
+    return F.when(n == 0.0, F.transform(v, lambda x: F.lit(0.0))).otherwise(
+        F.transform(v, lambda x: _to_double(x) / n)
+    )
+
+
 # --- SQL-string builders for expressions over LITERAL vectors --------------
 # Building a literal-vector expression out of Column objects costs one
 # py4j round-trip per element (64-dim plane → ~70 JVM calls, an LSH

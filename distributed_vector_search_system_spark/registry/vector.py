@@ -1425,6 +1425,104 @@ SELECT query_id, id, ROUND(distance, 6) AS distance, rank FROM ranked WHERE rank
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-6: cosine-metric IVF serving (sources/ivf_index.py cosine tier).
+# The index stores L2-NORMALIZED vectors; routing and ranking are L2 in
+# normalized space (== cosine ranking), similarity recovered exactly as
+# cos = 1 − d²/2.  Centroids are the sf0.01 hash-thinned sample frozen
+# in NORMALIZED space (trained_cents.COSINE_CENTROIDS_SF001) so the
+# oracle replays routing from byte-identical doubles; the oracle
+# normalizes corpus and query vectors in SQL and replays assignment,
+# probing, ranking, and the cosine conversion.
+
+_COSINE_IVF_NPROBE = 4
+_COSINE_IVF_QPRED = "vec_id % 100 = 47"
+_COSINE_IVF_STATE: dict[str, tuple[str, list[list[float]]]] = {}
+
+#: DuckDB L2 norm of an array column (zip idiom; same double-promoted
+#: arithmetic as functions.distance.l2_norm).  DuckDB lambdas cannot
+#: contain subqueries, so normalization is a two-step CTE: compute the
+#: norm as a column, then divide inside list_transform.
+_SQL_L2NORM = (
+    "(SELECT SQRT(SUM(CAST(u.a AS DOUBLE) * CAST(u.a AS DOUBLE))) "
+    "FROM (SELECT UNNEST({x}) AS a) u)"
+)
+
+
+def cosine_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, list[list[float]]]:
+    import os
+    import tempfile
+
+    from ..sources.ivf_index import write_cosine_ivf_index
+    from .trained_cents import COSINE_CENTROIDS_SF001
+
+    state = _COSINE_IVF_STATE.get(sf_dir)
+    if state is None:
+        cents = COSINE_CENTROIDS_SF001
+        name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        path = os.path.join(
+            tempfile.gettempdir(), f"dvss_spark_ivf_cos_{os.getpid()}", name
+        )
+        write_cosine_ivf_index(_emb(spark, sf_dir), path, cents)
+        state = (path, cents)
+        _COSINE_IVF_STATE[sf_dir] = state
+    return state
+
+
+def q_ann_cosine_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.ivf_index import search_cosine_ivf_index
+
+    path, cents = cosine_ivf_index(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    q = _query_set(emb, F.expr(_COSINE_IVF_QPRED))
+    return search_cosine_ivf_index(
+        spark, path, q, 5, cents, n_probe=_COSINE_IVF_NPROBE
+    ).select("query_id", "id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def _cosine_ivf_oracle() -> str:
+    from .trained_cents import COSINE_CENTROIDS_SF001
+
+    rows = ",\n  ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(COSINE_CENTROIDS_SF001)
+    )
+    l2_vc = _SQL_SQ_L2.format(q="v.e", v="c.cvec")
+    l2_qc = _SQL_SQ_L2.format(q="q.qe", v="c.cvec")
+    l2_qa = _SQL_SQ_L2.format(q="qp.qe", v="a.e")
+    norm_col = _SQL_L2NORM.format(x="embedding")
+    return f"""
+WITH cents(cell_id, cvec) AS (VALUES
+  {rows}
+),
+nz AS (SELECT vec_id, embedding, {norm_col} AS nrm FROM embeddings),
+nv AS (SELECT vec_id,
+              list_transform(embedding, v -> CAST(v AS DOUBLE) / nrm) AS e
+       FROM nz WHERE nrm > 0),
+vd AS (SELECT v.vec_id, v.e, c.cell_id, {l2_vc} AS d
+       FROM nv v CROSS JOIN cents c),
+asg AS (SELECT vec_id, e, cell_id FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+         FROM vd)
+        WHERE rn = 1),
+q AS (SELECT vec_id AS query_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE) / nrm) AS qe
+      FROM nz WHERE {_COSINE_IVF_QPRED} AND nrm > 0),
+qd AS (SELECT q.query_id, q.qe, c.cell_id, {l2_qc} AS d FROM q CROSS JOIN cents c),
+qp AS (SELECT query_id, qe, cell_id FROM
+       (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, cell_id) AS rn
+        FROM qd)
+       WHERE rn <= {_COSINE_IVF_NPROBE}),
+scored AS (SELECT qp.query_id, a.vec_id AS id, {l2_qa} AS distance
+           FROM qp JOIN asg a ON a.cell_id = qp.cell_id),
+ranked AS (SELECT query_id, id, distance,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, id) AS INT) AS rank
+           FROM scored)
+SELECT query_id, id, ROUND(1.0 - distance / 2.0, 6) AS cosine, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 # --- pytest-only tier (beyond the driver's 50-query correctness window;
 # verified by tests/test_oracle_parity.py with the same DuckDB harness) ----
 
@@ -1459,6 +1557,7 @@ EXTRA_QUERIES = {
     "mutations_compact_bucketed": q_mutations_compact_bucketed,
     "knn_radius": q_knn_radius,
     "knn_grouped": q_knn_grouped,
+    "ann_cosine_ivf_topk": q_ann_cosine_ivf_topk,
 }
 EXTRA_ORACLES = {
     "cache_ttl_prune": _CACHE_TTL_SQL,
@@ -1469,4 +1568,5 @@ EXTRA_ORACLES = {
     "mutations_compact_bucketed": ORACLES["mutations_compact"],
     "knn_radius": _KNN_RADIUS_SQL,
     "knn_grouped": _KNN_GROUPED_SQL,
+    "ann_cosine_ivf_topk": _cosine_ivf_oracle(),
 }

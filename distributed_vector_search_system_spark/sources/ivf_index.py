@@ -161,3 +161,75 @@ def search_ivf_index(
             F.min("distance").alias("distance")
         )
     return merge_topk(scored, k)
+
+
+# --- cosine-metric serving (round 6) ----------------------------------------
+# Production embedding search is COSINE; the L2 tier serves it exactly
+# through normalized space: for unit vectors ||a − b||² = 2 − 2·cos(a,b),
+# monotone decreasing in cosine, so L2 cell routing AND L2 candidate
+# ranking over normalized vectors IS the cosine ranking, and the exact
+# similarity is recovered as cos = 1 − d²/2.  No new index machinery —
+# the cosine tier is the L2 tier over normalized vectors, inheriting
+# partition pruning, replication, `where=`, and `filter_ids=` unchanged.
+
+
+def write_cosine_ivf_index(
+    vectors: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    *,
+    replicas: int = 1,
+    vector_col: str = "embedding",
+) -> None:
+    """Cell-partitioned COSINE index: vectors are L2-normalized before
+    assignment and storage.  ``centroids`` must live in normalized
+    space (train on the normalized vectors, e.g. ``kmeans_fit`` over a
+    ``l2_normalize`` projection).  Zero-norm vectors are EXCLUDED —
+    they have no direction, so no cosine ranking can place them
+    (``cosine_similarity`` gives them 0.0; the distance conversion
+    cannot reproduce that convention)."""
+    from ..functions.distance import l2_norm, l2_normalize
+
+    norm = vectors.filter(l2_norm(F.col(vector_col)) > 0.0).withColumn(
+        vector_col, l2_normalize(vector_col)
+    )
+    write_ivf_index(norm, path, centroids, replicas=replicas, vector_col=vector_col)
+
+
+def search_cosine_ivf_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    centroids: list[list[float]],
+    *,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vector_col: str = "qvec",
+    replicated: bool = False,
+    where=None,
+    filter_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k by COSINE similarity from a ``write_cosine_ivf_index``
+    index: normalize the query, search the normalized-space L2 tier
+    (identical ranking), convert ``cos = 1 − d²/2``.  Returns
+    ``(query_id, id, cosine, rank)`` — rank by (cosine desc, id), the
+    ``cosine_topk`` convention.  At full probe coverage results equal
+    ``cosine_topk`` over the non-zero-norm corpus exactly (tested)."""
+    from ..functions.distance import l2_normalize
+
+    nq = queries.withColumn(query_vector_col, l2_normalize(query_vector_col))
+    out = search_ivf_index(
+        spark, path, nq, k, centroids,
+        n_probe=n_probe, id_col=id_col, vector_col=vector_col,
+        query_id_col=query_id_col, query_vector_col=query_vector_col,
+        replicated=replicated, where=where, filter_ids=filter_ids,
+    )
+    return out.select(
+        "query_id",
+        "id",
+        (F.lit(1.0) - F.col("distance") / 2.0).alias("cosine"),
+        "rank",
+    )

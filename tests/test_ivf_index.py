@@ -58,3 +58,94 @@ def test_probes_prune_partitions(spark, sf_smoke, tmp_path):
     pruned = spark.read.parquet(path).filter(F.col("cell_id").isin([0, 1]))
     read_files = pruned.select(F.input_file_name()).distinct().count()
     assert read_files < total_files
+
+
+def test_cosine_ivf_full_probe_equals_cosine_topk(spark, sf_oracle, tmp_path):
+    """At full probe coverage the cosine IVF tier must return exactly
+    cosine_topk's rows: normalized-space L2 rank == cosine rank, and
+    cos = 1 - d^2/2 recovers the exact similarity (to float noise)."""
+    from pyspark.sql import functions as F
+
+    from distributed_vector_search_system_spark.functions.distance import (
+        l2_normalize,
+    )
+    from distributed_vector_search_system_spark.operators.clustering import (
+        kmeans_fit,
+    )
+    from distributed_vector_search_system_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from distributed_vector_search_system_spark.sources.ivf_index import (
+        search_cosine_ivf_index,
+        write_cosine_ivf_index,
+    )
+    from distributed_vector_search_system_spark.tables import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    norm = emb.withColumn("embedding", l2_normalize("embedding"))
+    cents, _ = kmeans_fit(norm, 8, max_iterations=5)
+    path = str(tmp_path / "cos_ivf")
+    write_cosine_ivf_index(emb, path, cents)
+    q = emb.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = search_cosine_ivf_index(
+        spark, path, q, 5, cents, n_probe=len(cents)
+    ).collect()
+    want = {
+        (r["query_id"], r["id"], r["rank"]): r["cosine"]
+        for r in cosine_topk(emb, q, 5).collect()
+    }
+    assert {(r["query_id"], r["id"], r["rank"]) for r in got} == set(want)
+    for r in got:
+        assert abs(r["cosine"] - want[(r["query_id"], r["id"], r["rank"])]) < 1e-9
+
+
+def test_cosine_ivf_partial_probe_subset_and_filter(spark, sf_oracle, tmp_path):
+    """Partial probes return plausible cosine rows (subset semantics),
+    and filter_ids composes: every result id is admissible and equals
+    the filtered-corpus full-probe answer at full coverage."""
+    from pyspark.sql import functions as F
+
+    from distributed_vector_search_system_spark.functions.distance import (
+        l2_normalize,
+    )
+    from distributed_vector_search_system_spark.operators.clustering import (
+        kmeans_fit,
+    )
+    from distributed_vector_search_system_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from distributed_vector_search_system_spark.sources.ivf_index import (
+        search_cosine_ivf_index,
+        write_cosine_ivf_index,
+    )
+    from distributed_vector_search_system_spark.tables import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    norm = emb.withColumn("embedding", l2_normalize("embedding"))
+    cents, _ = kmeans_fit(norm, 8, max_iterations=5)
+    path = str(tmp_path / "cos_ivf2")
+    write_cosine_ivf_index(emb, path, cents)
+    q = emb.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    partial = search_cosine_ivf_index(spark, path, q, 5, cents, n_probe=2)
+    for r in partial.collect():
+        assert -1.0 - 1e-9 <= r["cosine"] <= 1.0 + 1e-9
+
+    ids = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("id")
+    )
+    got = {
+        (r["query_id"], r["id"], r["rank"])
+        for r in search_cosine_ivf_index(
+            spark, path, q, 5, cents, n_probe=len(cents), filter_ids=ids
+        ).collect()
+    }
+    femb = emb.filter(F.col("vec_id") % 2 == 0)
+    want = {
+        (r["query_id"], r["id"], r["rank"])
+        for r in cosine_topk(femb, q, 5).collect()
+    }
+    assert got == want
