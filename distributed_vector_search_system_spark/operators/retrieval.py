@@ -295,6 +295,7 @@ def hybrid_rrf_indexed_topk(
     query_vector_col: str = "qvec",
     replicated: bool = False,
     filter_ids: DataFrame | None = None,
+    cosine: bool = False,
 ) -> DataFrame:
     """Hybrid search served entirely from PERSISTED index tiers — the
     100 TB shape of :func:`hybrid_rrf_topk`, whose from-scratch legs
@@ -303,6 +304,13 @@ def hybrid_rrf_indexed_topk(
     ``filter_ids``: FILTERED indexed hybrid — the admissible id set
     restricts both index legs pre-rank (semi joins on the pruned
     scans), matching ``hybrid_rrf_topk(filter_ids=)`` semantics.
+
+    ``cosine=True``: the vector leg serves COSINE ranking from a
+    ``write_cosine_ivf_index`` index (normalized-space L2 == cosine
+    rank) — at full probe coverage the whole composition then equals
+    the from-scratch ``hybrid_rrf_topk`` EXACTLY, both legs identical
+    (tested).  With ``cosine=False`` (an L2 index) the vector leg ranks
+    by squared-L2, which matches cosine only for normalized embeddings.
 
     - lexical leg: :func:`sources.posting_index.bm25_search_index` —
       reads only the queried terms' posting rows (term-pushdown scan,
@@ -318,7 +326,7 @@ def hybrid_rrf_indexed_topk(
     null ``qvec`` degrades that query to lexical-only, as in the
     from-scratch operator.
     """
-    from ..sources.ivf_index import search_ivf_index
+    from ..sources.ivf_index import search_cosine_ivf_index, search_ivf_index
     from ..sources.posting_index import bm25_search_index
 
     lex = bm25_search_index(
@@ -329,7 +337,8 @@ def hybrid_rrf_indexed_topk(
     vq = queries.filter(F.col(query_vector_col).isNotNull()).select(
         F.col(query_id_col).alias("query_id"), query_vector_col
     )
-    vec = search_ivf_index(
+    vsearch = search_cosine_ivf_index if cosine else search_ivf_index
+    vec = vsearch(
         spark, ivf_path, vq, leg_k, centroids,
         n_probe=n_probe, replicated=replicated,
         query_vector_col=query_vector_col,

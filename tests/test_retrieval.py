@@ -726,3 +726,56 @@ def test_posting_store_streaming_sink(spark, sf_oracle, tmp_path):
     got = _rows(store.search(spark, queries, 10))
     want = _rows(bm25_topk(docs, queries, 10))
     assert got == want
+
+
+def test_cosine_indexed_hybrid_equals_from_scratch_exactly(
+    spark, sf_oracle, tmp_path
+):
+    """With a COSINE index (normalized-space routing) at full probe
+    coverage, the fully-indexed hybrid's vector leg is exactly the
+    cosine ranking, so the whole composition must equal the
+    from-scratch hybrid_rrf_topk row for row — the coherence loop the
+    L2-leg variant can only approximate on unnormalized embeddings."""
+    from distributed_vector_search_system_spark.functions.distance import (
+        l2_normalize,
+    )
+    from distributed_vector_search_system_spark.operators.clustering import (
+        kmeans_fit,
+    )
+    from distributed_vector_search_system_spark.operators.retrieval import (
+        hybrid_rrf_indexed_topk,
+    )
+    from distributed_vector_search_system_spark.sources.ivf_index import (
+        write_cosine_ivf_index,
+    )
+    from distributed_vector_search_system_spark.sources.posting_index import (
+        write_posting_index,
+    )
+
+    docs = load_table(spark, sf_oracle, "documents")
+    emb = load_table(spark, sf_oracle, "embeddings")
+    posting = str(tmp_path / "posting")
+    write_posting_index(docs, posting)
+    norm = emb.withColumn("embedding", l2_normalize("embedding"))
+    cents, _ = kmeans_fit(norm, 8, max_iterations=5)
+    ivf = str(tmp_path / "cos_ivf")
+    write_cosine_ivf_index(emb, ivf, cents)
+    q = queries_from_docs(docs, F.col("doc_id") % 100 == 7).join(
+        emb.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        ),
+        "query_id",
+        "left",
+    )
+    got = {
+        (r["query_id"], r["id"], r["rrf"], r["rank"])
+        for r in hybrid_rrf_indexed_topk(
+            spark, posting, ivf, cents, q, 10,
+            leg_k=20, n_probe=len(cents), cosine=True,
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["id"], r["rrf"], r["rank"])
+        for r in hybrid_rrf_topk(docs, emb, q, 10, leg_k=20).collect()
+    }
+    assert got == want
