@@ -149,3 +149,46 @@ def test_cosine_ivf_partial_probe_subset_and_filter(spark, sf_oracle, tmp_path):
         for r in cosine_topk(femb, q, 5).collect()
     }
     assert got == want
+
+
+def test_cosine_ivf_replicated_full_probe_equals_cosine_topk(
+    spark, sf_oracle, tmp_path
+):
+    """Replication composes with the cosine tier: replicas=2 + dedup at
+    full probe must still equal cosine_topk exactly."""
+    from pyspark.sql import functions as F
+
+    from distributed_vector_search_system_spark.functions.distance import (
+        l2_normalize,
+    )
+    from distributed_vector_search_system_spark.operators.clustering import (
+        kmeans_fit,
+    )
+    from distributed_vector_search_system_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from distributed_vector_search_system_spark.sources.ivf_index import (
+        search_cosine_ivf_index,
+        write_cosine_ivf_index,
+    )
+    from distributed_vector_search_system_spark.tables import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    norm = emb.withColumn("embedding", l2_normalize("embedding"))
+    cents, _ = kmeans_fit(norm, 8, max_iterations=5)
+    path = str(tmp_path / "cos_ivf_r2")
+    write_cosine_ivf_index(emb, path, cents, replicas=2)
+    q = emb.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = {
+        (r["query_id"], r["id"], r["rank"])
+        for r in search_cosine_ivf_index(
+            spark, path, q, 5, cents, n_probe=len(cents), replicated=True
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["id"], r["rank"])
+        for r in cosine_topk(emb, q, 5).collect()
+    }
+    assert got == want
