@@ -115,6 +115,23 @@ def knn(
     return ranked.filter(F.col("rank") <= k)
 
 
+def _select_topk_by_distance_id(d, ids, kk):
+    """Indices of the ``kk`` smallest ``(distance, id)`` PAIRS —
+    argpartition for the bulk (O(B)), then deterministic repair of the
+    boundary-distance tie cohort (sort over the ties only).  Selection
+    order within the result is unspecified; callers re-rank globally.
+    """
+    import numpy as np
+
+    part = np.argpartition(d, kk - 1)[:kk]
+    thr = d[part].max()
+    strict = np.flatnonzero(d < thr)  # at most kk-1 rows
+    tied = np.flatnonzero(d == thr)
+    take = kk - len(strict)
+    tied = tied[np.argsort(ids[tied], kind="stable")][:take]
+    return np.concatenate([strict, tied])
+
+
 def _knn_numpy(
     vectors: DataFrame,
     queries: DataFrame,
@@ -132,7 +149,8 @@ def _knn_numpy(
     This is the FAISS-flat-scan analog (reference src/index/vector_shard.cc:
     72-94): each executor task scans its partition's vectors against the
     broadcast query matrix with one ``||x||^2 - 2 x·q + ||q||^2`` BLAS
-    call, keeps only its local top-k (argpartition), and ships
+    call, keeps only its local top-k (argpartition + deterministic
+    tie-boundary repair), and ships
     #partitions × #queries × k triples to the final merge — the same
     two-level partial-sort + merge as reference Q3+Q4, with the shuffle
     carrying only the partials.
@@ -178,13 +196,16 @@ def _knn_numpy(
             ids = pdf["id"].to_numpy()
             # partial top-k per query within this Arrow batch, by
             # (distance, id) — the same total order as merge_topk's
-            # final rank.  lexsort, not bare argpartition: an arbitrary
-            # cut among exactly-tied distances (duplicate vectors) would
+            # final rank.  Bare argpartition cuts arbitrarily among
+            # exactly-tied distances (duplicate vectors), which would
             # make the merged result differ from the expr path and vary
-            # with Spark partitioning; prefix-closed selection under the
-            # merge order keeps it deterministic and identical.
+            # with Spark partitioning; _select_topk_by_distance_id
+            # repairs the tie boundary in O(B) + a sort over the tie
+            # cohort only, keeping selection prefix-closed under the
+            # merge order — deterministic and identical to expr.
             part = np.stack(
-                [np.lexsort((ids, d2[:, j]))[:kk] for j in range(len(qids))],
+                [_select_topk_by_distance_id(d2[:, j], ids, kk)
+                 for j in range(len(qids))],
                 axis=1,
             )  # (kk, Q)
             rows = {

@@ -119,7 +119,7 @@ def _quantized_coarse_numpy(
     read from storage.
 
     Per-batch selection keeps the smallest ``(distance, id)`` PAIRS
-    (lexsort, not bare argpartition): int8 codes make exact coarse ties
+    (argpartition + tie-boundary repair): int8 codes make exact coarse ties
     common — duplicate vectors quantize to identical (codes, scale) —
     and an arbitrary tie cut at the candidate boundary would make the
     result differ from the expr path and vary with Spark partitioning.
@@ -131,7 +131,7 @@ def _quantized_coarse_numpy(
     import numpy as np
     import pandas as pd
 
-    from .knn import merge_topk
+    from .knn import _select_topk_by_distance_id, merge_topk
 
     qrows = queries.select(query_id_col, query_vector_col).collect()
     if not qrows:
@@ -162,9 +162,11 @@ def _quantized_coarse_numpy(
             np.maximum(d2, 0.0, out=d2)
             kk = min(n_cands, d2.shape[0])
             ids = pdf["id"].to_numpy()
-            # smallest kk by (distance, id) per query — see docstring
+            # smallest kk by (distance, id) per query — argpartition +
+            # tie-boundary repair (see docstring and knn.py)
             sel = np.stack(
-                [np.lexsort((ids, d2[:, j]))[:kk] for j in range(len(qids))],
+                [_select_topk_by_distance_id(d2[:, j], ids, kk)
+                 for j in range(len(qids))],
                 axis=1,
             )  # (kk, Q)
             yield pd.DataFrame(

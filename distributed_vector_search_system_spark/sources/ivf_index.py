@@ -194,6 +194,14 @@ def write_cosine_ivf_index(
         vector_col, l2_normalize(vector_col)
     )
     write_ivf_index(norm, path, centroids, replicas=replicas, vector_col=vector_col)
+    # persist the metric: it is a property of the INDEX (the stored
+    # vectors are normalized), not of a search call — searching a plain
+    # L2 index through the cosine converter would return unbounded
+    # "cosine" values with no error (review r06)
+    import os
+
+    with open(os.path.join(path, "_METRIC"), "w", encoding="ascii") as f:
+        f.write("cosine\n")
 
 
 def search_cosine_ivf_index(
@@ -217,10 +225,34 @@ def search_cosine_ivf_index(
     (identical ranking), convert ``cos = 1 − d²/2``.  Returns
     ``(query_id, id, cosine, rank)`` — rank by (cosine desc, id), the
     ``cosine_topk`` convention.  At full probe coverage results equal
-    ``cosine_topk`` over the non-zero-norm corpus exactly (tested)."""
-    from ..functions.distance import l2_normalize
+    ``cosine_topk`` over the non-zero-norm corpus exactly (tested).
 
-    nq = queries.withColumn(query_vector_col, l2_normalize(query_vector_col))
+    Zero-norm QUERIES are excluded, like zero-norm corpus vectors at
+    build: a direction-free query has no cosine ranking (the naive
+    conversion would score every candidate 0.5 and return arbitrary
+    probed-cell rows; ``cosine_topk``'s 0.0 is a scoring convention,
+    not a ranking).  The index must have been written by
+    ``write_cosine_ivf_index`` — the persisted ``_METRIC`` marker is
+    checked, so pointing this at a plain L2 index raises instead of
+    returning unbounded "cosine" values."""
+    import os
+
+    from ..functions.distance import l2_norm, l2_normalize
+
+    marker = os.path.join(path, "_METRIC")
+    try:
+        with open(marker, encoding="ascii") as f:
+            metric = f.read().strip()
+    except FileNotFoundError:
+        metric = None
+    if metric != "cosine":
+        raise ValueError(
+            f"{path} is not a cosine index (metric marker: {metric!r}); "
+            "build it with write_cosine_ivf_index"
+        )
+    nq = queries.filter(l2_norm(F.col(query_vector_col)) > 0.0).withColumn(
+        query_vector_col, l2_normalize(query_vector_col)
+    )
     out = search_ivf_index(
         spark, path, nq, k, centroids,
         n_probe=n_probe, id_col=id_col, vector_col=vector_col,
