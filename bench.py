@@ -92,6 +92,7 @@ FAST_TIERS = [
     "ann_ivf_topk",
     "ivf_persisted_topk",
     "ivf_trained_topk",
+    "ann_cosine_ivf_topk",
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "mutations_compact_bucketed",
@@ -223,6 +224,7 @@ def _measure_once(sf_dir: str) -> dict:
     from distributed_vector_search_system_spark import registry
     from distributed_vector_search_system_spark.registry.vector import (
         bucketed_mutation_tables,
+        cosine_ivf_index,
         ivfpq_index,
         persisted_ivf_index,
         pq_tier,
@@ -274,6 +276,7 @@ def _measure_once(sf_dir: str) -> dict:
     _build("quantized_tier", quantized_tier)
     _build("persisted_ivf_index", persisted_ivf_index)
     _build("trained_ivf_index", trained_ivf_index)
+    _build("cosine_ivf_index", cosine_ivf_index)
     _build("pq_tier", pq_tier)
     _build("ivfpq_index", ivfpq_index)
     _build("bucketed_mutation_tables", bucketed_mutation_tables)

@@ -60,37 +60,51 @@ def test_probes_prune_partitions(spark, sf_smoke, tmp_path):
     assert read_files < total_files
 
 
-def test_cosine_ivf_full_probe_equals_cosine_topk(spark, sf_oracle, tmp_path):
-    """At full probe coverage the cosine IVF tier must return exactly
-    cosine_topk's rows: normalized-space L2 rank == cosine rank, and
-    cos = 1 - d^2/2 recovers the exact similarity (to float noise)."""
-    from pyspark.sql import functions as F
 
+import pytest
+
+
+@pytest.fixture(scope="module")
+def cosine_ivf(spark, sf_oracle, tmp_path_factory):
+    """Shared cosine-tier artifacts: normalized-space centroids plus a
+    replicas=1 and a replicas=2 index over the same corpus — built once
+    per module (review r06: the three cosine tests each re-ran
+    kmeans_fit and rebuilt identical indexes)."""
     from distributed_vector_search_system_spark.functions.distance import (
         l2_normalize,
     )
-    from distributed_vector_search_system_spark.operators.clustering import (
-        kmeans_fit,
+    from distributed_vector_search_system_spark.sources.ivf_index import (
+        write_cosine_ivf_index,
     )
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    norm = emb.withColumn("embedding", l2_normalize("embedding"))
+    cents, _ = kmeans_fit(norm, 8, max_iterations=5)
+    root = tmp_path_factory.mktemp("cosine_ivf")
+    p1 = str(root / "r1")
+    write_cosine_ivf_index(emb, p1, cents)
+    p2 = str(root / "r2")
+    write_cosine_ivf_index(emb, p2, cents, replicas=2)
+    return {"emb": emb, "cents": cents, "r1": p1, "r2": p2}
+
+
+def test_cosine_ivf_full_probe_equals_cosine_topk(spark, cosine_ivf):
+    """At full probe coverage the cosine IVF tier must return exactly
+    cosine_topk's rows: normalized-space L2 rank == cosine rank, and
+    cos = 1 - d^2/2 recovers the exact similarity (to float noise)."""
     from distributed_vector_search_system_spark.operators.similarity import (
         cosine_topk,
     )
     from distributed_vector_search_system_spark.sources.ivf_index import (
         search_cosine_ivf_index,
-        write_cosine_ivf_index,
     )
-    from distributed_vector_search_system_spark.tables import load_table
 
-    emb = load_table(spark, sf_oracle, "embeddings")
-    norm = emb.withColumn("embedding", l2_normalize("embedding"))
-    cents, _ = kmeans_fit(norm, 8, max_iterations=5)
-    path = str(tmp_path / "cos_ivf")
-    write_cosine_ivf_index(emb, path, cents)
+    emb, cents = cosine_ivf["emb"], cosine_ivf["cents"]
     q = emb.filter(F.col("vec_id") % 100 == 7).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     got = search_cosine_ivf_index(
-        spark, path, q, 5, cents, n_probe=len(cents)
+        spark, cosine_ivf["r1"], q, 5, cents, n_probe=len(cents)
     ).collect()
     want = {
         (r["query_id"], r["id"], r["rank"]): r["cosine"]
@@ -101,32 +115,18 @@ def test_cosine_ivf_full_probe_equals_cosine_topk(spark, sf_oracle, tmp_path):
         assert abs(r["cosine"] - want[(r["query_id"], r["id"], r["rank"])]) < 1e-9
 
 
-def test_cosine_ivf_partial_probe_subset_and_filter(spark, sf_oracle, tmp_path):
+def test_cosine_ivf_partial_probe_subset_and_filter(spark, cosine_ivf):
     """Partial probes return plausible cosine rows (subset semantics),
     and filter_ids composes: every result id is admissible and equals
     the filtered-corpus full-probe answer at full coverage."""
-    from pyspark.sql import functions as F
-
-    from distributed_vector_search_system_spark.functions.distance import (
-        l2_normalize,
-    )
-    from distributed_vector_search_system_spark.operators.clustering import (
-        kmeans_fit,
-    )
     from distributed_vector_search_system_spark.operators.similarity import (
         cosine_topk,
     )
     from distributed_vector_search_system_spark.sources.ivf_index import (
         search_cosine_ivf_index,
-        write_cosine_ivf_index,
     )
-    from distributed_vector_search_system_spark.tables import load_table
 
-    emb = load_table(spark, sf_oracle, "embeddings")
-    norm = emb.withColumn("embedding", l2_normalize("embedding"))
-    cents, _ = kmeans_fit(norm, 8, max_iterations=5)
-    path = str(tmp_path / "cos_ivf2")
-    write_cosine_ivf_index(emb, path, cents)
+    emb, cents, path = cosine_ivf["emb"], cosine_ivf["cents"], cosine_ivf["r1"]
     q = emb.filter(F.col("vec_id") % 100 == 7).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -151,40 +151,25 @@ def test_cosine_ivf_partial_probe_subset_and_filter(spark, sf_oracle, tmp_path):
     assert got == want
 
 
-def test_cosine_ivf_replicated_full_probe_equals_cosine_topk(
-    spark, sf_oracle, tmp_path
-):
+def test_cosine_ivf_replicated_full_probe_equals_cosine_topk(spark, cosine_ivf):
     """Replication composes with the cosine tier: replicas=2 + dedup at
     full probe must still equal cosine_topk exactly."""
-    from pyspark.sql import functions as F
-
-    from distributed_vector_search_system_spark.functions.distance import (
-        l2_normalize,
-    )
-    from distributed_vector_search_system_spark.operators.clustering import (
-        kmeans_fit,
-    )
     from distributed_vector_search_system_spark.operators.similarity import (
         cosine_topk,
     )
     from distributed_vector_search_system_spark.sources.ivf_index import (
         search_cosine_ivf_index,
-        write_cosine_ivf_index,
     )
-    from distributed_vector_search_system_spark.tables import load_table
 
-    emb = load_table(spark, sf_oracle, "embeddings")
-    norm = emb.withColumn("embedding", l2_normalize("embedding"))
-    cents, _ = kmeans_fit(norm, 8, max_iterations=5)
-    path = str(tmp_path / "cos_ivf_r2")
-    write_cosine_ivf_index(emb, path, cents, replicas=2)
+    emb, cents = cosine_ivf["emb"], cosine_ivf["cents"]
     q = emb.filter(F.col("vec_id") % 100 == 7).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     got = {
         (r["query_id"], r["id"], r["rank"])
         for r in search_cosine_ivf_index(
-            spark, path, q, 5, cents, n_probe=len(cents), replicated=True
+            spark, cosine_ivf["r2"], q, 5, cents, n_probe=len(cents),
+            replicated=True,
         ).collect()
     }
     want = {
@@ -192,3 +177,22 @@ def test_cosine_ivf_replicated_full_probe_equals_cosine_topk(
         for r in cosine_topk(emb, q, 5).collect()
     }
     assert got == want
+
+
+def test_cosine_search_rejects_l2_index(spark, cosine_ivf, tmp_path):
+    """The persisted _METRIC marker must stop the cosine converter from
+    reading a plain L2 index (unbounded 'cosine' values otherwise)."""
+    import pytest as _pytest
+
+    from distributed_vector_search_system_spark.sources.ivf_index import (
+        search_cosine_ivf_index,
+    )
+
+    emb, cents = cosine_ivf["emb"], cosine_ivf["cents"]
+    l2_path = str(tmp_path / "plain_l2")
+    write_ivf_index(emb, l2_path, cents)
+    q = emb.limit(1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    with _pytest.raises(ValueError, match="not a cosine index"):
+        search_cosine_ivf_index(spark, l2_path, q, 5, cents)

@@ -131,3 +131,61 @@ def test_posting_index_and_filter_invariants(spark, tmp_path_factory, corpus, qt
         .collect()
     }
     assert filt == ref
+
+
+# ---------------------------------------------------------------------------
+# GEMM-kernel vs expr parity over random duplicate-heavy corpora: the
+# deterministic tests pin specific tie shapes; this walks random ones
+# (duplicates are drawn from a 4-vector pool, so exact coarse/distance
+# ties straddle the selection cut constantly).
+
+_POOL = [
+    [1.0, 2.0, 3.0, 4.0],
+    [1.1, 2.1, 3.1, 4.1],
+    [9.0, 9.0, 9.0, 9.0],
+    [0.0, 1.0, 0.0, 1.0],
+]
+_VEC_CORPUS = st.lists(
+    st.sampled_from(range(len(_POOL))), min_size=3, max_size=14
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(picks=_VEC_CORPUS, k=st.integers(min_value=1, max_value=4),
+       parts=st.integers(min_value=1, max_value=4))
+def test_gemm_kernels_match_expr_on_random_duplicates(spark, picks, k, parts):
+    from distributed_vector_search_system_spark.operators.knn import knn
+    from distributed_vector_search_system_spark.operators.quantize import (
+        quantized_knn,
+    )
+
+    rows = [(i, _POOL[p]) for i, p in enumerate(picks)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(parts)
+    q = spark.createDataFrame(
+        [(0, _POOL[0]), (1, _POOL[2])], "query_id long, qvec array<double>"
+    )
+    knn_expr = sorted(
+        (r["query_id"], r["id"], r["rank"]) for r in knn(emb, q, k).collect()
+    )
+    knn_np = sorted(
+        (r["query_id"], r["id"], r["rank"])
+        for r in knn(emb, q, k, method="numpy").collect()
+    )
+    assert knn_np == knn_expr
+    qk_expr = sorted(
+        (r["query_id"], r["id"], r["rank"])
+        for r in quantized_knn(emb, q, k, rerank=2).collect()
+    )
+    qk_np = sorted(
+        (r["query_id"], r["id"], r["rank"])
+        for r in quantized_knn(
+            emb, q, k, rerank=2, coarse_method="numpy"
+        ).collect()
+    )
+    assert qk_np == qk_expr
