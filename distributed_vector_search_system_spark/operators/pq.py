@@ -170,6 +170,7 @@ def pq_adc_topk(
     codebooks: list[list[list[float]]],
     *,
     rerank: int = 4,
+    rerank_store: str | None = None,
     id_col: str = "vec_id",
     vector_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -180,9 +181,22 @@ def pq_adc_topk(
     squared-L2 re-rank of the surviving ``k·rerank`` candidates.
 
     If ``codes_col`` exists on ``vectors`` (the stored PQ tier written
-    by :func:`pq_encode`), phase 1 reads ONLY it — the float column is
-    touched for just the re-rank rows, the 32× IO win.  Otherwise codes
-    are derived on the fly (correctness-identical; not the 100 TB path).
+    by :func:`pq_encode`), phase 1 reads ONLY it — the 32× coarse-IO
+    win.  Otherwise codes are derived on the fly (correctness-
+    identical; not the 100 TB path).
+
+    **Phase-2 IO** (VERDICT r06 finding #1): the default candidate join
+    back to the float column scans the whole big side (broadcast hash
+    joins probe every row), so without ``rerank_store=`` the tier saves
+    re-rank *compute*, not float-column *IO*.  For the 100 TB path pass
+    ``rerank_store=`` an id-bucketed layout written by
+    :func:`sources.rerank_store.write_rerank_store`: phase 2 then
+    joins the candidate frame on ``(id_bucket, id)`` and dynamic
+    partition pruning reads only the buckets holding candidates —
+    identical results, one lazy plan, re-rank bytes bounded by
+    ``|candidates| × bucket_rows`` rows.  With a cell
+    structure available, prefer ``sources.ivfpq_index`` (re-rank
+    bounded by probed cells) outright.
 
     Output matches :func:`operators.knn.knn`: (query_id, id, distance,
     rank) with EXACT distances — the approximation only picks which
@@ -227,6 +241,20 @@ def pq_adc_topk(
         .filter(F.col("_crank") <= k * rerank)
         .select("query_id", "id")
     )
+    if rerank_store is not None:
+        from ..sources.rerank_store import bounded_rerank
+
+        return bounded_rerank(
+            vectors.sparkSession,
+            rerank_store,
+            cands,
+            queries,
+            k,
+            id_col=id_col,
+            vector_col=vector_col,
+            query_id_col=query_id_col,
+            query_vector_col=query_vector_col,
+        )
     full = vectors.select(F.col(id_col).alias("id"), F.col(vector_col).alias("_fv"))
     qv = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vector_col).alias("_qv")

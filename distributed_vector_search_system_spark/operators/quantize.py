@@ -4,8 +4,13 @@ The reference stores float32 vectors and scans them exactly (FAISS
 IndexFlatL2, src/index/vector_shard.cc:34-45).  At 100 TB the dominant
 cost of a flat scan is memory bandwidth / IO on the vector column, so
 this module adds the standard scalar-quantization storage tier used by
-large vector stores: per-vector symmetric int8 codes at 4× less IO,
-with exact re-rank on the float column for the final top-k.
+large vector stores: per-vector symmetric int8 codes at 4× less coarse
+IO, with exact re-rank on the float column for the final top-k.  The
+4× claim holds end to end only when BOTH phases are IO-bounded: the
+coarse scan by reading the stored codes (not the float column) and the
+re-rank by the id-bucketed ``sources.rerank_store`` layout (pass
+``rerank_store=``) — the default in-memory re-rank join scans the full
+float column and is a compute-saver only (see ``quantized_knn``).
 
 Everything is expression-tier (JVM codegen, no Python in the loop) and
 deterministic, so the full quantized pipeline is oracle-comparable;
@@ -192,6 +197,7 @@ def quantized_knn(
     *,
     rerank: int = 4,
     coarse_method: str = "expr",
+    rerank_store: str | None = None,
     id_col: str = "vec_id",
     vector_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -217,11 +223,25 @@ def quantized_knn(
 
     If ``codes_col``/``scale_col`` already exist on ``vectors`` (the
     stored int8 tier, e.g. written once by :func:`quantize_vectors`),
-    phase 1 reads ONLY them — the float column is scanned for just the
-    ``k*rerank`` re-rank rows, which is the whole IO win.  Otherwise the
-    codes are derived on the fly (correctness-identical, but phase 1
-    then reads the float column too — fine for tests, not the 100 TB
-    path; ADVICE r02).
+    phase 1 reads ONLY them.  Otherwise the codes are derived on the
+    fly (correctness-identical, but phase 1 then reads the float column
+    too — fine for tests, not the 100 TB path; ADVICE r02).
+
+    **Phase-2 IO** (VERDICT r06 finding #1): with ``rerank_store=None``
+    the candidate equi-join back to ``vectors``' float column scans the
+    WHOLE big side (a broadcast hash join probes every row), so the
+    default form saves distance *compute*, not column *IO* — fine for
+    cached/in-memory tiers, wrong at 100 TB, where codes + full floats
+    would exceed the flat scan.  Pass ``rerank_store=`` a path written
+    by :func:`sources.rerank_store.write_rerank_store` (id-bucketed
+    layout holding the float column) and phase 2 instead joins the
+    tiny candidate frame on ``(id_bucket, id)`` — dynamic partition
+    pruning reads ONLY the id-buckets containing candidates, so re-rank
+    IO is bounded by ``|candidates| × bucket_rows`` rows, independent
+    of corpus size, and the search stays one lazy plan.
+    Results are identical either way (same candidates, same exact
+    re-rank).  When the corpus has a cell structure, prefer the
+    cell-pruned path (sources/ivfpq_index.py) outright.
 
     ``coarse_method``: "expr" (codegen per-element fold — wins at the
     64-dim fixtures, no Arrow transfer) or "numpy" (Arrow/GEMM batch
@@ -266,6 +286,20 @@ def quantized_knn(
             scored.withColumn("_crank", F.row_number().over(w))
             .filter(F.col("_crank") <= k * rerank)
             .select("query_id", "id")
+        )
+    if rerank_store is not None:
+        from ..sources.rerank_store import bounded_rerank
+
+        return bounded_rerank(
+            vectors.sparkSession,
+            rerank_store,
+            cands,
+            queries,
+            k,
+            id_col=id_col,
+            vector_col=vector_col,
+            query_id_col=query_id_col,
+            query_vector_col=query_vector_col,
         )
     full = vectors.select(F.col(id_col).alias("id"), F.col(vector_col).alias("_fv"))
     qv = queries.select(

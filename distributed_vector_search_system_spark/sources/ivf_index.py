@@ -197,11 +197,12 @@ def write_cosine_ivf_index(
     # persist the metric: it is a property of the INDEX (the stored
     # vectors are normalized), not of a search call — searching a plain
     # L2 index through the cosine converter would return unbounded
-    # "cosine" values with no error (review r06)
-    import os
+    # "cosine" values with no error (review r06).  Through the Hadoop
+    # FileSystem API (not local open()) so the marker works on every
+    # filesystem the parquet path does — hdfs://, s3a:// (ADVICE r06)
+    from .fsutil import write_marker
 
-    with open(os.path.join(path, "_METRIC"), "w", encoding="ascii") as f:
-        f.write("cosine\n")
+    write_marker(vectors.sparkSession, f"{path}/_METRIC", "cosine\n")
 
 
 def search_cosine_ivf_index(
@@ -235,16 +236,11 @@ def search_cosine_ivf_index(
     ``write_cosine_ivf_index`` — the persisted ``_METRIC`` marker is
     checked, so pointing this at a plain L2 index raises instead of
     returning unbounded "cosine" values."""
-    import os
-
     from ..functions.distance import l2_norm, l2_normalize
+    from .fsutil import read_marker
 
-    marker = os.path.join(path, "_METRIC")
-    try:
-        with open(marker, encoding="ascii") as f:
-            metric = f.read().strip()
-    except FileNotFoundError:
-        metric = None
+    raw = read_marker(spark, f"{path}/_METRIC")
+    metric = raw.strip() if raw is not None else None
     if metric != "cosine":
         raise ValueError(
             f"{path} is not a cosine index (metric marker: {metric!r}); "

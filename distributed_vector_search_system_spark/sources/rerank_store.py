@@ -1,0 +1,185 @@
+"""Id-bucketed float-vector store: IO-bounded exact re-rank lookups.
+
+The two-phase compressed tiers (``operators.quantize.quantized_knn``,
+``operators.pq.pq_adc_topk``) end with an exact re-rank: the surviving
+``k·rerank`` candidate ids equi-join back to the float column.  The
+candidate side is tiny, so Spark broadcasts it — but a broadcast hash
+join still *scans every row* of the big side to probe the hash table,
+reading the float column's full bytes.  At 100 TB that re-rank IO
+(the whole float column) exceeds the coarse savings, falsifying the
+tiers' premise (VERDICT r06 finding #1).
+
+This store bounds the re-rank's IO the same way the IVF index bounds
+probes — with Spark partition pruning on a literal key list:
+
+- ``write_rerank_store`` persists the table hive-partitioned by
+  ``id_bucket = floor(id / bucket_rows)`` — contiguous id ranges, one
+  directory each, row data untouched.
+- ``bounded_rerank`` joins the (contractually tiny) coarse-candidate
+  frame to the store on ``(id_bucket, id)`` with the candidate side
+  broadcast — Spark's dynamic partition pruning turns the broadcast
+  into a runtime partition filter, so directories holding no candidate
+  never open, and the two-phase search stays ONE lazy plan.
+- ``lookup_ids`` is the static form: a literal id list becomes an
+  ``id_bucket IN (…)`` PartitionFilter — for serving layers that
+  already hold the ids.
+
+Re-rank bytes are therefore ≤ ``|candidates| × bucket_rows`` rows of
+the float column, independent of corpus size: with Q×k·rerank ≈ 4k
+candidates and 4k-row buckets over a 10⁹-row corpus, phase 2 touches
+≤ 1.6×10⁷ rows (~1.6%) instead of 10⁹ — and usually far less, since
+candidates cluster into shared buckets.  ``bucket_rows`` trades
+directory count against over-read: at extreme corpus sizes you would
+raise it (or move the bucket→file map into a table-format manifest);
+the pruning mechanism is identical.
+
+Works for ANY per-id payload lookup, not just vectors — the store
+keeps every column it is given.  The cell-partitioned IVF/IVFPQ
+indexes (sources/ivf_index.py, sources/ivfpq_index.py) remain the
+preferred serving layout when a cell structure exists — their re-rank
+is bounded by the probed cells; this store is for the GLOBAL tiers,
+which have no cells to prune by.
+
+The reference has no re-rank (it scans floats exactly,
+src/index/vector_shard.cc:72-94); this layout is the piece that makes
+the compressed tiers honest about total IO at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .fsutil import read_marker, write_marker
+
+#: hive partition column added by the store (directory key)
+BUCKET_COL = "id_bucket"
+#: sidecar marker recording bucket_rows (read back at lookup time)
+_META = "_BUCKET_ROWS"
+
+#: default bucket granularity — a few parquet row groups' worth of
+#: vectors; callers tune it per corpus (see module docstring)
+DEFAULT_BUCKET_ROWS = 4096
+
+
+def write_rerank_store(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    bucket_rows: int = DEFAULT_BUCKET_ROWS,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` hive-partitioned by ``floor(id / bucket_rows)``.
+
+    Map-side key + partitioned write — no shuffle (partitionBy splits
+    files per task).  Ids need not be dense: sparse ranges just yield
+    smaller buckets.  Negative ids work (floor division).  All of
+    ``df``'s columns are stored, so one store can serve both coarse
+    phase (codes columns, all buckets, column-pruned) and re-rank
+    phase (float column, pruned buckets).
+    """
+    if bucket_rows < 1:
+        raise ValueError("bucket_rows must be >= 1")
+    keyed = df.withColumn(
+        BUCKET_COL, F.floor(F.col(id_col) / F.lit(bucket_rows)).cast("long")
+    )
+    keyed.write.mode(mode).partitionBy(BUCKET_COL).parquet(path)
+    write_marker(df.sparkSession, f"{path}/{_META}", f"{bucket_rows}\n")
+
+
+def store_bucket_rows(spark: SparkSession, path: str) -> int:
+    """The ``bucket_rows`` a store was written with (from its marker)."""
+    raw = read_marker(spark, f"{path}/{_META}")
+    if raw is None:
+        raise ValueError(
+            f"{path} is not a rerank store (missing {_META} marker); "
+            "build it with write_rerank_store"
+        )
+    return int(raw.strip())
+
+
+def read_store(spark: SparkSession, path: str) -> DataFrame:
+    """Whole-store scan (coarse phase / rebuilds).  Column pruning still
+    applies — selecting only code columns never reads float bytes."""
+    return spark.read.parquet(path)
+
+
+def lookup_ids(
+    spark: SparkSession,
+    path: str,
+    ids: list[int],
+    *,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Rows of the store whose id is in ``ids`` — partition-pruned.
+
+    ``ids`` is driver-side by necessity (the pruning predicate must be
+    literal) and tiny by contract (re-rank candidates: queries ×
+    k·rerank).  Buckets are the DISTINCT id ranges hit, so the scan
+    opens at most ``len(ids)`` directories regardless of corpus size.
+    """
+    bucket_rows = store_bucket_rows(spark, path)
+    uids = sorted(set(int(i) for i in ids))
+    buckets = sorted({i // bucket_rows for i in uids})
+    return (
+        spark.read.parquet(path)
+        .filter(F.col(BUCKET_COL).isin(buckets))
+        .filter(F.col(id_col).isin(uids))
+        .drop(BUCKET_COL)
+    )
+
+
+def bounded_rerank(
+    spark: SparkSession,
+    path: str,
+    cands: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vector_col: str = "qvec",
+) -> DataFrame:
+    """Exact squared-L2 top-``k`` of coarse candidates against the
+    store's float column — the IO-bounded phase 2 of the two-phase
+    tiers, as ONE lazy plan.
+
+    ``cands`` is the coarse phase's ``(query_id, id)`` frame (tiny by
+    contract: queries × k·rerank).  Its bucket key is derived map-side
+    and the store is joined on ``(id_bucket, id)`` with the candidate
+    side broadcast — Spark's **dynamic partition pruning** turns the
+    broadcast into a runtime partition filter (``dynamicpruning#N`` in
+    PartitionFilters, plan-locked in tests/test_rerank_store.py), so
+    only buckets holding candidates are read, without collecting the
+    candidates or splitting the plan in two.  Result columns match
+    :func:`operators.knn.knn`.
+
+    For callers that already hold a literal id list (a serving layer
+    fetching known rows), :func:`lookup_ids` gives the same pruning
+    statically.
+    """
+    from ..functions.distance import squared_l2
+    from ..operators.knn import merge_topk
+
+    bucket_rows = store_bucket_rows(spark, path)
+    cands_b = cands.select(
+        "query_id",
+        "id",
+        F.floor(F.col("id") / F.lit(bucket_rows)).alias(BUCKET_COL),
+    )
+    full = spark.read.parquet(path).select(
+        F.col(id_col).alias("id"), F.col(vector_col).alias("_fv"), BUCKET_COL
+    )
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vector_col).alias("_qv")
+    )
+    exact = (
+        full.join(F.broadcast(cands_b), on=[BUCKET_COL, "id"])
+        .join(F.broadcast(qv), on="query_id")
+        .select(
+            "query_id", "id", squared_l2(F.col("_fv"), F.col("_qv")).alias("distance")
+        )
+    )
+    return merge_topk(exact, k)
