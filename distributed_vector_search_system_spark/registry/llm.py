@@ -1811,6 +1811,21 @@ ORACLES["bm25_topk"] = _bm25_oracle()
 QUERIES["hybrid_rrf"] = q_hybrid_rrf
 ORACLES["hybrid_rrf"] = _hybrid_oracle()
 
+# round-7 rotation (VERDICT r06 item 2): the round-6 retrieval
+# flagships — fully-indexed hybrid, streaming posting store, filtered
+# lexical, indexed BM25 — move INTO the driver window so the
+# independent oracle checks them (four thin relational rows demoted in
+# exchange — registry/relational.py)
+QUERIES["hybrid_indexed_rrf"] = q_hybrid_indexed_rrf
+ORACLES["hybrid_indexed_rrf"] = _hybrid_indexed_oracle()
+QUERIES["bm25_stream_topk"] = q_bm25_stream_topk
+ORACLES["bm25_stream_topk"] = _bm25_stream_oracle()
+QUERIES["bm25_filtered"] = q_bm25_filtered
+ORACLES["bm25_filtered"] = _bm25_filtered_oracle()
+QUERIES["bm25_index_topk"] = q_bm25_index_topk
+# the index serves IDENTICAL numbers to the from-scratch plan
+ORACLES["bm25_index_topk"] = _bm25_oracle()
+
 
 EXTRA_QUERIES: dict = {
     "text_tfidf_topk": q_text_tfidf_topk,
@@ -1827,10 +1842,6 @@ EXTRA_QUERIES: dict = {
     "mmr_rerank": q_mmr_rerank,
     "capped_sample": q_capped_sample,
     "dedup_simhash_loose": q_dedup_simhash_loose,
-    "bm25_stream_topk": q_bm25_stream_topk,
-    "hybrid_indexed_rrf": q_hybrid_indexed_rrf,
-    "bm25_filtered": q_bm25_filtered,
-    "bm25_index_topk": q_bm25_index_topk,
 }
 EXTRA_ORACLES: dict = {
     "text_tfidf_topk": _TFIDF_SQL,
@@ -1847,9 +1858,4 @@ EXTRA_ORACLES: dict = {
     # mmr_rerank: weak-checked (greedy/iterative — no SQL form)
     "capped_sample": _capped_sample_oracle(),
     "dedup_simhash_loose": _simhash_oracle(_SIMHASH_LOOSE_MAXHAM),
-    "bm25_stream_topk": _bm25_stream_oracle(),
-    "hybrid_indexed_rrf": _hybrid_indexed_oracle(),
-    "bm25_filtered": _bm25_filtered_oracle(),
-    # the index serves IDENTICAL numbers to the from-scratch plan
-    "bm25_index_topk": _bm25_oracle(),
 }

@@ -551,12 +551,12 @@ GROUP BY 2
 # `ivf_trained_topk` (the serving-quality trained-centroid tier) and
 # `knn_filtered` (the filtered-ANN production contract).
 
+# round-7 window: rel_revenue_by_region / rel_nation_volume /
+# rel_anti_semi_join / rel_window_suite demoted to the pytest tier in
+# exchange for the round-6 retrieval/cosine flagships (VERDICT r06
+# item 2); identical DuckDB check either way via test_oracle_parity.py
 QUERIES = {
     "rel_pricing_summary": _sql(_PRICING_SQL),
-    "rel_revenue_by_region": _sql(_REVENUE_BY_REGION_SQL),
-    "rel_nation_volume": _sql(_NATION_VOLUME_SQL),
-    "rel_anti_semi_join": _sql(_ANTI_SEMI_SQL),
-    "rel_window_suite": _sql(_WINDOW_SUITE_SQL_SPARK),
     "rel_range_filter": _sql(_RANGE_FILTER_SQL),
     "rel_asof_purchase_click": q_asof_purchase_click,
     "rel_events_windows": q_rel_events_windows,
@@ -564,10 +564,6 @@ QUERIES = {
 
 ORACLES = {
     "rel_pricing_summary": _PRICING_SQL,
-    "rel_revenue_by_region": _REVENUE_BY_REGION_SQL,
-    "rel_nation_volume": _NATION_VOLUME_SQL,
-    "rel_anti_semi_join": _ANTI_SEMI_SQL,
-    "rel_window_suite": _WINDOW_SUITE_SQL_DUCK,
     "rel_range_filter": _RANGE_FILTER_SQL,
     "rel_asof_purchase_click": _ASOF_SQL_DUCK,
     "rel_events_windows": _EVENTS_WINDOWS_SQL_DUCK,
@@ -803,6 +799,12 @@ GROUP BY p.p_brand
 
 
 EXTRA_QUERIES = {
+    # demoted round 7 for hybrid_indexed_rrf / bm25_stream_topk /
+    # bm25_filtered / bm25_index_topk (VERDICT r06 item 2)
+    "rel_revenue_by_region": _sql(_REVENUE_BY_REGION_SQL),
+    "rel_nation_volume": _sql(_NATION_VOLUME_SQL),
+    "rel_anti_semi_join": _sql(_ANTI_SEMI_SQL),
+    "rel_window_suite": _sql(_WINDOW_SUITE_SQL_SPARK),
     "rel_skew_salted_agg": q_rel_skew_salted_agg,
     "rel_skew_salted_join": q_rel_skew_salted_join,
     # thin single/few-row driver entries demoted in round 4 to free
@@ -845,6 +847,10 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLES = {
+    "rel_revenue_by_region": _REVENUE_BY_REGION_SQL,
+    "rel_nation_volume": _NATION_VOLUME_SQL,
+    "rel_anti_semi_join": _ANTI_SEMI_SQL,
+    "rel_window_suite": _WINDOW_SUITE_SQL_DUCK,
     "rel_skew_salted_agg": _SKEW_AGG_SQL,
     "rel_skew_salted_join": _SKEW_JOIN_SQL,
     "rel_or_ranges": _OR_RANGES_SQL,

@@ -1588,6 +1588,14 @@ ORACLES["ivf_trained_topk"] = _ivf_trained_oracle()
 QUERIES["knn_filtered"] = q_knn_filtered
 ORACLES["knn_filtered"] = _knn_oracle("vec_id % 250 = 2", "label % 3 = 0", 10)
 
+# round-7 rotation (VERDICT r06 item 2): the round-6 cosine-metric IVF
+# serving tier moves INTO the driver window (knn_edge_k demoted — its
+# semantics are knn_batch at boundary k, already driver-covered)
+QUERIES["ann_cosine_ivf_topk"] = q_ann_cosine_ivf_topk
+ORACLES["ann_cosine_ivf_topk"] = _cosine_ivf_oracle()
+_EDGE_K_DEMOTED = QUERIES.pop("knn_edge_k")
+_EDGE_K_ORACLE = ORACLES.pop("knn_edge_k")
+
 EXTRA_QUERIES = {
     "cache_ttl_prune": q_cache_ttl_prune,
     "embedding_quantize": q_embedding_quantize,
@@ -1596,7 +1604,7 @@ EXTRA_QUERIES = {
     "mutations_compact_bucketed": q_mutations_compact_bucketed,
     "knn_radius": q_knn_radius,
     "knn_grouped": q_knn_grouped,
-    "ann_cosine_ivf_topk": q_ann_cosine_ivf_topk,
+    "knn_edge_k": _EDGE_K_DEMOTED,
 }
 EXTRA_ORACLES = {
     "cache_ttl_prune": _CACHE_TTL_SQL,
@@ -1607,5 +1615,5 @@ EXTRA_ORACLES = {
     "mutations_compact_bucketed": ORACLES["mutations_compact"],
     "knn_radius": _KNN_RADIUS_SQL,
     "knn_grouped": _KNN_GROUPED_SQL,
-    "ann_cosine_ivf_topk": _cosine_ivf_oracle(),
+    "knn_edge_k": _EDGE_K_ORACLE,
 }

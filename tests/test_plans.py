@@ -50,7 +50,7 @@ def test_knn_scan_prunes_columns(spark, sf_smoke):
 def test_dim_joins_broadcast(spark, sf_smoke):
     """Region/nation/customer joins must broadcast; shuffling lineitem on
     the dim chain would be the 100 TB bottleneck."""
-    plan = _plan(registry.queries()["rel_revenue_by_region"](spark, sf_smoke))
+    plan = _plan(registry.all_queries()["rel_revenue_by_region"](spark, sf_smoke))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
 
