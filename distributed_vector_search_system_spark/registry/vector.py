@@ -1617,3 +1617,193 @@ EXTRA_ORACLES = {
     "knn_grouped": _KNN_GROUPED_SQL,
     "knn_edge_k": _EDGE_K_ORACLE,
 }
+
+
+# ---------------------------------------------------------------------------
+# Round-7: cosine-metric IVF+PQ serving (sources/ivfpq_index.py cosine
+# tier — VERDICT r06 item 3).  The index stores L2-NORMALIZED vectors
+# with PQ codes encoded in normalized space; routing, ADC, and re-rank
+# are all L2 in normalized space (== cosine ranking), similarity
+# recovered exactly as cos = 1 − d²/2.  Centroids are the frozen
+# normalized-space sample (trained_cents.COSINE_CENTROIDS_SF001, same
+# as ann_cosine_ivf_topk) and codebooks are the deterministic
+# hash-thinned sample drawn FROM THE NORMALIZED corpus, so the oracle
+# replays normalization, codebook selection, cell assignment, code
+# assignment, probing, ADC, exact re-rank, and the cosine conversion.
+
+_COSINE_IVFPQ_NPROBE = 4
+_COSINE_IVFPQ_RERANK = 10
+_COSINE_IVFPQ_QPRED = "vec_id % 100 = 31"
+_COSINE_IVFPQ_STATE: dict[str, str] = {}
+_COSINE_PQ_BOOKS: dict[str, list] = {}
+
+
+def _norm_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The non-zero-norm corpus, L2-normalized — the space every cosine
+    index artifact (centroids, codebooks, codes) lives in."""
+    from ..functions.distance import l2_norm, l2_normalize
+
+    emb = _emb(spark, sf_dir)
+    return emb.filter(l2_norm(F.col("embedding")) > 0.0).withColumn(
+        "embedding", l2_normalize("embedding")
+    )
+
+
+def cosine_pq_books(spark: SparkSession, sf_dir: str) -> list:
+    """Deterministic sample codebooks over the NORMALIZED corpus —
+    same thinning as ``pq_books``, different space."""
+    from ..operators.pq import pq_sample_codebooks
+
+    books = _COSINE_PQ_BOOKS.get(sf_dir)
+    if books is None:
+        books = pq_sample_codebooks(
+            _norm_emb(spark, sf_dir), dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB,
+            count_key=f"{sf_dir}:embeddings_norm",
+        )
+        _COSINE_PQ_BOOKS[sf_dir] = books
+    return books
+
+
+def cosine_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    from ..sources.ivfpq_index import write_cosine_ivfpq_index
+    from .trained_cents import COSINE_CENTROIDS_SF001
+
+    path = _COSINE_IVFPQ_STATE.get(sf_dir)
+    if path is None:
+        name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        path = os.path.join(
+            tempfile.gettempdir(), f"dvss_spark_ivfpq_cos_{os.getpid()}", name
+        )
+        write_cosine_ivfpq_index(
+            _emb(spark, sf_dir), path,
+            COSINE_CENTROIDS_SF001, cosine_pq_books(spark, sf_dir),
+        )
+        _COSINE_IVFPQ_STATE[sf_dir] = path
+    return path
+
+
+def q_ann_cosine_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-5 from the persisted cosine IVF+PQ index: partition-
+    pruned probes over normalized-space PQ codes, exact normalized-L2
+    re-rank, cos = 1 − d²/2."""
+    from ..sources.ivfpq_index import search_cosine_ivfpq_index
+    from .trained_cents import COSINE_CENTROIDS_SF001
+
+    path = cosine_ivfpq_index(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    q = _query_set(emb, F.expr(_COSINE_IVFPQ_QPRED))
+    return search_cosine_ivfpq_index(
+        spark, path, q, 5, COSINE_CENTROIDS_SF001, cosine_pq_books(spark, sf_dir),
+        n_probe=_COSINE_IVFPQ_NPROBE, rerank=_COSINE_IVFPQ_RERANK,
+    ).select("query_id", "id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def _cosine_ivfpq_oracle() -> str:
+    from ..functions.hashing import portable_hash64_sql
+    from ..operators.pq import PQ_THIN_SEED
+    from .trained_cents import COSINE_CENTROIDS_SF001
+
+    cent_rows = ",\n  ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(COSINE_CENTROIDS_SF001)
+    )
+    h = portable_hash64_sql("CAST(vec_id AS VARCHAR)", seed=PQ_THIN_SEED)
+    norm_col = _SQL_L2NORM.format(x="embedding")
+    l2_vc = _SQL_SQ_L2.format(q="v.e", v="c.cvec")
+    l2_qc = _SQL_SQ_L2.format(q="q.qe", v="c.cvec")
+    # per-(vec, sub) distance to a codebook entry, in normalized space
+    sub_lo = f"(cb.sub * {_PQ_DSUB} + 1)"
+    sub_hi = f"((cb.sub + 1) * {_PQ_DSUB})"
+    d_vcb = (
+        "(SELECT SUM((CAST(u.a AS DOUBLE) - CAST(u.b AS DOUBLE)) * "
+        "(CAST(u.a AS DOUBLE) - CAST(u.b AS DOUBLE))) "
+        f"FROM (SELECT UNNEST(list_slice(v.e, {sub_lo}, {sub_hi})) AS a, "
+        "UNNEST(cb.cvec) AS b) u)"
+    )
+    d_qcb = (
+        "(SELECT SUM((CAST(u.a AS DOUBLE) - CAST(u.b AS DOUBLE)) * "
+        "(CAST(u.a AS DOUBLE) - CAST(u.b AS DOUBLE))) "
+        f"FROM (SELECT UNNEST(list_slice(q.qe, cb.sub * {_PQ_DSUB} + 1, "
+        f"(cb.sub + 1) * {_PQ_DSUB})) AS a, UNNEST(cb.cvec) AS b) u)"
+    )
+    d_exact = _SQL_SQ_L2.format(q="c.qe", v="v.e")
+    return f"""
+WITH cents(cell_id, cvec) AS (VALUES
+  {cent_rows}
+),
+nz AS (SELECT vec_id, embedding, {norm_col} AS nrm FROM embeddings),
+nv AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS e
+       FROM nz WHERE nrm > 0),
+nt AS (SELECT GREATEST(COUNT(*) // {_PQ_KSUB * 4}, 1) AS step FROM nv),
+sel AS (
+  SELECT vec_id, e FROM nv, nt
+  WHERE ({h}) % step = 0
+  ORDER BY vec_id LIMIT {_PQ_KSUB}
+),
+zrows AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS z, e
+  FROM sel
+),
+cb AS (
+  SELECT s.sub, z.z,
+         list_slice(z.e, s.sub * {_PQ_DSUB} + 1, (s.sub + 1) * {_PQ_DSUB}) AS cvec
+  FROM (SELECT UNNEST(range({_PQ_M})) AS sub) s CROSS JOIN zrows z
+),
+cellasg AS (
+  SELECT vec_id, cell_id FROM
+    (SELECT v.vec_id, c.cell_id,
+            ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {l2_vc}, c.cell_id) AS rn
+     FROM nv v CROSS JOIN cents c)
+  WHERE rn = 1
+),
+codes AS (
+  SELECT vec_id, sub, z FROM
+    (SELECT v.vec_id, cb.sub, cb.z,
+            ROW_NUMBER() OVER (PARTITION BY v.vec_id, cb.sub ORDER BY {d_vcb}, cb.z) AS rn
+     FROM nv v CROSS JOIN cb)
+  WHERE rn = 1
+),
+q AS (SELECT z.vec_id AS query_id,
+             list_transform(z.embedding, x -> CAST(x AS DOUBLE) / z.nrm) AS qe
+      FROM nz z WHERE {_COSINE_IVFPQ_QPRED} AND z.nrm > 0),
+qp AS (
+  SELECT query_id, qe, cell_id FROM
+    (SELECT q.query_id, q.qe, c.cell_id,
+            ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY {l2_qc}, c.cell_id) AS rn
+     FROM q CROSS JOIN cents c)
+  WHERE rn <= {_COSINE_IVFPQ_NPROBE}
+),
+lut AS (
+  SELECT q.query_id, cb.sub, cb.z, {d_qcb} AS d
+  FROM q CROSS JOIN cb
+),
+adc AS (
+  SELECT qp.query_id, a.vec_id AS id, SUM(lut.d) AS adist
+  FROM codes a
+  JOIN cellasg ca ON ca.vec_id = a.vec_id
+  JOIN qp ON qp.cell_id = ca.cell_id
+  JOIN lut ON lut.query_id = qp.query_id AND lut.sub = a.sub AND lut.z = a.z
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT query_id, id FROM
+    (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, id) AS crn FROM adc)
+  WHERE crn <= {5 * _COSINE_IVFPQ_RERANK}
+),
+exact AS (
+  SELECT c.query_id, c.id, {d_exact} AS distance
+  FROM (SELECT cand.query_id, cand.id, q.qe FROM cand JOIN q USING (query_id)) c
+  JOIN nv v ON c.id = v.vec_id
+)
+SELECT query_id, id, ROUND(1.0 - distance / 2.0, 6) AS cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, id) AS INT) AS rank
+  FROM exact)
+WHERE rank <= 5
+"""
+
+
+EXTRA_QUERIES["ann_cosine_ivfpq_topk"] = q_ann_cosine_ivfpq_topk
+EXTRA_ORACLES["ann_cosine_ivfpq_topk"] = _cosine_ivfpq_oracle()
