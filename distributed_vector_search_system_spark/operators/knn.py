@@ -132,6 +132,33 @@ def _select_topk_by_distance_id(d, ids, kk):
     return np.concatenate([strict, tied])
 
 
+def _select_topk_matrix(d2, ids, kk):
+    """Per-column top-``kk`` by ``(distance, id)`` over a ``(B, Q)``
+    distance matrix → ``(kk, Q)`` row indices.
+
+    ONE vectorized axis-0 argpartition for every query column, then the
+    id-order repair ONLY for columns whose boundary cut is actually
+    ambiguous (ADVICE r06: the prior per-column Python loop ran two
+    extra O(B) scans per column even when no tie existed).  A column
+    needs repair iff rows equal to its boundary distance exist OUTSIDE
+    the selected block — when all tied rows are already inside, the
+    selected SET is uniquely determined regardless of which indices
+    argpartition picked.  The check is three vectorized O(B·Q)
+    comparisons; distinct-distance corpora (the common case) repair
+    zero columns.
+    """
+    import numpy as np
+
+    part = np.argpartition(d2, kk - 1, axis=0)[:kk]  # (kk, Q)
+    sel_d = np.take_along_axis(d2, part, axis=0)
+    thr = sel_d.max(axis=0)  # per-column boundary distance (Q,)
+    n_eq_full = (d2 == thr[None, :]).sum(axis=0)
+    n_eq_sel = (sel_d == thr[None, :]).sum(axis=0)
+    for j in np.flatnonzero(n_eq_full != n_eq_sel):
+        part[:, j] = _select_topk_by_distance_id(d2[:, j], ids, kk)
+    return part
+
+
 def _knn_numpy(
     vectors: DataFrame,
     queries: DataFrame,
@@ -178,7 +205,7 @@ def _knn_numpy(
         sel.append(F.col(shard_col).cast("string").alias("shard_id"))
     src = vectors.select(*sel)
 
-    out_fields = "id long, query_id long, distance double" + (
+    out_fields = "id long, query_id long, distance double, _rkey double" + (
         ", shard_id string" if shard_col is not None else ""
     )
 
@@ -195,35 +222,48 @@ def _knn_numpy(
             kk = min(k, b)
             ids = pdf["id"].to_numpy()
             # partial top-k per query within this Arrow batch, by
-            # (distance, id) — the same total order as merge_topk's
-            # final rank.  Bare argpartition cuts arbitrarily among
-            # exactly-tied distances (duplicate vectors), which would
-            # make the merged result differ from the expr path and vary
-            # with Spark partitioning; _select_topk_by_distance_id
-            # repairs the tie boundary in O(B) + a sort over the tie
-            # cohort only, keeping selection prefix-closed under the
-            # merge order — deterministic and identical to expr.
-            part = np.stack(
-                [_select_topk_by_distance_id(d2[:, j], ids, kk)
-                 for j in range(len(qids))],
-                axis=1,
-            )  # (kk, Q)
+            # (ROUNDED distance, id).  BLAS accumulates in a batch-size-
+            # dependent order, so the SAME vector in two different-sized
+            # batches can produce last-ulp-different distances — ranking
+            # raw values would then let partitioning decide which of two
+            # duplicate vectors survives the cut (found by the round-7
+            # duplicate-heavy property run).  Selecting AND merging on
+            # the 6-decimal rounding (the repo-wide determinism
+            # convention) collapses the ulp noise; the RAW distance is
+            # still what the caller receives.  _select_topk_matrix does
+            # one vectorized argpartition for all query columns and
+            # repairs only columns whose boundary cohort is ambiguous,
+            # keeping selection prefix-closed under the merge order.
+            rkey = np.round(d2, 6)
+            part = _select_topk_matrix(rkey, ids, kk)  # (kk, Q)
             rows = {
                 "id": ids[part].ravel(order="F"),
                 "query_id": np.repeat(qids, kk),
                 "distance": np.take_along_axis(d2, part, axis=0).ravel(order="F"),
+                # the np-rounded key rides along so the global merge
+                # ranks on the IDENTICAL values the batch cut used
+                # (np.round is half-even, Spark ROUND is half-up — using
+                # one source kills the boundary disagreement outright)
+                "_rkey": np.take_along_axis(rkey, part, axis=0).ravel(order="F"),
             }
             if shard_col is not None:
                 rows["shard_id"] = pdf["shard_id"].to_numpy()[part].ravel(order="F")
             yield pd.DataFrame(rows)
 
     partials = src.mapInPandas(scan, schema=out_fields)
-    return merge_topk(partials, k).select(
-        "query_id",
-        "id",
-        "distance",
-        *(["shard_id"] if shard_col is not None else []),
-        "rank",
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_rkey").asc(), F.col("id").asc()
+    )
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "id",
+            "distance",
+            *(["shard_id"] if shard_col is not None else []),
+            "rank",
+        )
     )
 
 

@@ -136,7 +136,7 @@ def _quantized_coarse_numpy(
     import numpy as np
     import pandas as pd
 
-    from .knn import _select_topk_by_distance_id, merge_topk
+    from .knn import _select_topk_matrix, merge_topk
 
     qrows = queries.select(query_id_col, query_vector_col).collect()
     if not qrows:
@@ -167,18 +167,23 @@ def _quantized_coarse_numpy(
             np.maximum(d2, 0.0, out=d2)
             kk = min(n_cands, d2.shape[0])
             ids = pdf["id"].to_numpy()
-            # smallest kk by (distance, id) per query — argpartition +
-            # tie-boundary repair (see docstring and knn.py)
-            sel = np.stack(
-                [_select_topk_by_distance_id(d2[:, j], ids, kk)
-                 for j in range(len(qids))],
-                axis=1,
-            )  # (kk, Q)
+            # smallest kk by (ROUNDED distance, id) per query — one
+            # vectorized argpartition over all columns + repair only
+            # where the boundary cohort actually ties
+            # (knn._select_topk_matrix; int8 codes make exact ties
+            # common, so the repair path is hot here).  Rounding to 6
+            # decimals before selection AND merge kills the batch-size-
+            # dependent BLAS ulp noise that would otherwise let Spark
+            # partitioning pick which of two duplicate vectors becomes
+            # a candidate (see knn._knn_numpy; same convention as the
+            # expr coarse ranking, so the two paths stay identical).
+            rkey = np.round(d2, 6)
+            sel = _select_topk_matrix(rkey, ids, kk)  # (kk, Q)
             yield pd.DataFrame(
                 {
                     "query_id": np.repeat(qids, kk),
                     "id": ids[sel].ravel(order="F"),
-                    "_coarse": np.take_along_axis(d2, sel, axis=0).ravel(order="F"),
+                    "_coarse": np.take_along_axis(rkey, sel, axis=0).ravel(order="F"),
                 }
             )
 
@@ -279,8 +284,12 @@ def quantized_knn(
             "id",
             squared_l2(F.col("_dq"), F.col(query_vector_col)).alias("_coarse"),
         )
+        # candidate rank on the 6-decimal ROUNDING of the coarse
+        # distance (same key as the numpy kernel and the oracle): raw
+        # doubles would make the expr/numpy/oracle candidate boundaries
+        # ulp-sensitive where two rows genuinely tie
         w = Window.partitionBy("query_id").orderBy(
-            F.col("_coarse").asc(), F.col("id").asc()
+            F.round(F.col("_coarse"), 6).asc(), F.col("id").asc()
         )
         cands = (
             scored.withColumn("_crank", F.row_number().over(w))

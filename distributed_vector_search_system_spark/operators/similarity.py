@@ -49,13 +49,23 @@ def cosine_topk(
     vector_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vector_col: str = "qvec",
+    round_scores: int | None = None,
 ) -> DataFrame:
-    """Exact cosine top-k (descending similarity, id tie-break)."""
+    """Exact cosine top-k (descending similarity, id tie-break).
+
+    ``round_scores=N`` rounds the similarity to N decimals BEFORE
+    ranking (the BM25/RRF determinism convention) — used by the hybrid
+    fusion legs so a last-ulp cross-engine difference at the ``leg_k``
+    boundary cannot flip fused-input membership (VERDICT r06 item 6).
+    Default None ranks raw doubles, matching the ``ann_cosine_topk``
+    oracle's identical expression."""
     scored = vectors.join(F.broadcast(queries), how="cross").select(
         F.col(query_id_col).alias("query_id"),
         F.col(id_col).alias("id"),
         cosine_similarity(F.col(vector_col), F.col(query_vector_col)).alias("cosine"),
     )
+    if round_scores is not None:
+        scored = scored.withColumn("cosine", F.round("cosine", round_scores))
     return _cosine_ranked(scored, k)
 
 

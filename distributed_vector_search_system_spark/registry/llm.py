@@ -1544,7 +1544,7 @@ def _hybrid_oracle() -> str:
 WITH {_bm25_scored_ctes()},
 vq AS (SELECT q.query_id, e.embedding AS qv FROM q
        JOIN embeddings e ON e.vec_id = q.query_id),
-vs AS (SELECT vq.query_id, v.vec_id AS id, {cos} AS cos
+vs AS (SELECT vq.query_id, v.vec_id AS id, ROUND({cos}, 6) AS cos
        FROM vq CROSS JOIN embeddings v),
 vr AS (SELECT query_id, id,
               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1721,7 +1721,7 @@ qp AS (SELECT query_id, qe, cell_id FROM
        (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, cell_id) AS rn
         FROM qd)
        WHERE rn <= {_IVF_NPROBE}),
-iscored AS (SELECT qp.query_id, a.vec_id AS id, {l2_qa} AS distance
+iscored AS (SELECT qp.query_id, a.vec_id AS id, ROUND({l2_qa}, 6) AS distance
             FROM qp JOIN asg a ON a.cell_id = qp.cell_id),
 iranked AS (SELECT query_id, id,
             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, id) AS INT) AS rank

@@ -619,7 +619,7 @@ coarse AS (
 ),
 cand AS (
   SELECT query_id, id, qe FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cd, id) AS crn
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ROUND(cd, 6), id) AS crn
     FROM coarse)
   WHERE crn <= {k * rerank}
 ),

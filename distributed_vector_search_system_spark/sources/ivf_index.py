@@ -103,8 +103,18 @@ def search_ivf_index(
     replicated: bool = False,
     where=None,
     filter_ids: DataFrame | None = None,
+    round_scores: int | None = None,
+    _return_scored: bool = False,
 ) -> DataFrame:
     """Exact top-k within the probed cells of a persisted IVF index.
+
+    ``round_scores=N`` rounds the distance to N decimals BEFORE the
+    top-k rank (the hybrid legs' determinism convention — a raw-double
+    last-ulp tie at the cutoff must not flip membership cross-engine);
+    default None ranks raw doubles, matching the standalone oracles.
+    ``_return_scored`` (internal) returns the scored candidate frame
+    ``(query_id, id, distance)`` before the top-k cut — the cosine
+    wrapper's rounded path ranks on the CONVERTED score.
 
     The probe set (union of every query's n_probe cells) becomes a
     ``cell_id IN (...)`` partition filter — unprobed cell directories
@@ -160,6 +170,10 @@ def search_ivf_index(
         scored = scored.groupBy("query_id", "id").agg(
             F.min("distance").alias("distance")
         )
+    if round_scores is not None:
+        scored = scored.withColumn("distance", F.round("distance", round_scores))
+    if _return_scored:
+        return scored
     return merge_topk(scored, k)
 
 
@@ -220,6 +234,7 @@ def search_cosine_ivf_index(
     replicated: bool = False,
     where=None,
     filter_ids: DataFrame | None = None,
+    round_scores: int | None = None,
 ) -> DataFrame:
     """Top-k by COSINE similarity from a ``write_cosine_ivf_index``
     index: normalize the query, search the normalized-space L2 tier
@@ -227,6 +242,11 @@ def search_cosine_ivf_index(
     ``(query_id, id, cosine, rank)`` — rank by (cosine desc, id), the
     ``cosine_topk`` convention.  At full probe coverage results equal
     ``cosine_topk`` over the non-zero-norm corpus exactly (tested).
+
+    ``round_scores=N``: convert FIRST, round the cosine to N decimals,
+    THEN rank — so the ranking agrees to the decimal with
+    ``cosine_topk(round_scores=N)`` and a last-ulp tie at the cutoff
+    cannot flip membership cross-engine (the hybrid legs' convention).
 
     Zero-norm QUERIES are excluded, like zero-norm corpus vectors at
     build: a direction-free query has no cosine ranking (the naive
@@ -249,6 +269,29 @@ def search_cosine_ivf_index(
     nq = queries.filter(l2_norm(F.col(query_vector_col)) > 0.0).withColumn(
         query_vector_col, l2_normalize(query_vector_col)
     )
+    if round_scores is not None:
+        from pyspark.sql import Window
+
+        scored = search_ivf_index(
+            spark, path, nq, k, centroids,
+            n_probe=n_probe, id_col=id_col, vector_col=vector_col,
+            query_id_col=query_id_col, query_vector_col=query_vector_col,
+            replicated=replicated, where=where, filter_ids=filter_ids,
+            _return_scored=True,
+        ).select(
+            "query_id",
+            "id",
+            F.round(F.lit(1.0) - F.col("distance") / 2.0, round_scores).alias(
+                "cosine"
+            ),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
     out = search_ivf_index(
         spark, path, nq, k, centroids,
         n_probe=n_probe, id_col=id_col, vector_col=vector_col,
