@@ -126,6 +126,7 @@ class VectorEngine:
         pq_ksub: int = 16,
         semantic_threshold: float | None = None,
         where=None,
+        round_scores: int | None = None,
     ) -> DataFrame:
         """Search == BatchSearch: N query rows, one plan (SURVEY §3.2).
 
@@ -142,6 +143,13 @@ class VectorEngine:
         ``attach_index``; cosine kinds return ``cosine`` instead of
         ``distance``).  Approximate tiers return EXACT distances —
         approximation only selects which candidates reach the re-rank.
+
+        ``round_scores=N`` (``"ivf"`` / ``"cosine_ivf"`` only): rank
+        the indexed leg on N-decimal-ROUNDED scores with id tie-break —
+        the hybrid-fusion determinism convention
+        (operators/retrieval.py; ``HybridEngine`` passes 6).  Other
+        methods rank raw, matching their own oracles, and reject the
+        parameter.
 
         ``semantic_threshold``: enable SEMANTIC cache reuse (the
         reference's dead ``exact_match`` hook made live — C4): each
@@ -179,6 +187,13 @@ class VectorEngine:
                 "semantic_threshold= cannot combine with cosine index methods: "
                 "the semantic store fills from distance-shaped results"
             )
+        if round_scores is not None and (
+            method not in ("ivf", "cosine_ivf") or semantic_threshold is not None
+        ):
+            raise ValueError(
+                "round_scores= is supported only for method='ivf'/'cosine_ivf' "
+                "without semantic_threshold="
+            )
         if semantic_threshold is not None:
             return self._search_semantic(
                 queries, k, semantic_threshold, method=method, consistency=consistency
@@ -193,7 +208,9 @@ class VectorEngine:
                 f"{method} search does not carry shard columns; use method='expr'"
             )
         if method in self.INDEXED_METHODS:
-            return self._search_indexed(queries, k, method, where=where)
+            return self._search_indexed(
+                queries, k, method, where=where, round_scores=round_scores
+            )
         if method == "auto":
             # measured dispatch (bench d768 section): the Arrow GEMM
             # kernel beats the codegen expression tier once the row
@@ -358,7 +375,8 @@ class VectorEngine:
         return state
 
     def _search_indexed(
-        self, queries: DataFrame, k: int, kind: str, *, where=None
+        self, queries: DataFrame, k: int, kind: str, *, where=None,
+        round_scores: int | None = None,
     ) -> DataFrame:
         """Serve from the persisted index of the current epoch.  L2
         kinds return (query_id, id, distance, rank); cosine kinds
@@ -378,11 +396,13 @@ class VectorEngine:
             return ivf_mod.search_ivf_index(
                 self._spark, path, queries, k, cents,
                 n_probe=conf["n_probe"], replicated=rep, where=where,
+                round_scores=round_scores,
             )
         if kind == "cosine_ivf":
             return ivf_mod.search_cosine_ivf_index(
                 self._spark, path, queries, k, cents,
                 n_probe=conf["n_probe"], replicated=rep, where=where,
+                round_scores=round_scores,
             )
         if kind == "ivfpq":
             return ivfpq_mod.search_ivfpq_index(

@@ -1490,14 +1490,20 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_scored_ctes(leg_k: int | None = None, qpred: str = _HYBRID_QPRED) -> str:
+def _bm25_scored_ctes(
+    leg_k: int | None = None,
+    qpred: str = _HYBRID_QPRED,
+    docs_rel: str = "documents",
+) -> str:
     """Shared BM25 CTE chain ending in ``bm25_ranked (query_id, id,
     score6, brank)``; thresholds interpolate the Python constants
-    (oracle-drift lesson, ADVICE r04)."""
+    (oracle-drift lesson, ADVICE r04).  ``docs_rel`` swaps the corpus
+    relation (the doc-mutations oracle replays the LWW fold as a CTE
+    and scores over it)."""
     from ..operators.retrieval import BM25_B, BM25_K1
 
     return f"""
-toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+toks AS (SELECT doc_id, {_TOKS} AS w FROM {docs_rel}),
 q AS (SELECT doc_id AS query_id, list_distinct(list_slice(w, 1, 3)) AS qts
       FROM toks WHERE {qpred}),
 qt AS (SELECT query_id, UNNEST(qts) AS term FROM q),
@@ -1827,7 +1833,57 @@ QUERIES["bm25_index_topk"] = q_bm25_index_topk
 ORACLES["bm25_index_topk"] = _bm25_oracle()
 
 
+# --- TextEngine doc-mutation serving (round 7): the lexical analog of
+# knn_after_mutations — leader-ordered upsert/replace/delete on the
+# documents table (reference M1/M2/R11 semantics via
+# operators/mutations.apply_mutations), STRONG-gated, served from the
+# per-epoch posting index (text_engine.TextEngine).  The oracle replays
+# the LWW fold as a docs_mut CTE and runs the identical BM25 chain over
+# it; mutated ids are chosen OFF the query predicate (% 100 = 7) so the
+# query set is byte-identical on both engines.
+_DOCMUT_REPLACE = (13, "vector batch vector window vector merge")
+_DOCMUT_INSERT = (10_000_013, "window window batch vector key stream")
+_DOCMUT_DELETE = 17
+
+
+def q_bm25_doc_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..text_engine import TextEngine
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eng = TextEngine(spark, docs)
+    eng.attach_index(
+        os.path.join(tempfile.gettempdir(), f"dvss_spark_textmut_{os.getpid()}")
+    )
+    eng.upsert_doc(*_DOCMUT_REPLACE)
+    eng.upsert_doc(*_DOCMUT_INSERT)
+    eng.delete_doc(_DOCMUT_DELETE)
+    return eng.search(
+        _retrieval_queries(spark, sf_dir), _HYBRID_K,
+        consistency="strong", method="indexed",
+    )
+
+
+def _bm25_doc_mutations_oracle() -> str:
+    rid, rtext = _DOCMUT_REPLACE
+    iid, itext = _DOCMUT_INSERT
+    return f"""
+WITH docs_mut AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id NOT IN ({rid}, {iid}, {_DOCMUT_DELETE})
+  UNION ALL SELECT CAST({rid} AS BIGINT), '{rtext}'
+  UNION ALL SELECT CAST({iid} AS BIGINT), '{itext}'
+),
+{_bm25_scored_ctes(docs_rel="docs_mut")}
+SELECT query_id, id, score6 AS score, brank AS rank
+FROM bm25_ranked WHERE brank <= {_HYBRID_K}
+"""
+
+
 EXTRA_QUERIES: dict = {
+    "bm25_doc_mutations": q_bm25_doc_mutations,
     "text_tfidf_topk": q_text_tfidf_topk,
     "text_vocab_topk": q_text_vocab_topk,
     "text_pii_scrub": q_text_pii_scrub,
@@ -1844,6 +1900,7 @@ EXTRA_QUERIES: dict = {
     "dedup_simhash_loose": q_dedup_simhash_loose,
 }
 EXTRA_ORACLES: dict = {
+    "bm25_doc_mutations": _bm25_doc_mutations_oracle(),
     "text_tfidf_topk": _TFIDF_SQL,
     "text_vocab_topk": _VOCAB_SQL,
     "text_pii_scrub": _PII_SQL,

@@ -1,0 +1,317 @@
+"""TextEngine + HybridEngine — the lexical and hybrid serving surfaces,
+mirroring ``engine.VectorEngine`` (the reference's single service
+surface, proto/search.proto:74-80 / src/index/shard_manager.cc:30-59)
+for the documents table and for fused lexical+vector retrieval.
+
+The reference serves one modality (vectors).  A training-data /
+RAG deployment of the same engine serves three read shapes — vector,
+lexical (BM25), hybrid (RRF) — and they must share ONE write/consistency
+discipline or a mutation can be visible to one leg and not the other.
+This module gives the lexical tier the exact mechanics ``VectorEngine``
+already gives vectors:
+
+- **leader-ordered doc mutations** (G3/R1): ``upsert_doc`` /
+  ``delete_doc`` append to a driver-assigned dense-``seq`` log; replay
+  is the same LWW fold (``operators.mutations.apply_mutations`` — the
+  machinery is id/payload-generic, so documents reuse it unchanged);
+- **consistency gates** (G1): ``consistency="strong"`` compacts pending
+  doc mutations into the snapshot before reading; ``"eventual"`` /
+  ``"bounded_staleness"`` read the current compacted snapshot;
+- **per-snapshot-epoch index serving** (M4 extended to storage, the
+  ``VectorEngine.attach_index`` discipline): ``attach_index(root)``
+  then ``search(method="indexed")`` serves BM25 from a persisted
+  posting index (sources/posting_index.py — term-pushdown scan, zero
+  document text read at query time) built lazily per snapshot epoch; a
+  compacted write bumps the epoch so the next indexed read REBUILDS —
+  a stale posting index can never serve a post-write read.
+
+``HybridEngine`` then composes one ``VectorEngine`` and one
+``TextEngine`` behind a single ``search``: both legs are gated at the
+SAME consistency level (a STRONG hybrid read compacts BOTH logs), each
+leg serves from its engine's configured tier (scan or persisted index),
+and the fusion is rank-only RRF (operators/retrieval.rrf_fuse).
+
+Scale notes: everything here delegates to operators whose 100 TB shape
+is already established — the posting index reads only queried terms'
+row groups, the IVF tiers read only probed cells' partitions, RRF
+fuses two k-bounded legs.  The engines add no scan, no shuffle, and no
+driver-side data path beyond the mutation log (RPC-sized by contract).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .engine import _LEVELS, EVENTUAL, STRONG, VectorEngine
+from .operators.mutations import UPSERT, apply_mutations
+from .operators.retrieval import BM25_B, BM25_K1, RRF_K, bm25_topk, rrf_fuse
+
+
+class TextEngine:
+    """BM25-served documents table with a mutation log, consistency
+    gates, and per-epoch posting-index serving (see module docstring).
+
+    The snapshot is any documents DataFrame with an id column and a
+    text column; extra metadata columns survive compaction (same
+    payload contract as ``apply_mutations``) and power ``where=``
+    filtered search.
+    """
+
+    def __init__(
+        self,
+        spark,
+        docs: DataFrame,
+        *,
+        doc_id_col: str = "doc_id",
+        text_col: str = "text",
+        auto_compact_threshold: int | None = None,
+    ):
+        if doc_id_col not in docs.columns or text_col not in docs.columns:
+            raise ValueError(
+                f"docs must carry {doc_id_col!r} and {text_col!r} columns"
+            )
+        self._spark = spark
+        self._snapshot = docs
+        self._doc_id = doc_id_col
+        self._text = text_col
+        self._payload = tuple(c for c in docs.columns if c != doc_id_col)
+        self._entries: list[tuple[int, str, int, dict]] = []
+        self._seq = itertools.count(1)
+        self._pending = 0
+        self._auto_compact = auto_compact_threshold
+        self.version = 0
+        self._snapshot_epoch = 0
+        self._index_root: str | None = None
+        self._index_state: dict[int, str] = {}
+        #: observable build counter (tests assert reuse vs rebuild)
+        self.index_builds = 0
+
+    # -- reads ---------------------------------------------------------------
+
+    def _read_snapshot(self, consistency: str) -> DataFrame:
+        if consistency not in _LEVELS:
+            raise ValueError(f"unknown consistency level: {consistency!r}")
+        if consistency == STRONG and self._pending:
+            self.compact()
+        return self._snapshot
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int,
+        *,
+        consistency: str = EVENTUAL,
+        method: str = "scan",
+        where=None,
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+    ) -> DataFrame:
+        """BM25 top-k ``(query_id, id, score, rank)`` for queries
+        carrying ``(query_id, qterms)``.
+
+        ``method="scan"`` runs the from-scratch plan
+        (operators/retrieval.bm25_topk) over the gated snapshot —
+        the ad-hoc form.  ``method="indexed"`` (after
+        ``attach_index(root)``) serves from the persisted posting
+        index of the CURRENT snapshot epoch — the 100 TB form; scores
+        are identical by the posting-index contract (same formula over
+        the same precomputed numbers, tested exactly).
+
+        ``where`` (Column or SQL string over the docs schema):
+        FILTERED lexical search — results restrict to matching
+        documents while idf / N / avgdl stay corpus-level (the
+        filtered-search contract shared with the vector tiers).  On
+        the indexed path the predicate is evaluated against the gated
+        snapshot's metadata and arrives at the index as an id set
+        (the index stores no metadata)."""
+        snap = self._read_snapshot(consistency)
+        if method == "scan":
+            return bm25_topk(
+                snap, queries, k,
+                doc_id_col=self._doc_id, text_col=self._text,
+                where=where, k1=k1, b=b,
+            )
+        if method != "indexed":
+            raise ValueError(f"unknown method: {method!r}")
+        from .sources.posting_index import bm25_search_index
+
+        path = self._ensure_index()
+        filter_ids = None
+        if where is not None:
+            filter_ids = snap.filter(
+                F.expr(where) if isinstance(where, str) else where
+            ).select(F.col(self._doc_id).alias("id"))
+        return bm25_search_index(
+            self._spark, path, queries, k, k1=k1, b=b, filter_ids=filter_ids
+        )
+
+    def attach_index(self, root: str) -> None:
+        """Declare the posting-index serving tier rooted at ``root``.
+
+        Indexes build lazily at first ``method="indexed"`` read and are
+        memoized per snapshot EPOCH at ``root/posting_e<epoch>`` — the
+        ``VectorEngine.attach_index`` discipline: a mutation's
+        compaction bumps the epoch, so the next indexed read rebuilds
+        from the new snapshot; an EVENTUAL read between a mutation and
+        its compaction serves the same pre-write snapshot as the scan
+        path WITHOUT a rebuild (tested).  Superseded epochs drop from
+        the memo; directory GC is deployment cadence policy."""
+        self._index_root = root
+        self._index_state = {}
+
+    def _ensure_index(self) -> str:
+        import os
+
+        if self._index_root is None:
+            raise ValueError("method='indexed' requires attach_index(root) first")
+        path = self._index_state.get(self._snapshot_epoch)
+        if path is not None:
+            return path
+        from .sources.posting_index import write_posting_index
+
+        self._index_state.clear()  # older epochs are stale by definition
+        path = os.path.join(
+            self._index_root, f"posting_e{self._snapshot_epoch}"
+        )
+        write_posting_index(
+            self._snapshot, path, doc_id_col=self._doc_id, text_col=self._text
+        )
+        self._index_state[self._snapshot_epoch] = path
+        self.index_builds += 1
+        return path
+
+    def size(self) -> int:
+        return self._read_snapshot(EVENTUAL).count()
+
+    # -- writes ---------------------------------------------------------------
+
+    def upsert_doc(self, doc_id: int, text: str, **meta) -> None:
+        """LWW upsert (M1 semantics on the documents table).  ``meta``
+        fills any extra snapshot columns; unspecified ones become NULL
+        (the log must carry the full payload schema, like the vector
+        MUTATIONS_SCHEMA does)."""
+        unknown = set(meta) - set(self._payload)
+        if unknown:
+            raise ValueError(f"unknown document columns: {sorted(unknown)}")
+        payload = {self._text: text, **meta}
+        self._entries.append((next(self._seq), UPSERT, doc_id, payload))
+        self._on_mutation()
+
+    def delete_doc(self, doc_id: int) -> None:
+        """Tombstone delete; absent id is a no-op (M2 semantics)."""
+        self._entries.append((next(self._seq), "delete", doc_id, {}))
+        self._on_mutation()
+
+    def _on_mutation(self) -> None:
+        self.version += 1
+        self._pending += 1
+        if self._auto_compact is not None and self._pending >= self._auto_compact:
+            self.compact()
+
+    # -- maintenance -----------------------------------------------------------
+
+    def _log_df(self) -> DataFrame:
+        from pyspark.sql import types as T
+
+        base = self._snapshot.schema
+        id_field = next(f for f in base.fields if f.name == self._doc_id)
+        payload_fields = [f for f in base.fields if f.name != self._doc_id]
+        schema = T.StructType(
+            [
+                T.StructField("seq", T.LongType(), False),
+                T.StructField("op", T.StringType(), False),
+                T.StructField(id_field.name, id_field.dataType, True),
+                *[T.StructField(f.name, f.dataType, True) for f in payload_fields],
+            ]
+        )
+        rows = [
+            (seq, op, did, *[vals.get(f.name) for f in payload_fields])
+            for seq, op, did, vals in self._entries
+        ]
+        return self._spark.createDataFrame(rows, schema)
+
+    def compact(self) -> None:
+        """Fold the pending doc-mutation log into the snapshot (R11
+        replay over documents) and bump the snapshot epoch — which
+        invalidates the posting-index memo."""
+        if not self._pending:
+            return
+        self._snapshot = apply_mutations(
+            self._snapshot, self._log_df(), id_col=self._doc_id
+        )
+        self._entries = []
+        self._pending = 0
+        self._snapshot_epoch += 1
+
+
+class HybridEngine:
+    """One hybrid front door over a ``VectorEngine`` and a
+    ``TextEngine`` — fused lexical+vector retrieval under a SINGLE
+    consistency level applied to both engines.
+
+    ``search`` takes queries carrying both modalities per row
+    (``query_id, qterms, qvec``; null ``qvec`` degrades that query to
+    lexical-only) and fuses each engine's top ``leg_k`` with
+    reciprocal-rank fusion — the engine-surface form of
+    ``operators.retrieval.hybrid_rrf_topk`` /
+    ``hybrid_rrf_indexed_topk``.
+
+    The vector leg ranks by the chosen engine tier's metric — squared
+    L2 for the scan tiers and L2 index kinds, cosine for the cosine
+    index kinds.  RRF is rank-only, so any leg fuses; equality with the
+    from-scratch ``hybrid_rrf_topk`` (whose vector leg is exact cosine)
+    holds for ``vector_method="cosine_ivf"`` at full probe coverage
+    over a zero-norm-free corpus (tested).  For
+    ``vector_method in ("ivf", "cosine_ivf")`` the leg ranks on
+    6-decimal-ROUNDED scores (the hybrid determinism convention); the
+    scan tiers rank raw, matching their own oracles.
+    """
+
+    def __init__(self, vector_engine: VectorEngine, text_engine: TextEngine):
+        self._vec = vector_engine
+        self._text = text_engine
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int,
+        *,
+        consistency: str = EVENTUAL,
+        leg_k: int = 20,
+        k_const: int = RRF_K,
+        vector_method: str = "expr",
+        text_method: str = "scan",
+        where_text=None,
+        where_vec=None,
+        query_vector_col: str = "qvec",
+    ) -> DataFrame:
+        """Fused per-query top-k ``(query_id, id, rrf, rank)``.
+
+        ``where_text`` / ``where_vec``: per-leg FILTERED hybrid — each
+        predicate is over its own engine's snapshot schema (the two
+        corpora are different tables), applied BEFORE that leg's top-k
+        per the filtered-search contract."""
+        lex = self._text.search(
+            queries, leg_k,
+            consistency=consistency, method=text_method, where=where_text,
+        )
+        vq = queries.filter(F.col(query_vector_col).isNotNull()).select(
+            "query_id", query_vector_col
+        )
+        vec_kwargs: dict = {}
+        if vector_method in ("ivf", "cosine_ivf"):
+            vec_kwargs["round_scores"] = 6
+        vec = self._vec.search(
+            vq, leg_k,
+            consistency=consistency, method=vector_method, where=where_vec,
+            **vec_kwargs,
+        )
+        return rrf_fuse(
+            [lex.select("query_id", "id", "rank"),
+             vec.select("query_id", "id", "rank")],
+            k,
+            k_const=k_const,
+        )

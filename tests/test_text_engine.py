@@ -1,0 +1,266 @@
+"""TextEngine (lexical serving surface) + HybridEngine (fused front
+door): leader-ordered doc mutations, consistency gates, per-epoch
+posting-index serving, and hybrid fusion under one consistency level —
+the VectorEngine discipline extended to the documents table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_vector_search_system_spark.engine import (
+    EVENTUAL,
+    STRONG,
+    VectorEngine,
+)
+from distributed_vector_search_system_spark.text_engine import (
+    HybridEngine,
+    TextEngine,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "apple banana", "en"),
+            (2, "banana cherry banana", "en"),
+            (3, "cherry date", "de"),
+            (4, "apple date cherry", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+
+
+def _q(spark, terms=("banana",), qid=0):
+    return spark.createDataFrame(
+        [(qid, list(terms))], "query_id long, qterms array<string>"
+    )
+
+
+def test_scan_search_matches_operator(spark):
+    from distributed_vector_search_system_spark.operators.retrieval import (
+        bm25_topk,
+    )
+
+    docs = _docs(spark)
+    e = TextEngine(spark, docs)
+    got = {
+        (r["rank"], r["id"], r["score"])
+        for r in e.search(_q(spark), 3).collect()
+    }
+    want = {
+        (r["rank"], r["id"], r["score"])
+        for r in bm25_topk(docs, _q(spark), 3).collect()
+    }
+    assert got == want and got
+
+
+def test_indexed_matches_scan_exactly(spark, tmp_path):
+    e = TextEngine(spark, _docs(spark))
+    e.attach_index(str(tmp_path / "lex"))
+    q = _q(spark, ("banana", "cherry"))
+    scan = {
+        (r["rank"], r["id"], r["score"]) for r in e.search(q, 4).collect()
+    }
+    idx = {
+        (r["rank"], r["id"], r["score"])
+        for r in e.search(q, 4, method="indexed").collect()
+    }
+    assert idx == scan and idx
+
+
+def test_doc_mutations_lww_and_gates(spark):
+    e = TextEngine(spark, _docs(spark))
+    q = _q(spark)
+    # EVENTUAL between mutation and compaction: pre-write snapshot
+    e.upsert_doc(9, "banana banana banana banana")
+    ids_ev = {r["id"] for r in e.search(q, 4, consistency=EVENTUAL).collect()}
+    assert 9 not in ids_ev
+    # STRONG compacts first: the new doc is the best banana match
+    rows = sorted(
+        e.search(q, 4, consistency=STRONG).collect(), key=lambda r: r["rank"]
+    )
+    assert rows[0]["id"] == 9
+    # LWW replace: doc 2 no longer mentions banana
+    e.upsert_doc(2, "zebra quux")
+    ids = {r["id"] for r in e.search(q, 4, consistency=STRONG).collect()}
+    assert 2 not in ids and 9 in ids
+    # tombstone delete + absent-id no-op
+    e.delete_doc(9)
+    e.delete_doc(12345)  # absent: no-op
+    ids = {r["id"] for r in e.search(q, 4, consistency=STRONG).collect()}
+    assert ids == {1}  # only doc 1 still says banana
+    assert e.size() == 4  # 4 originals + doc 9 inserted - doc 9 deleted
+
+
+def test_size_tracks_mutations(spark):
+    e = TextEngine(spark, _docs(spark))
+    assert e.size() == 4
+    e.upsert_doc(9, "new doc")
+    e.delete_doc(1)
+    e.compact()
+    assert e.size() == 4  # +1 insert, -1 delete
+
+
+def test_indexed_rebuild_on_epoch_and_reuse(spark, tmp_path):
+    e = TextEngine(spark, _docs(spark))
+    e.attach_index(str(tmp_path / "lex"))
+    q = _q(spark)
+    e.search(q, 3, method="indexed").collect()
+    e.search(q, 3, method="indexed").collect()
+    assert e.index_builds == 1
+    e.upsert_doc(9, "banana banana")
+    # EVENTUAL: same staleness window as the scan path, NO rebuild
+    ids_ev = {r["id"] for r in e.search(q, 3, method="indexed").collect()}
+    scan_ev = {r["id"] for r in e.search(q, 3).collect()}
+    assert ids_ev == scan_ev and 9 not in ids_ev
+    assert e.index_builds == 1
+    # STRONG: compaction bumps the epoch -> rebuild, write visible
+    ids = {
+        r["id"]
+        for r in e.search(q, 3, method="indexed", consistency=STRONG).collect()
+    }
+    assert 9 in ids and e.index_builds == 2
+
+
+def test_filtered_search_scan_indexed_parity(spark, tmp_path):
+    """where= restricts results; idf/N/avgdl stay corpus-level, so the
+    surviving docs keep their unfiltered scores (the filtered-search
+    contract), identically on both paths."""
+    e = TextEngine(spark, _docs(spark))
+    e.attach_index(str(tmp_path / "lex"))
+    q = _q(spark, ("cherry",))
+    unfiltered = {
+        r["id"]: r["score"] for r in e.search(q, 4).collect()
+    }
+    for method in ("scan", "indexed"):
+        got = {
+            (r["id"], r["score"])
+            for r in e.search(q, 4, method=method, where="lang = 'en'").collect()
+        }
+        assert got == {(2, unfiltered[2]), (4, unfiltered[4])}, method
+
+
+def test_errors(spark, tmp_path):
+    e = TextEngine(spark, _docs(spark))
+    with pytest.raises(ValueError, match="attach_index"):
+        e.search(_q(spark), 3, method="indexed")
+    with pytest.raises(ValueError, match="unknown method"):
+        e.search(_q(spark), 3, method="nope")
+    with pytest.raises(ValueError, match="consistency"):
+        e.search(_q(spark), 3, consistency="nope")
+    with pytest.raises(ValueError, match="unknown document columns"):
+        e.upsert_doc(9, "x", nonexistent="y")
+    with pytest.raises(ValueError, match="columns"):
+        TextEngine(spark, _docs(spark).select("doc_id"))
+
+
+def test_metadata_survives_compaction_and_defaults_null(spark):
+    e = TextEngine(spark, _docs(spark))
+    e.upsert_doc(9, "kept text", lang="fr")
+    e.upsert_doc(10, "no meta")
+    e.compact()
+    rows = {r["doc_id"]: r for r in e._snapshot.collect()}
+    assert rows[9]["lang"] == "fr" and rows[10]["lang"] is None
+    assert rows[1]["lang"] == "en"  # untouched rows keep their metadata
+
+
+# --- HybridEngine ------------------------------------------------------------
+
+
+def test_hybrid_engine_equals_from_scratch_hybrid(spark, tmp_path, sf_smoke):
+    """Indexed legs (posting index + full-probe cosine IVF) fused by
+    the engine surface equal the from-scratch hybrid_rrf_topk exactly
+    (the hybrid_rrf_indexed_topk equality, behind the engines)."""
+    from distributed_vector_search_system_spark.operators.retrieval import (
+        hybrid_rrf_topk,
+        queries_from_docs,
+    )
+    from distributed_vector_search_system_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = queries_from_docs(docs, F.expr("doc_id % 100 = 7")).join(
+        emb.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        ),
+        "query_id",
+        "left",
+    )
+    want = {
+        (r["query_id"], r["rank"], r["id"], r["rrf"])
+        for r in hybrid_rrf_topk(docs, emb, q, 10, leg_k=20).collect()
+    }
+
+    ve = VectorEngine(spark, emb, dim=64)
+    ve.attach_index(str(tmp_path / "vec"), num_cells=4, n_probe=4)
+    te = TextEngine(spark, docs)
+    te.attach_index(str(tmp_path / "lex"))
+    h = HybridEngine(ve, te)
+    got = {
+        (r["query_id"], r["rank"], r["id"], r["rrf"])
+        for r in h.search(
+            q, 10, leg_k=20,
+            vector_method="cosine_ivf", text_method="indexed",
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_hybrid_strong_compacts_both_engines(spark, tmp_path):
+    """One STRONG hybrid read folds BOTH pending logs; a doc+vector
+    pair written for the same id dominates both legs and tops the
+    fused ranking."""
+    docs = _docs(spark)
+    emb = spark.createDataFrame(
+        [(i, [float(i + 1), 1.0], 0) for i in range(1, 5)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    ve = VectorEngine(spark, emb, dim=2)
+    te = TextEngine(spark, docs)
+    h = HybridEngine(ve, te)
+    q = spark.createDataFrame(
+        [(0, ["banana"], [100.0, 1.0])],
+        "query_id long, qterms array<string>, qvec array<double>",
+    )
+    te.upsert_doc(77, "banana banana banana banana banana")
+    ve.upsert(77, [100.0, 1.0], label=0)
+    assert te._pending == 1 and ve._pending == 1
+    rows = sorted(
+        h.search(q, 3, consistency=STRONG).collect(), key=lambda r: r["rank"]
+    )
+    assert te._pending == 0 and ve._pending == 0
+    assert rows[0]["id"] == 77  # rank 1 in both legs -> top fused
+
+
+def test_hybrid_null_qvec_degrades_to_lexical_only(spark):
+    docs = _docs(spark)
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0], 0) for i in range(1, 5)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    h = HybridEngine(VectorEngine(spark, emb, dim=2), TextEngine(spark, docs))
+    q = spark.createDataFrame(
+        [(0, ["banana"], None)],
+        "query_id long, qterms array<string>, qvec array<double>",
+    )
+    rows = h.search(q, 3).collect()
+    ids = {r["id"] for r in rows}
+    assert ids == {1, 2}  # the banana docs, lexical leg only
+
+
+def test_engine_round_scores_rejected_off_ivf_kinds(spark):
+    e = VectorEngine(
+        spark,
+        spark.createDataFrame(
+            [(i, [float(i), 0.0], 0) for i in range(5)],
+            "vec_id long, embedding array<double>, label int",
+        ),
+        dim=2,
+    )
+    q = spark.createDataFrame(
+        [(0, [0.0, 0.0], 3)],
+        "query_id long, qvec array<double>, top_k int",
+    )
+    with pytest.raises(ValueError, match="round_scores"):
+        e.search(q, 3, method="expr", round_scores=6)
