@@ -826,7 +826,6 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
-    "multimodal_frames": q_multimodal_frames,
 }
 
 ORACLES = {
@@ -846,7 +845,6 @@ ORACLES = {
     "doc_fingerprint": _FINGERPRINT_SQL,
     "multimodal_meta": _MULTIMODAL_META_SQL,
     "multimodal_features": _MULTIMODAL_FEATURES_SQL,
-    "multimodal_frames": _MULTIMODAL_FRAMES_SQL,
 }
 
 # ---------------------------------------------------------------------------
@@ -1866,6 +1864,35 @@ def q_bm25_doc_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_store_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IDENTICAL doc-mutation scenario served from the INCREMENTAL
+    LWW posting store (sources/posting_index.MutablePostingIndexStore)
+    instead of the per-epoch rebuild tier — O(Δ) maintenance, same
+    oracle: store state must equal the compacted snapshot by
+    construction."""
+    import os
+    import tempfile
+
+    from ..text_engine import TextEngine
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eng = TextEngine(spark, docs)
+    root = os.path.join(
+        tempfile.gettempdir(), f"dvss_spark_textstore_{os.getpid()}"
+    )
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)  # stale manifest from a prior run
+    eng.attach_store(root)
+    eng.upsert_doc(*_DOCMUT_REPLACE)
+    eng.upsert_doc(*_DOCMUT_INSERT)
+    eng.delete_doc(_DOCMUT_DELETE)
+    return eng.search(
+        _retrieval_queries(spark, sf_dir), _HYBRID_K,
+        consistency="strong", method="store",
+    )
+
+
 def _bm25_doc_mutations_oracle() -> str:
     rid, rtext = _DOCMUT_REPLACE
     iid, itext = _DOCMUT_INSERT
@@ -1882,8 +1909,16 @@ FROM bm25_ranked WHERE brank <= {_HYBRID_K}
 """
 
 
+# round-7 rotation: the TextEngine doc-mutation serving row joins the
+# driver window (the round's new engine surface under the independent
+# oracle); multimodal_frames moves to the pytest tier with the identical
+# DuckDB comparison (multimodal keeps meta+features driver-green).
+QUERIES["bm25_doc_mutations"] = q_bm25_doc_mutations
+ORACLES["bm25_doc_mutations"] = _bm25_doc_mutations_oracle()
+
 EXTRA_QUERIES: dict = {
-    "bm25_doc_mutations": q_bm25_doc_mutations,
+    "bm25_store_mutations": q_bm25_store_mutations,
+    "multimodal_frames": q_multimodal_frames,
     "text_tfidf_topk": q_text_tfidf_topk,
     "text_vocab_topk": q_text_vocab_topk,
     "text_pii_scrub": q_text_pii_scrub,
@@ -1900,7 +1935,8 @@ EXTRA_QUERIES: dict = {
     "dedup_simhash_loose": q_dedup_simhash_loose,
 }
 EXTRA_ORACLES: dict = {
-    "bm25_doc_mutations": _bm25_doc_mutations_oracle(),
+    "bm25_store_mutations": _bm25_doc_mutations_oracle(),
+    "multimodal_frames": _MULTIMODAL_FRAMES_SQL,
     "text_tfidf_topk": _TFIDF_SQL,
     "text_vocab_topk": _VOCAB_SQL,
     "text_pii_scrub": _PII_SQL,

@@ -454,7 +454,6 @@ QUERIES.update(
         "cache_persistent_probe": q_cache_persistent_probe,
         "knn_batch_numpy": q_knn_batch_numpy,
         "knn_shard_routed": q_knn_shard_routed,
-        "vector_centroids": q_vector_centroids,
     }
 )
 ORACLES.update(
@@ -463,7 +462,6 @@ ORACLES.update(
         "cache_persistent_probe": _CACHE_PROBE_SQL,
         "knn_batch_numpy": ORACLES["knn_batch"],
         "knn_shard_routed": _knn_oracle("vec_id % 125 = 4", "vec_id % 6 = 2", 5),
-        "vector_centroids": _CENTROID_SQL,
     }
 )
 
@@ -1805,5 +1803,13 @@ WHERE rank <= 5
 """
 
 
-EXTRA_QUERIES["ann_cosine_ivfpq_topk"] = q_ann_cosine_ivfpq_topk
-EXTRA_ORACLES["ann_cosine_ivfpq_topk"] = _cosine_ivfpq_oracle()
+# round-7 rotation (the established policy: each round's headline
+# features get an INDEPENDENT driver check the same round): the cosine
+# IVF+PQ tier joins the driver window; vector_centroids (its kmeans
+# literals are already driver-replayed through ivf_trained_topk's
+# frozen-centroid oracle) moves to the pytest tier with the identical
+# DuckDB comparison.
+QUERIES["ann_cosine_ivfpq_topk"] = q_ann_cosine_ivfpq_topk
+ORACLES["ann_cosine_ivfpq_topk"] = _cosine_ivfpq_oracle()
+EXTRA_QUERIES["vector_centroids"] = q_vector_centroids
+EXTRA_ORACLES["vector_centroids"] = _CENTROID_SQL

@@ -444,3 +444,252 @@ class PostingIndexStore:
         for name in os.listdir(self.root):
             if name.startswith("gen-") and name not in {cur, nxt}:
                 shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+
+
+class MutablePostingIndexStore(PostingIndexStore):
+    """LWW merge-on-read posting index: O(Δ) lexical index maintenance
+    under doc UPSERT / REPLACE / DELETE — the posting-side analog of
+    ``streaming.ivf_stream.IvfIndexStore``'s mutation arbiter.
+
+    The append-only parent cannot express replacement or deletion: a
+    replaced doc's OLD terms live in posting rows the new version's
+    append never touches (the same reason an IVF upsert can strand a
+    stale copy in an unvisited cell), so the supersede information must
+    travel out-of-band.  Layout (per generation, behind the parent's
+    atomic MANIFEST swap):
+
+    - ``postings/`` — ``(term, id, tf, dl, seq)`` term-clustered base;
+    - ``delta/``    — same schema, UNclustered appends (O(batch));
+    - ``muts/``     — ``(id, seq, op, dl)``: one row per doc VERSION.
+      This is simultaneously the read-side LWW arbiter (a posting row
+      is alive iff its ``seq`` is its id's highest mutation seq — a
+      delete writes no postings, so an inner join on ``(id, seq)``
+      against the per-id winners IS the liveness filter) and the
+      doc-length table (corpus stats must count docs that tokenize to
+      ZERO tokens, which have no posting rows — the ADVICE r05
+      denominator contract; upsert rows carry the new ``dl``).
+
+    ``apply_log`` consumes the engine's mutation-log shape
+    ``(seq, op, <doc_id>, <text>)`` directly — per-row seqs preserve
+    the driver's total order, so several same-id mutations in one
+    batch fold correctly (highest seq wins, matching
+    ``operators.mutations.apply_mutations``).
+
+    Scale notes: a query pays (a) the term-restricted posting scan
+    (row-group skipping on the clustered base, full scan of the small
+    delta), (b) the LWW window over ``muts`` rows SEMI-JOINED to the
+    candidate doc ids first — O(candidate docs), not O(corpus) — and
+    (c) the global stats aggregate over ``muts`` (a 4-column table,
+    one row per doc version), memoized per (generation, applied-log
+    count) so repeated queries between writes pay it once.  Retry
+    safety: appends are content-keyed by ``(id, seq)`` (muts) /
+    ``(term, id, seq)`` (postings) and reads deduplicate on those
+    keys, so a crash-redelivered batch changes nothing — including
+    across a compaction, where the kept winner rows arbitrate
+    re-appended stale seqs.
+    """
+
+    def __init__(self, root: str):
+        super().__init__(root)
+        self._applied = 0
+        self._stats_memo: dict[tuple[str, int], tuple[int, float]] = {}
+
+    def _paths(self) -> tuple[str, str, str]:
+        d = self._os.path.join(self.root, self._current_gen())
+        return (
+            self._os.path.join(d, "postings"),
+            self._os.path.join(d, "delta"),
+            self._os.path.join(d, "muts"),
+        )
+
+    # the parent's additive-stats append path does not exist here
+    def append_batch(self, *a, **kw):  # pragma: no cover - misuse guard
+        raise NotImplementedError(
+            "MutablePostingIndexStore ingests via apply_log(); "
+            "use PostingIndexStore for append-only batch streams"
+        )
+
+    streaming_sink = append_batch
+
+    @staticmethod
+    def _derive_seq(docs: DataFrame, doc_id_col: str, text_col: str,
+                    seq_col=None) -> DataFrame:
+        """Postings ``(term, id, tf, dl, seq)`` from (doc, text[, seq])."""
+        toks = docs.select(
+            F.col(doc_id_col).alias("id"),
+            tokens(text_col).alias("_toks"),
+            (F.col(seq_col) if seq_col else F.lit(0)).cast("long").alias("seq"),
+        )
+        return (
+            toks.select(
+                "id", "seq", F.size("_toks").alias("dl"),
+                F.explode("_toks").alias("term"),
+            )
+            .groupBy("term", "id", "dl", "seq")
+            .agg(F.count("*").alias("tf"))
+        )
+
+    def init_base(
+        self, docs: DataFrame, *, doc_id_col: str = "doc_id", text_col: str = "text"
+    ) -> None:
+        """One corpus scan → seq-0 postings + one seq-0 upsert muts row
+        per doc (including zero-token docs)."""
+        gen = "gen-000000"
+        base = self._os.path.join(self.root, gen)
+        (
+            self._derive_seq(docs, doc_id_col, text_col)
+            .repartition(POSTING_PARTITIONS, "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(self._os.path.join(base, "postings"))
+        )
+        (
+            docs.select(
+                F.col(doc_id_col).alias("id"),
+                F.lit(0).cast("long").alias("seq"),
+                F.lit("upsert").alias("op"),
+                F.size(tokens(text_col)).cast("long").alias("dl"),
+            )
+            .write.mode("overwrite")
+            .parquet(self._os.path.join(base, "muts"))
+        )
+        self._commit_gen(gen)
+        self._applied = 0
+        self._stats_memo = {}
+
+    def apply_log(
+        self,
+        log: DataFrame,
+        *,
+        doc_id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        """O(batch): fold one engine mutation-log DataFrame
+        ``(seq, op, <doc_id>, <text>, …)`` into the store — upserts
+        append their new postings to ``delta/`` and every entry appends
+        its arbiter row to ``muts/``.  Idempotent under redelivery
+        (content-keyed rows, read-side dedup)."""
+        _, delta, muts = self._paths()
+        ups = log.filter(F.col("op") == "upsert")
+        (
+            self._derive_seq(ups, doc_id_col, text_col, seq_col="seq")
+            .write.mode("append")
+            .parquet(delta)
+        )
+        (
+            log.select(
+                F.col(doc_id_col).alias("id"),
+                F.col("seq").cast("long").alias("seq"),
+                "op",
+                F.when(
+                    F.col("op") == "upsert", F.size(tokens(text_col))
+                ).cast("long").alias("dl"),
+            )
+            .write.mode("append")
+            .parquet(muts)
+        )
+        self._applied += 1
+        # superseded stats memo entries can never be read again
+        self._stats_memo = {}
+
+    # -- read path ------------------------------------------------------------
+
+    def _all_muts(self, spark: SparkSession) -> DataFrame:
+        *_, muts_path = self._paths()
+        return spark.read.parquet(muts_path).dropDuplicates(["id", "seq"])
+
+    @staticmethod
+    def _winners(muts: DataFrame) -> DataFrame:
+        """Per-id LWW winner ``(id, seq, op, dl)`` — highest seq wins
+        (ties impossible: the driver assigns dense seqs, and the seq-0
+        base rows are unique per id)."""
+        w = Window.partitionBy("id").orderBy(F.col("seq").desc())
+        return (
+            muts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def _live_postings(self, spark: SparkSession, terms: list[str]) -> DataFrame:
+        from pyspark.errors import AnalysisException
+
+        base_path, delta_path, _ = self._paths()
+        rows = spark.read.parquet(base_path).filter(F.col("term").isin(terms))
+        try:
+            rows = rows.unionByName(
+                spark.read.parquet(delta_path).filter(F.col("term").isin(terms))
+            )
+        except AnalysisException:  # no deltas yet
+            pass
+        rows = rows.dropDuplicates(["term", "id", "seq"])  # redelivery
+        # LWW liveness: restrict the arbiter to candidate ids FIRST
+        # (O(candidate docs), not O(corpus)), then keep only rows whose
+        # seq is their id's winning seq.  Deletes write no postings, so
+        # the inner join drops tombstoned ids outright.
+        cand = self._all_muts(spark).join(
+            rows.select("id").distinct(), "id", "left_semi"
+        )
+        win = self._winners(cand).select("id", "seq")
+        return rows.join(win, ["id", "seq"], "inner").drop("seq")
+
+    def _stats(self, spark: SparkSession) -> DataFrame:
+        key = (self._current_gen(), self._applied)
+        memo = self._stats_memo.get(key)
+        if memo is None:
+            live = self._winners(self._all_muts(spark)).filter(
+                F.col("op") == "upsert"
+            )
+            row = live.agg(
+                F.count("*").alias("n"),
+                F.avg(F.col("dl").cast("double")).alias("a"),
+            ).collect()[0]
+            memo = (row["n"], row["a"])
+            self._stats_memo = {key: memo}
+        return spark.createDataFrame(
+            [memo], "n_docs bigint, avgdl double"
+        )
+
+    # search() is inherited: the parent's plan calls _live_postings and
+    # _stats, both overridden above; df / filter_ids / rounding / rank
+    # semantics are identical by construction.
+
+    # -- maintenance ------------------------------------------------------------
+
+    def compact(self, spark: SparkSession) -> None:
+        """Fold base+delta through the arbiter into a re-clustered
+        next-generation base: superseded posting rows and tombstoned
+        docs drop out; ``muts/`` keeps ONE winner row per live doc (the
+        doc-length table, and the arbiter for any re-appended stale
+        seqs after a crash redelivery)."""
+        from pyspark.errors import AnalysisException
+
+        os = self._os
+        cur = self._current_gen()
+        nxt = "gen-%06d" % (int(cur.rsplit("-", 1)[1]) + 1)
+        base_path, delta_path, _ = self._paths()
+        rows = spark.read.parquet(base_path)
+        try:
+            rows = rows.unionByName(spark.read.parquet(delta_path))
+        except AnalysisException:
+            pass
+        rows = rows.dropDuplicates(["term", "id", "seq"])
+        winners = self._winners(self._all_muts(spark))
+        live_ids = winners.filter(F.col("op") == "upsert")
+        (
+            rows.join(live_ids.select("id", "seq"), ["id", "seq"], "inner")
+            .repartition(POSTING_PARTITIONS, "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.root, nxt, "postings"))
+        )
+        (
+            live_ids.write.mode("overwrite")
+            .parquet(os.path.join(self.root, nxt, "muts"))
+        )
+        self._commit_gen(nxt)
+        self._stats_memo = {}
+        import shutil
+
+        for name in os.listdir(self.root):
+            if name.startswith("gen-") and name not in {cur, nxt}:
+                shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)

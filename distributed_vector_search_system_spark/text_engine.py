@@ -88,6 +88,7 @@ class TextEngine:
         self._index_state: dict[int, str] = {}
         #: observable build counter (tests assert reuse vs rebuild)
         self.index_builds = 0
+        self._store = None
 
     # -- reads ---------------------------------------------------------------
 
@@ -134,16 +135,24 @@ class TextEngine:
                 doc_id_col=self._doc_id, text_col=self._text,
                 where=where, k1=k1, b=b,
             )
-        if method != "indexed":
+        if method not in ("indexed", "store"):
             raise ValueError(f"unknown method: {method!r}")
-        from .sources.posting_index import bm25_search_index
-
-        path = self._ensure_index()
         filter_ids = None
         if where is not None:
             filter_ids = snap.filter(
                 F.expr(where) if isinstance(where, str) else where
             ).select(F.col(self._doc_id).alias("id"))
+        if method == "store":
+            if self._store is None:
+                raise ValueError(
+                    "method='store' requires attach_store(root) first"
+                )
+            return self._store.search(
+                self._spark, queries, k, k1=k1, b=b, filter_ids=filter_ids
+            )
+        from .sources.posting_index import bm25_search_index
+
+        path = self._ensure_index()
         return bm25_search_index(
             self._spark, path, queries, k, k1=k1, b=b, filter_ids=filter_ids
         )
@@ -183,6 +192,36 @@ class TextEngine:
         self.index_builds += 1
         return path
 
+    def attach_store(self, root: str) -> None:
+        """Declare the INCREMENTAL serving tier: a
+        ``sources.posting_index.MutablePostingIndexStore`` rooted at
+        ``root``, initialized from the current snapshot (one corpus
+        scan, ever).  After this, every ``compact()`` pushes the folded
+        mutation log into the store as O(Δ) appends — no rebuild — and
+        ``search(method="store")`` serves the merge-on-read index,
+        which tracks the compacted snapshot exactly (tested against the
+        scan path).
+
+        This is the 100 TB maintenance shape: the per-epoch
+        ``attach_index`` tier re-tokenizes the WHOLE corpus on every
+        compacted write (correct, but O(corpus) per write cadence); the
+        store pays O(batch) per write and amortizes clustering into its
+        own ``compact(spark)``, exactly like the vector side's
+        streaming IVF store."""
+        from .sources.posting_index import MutablePostingIndexStore
+
+        if self._pending:
+            # the store must start from a fold-point the log sequence
+            # numbers are AFTER; compact first so pending entries are
+            # not double-applied (they fold into the snapshot the store
+            # initializes from)
+            self.compact()
+        store = MutablePostingIndexStore(root)
+        store.init_base(
+            self._snapshot, doc_id_col=self._doc_id, text_col=self._text
+        )
+        self._store = store
+
     def size(self) -> int:
         return self._read_snapshot(EVENTUAL).count()
 
@@ -193,6 +232,8 @@ class TextEngine:
         fills any extra snapshot columns; unspecified ones become NULL
         (the log must carry the full payload schema, like the vector
         MUTATIONS_SCHEMA does)."""
+        if not isinstance(text, str):
+            raise ValueError("upsert_doc requires a string text payload")
         unknown = set(meta) - set(self._payload)
         if unknown:
             raise ValueError(f"unknown document columns: {sorted(unknown)}")
@@ -236,12 +277,20 @@ class TextEngine:
     def compact(self) -> None:
         """Fold the pending doc-mutation log into the snapshot (R11
         replay over documents) and bump the snapshot epoch — which
-        invalidates the posting-index memo."""
+        invalidates the posting-index memo.  An attached store receives
+        the SAME log as O(Δ) appends (``apply_log`` folds by the
+        identical per-row seq order, so store state == compacted
+        snapshot by construction)."""
         if not self._pending:
             return
+        log = self._log_df()
         self._snapshot = apply_mutations(
-            self._snapshot, self._log_df(), id_col=self._doc_id
+            self._snapshot, log, id_col=self._doc_id
         )
+        if self._store is not None:
+            self._store.apply_log(
+                log, doc_id_col=self._doc_id, text_col=self._text
+            )
         self._entries = []
         self._pending = 0
         self._snapshot_epoch += 1

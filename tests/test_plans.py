@@ -105,7 +105,7 @@ def test_llm_pipeline_no_allpairs_join(spark, sf_smoke, name):
 def test_multimodal_kernels_are_map_only(spark, sf_smoke, name):
     """Arrow mapInPandas feature/frame extraction must not shuffle —
     binary payloads never leave their partition."""
-    plan = _plan(registry.queries()[name](spark, sf_smoke))
+    plan = _plan(registry.all_queries()[name](spark, sf_smoke))
     assert "Exchange" not in plan, plan
 
 

@@ -1,0 +1,206 @@
+"""MutablePostingIndexStore: LWW merge-on-read postings — O(Δ) lexical
+index maintenance under doc upsert/replace/delete, equal to the
+from-scratch BM25 over the equivalently mutated corpus."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_vector_search_system_spark.operators.retrieval import bm25_topk
+from distributed_vector_search_system_spark.sources.posting_index import (
+    MutablePostingIndexStore,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _q(spark, terms=("banana",)):
+    return spark.createDataFrame(
+        [(0, list(terms))], "query_id long, qterms array<string>"
+    )
+
+
+_BASE = [
+    (1, "apple banana"),
+    (2, "banana cherry banana"),
+    (3, "cherry date"),
+    (4, "apple date cherry"),
+]
+
+_LOG = [
+    # replace doc 2: its old banana/cherry postings must die
+    (1, "upsert", 2, "zebra quux"),
+    # insert a strong banana doc
+    (2, "upsert", 9, "banana banana banana banana"),
+    # tombstone doc 4
+    (3, "delete", 4, None),
+    # zero-token doc: no postings, but counts in N / avgdl
+    (4, "upsert", 11, "!!! ???"),
+]
+
+_MUTATED = [
+    (1, "apple banana"),
+    (2, "zebra quux"),
+    (3, "cherry date"),
+    (9, "banana banana banana banana"),
+    (11, "!!! ???"),
+]
+
+
+def _log_df(spark, rows=_LOG):
+    return spark.createDataFrame(
+        rows, "seq long, op string, doc_id long, text string"
+    )
+
+
+def _store(spark, tmp_path, name="mstore"):
+    s = MutablePostingIndexStore(str(tmp_path / name))
+    s.init_base(_docs(spark, _BASE))
+    return s
+
+
+def _result(df):
+    return {(r["query_id"], r["rank"], r["id"], r["score"]) for r in df.collect()}
+
+
+def test_base_matches_from_scratch(spark, tmp_path):
+    s = _store(spark, tmp_path)
+    q = _q(spark, ("banana", "cherry"))
+    got = _result(s.search(spark, q, 4))
+    want = _result(bm25_topk(_docs(spark, _BASE), q, 4))
+    assert got == want and got
+
+
+def test_mutations_match_from_scratch_over_mutated_corpus(spark, tmp_path):
+    """Replace kills old terms, insert ranks, delete tombstones, and
+    the zero-token doc shifts N/avgdl exactly like the scan plan."""
+    s = _store(spark, tmp_path)
+    s.apply_log(_log_df(spark))
+    q = _q(spark, ("banana", "cherry"))
+    got = _result(s.search(spark, q, 5))
+    want = _result(bm25_topk(_docs(spark, _MUTATED), q, 5))
+    assert got == want and got
+    ids = {t[2] for t in got}
+    assert 9 in ids and 4 not in ids  # insert visible, tombstone gone
+    assert 2 not in ids  # replaced doc no longer says banana
+
+
+def test_redelivered_log_changes_nothing(spark, tmp_path):
+    s = _store(spark, tmp_path)
+    s.apply_log(_log_df(spark))
+    q = _q(spark, ("banana", "date"))
+    before = _result(s.search(spark, q, 5))
+    s.apply_log(_log_df(spark))  # crash redelivery: same batch again
+    assert _result(s.search(spark, q, 5)) == before
+
+
+def test_compact_preserves_results_and_gcs(spark, tmp_path):
+    s = _store(spark, tmp_path)
+    s.apply_log(_log_df(spark))
+    q = _q(spark, ("banana", "cherry", "date"))
+    before = _result(s.search(spark, q, 5))
+    s.compact(spark)
+    assert s._current_gen() == "gen-000001"
+    assert _result(s.search(spark, q, 5)) == before
+    # compacted base holds only live rows; the delta dir is gone
+    base, delta, muts = s._paths()
+    assert not os.path.exists(delta)
+    live = spark.read.parquet(base)
+    assert live.filter(F.col("id").isin([2])).filter(
+        F.col("term") == "banana"
+    ).count() == 0
+    # one winner muts row per live doc (the doc-length table)
+    assert spark.read.parquet(muts).count() == 5
+
+
+def test_redelivery_across_compaction(spark, tmp_path):
+    """A pre-compaction batch re-appended AFTER compaction: the kept
+    winner rows out-arbitrate the stale seqs, results unchanged."""
+    s = _store(spark, tmp_path)
+    s.apply_log(_log_df(spark))
+    s.compact(spark)
+    q = _q(spark, ("banana", "cherry"))
+    before = _result(s.search(spark, q, 5))
+    s.apply_log(_log_df(spark))  # stale redelivery into the new gen
+    assert _result(s.search(spark, q, 5)) == before
+
+
+def test_delete_then_reinsert_across_compaction(spark, tmp_path):
+    s = _store(spark, tmp_path)
+    s.apply_log(_log_df(spark))
+    s.compact(spark)
+    s.apply_log(
+        _log_df(spark, [(5, "upsert", 4, "banana returns banana")])
+    )
+    q = _q(spark, ("banana",))
+    got = _result(s.search(spark, q, 5))
+    mutated = [r for r in _MUTATED] + [(4, "banana returns banana")]
+    want = _result(bm25_topk(_docs(spark, mutated), q, 5))
+    assert got == want and any(t[2] == 4 for t in got)
+
+
+def test_filter_ids_restricts_results_not_stats(spark, tmp_path):
+    s = _store(spark, tmp_path)
+    s.apply_log(_log_df(spark))
+    q = _q(spark, ("banana",))
+    unfiltered = {t[2]: t[3] for t in _result(s.search(spark, q, 5))}
+    flt = spark.createDataFrame([(1,)], "id long")
+    got = _result(s.search(spark, q, 5, filter_ids=flt))
+    assert {(t[2], t[3]) for t in got} == {(1, unfiltered[1])}
+
+
+def test_append_only_api_is_guarded(spark, tmp_path):
+    s = _store(spark, tmp_path)
+    with pytest.raises(NotImplementedError):
+        s.append_batch(_docs(spark, _BASE), 1)
+
+
+# --- TextEngine integration ---------------------------------------------------
+
+
+def test_text_engine_store_mode_tracks_scan_exactly(spark, tmp_path):
+    from distributed_vector_search_system_spark.engine import STRONG
+    from distributed_vector_search_system_spark.text_engine import TextEngine
+
+    e = TextEngine(spark, _docs(spark, _BASE))
+    e.attach_store(str(tmp_path / "estore"))
+    q = _q(spark, ("banana", "cherry"))
+    assert _result(e.search(q, 4, method="store")) == _result(e.search(q, 4))
+    e.upsert_doc(2, "zebra quux")
+    e.upsert_doc(9, "banana banana banana banana")
+    e.delete_doc(4)
+    # STRONG compacts: the store receives the log as O(batch) appends —
+    # the base generation is untouched (no rebuild)
+    got = _result(e.search(q, 5, method="store", consistency=STRONG))
+    assert got == _result(e.search(q, 5))
+    assert e._store._current_gen() == "gen-000000"
+    assert e.index_builds == 0  # the per-epoch rebuild tier never ran
+
+
+def test_text_engine_store_requires_attach(spark):
+    from distributed_vector_search_system_spark.text_engine import TextEngine
+
+    e = TextEngine(spark, _docs(spark, _BASE))
+    with pytest.raises(ValueError, match="attach_store"):
+        e.search(_q(spark), 3, method="store")
+
+
+def test_text_engine_store_filtered(spark, tmp_path):
+    from distributed_vector_search_system_spark.engine import STRONG
+    from distributed_vector_search_system_spark.text_engine import TextEngine
+
+    docs = spark.createDataFrame(
+        [(i, t, l) for (i, t), l in zip(_BASE, ["en", "en", "de", "en"])],
+        "doc_id long, text string, lang string",
+    )
+    e = TextEngine(spark, docs)
+    e.attach_store(str(tmp_path / "estore"))
+    q = _q(spark, ("cherry",))
+    want = _result(e.search(q, 4, where="lang = 'en'"))
+    got = _result(e.search(q, 4, method="store", where="lang = 'en'"))
+    assert got == want and {t[2] for t in got} == {2, 4}
