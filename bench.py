@@ -623,6 +623,100 @@ def _measure_scale(sf_dir: str) -> dict:
     return out
 
 
+def _measure_maintenance(sf_dir: str) -> dict:
+    """O(corpus) vs O(Δ) lexical index maintenance — the write-path
+    number that decides the indexing strategy at 100 TB: a compacted
+    write can either REBUILD the posting index (re-tokenize the whole
+    corpus: ``write_posting_index``) or fold the mutation batch into
+    the LWW merge-on-read store (``MutablePostingIndexStore.apply_log``,
+    O(batch)).  Also times one query against each so the merge-on-read
+    overhead is on the record.  The store init (one corpus scan, EVER)
+    is reported separately — it is not a per-write cost."""
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from distributed_vector_search_system_spark.operators.retrieval import (
+        queries_from_docs,
+    )
+    from distributed_vector_search_system_spark.session import get_spark
+    from distributed_vector_search_system_spark.sources.posting_index import (
+        MutablePostingIndexStore,
+        bm25_search_index,
+        write_posting_index,
+    )
+    from distributed_vector_search_system_spark.tables import load_table
+
+    spark = get_spark(app_name="dvss-bench-maint")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="dvss_bench_maint_")
+    try:
+        # warm the session so neither contender pays JVM/JIT startup
+        docs.write.format("noop").mode("overwrite").save()
+        # ~0.3% of the corpus mutates per cadence: replacements + deletes
+        ups = docs.filter(F.col("doc_id") % 600 == 1)
+        dels = docs.filter(F.col("doc_id") % 600 == 2).select("doc_id")
+        w = Window.orderBy("doc_id")  # ~200 rows — the tiny-log sort is fine
+        log = (
+            ups.select("doc_id", "text", F.lit("upsert").alias("op"))
+            .unionByName(
+                dels.select(
+                    "doc_id", F.lit(None).cast("string").alias("text"),
+                    F.lit("delete").alias("op"),
+                )
+            )
+            .withColumn("seq", F.row_number().over(w).cast("long"))
+        )
+        batch_rows = log.count()
+
+        t0 = time.perf_counter()
+        write_posting_index(docs, os.path.join(root, "rebuilt"))
+        rebuild_s = round(time.perf_counter() - t0, 4)
+
+        store = MutablePostingIndexStore(os.path.join(root, "store"))
+        t0 = time.perf_counter()
+        store.init_base(docs)
+        init_s = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        store.apply_log(log)
+        apply_s = round(time.perf_counter() - t0, 4)
+
+        q = queries_from_docs(docs, F.col("doc_id") % 100 == 7)
+        t0 = time.perf_counter()
+        bm25_search_index(
+            spark, os.path.join(root, "rebuilt"), q, 10
+        ).write.format("noop").mode("overwrite").save()
+        rebuilt_q_s = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        store.search(spark, q, 10).write.format("noop").mode("overwrite").save()
+        store_q_s = round(time.perf_counter() - t0, 4)
+        # compact() folds the delta through the arbiter into a clean
+        # generation; reads then skip the LWW joins (the _DIRTY gate),
+        # so the merge-on-read tax lasts exactly one compaction cadence
+        t0 = time.perf_counter()
+        store.compact(spark)
+        compact_s = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        store.search(spark, q, 10).write.format("noop").mode("overwrite").save()
+        store_cq_s = round(time.perf_counter() - t0, 4)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+    return {
+        "mutation_batch_rows": batch_rows,
+        "full_rebuild_sec": rebuild_s,
+        "store_delta_apply_sec": apply_s,
+        "store_init_once_sec": init_s,
+        "store_compact_sec": compact_s,
+        "rebuilt_index_query_sec": rebuilt_q_s,
+        "store_merge_on_read_query_sec": store_q_s,
+        "store_compacted_query_sec": store_cq_s,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -636,6 +730,9 @@ def main() -> None:
         return
     if os.environ.get(_WORKER_ENV) == "scale":
         print(json.dumps(_measure_scale(sf_dir)))
+        return
+    if os.environ.get(_WORKER_ENV) == "maint":
+        print(json.dumps(_measure_maintenance(sf_dir)))
         return
     if os.environ.get(_WORKER_ENV):
         print(json.dumps(_measure_once(sf_dir)))
@@ -674,6 +771,9 @@ def main() -> None:
     scale_section: dict = {}
     if os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0":
         scale_section = _section("scale")
+    maint_section: dict = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_MAINT", "1") != "0":
+        maint_section = _section("maint")
 
     headline, fast = runs[0]["headline"], runs[0]["fast"]
     retrieval = runs[0].get("retrieval", [])
@@ -708,6 +808,7 @@ def main() -> None:
         "recall_vs_nprobe": recall_section,
         "d768": d768_section,
         "scale_anchor": scale_section,
+        "lexical_maintenance": maint_section,
         "per_run_cold_totals": run_totals,
         "per_run_steady_totals": steady_run_totals,
         "repeats": repeats,

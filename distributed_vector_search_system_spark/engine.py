@@ -265,6 +265,7 @@ class VectorEngine:
         pq_m: int = 8,
         pq_ksub: int = 16,
         replicas: int = 1,
+        centroid_source: str = "head",
     ) -> None:
         """Declare a persisted-index serving tier rooted at ``root``.
 
@@ -288,15 +289,22 @@ class VectorEngine:
           superseded epochs are dropped from the memo (directory GC is
           deployment cadence policy, like any compaction output).
 
-        Centroids are the deterministic hash-thinned head sample (the
-        ``ann_ivf_topk`` scheme) over the snapshot — normalized space
-        for the cosine kinds; codebooks (ivfpq kinds) are
-        ``pq_sample_codebooks`` over the same space and need ``dim``.
-        At real scale you would swap in ``kmeans_fit`` centroids at
-        build cadence; the epoch/rebuild mechanics are identical.
+        ``centroid_source``: ``"head"`` (default) uses the
+        deterministic hash-thinned head sample (the ``ann_ivf_topk``
+        scheme); ``"trained"`` runs ``operators.clustering.kmeans_fit``
+        over the snapshot at every (re)build — the production build-
+        cadence shape (trained cells balance the partition sizes, the
+        bench recall section measures the gain).  Either way the space
+        is normalized first for the cosine kinds, and codebooks (ivfpq
+        kinds) are ``pq_sample_codebooks`` over the same space (needs
+        ``dim``).  Correctness is centroid-agnostic: routing only picks
+        which cells are probed, the in-cell ranking is exact — at full
+        probe both sources return identical results (tested).
         """
         if replicas < 1:
             raise ValueError("replicas must be >= 1")
+        if centroid_source not in ("head", "trained"):
+            raise ValueError("centroid_source must be 'head' or 'trained'")
         self._index_root = root
         self._index_conf = {
             "num_cells": num_cells,
@@ -305,6 +313,7 @@ class VectorEngine:
             "pq_m": pq_m,
             "pq_ksub": pq_ksub,
             "replicas": replicas,
+            "centroid_source": centroid_source,
         }
         self._index_state = {}
 
@@ -317,6 +326,7 @@ class VectorEngine:
         key = (
             kind, self._snapshot_epoch, conf["num_cells"],
             conf["pq_m"], conf["pq_ksub"], conf["replicas"],
+            conf["centroid_source"],
         )
         state = self._index_state.get(key)
         if state is not None:
@@ -332,16 +342,23 @@ class VectorEngine:
             space = snap.filter(l2_norm(F.col("embedding")) > 0.0).withColumn(
                 "embedding", l2_normalize("embedding")
             )
-        from .operators.sampling import thinned_head_rows
-        from .operators.similarity import IVF_THIN_SEED
+        if conf["centroid_source"] == "trained":
+            from .operators.clustering import kmeans_fit
 
-        rows = thinned_head_rows(
-            space.select(F.col("vec_id").alias("_id"), F.col("embedding").alias("_v")),
-            conf["num_cells"],
-            seed=IVF_THIN_SEED,
-            id_col="_id",
-        )
-        cents = [[float(x) for x in r["_v"]] for r in rows]
+            cents, _ = kmeans_fit(space, conf["num_cells"])
+        else:
+            from .operators.sampling import thinned_head_rows
+            from .operators.similarity import IVF_THIN_SEED
+
+            rows = thinned_head_rows(
+                space.select(
+                    F.col("vec_id").alias("_id"), F.col("embedding").alias("_v")
+                ),
+                conf["num_cells"],
+                seed=IVF_THIN_SEED,
+                id_col="_id",
+            )
+            cents = [[float(x) for x in r["_v"]] for r in rows]
         books = None
         if kind.endswith("ivfpq"):
             if self._dim is None:

@@ -511,6 +511,32 @@ class MutablePostingIndexStore(PostingIndexStore):
 
     streaming_sink = append_batch
 
+    def streaming_log_sink(
+        self,
+        mutation_stream: DataFrame,
+        *,
+        checkpoint: str,
+        doc_id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        """Consume a STREAM of engine-shaped mutation rows ``(seq, op,
+        <doc_id>, <text>)`` via ``foreachBatch`` → :meth:`apply_log` —
+        the lexical analog of the vector side's streaming mutation
+        replay (streaming/mutation_stream.py).  at-least-once delivery,
+        exactly-once effect: appended rows are content-keyed by
+        ``(id, seq)`` and reads deduplicate, so a crash-redelivered
+        micro-batch changes nothing (tested, incl. across compaction)."""
+
+        def _apply(batch: DataFrame, _batch_id: int) -> None:
+            self.apply_log(batch, doc_id_col=doc_id_col, text_col=text_col)
+
+        return (
+            mutation_stream.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
     @staticmethod
     def _derive_seq(docs: DataFrame, doc_id_col: str, text_col: str,
                     seq_col=None) -> DataFrame:
@@ -588,6 +614,18 @@ class MutablePostingIndexStore(PostingIndexStore):
             .write.mode("append")
             .parquet(muts)
         )
+        # mark the generation dirty: reads must run the LWW arbiter.
+        # Generations written by init_base/compact carry NO marker, so
+        # their reads skip the arbiter entirely (every stored row is a
+        # winner by construction).  The delta dir alone cannot gate
+        # this — a delete-only log appends muts rows but no postings.
+        from .fsutil import write_marker
+
+        write_marker(
+            log.sparkSession,
+            self._os.path.join(self._os.path.dirname(muts), "_DIRTY"),
+            "1\n",
+        )
         self._applied += 1
         # superseded stats memo entries can never be read again
         self._stats_memo = {}
@@ -613,14 +651,27 @@ class MutablePostingIndexStore(PostingIndexStore):
     def _live_postings(self, spark: SparkSession, terms: list[str]) -> DataFrame:
         from pyspark.errors import AnalysisException
 
+        from .fsutil import read_marker
+
         base_path, delta_path, _ = self._paths()
         rows = spark.read.parquet(base_path).filter(F.col("term").isin(terms))
+        gen_dir = self._os.path.dirname(base_path)
+        if read_marker(spark, self._os.path.join(gen_dir, "_DIRTY")) is None:
+            # CLEAN generation (fresh init or post-compact, no apply_log
+            # since): every base row is live by construction — init and
+            # compact write exactly the winner rows — so the dedup +
+            # arbiter joins (the merge-on-read read tax, three extra
+            # shuffles of the restricted postings) are skipped outright.
+            # compact() therefore RESTORES the clustered index's query
+            # cost; the tax lasts one compaction cadence (measured in
+            # the bench lexical_maintenance section).
+            return rows.drop("seq")
         try:
             rows = rows.unionByName(
                 spark.read.parquet(delta_path).filter(F.col("term").isin(terms))
             )
-        except AnalysisException:  # no deltas yet
-            pass
+        except AnalysisException:
+            pass  # delete-only generation: no delta postings to merge
         rows = rows.dropDuplicates(["term", "id", "seq"])  # redelivery
         # LWW liveness: restrict the arbiter to candidate ids FIRST
         # (O(candidate docs), not O(corpus)), then keep only rows whose

@@ -663,3 +663,38 @@ def test_indexed_rejects_shard_col(spark, tmp_path):
     e.attach_index(str(tmp_path / "idx"), num_cells=4)
     with pytest.raises(ValueError, match="shard"):
         e.search(_q(spark, 0, [1.0, 0.0], 3), 3, method="ivf")
+
+
+def test_attach_index_trained_centroids(spark, tmp_path):
+    """centroid_source='trained' runs kmeans_fit per (re)build; routing
+    is centroid-agnostic at full probe, so results equal the exact scan
+    for the L2 kind and brute-force cosine for the cosine kind."""
+    from distributed_vector_search_system_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    e = _engine(spark)
+    e.attach_index(
+        str(tmp_path / "idx"), num_cells=4, n_probe=4,
+        centroid_source="trained",
+    )
+    q = _q(spark, 0, [3.2, 0.0], 3)
+    got = {(r["rank"], r["id"]) for r in e.search(q, 3, method="ivf").collect()}
+    want = {(r["rank"], r["id"]) for r in e.search(q, 3).collect()}
+    assert got == want and e.index_builds == 1
+    nonzero = e._snapshot.filter(
+        F.expr("aggregate(embedding, 0D, (a,x) -> a + x*x) > 0")
+    )
+    cgot = {
+        (r["rank"], r["id"])
+        for r in e.search(q, 3, method="cosine_ivf").collect()
+    }
+    cwant = {
+        (r["rank"], r["id"])
+        for r in cosine_topk(
+            nonzero, q.select("query_id", "qvec"), 3, query_vector_col="qvec"
+        ).collect()
+    }
+    assert cgot == cwant and e.index_builds == 2
+    with pytest.raises(ValueError, match="centroid_source"):
+        e.attach_index(str(tmp_path / "idx2"), centroid_source="nope")

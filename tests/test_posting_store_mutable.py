@@ -204,3 +204,57 @@ def test_text_engine_store_filtered(spark, tmp_path):
     want = _result(e.search(q, 4, where="lang = 'en'"))
     got = _result(e.search(q, 4, method="store", where="lang = 'en'"))
     assert got == want and {t[2] for t in got} == {2, 4}
+
+
+def test_streaming_log_sink_matches_direct_apply(spark, tmp_path):
+    """End-to-end through writeStream/foreachBatch: micro-batched
+    delivery of the same log yields the same live index."""
+    s = _store(spark, tmp_path)
+    src = str(tmp_path / "logsrc")
+    _log_df(spark, _LOG[:2]).write.mode("append").parquet(src)
+    _log_df(spark, _LOG[2:]).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("seq long, op string, doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = s.streaming_log_sink(stream, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    qdf = _q(spark, ("banana", "cherry"))
+    got = _result(s.search(spark, qdf, 5))
+    want = _result(bm25_topk(_docs(spark, _MUTATED), qdf, 5))
+    assert got == want and got
+
+
+def test_delete_only_log_is_honored(spark, tmp_path):
+    """A delete-only log writes NO delta postings — the clean-generation
+    fast path must not mistake it for an unmutated store (the _DIRTY
+    marker gates the arbiter, not the delta dir)."""
+    s = _store(spark, tmp_path)
+    s.apply_log(_log_df(spark, [(1, "delete", 2, None)]))
+    q = _q(spark, ("banana",))
+    got = _result(s.search(spark, q, 5))
+    want = _result(bm25_topk(_docs(spark, [r for r in _BASE if r[0] != 2]), q, 5))
+    assert got == want and all(t[2] != 2 for t in got)
+
+
+def test_clean_generation_skips_arbiter(spark, tmp_path):
+    """Fresh init and post-compact reads take the arbiter-free plan —
+    exactly ONE window (the rank); a dirty generation adds the LWW
+    winners window — and the rows come back identical."""
+
+    def n_windows(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return plan.count("Window [")
+
+    s = _store(spark, tmp_path)
+    q = _q(spark, ("banana", "cherry"))
+    assert n_windows(s.search(spark, q, 4)) == 1  # clean: no arbiter
+    s.apply_log(_log_df(spark))
+    # dirty: the LWW winners window enters the plan (once per postings
+    # subtree — the score join and the df aggregate each carry one)
+    assert n_windows(s.search(spark, q, 4)) > 1
+    before = _result(s.search(spark, q, 5))
+    s.compact(spark)
+    assert n_windows(s.search(spark, q, 4)) == 1  # compact restores fast path
+    assert _result(s.search(spark, q, 5)) == before
