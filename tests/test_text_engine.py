@@ -264,3 +264,43 @@ def test_engine_round_scores_rejected_off_ivf_kinds(spark):
     )
     with pytest.raises(ValueError, match="round_scores"):
         e.search(q, 3, method="expr", round_scores=6)
+
+
+def test_hybrid_store_leg_and_per_leg_filters(spark, tmp_path):
+    """The hybrid front door composes with the incremental store leg
+    (text_method='store' == 'scan' row-for-row) and per-leg where=
+    predicates restrict each corpus before its top-k."""
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana", "en"),
+            (2, "banana cherry banana", "en"),
+            (3, "cherry date", "de"),
+            (4, "apple date cherry", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0], i % 2) for i in range(1, 5)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    te = TextEngine(spark, docs)
+    te.attach_store(str(tmp_path / "hstore"))
+    h = HybridEngine(VectorEngine(spark, emb, dim=2), te)
+    q = spark.createDataFrame(
+        [(0, ["banana", "cherry"], [2.0, 1.0])],
+        "query_id long, qterms array<string>, qvec array<double>",
+    )
+    scan = {(r["rank"], r["id"], r["rrf"]) for r in h.search(q, 4).collect()}
+    store = {
+        (r["rank"], r["id"], r["rrf"])
+        for r in h.search(q, 4, text_method="store").collect()
+    }
+    assert store == scan and store
+    flt = h.search(
+        q, 4, where_text="lang = 'en'", where_vec="label = 0"
+    ).collect()
+    ids = {r["id"] for r in flt}
+    assert 3 not in ids  # 'de' doc excluded from the lexical leg
+    # vector leg restricted to label=0 ids {2, 4}; doc 3 appears in
+    # neither leg, every fused id came through at least one filter
+    assert ids <= {1, 2, 4}
