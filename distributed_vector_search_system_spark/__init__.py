@@ -6,6 +6,12 @@ FAISS flat-L2 indices, OpenMP shard fan-out + top-k merge, LRU+TTL query
 cache, Raft-replicated upsert/delete log).  This package re-expresses the
 same capabilities Spark-first:
 
+- ``engine``              — VectorEngine: the 5-RPC service surface as
+                            library calls (consistency gates, caches,
+                            persisted-index serving per snapshot epoch)
+- ``text_engine``         — TextEngine (BM25 serving + doc mutations
+                            under the same discipline) and HybridEngine
+                            (fused lexical+vector front door)
 - ``operators.knn``       — exact kNN / batch kNN (reference Q1-Q6)
 - ``operators.mutations`` — upsert/delete mutation log + last-writer-wins
                             compaction (reference M1-M4, R11)
