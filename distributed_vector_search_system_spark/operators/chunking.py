@@ -65,3 +65,77 @@ def chunk_documents(
         F.size(chunk).alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket: int = 4096,
+) -> DataFrame:
+    """GPT-style sequence packing layout: documents are laid out in
+    ascending id order into fixed ``budget``-token training windows
+    (concat-then-split, the standard LM-pretraining packing); each doc
+    is assigned the window where its token span STARTS plus its offset
+    inside it — ``(id, n_tokens, bin_id, bin_offset)``.  A document
+    longer than the remaining window space simply spills into the
+    following window(s); the physical split is the training reader's
+    job, this operator computes the deterministic layout.
+
+    Scale shape — distributed prefix-sum, NOT a global window: a naive
+    ``SUM() OVER (ORDER BY id)`` drags the whole corpus through ONE
+    partition.  Instead (the textbook two-level scan):
+
+    1. docs bucket by ``floor(id / bucket)``; per-bucket token totals
+       are one aggregate (map-side combine, one shuffle on the bucket
+       key);
+    2. the running sum over BUCKET TOTALS is a window over the
+       aggregated frame — ``n_docs / bucket`` rows, driver-trivial;
+    3. each doc's global offset = its bucket's base (broadcast back) +
+       a ``partitionBy(bucket)`` running sum, whose window state is
+       bounded by the bucket size.
+
+    Integer addition is associative, so the two-level sum equals the
+    global-window sum EXACTLY (tested, and the registry oracle replays
+    the single-window form in DuckDB).  Tokens = the analysis
+    tokenizer (``functions.text.tokens``), matching the corpus token
+    stats the budget would be sized against.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if bucket <= 0:
+        raise ValueError("bucket must be positive")
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    t = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+    ).withColumn("_grp", F.floor(F.col("id") / bucket))
+    gsums = t.groupBy("_grp").agg(F.sum("n_tokens").alias("_gsum"))
+    wg = Window.orderBy("_grp").rowsBetween(Window.unboundedPreceding, -1)
+    goffs = gsums.select(
+        "_grp",
+        F.coalesce(F.sum("_gsum").over(wg), F.lit(0)).alias("_goff"),
+    )
+    ww = (
+        Window.partitionBy("_grp")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        t.join(F.broadcast(goffs), "_grp")
+        .withColumn(
+            "_cum",
+            F.col("_goff") + F.coalesce(F.sum("n_tokens").over(ww), F.lit(0)),
+        )
+        .select(
+            "id",
+            "n_tokens",
+            F.floor(F.col("_cum") / budget).alias("bin_id"),
+            (F.col("_cum") % budget).alias("bin_offset"),
+        )
+    )

@@ -1864,6 +1864,75 @@ def q_bm25_doc_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_BUDGET = 512
+
+
+def q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence-packing layout (operators/chunking.
+    pack_sequences): documents laid into fixed 512-token training
+    windows by a DISTRIBUTED two-level prefix-sum; the oracle replays
+    the equivalent single-window running sum (integer addition is
+    associative, so the two forms agree exactly)."""
+    from ..operators.chunking import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, _PACK_BUDGET)
+
+
+def _corpus_pack_oracle() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+),
+c AS (
+  SELECT id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS cum
+  FROM toks
+)
+SELECT id, n_tokens,
+       CAST(cum // {_PACK_BUDGET} AS BIGINT) AS bin_id,
+       CAST(cum % {_PACK_BUDGET} AS BIGINT) AS bin_offset
+FROM c
+"""
+
+
+def q_hybrid_engine_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENGINE-SERVED hybrid front door (text_engine.HybridEngine):
+    full-probe cosine-IVF vector leg + per-epoch posting-index lexical
+    leg, fused under one consistency level — independently checked
+    against the SAME DuckDB oracle as the from-scratch ``hybrid_rrf``
+    (at full probe coverage the engine path equals it exactly; both
+    legs rank on 6-decimal-rounded scores)."""
+    import os
+    import tempfile
+
+    from ..engine import VectorEngine
+    from ..text_engine import HybridEngine, TextEngine
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = os.path.join(
+        tempfile.gettempdir(), f"dvss_spark_hybeng_{os.getpid()}"
+    )
+    ve = VectorEngine(spark, emb)
+    ve.attach_index(os.path.join(root, "vec"), num_cells=8, n_probe=8)
+    te = TextEngine(spark, docs)
+    te.attach_index(os.path.join(root, "lex"))
+    q = _retrieval_queries(spark, sf_dir).join(
+        emb.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        ),
+        "query_id",
+        "left",
+    )
+    return HybridEngine(ve, te).search(
+        q, _HYBRID_K, leg_k=_HYBRID_LEG_K,
+        vector_method="cosine_ivf", text_method="indexed",
+    )
+
+
 def q_bm25_store_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IDENTICAL doc-mutation scenario served from the INCREMENTAL
     LWW posting store (sources/posting_index.MutablePostingIndexStore)
@@ -1917,6 +1986,8 @@ QUERIES["bm25_doc_mutations"] = q_bm25_doc_mutations
 ORACLES["bm25_doc_mutations"] = _bm25_doc_mutations_oracle()
 
 EXTRA_QUERIES: dict = {
+    "corpus_pack": q_corpus_pack,
+    "hybrid_engine_rrf": q_hybrid_engine_rrf,
     "bm25_store_mutations": q_bm25_store_mutations,
     "multimodal_frames": q_multimodal_frames,
     "text_tfidf_topk": q_text_tfidf_topk,
@@ -1935,6 +2006,10 @@ EXTRA_QUERIES: dict = {
     "dedup_simhash_loose": q_dedup_simhash_loose,
 }
 EXTRA_ORACLES: dict = {
+    "corpus_pack": _corpus_pack_oracle(),
+    # the engine-served hybrid equals the from-scratch hybrid at full
+    # probe — the SAME oracle independently checks both paths
+    "hybrid_engine_rrf": _hybrid_oracle(),
     "bm25_store_mutations": _bm25_doc_mutations_oracle(),
     "multimodal_frames": _MULTIMODAL_FRAMES_SQL,
     "text_tfidf_topk": _TFIDF_SQL,

@@ -132,3 +132,94 @@ def test_stratified_validates_fractions(spark, sf_smoke):
     docs = load_table(spark, sf_smoke, "documents")
     with pytest.raises(ValueError, match="fraction"):
         stratified_sample(docs, "lang", {"en": 1.5})
+
+
+def test_pack_sequences_layout(spark):
+    from distributed_vector_search_system_spark.operators.chunking import (
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (i + 2))) for i in range(6)],
+        "doc_id long, text string",
+    )
+    got = [
+        tuple(r)
+        for r in pack_sequences(docs, 5, bucket=2).orderBy("id").collect()
+    ]
+    # n_tokens 2,3,4,5,6,7 -> cum-before 0,2,5,9,14,20
+    assert got == [
+        (0, 2, 0, 0), (1, 3, 0, 2), (2, 4, 1, 0),
+        (3, 5, 1, 4), (4, 6, 2, 4), (5, 7, 4, 0),
+    ]
+
+
+def test_pack_sequences_two_level_equals_global_window(spark):
+    """The distributed prefix-sum must equal the single global window
+    regardless of the bucket size (integer + is associative)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from distributed_vector_search_system_spark.functions.text import tokens
+    from distributed_vector_search_system_spark.operators.chunking import (
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * ((i * 7) % 11))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    ref = {
+        (r["doc_id"], r["cum"])
+        for r in docs.select(
+            "doc_id",
+            F.coalesce(
+                F.sum(F.size(tokens("text")).cast("long")).over(w), F.lit(0)
+            ).alias("cum"),
+        ).collect()
+    }
+    for bucket in (1, 3, 64):
+        got = {
+            (r["id"], r["bin_id"] * 9 + r["bin_offset"])
+            for r in pack_sequences(docs, 9, bucket=bucket).collect()
+        }
+        assert got == ref, bucket
+
+
+def test_pack_sequences_corpus_window_is_partitioned(spark, sf_smoke):
+    """The only UNpartitioned window runs over the bucket-total frame
+    (post-aggregate); the full-corpus running sum is partitionBy the
+    bucket key — the 100 TB shape."""
+    from distributed_vector_search_system_spark.operators.chunking import (
+        pack_sequences,
+    )
+    from distributed_vector_search_system_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    plan = (
+        pack_sequences(docs, 512)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    wins = [l for l in plan.splitlines() if "windowspecdefinition(" in l]
+    assert len(wins) == 2
+    corpus = [l for l in wins if "n_tokens" in l]
+    assert len(corpus) == 1 and "_grp" in corpus[0]  # partitioned
+    (bucket_win,) = [l for l in wins if l not in corpus]
+    assert "_gsum" in bucket_win  # global window only over bucket totals
+
+
+def test_pack_sequences_errors(spark):
+    import pytest
+
+    from distributed_vector_search_system_spark.operators.chunking import (
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(docs, 0)
+    with pytest.raises(ValueError, match="bucket"):
+        pack_sequences(docs, 5, bucket=0)
