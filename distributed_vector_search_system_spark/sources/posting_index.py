@@ -596,6 +596,22 @@ class MutablePostingIndexStore(PostingIndexStore):
         its arbiter row to ``muts/``.  Idempotent under redelivery
         (content-keyed rows, read-side dedup)."""
         _, delta, muts = self._paths()
+        # dirty marker FIRST (crash ordering): reads of a dirty
+        # generation run the LWW arbiter.  A marker with no rows behind
+        # it only costs the arbiter joins on the next read; rows with
+        # no marker would let the clean-generation fast path serve
+        # postings a delete/replace has superseded.  Generations
+        # written by init_base/compact carry NO marker (every stored
+        # row is a winner by construction).  The delta dir alone cannot
+        # gate this — a delete-only log appends muts rows but no
+        # postings.
+        from .fsutil import write_marker
+
+        write_marker(
+            log.sparkSession,
+            self._os.path.join(self._os.path.dirname(muts), "_DIRTY"),
+            "1\n",
+        )
         ups = log.filter(F.col("op") == "upsert")
         (
             self._derive_seq(ups, doc_id_col, text_col, seq_col="seq")
@@ -613,18 +629,6 @@ class MutablePostingIndexStore(PostingIndexStore):
             )
             .write.mode("append")
             .parquet(muts)
-        )
-        # mark the generation dirty: reads must run the LWW arbiter.
-        # Generations written by init_base/compact carry NO marker, so
-        # their reads skip the arbiter entirely (every stored row is a
-        # winner by construction).  The delta dir alone cannot gate
-        # this — a delete-only log appends muts rows but no postings.
-        from .fsutil import write_marker
-
-        write_marker(
-            log.sparkSession,
-            self._os.path.join(self._os.path.dirname(muts), "_DIRTY"),
-            "1\n",
         )
         self._applied += 1
         # superseded stats memo entries can never be read again
@@ -684,6 +688,14 @@ class MutablePostingIndexStore(PostingIndexStore):
         return rows.join(win, ["id", "seq"], "inner").drop("seq")
 
     def _stats(self, spark: SparkSession) -> DataFrame:
+        # Memoized per (generation, applied-log count) ON THIS OBJECT —
+        # sound under the engine's single-writer discipline (G3: all
+        # mutations funnel through one leader, which is also where the
+        # reads' store handle lives).  A reader object in another
+        # process recomputes on first use and must be re-created (or
+        # the memo dropped) if some other writer appends — the same
+        # single-writer assumption every derived memo in the engine
+        # makes (PQ codebooks, per-epoch indexes).
         key = (self._current_gen(), self._applied)
         memo = self._stats_memo.get(key)
         if memo is None:
