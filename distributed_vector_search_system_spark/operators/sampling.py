@@ -226,3 +226,53 @@ def capped_per_key_sample(
         .filter(F.col("_rk") <= cap)
         .drop("_rk")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    temperature: float,
+    *,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "temp",
+) -> DataFrame:
+    """Temperature-based group rebalancing — the multilingual /
+    domain-mixing step of pretraining corpora (the exponentiated
+    sampling rule popularized by multilingual BERT / mT5 / XLM-R:
+    target share ``q_s ∝ (n_s/N)^(1/τ)``).
+
+    Without replacement, hitting the target distribution exactly means
+    DOWNSAMPLING over-represented groups.  The per-group keep-rate
+    reduces to a closed form of the integer counts alone::
+
+        rate_s = n_s^(1/τ − 1) / max_t n_t^(1/τ − 1)
+
+    (the normalizer Σw cancels) — for ``τ > 1`` the SCARCEST group
+    keeps every row and common groups shed mass toward uniformity; at
+    ``τ = 1`` every rate is 1 (the empirical mix is the target).  Rows
+    are kept by the deterministic hash-bucket rule ``hash_sample``
+    uses, so the selection is stable under any partitioning, disjoint
+    under different seeds, and replayable in SQL.
+
+    Plan shape: one tiny per-group count aggregate (map-side combine),
+    the rate table broadcast back, and a map-only filter — the corpus
+    itself never shuffles.
+    """
+    if temperature <= 0.0:
+        raise ValueError("temperature must be positive")
+    expo = 1.0 / temperature - 1.0
+    scored = df.groupBy(group_col).agg(
+        F.pow(F.count("*").cast("double"), F.lit(expo)).alias("_w")
+    )
+    rates = scored.crossJoin(
+        F.broadcast(scored.agg(F.max("_w").alias("_wmax")))
+    ).select(group_col, (F.col("_w") / F.col("_wmax")).alias("_rate"))
+    cols = df.columns
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(
+            _bucket(F.col(id_col).cast("string"), seed)
+            < F.round(F.col("_rate") * BUCKETS, 0)
+        )
+        .select(*cols)
+    )

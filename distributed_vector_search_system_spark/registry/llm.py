@@ -1864,6 +1864,41 @@ def q_bm25_doc_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TEMP_TAU = 2.0
+
+
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source rebalancing (operators/sampling.
+    temperature_sample, the multilingual-BERT/mT5 exponentiated mixing
+    rule at τ=2): over-represented sources are hash-downsampled toward
+    ``q_s ∝ (n_s/N)^(1/τ)``; the scarcest source keeps every row.  The
+    oracle replays the closed-form rate (the normalizer cancels:
+    ``rate_s = n_s^(1/τ−1) / max_t n_t^(1/τ−1)``) and the identical
+    portable-hash bucket rule."""
+    from ..operators.sampling import temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_sample(docs, _TEMP_TAU).select("doc_id", "source")
+
+
+def _temperature_sample_oracle() -> str:
+    from ..functions.hashing import portable_hash64_sql
+    from ..operators.sampling import BUCKETS
+
+    expo = 1.0 / _TEMP_TAU - 1.0
+    h = portable_hash64_sql("CAST(d.doc_id AS VARCHAR)", seed="temp")
+    return f"""
+WITH c AS (
+  SELECT source, POW(CAST(COUNT(*) AS DOUBLE), {expo!r}) AS w
+  FROM documents GROUP BY 1
+),
+r AS (SELECT source, w / (SELECT MAX(w) FROM c) AS rate FROM c)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r USING (source)
+WHERE (({h}) % {BUCKETS}) < ROUND(rate * {BUCKETS}, 0)
+"""
+
+
 _PACK_BUDGET = 512
 
 
@@ -1986,6 +2021,7 @@ QUERIES["bm25_doc_mutations"] = q_bm25_doc_mutations
 ORACLES["bm25_doc_mutations"] = _bm25_doc_mutations_oracle()
 
 EXTRA_QUERIES: dict = {
+    "temperature_sample": q_temperature_sample,
     "corpus_pack": q_corpus_pack,
     "hybrid_engine_rrf": q_hybrid_engine_rrf,
     "bm25_store_mutations": q_bm25_store_mutations,
@@ -2006,6 +2042,7 @@ EXTRA_QUERIES: dict = {
     "dedup_simhash_loose": q_dedup_simhash_loose,
 }
 EXTRA_ORACLES: dict = {
+    "temperature_sample": _temperature_sample_oracle(),
     "corpus_pack": _corpus_pack_oracle(),
     # the engine-served hybrid equals the from-scratch hybrid at full
     # probe — the SAME oracle independently checks both paths

@@ -127,3 +127,63 @@ def test_thinned_head_rows_count_memoized_per_key(spark):
     rows_c = sampling.thinned_head_rows(df100, 4, seed="s")
     assert [r["vec_id"] for r in rows_c] == [r["vec_id"] for r in rows_a]
     sampling._COUNT_MEMO.pop(key, None)
+
+
+def test_temperature_sample_rebalances(spark):
+    from distributed_vector_search_system_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    rows = [
+        (i, "big" if i < 900 else ("mid" if i < 990 else "rare"))
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    def counts(tau):
+        return {
+            r["source"]: r["count"]
+            for r in temperature_sample(df, tau).groupBy("source").count().collect()
+        }
+
+    # tau = 1: the empirical mix IS the target — everything kept
+    assert counts(1.0) == {"big": 900, "mid": 90, "rare": 10}
+    c2 = counts(2.0)
+    # the scarcest group keeps every row; bigger groups shed mass
+    assert c2["rare"] == 10
+    assert c2["big"] < 900 and c2["mid"] < 90
+    # rates follow n^(1/tau - 1): the big group is cut far harder
+    assert c2["big"] / 900 < c2["mid"] / 90
+    # tau -> inf approaches equal group masses
+    c100 = counts(100.0)
+    assert max(c100.values()) <= 2 * min(c100.values())
+
+
+def test_temperature_sample_deterministic_and_seeded(spark):
+    from distributed_vector_search_system_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 4 else "b") for i in range(400)],
+        "doc_id long, source string",
+    )
+    one = {r["doc_id"] for r in temperature_sample(df, 3.0).collect()}
+    two = {r["doc_id"] for r in temperature_sample(df, 3.0).collect()}
+    assert one == two and one
+    other = {
+        r["doc_id"] for r in temperature_sample(df, 3.0, seed="other").collect()
+    }
+    assert other != one  # disjoint seeds give independent samples
+
+
+def test_temperature_sample_rejects_nonpositive_tau(spark):
+    import pytest
+
+    from distributed_vector_search_system_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_sample(df, 0.0)
