@@ -223,8 +223,16 @@ def _measure_recall(sf_dir: str) -> dict:
         write_cosine_ivfpq_index,
     )
 
-    norm = emb.withColumn("embedding", l2_normalize("embedding")).localCheckpoint(
-        eager=True
+    # match the cosine tier's build contract: zero-norm vectors are
+    # excluded BEFORE normalizing (write_cosine_ivfpq_index / _norm_emb
+    # do the same) — a zero vector would inject NaN rows into
+    # kmeans_fit/pq_fit and poison the trained centroids (ADVICE r07)
+    from distributed_vector_search_system_spark.functions.distance import l2_norm
+
+    norm = (
+        emb.filter(l2_norm(F.col("embedding")) > 0.0)
+        .withColumn("embedding", l2_normalize("embedding"))
+        .localCheckpoint(eager=True)
     )
     ncents, _ = kmeans_fit(norm, 10, max_iterations=15)
     nbooks, _ = pq_fit(norm, dim=dim, m=8, ksub=16, max_iterations=8)

@@ -68,6 +68,41 @@ def l2_normalize(a) -> Column:
     )
 
 
+#: decimal places of the repo-wide top-k rank key (see :func:`rank_key`)
+RANK_KEY_DECIMALS = 6
+
+#: the DuckDB-side rank key — bit-identical to :func:`rank_key` and
+#: ``np.round(x, 6)`` (all three are IEEE ``rint(x * 1e6) / 1e6`` on
+#: doubles; equality probed in tests/test_knn.py::test_rank_key_parity)
+RANK_KEY_SQL = "round_even(({x}) * 1e6, 0) / 1e6"
+
+
+def rank_key(c) -> Column:
+    """The repo-wide ORDER key for distance-space top-k: the 6-decimal
+    HALF-EVEN rounding ``rint(x * 1e6) / 1e6``.
+
+    Why rank on a rounded key at all: BLAS accumulates in a batch-size-
+    dependent order, so the SAME vector scanned in two different Arrow
+    batches can produce last-ulp-different distances — ranking raw
+    doubles would let Spark partitioning decide which of two duplicate
+    vectors survives a top-k cut (found by the round-7 duplicate-heavy
+    property run).  Rounding to 6 decimals collapses the ulp noise while
+    keeping 1e-6 discrimination; ties then break on ``id``.
+
+    Why THIS rounding: ``rint`` (IEEE round-half-even on the scaled
+    double) is the one rule all three engines can compute bit-
+    identically — ``np.round(x, 6)`` is literally ``rint(x*1e6)/1e6``,
+    Spark SQL ``rint`` is ``Math.rint``, and DuckDB ``round_even``
+    matches (:data:`RANK_KEY_SQL`).  ``F.round`` (Spark HALF_UP on the
+    decimal string) and DuckDB ``ROUND`` can each disagree with the
+    numpy kernels at exact half-boundaries (ADVICE r07), so they are
+    used only for rounding OUTPUT columns, never for ranking.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    scale = F.lit(float(10 ** RANK_KEY_DECIMALS))
+    return F.call_function("rint", col * scale) / scale
+
+
 # --- SQL-string builders for expressions over LITERAL vectors --------------
 # Building a literal-vector expression out of Column objects costs one
 # py4j round-trip per element (64-dim plane → ~70 JVM calls, an LSH

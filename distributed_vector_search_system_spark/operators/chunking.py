@@ -135,7 +135,12 @@ def pack_sequences(
         .select(
             "id",
             "n_tokens",
-            F.floor(F.col("_cum") / budget).alias("bin_id"),
+            # integral DIV, not floor(double /): long/int division goes
+            # through DOUBLE and loses integer precision once _cum
+            # exceeds 2^53 — at 100 TB cumulative token counts get
+            # there, and the oracle's exact integer `//` would disagree
+            # (ADVICE r07).  `div` stays on longs end to end.
+            F.expr(f"_cum div {int(budget)}").alias("bin_id"),
             (F.col("_cum") % budget).alias("bin_offset"),
         )
     )

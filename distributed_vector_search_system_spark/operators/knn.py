@@ -29,8 +29,11 @@ reference's single-request/batch RPCs).  For huge query sets use
 
 Determinism: the reference sorts by distance only, leaving ties
 implementation-defined (src/index/shard_manager.cc:134-144); we impose a
-total order ``(distance, id)`` so results are reproducible and
-oracle-comparable.
+total order ``(rank_key(distance), id)`` — the 6-decimal half-even
+rounding of functions.distance.rank_key, computed bit-identically by
+the expr tier, the numpy kernels, and the DuckDB oracles — so results
+are reproducible, partitioning-independent, and oracle-comparable
+(ADVICE r07: every tier of one query surface must rank on one key).
 """
 
 from __future__ import annotations
@@ -40,7 +43,7 @@ from typing import Iterator
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.distance import squared_l2
+from ..functions.distance import rank_key, squared_l2
 
 #: Columns of a kNN result (reference SearchResponse.ScoredPoint,
 #: proto/search.proto:26-35, plus the imposed rank).
@@ -48,9 +51,18 @@ RESULT_COLS = ("query_id", "id", "distance", "rank")
 
 
 def _topk_window(k: int, query_id_col: str = "query_id"):
+    """Per-query rank over ``(rank_key(distance), id)`` — the repo-wide
+    distance-space order (functions.distance.rank_key): 6-decimal
+    half-even rounding collapses BLAS/summation ulp noise so the expr,
+    numpy, and DuckDB-oracle tiers select and rank the SAME rows; the
+    raw ``distance`` column is untouched (ADVICE r07)."""
     return (
         F.row_number()
-        .over(Window.partitionBy(query_id_col).orderBy(F.col("distance").asc(), F.col("id").asc()))
+        .over(
+            Window.partitionBy(query_id_col).orderBy(
+                rank_key("distance").asc(), F.col("id").asc()
+            )
+        )
         .alias("rank")
     )
 
@@ -205,7 +217,7 @@ def _knn_numpy(
         sel.append(F.col(shard_col).cast("string").alias("shard_id"))
     src = vectors.select(*sel)
 
-    out_fields = "id long, query_id long, distance double, _rkey double" + (
+    out_fields = "id long, query_id long, distance double" + (
         ", shard_id string" if shard_col is not None else ""
     )
 
@@ -222,16 +234,12 @@ def _knn_numpy(
             kk = min(k, b)
             ids = pdf["id"].to_numpy()
             # partial top-k per query within this Arrow batch, by
-            # (ROUNDED distance, id).  BLAS accumulates in a batch-size-
-            # dependent order, so the SAME vector in two different-sized
-            # batches can produce last-ulp-different distances — ranking
-            # raw values would then let partitioning decide which of two
-            # duplicate vectors survives the cut (found by the round-7
-            # duplicate-heavy property run).  Selecting AND merging on
-            # the 6-decimal rounding (the repo-wide determinism
-            # convention) collapses the ulp noise; the RAW distance is
-            # still what the caller receives.  _select_topk_matrix does
-            # one vectorized argpartition for all query columns and
+            # (rank_key, id): np.round(d2, 6) IS the repo-wide rank key
+            # (rint(x*1e6)/1e6 — see functions.distance.rank_key), so
+            # the batch cut, the global merge window, and the DuckDB
+            # oracle all select on bit-identical values; the RAW
+            # distance is what the caller receives.  _select_topk_matrix
+            # does one vectorized argpartition for all query columns and
             # repairs only columns whose boundary cohort is ambiguous,
             # keeping selection prefix-closed under the merge order.
             rkey = np.round(d2, 6)
@@ -240,22 +248,17 @@ def _knn_numpy(
                 "id": ids[part].ravel(order="F"),
                 "query_id": np.repeat(qids, kk),
                 "distance": np.take_along_axis(d2, part, axis=0).ravel(order="F"),
-                # the np-rounded key rides along so the global merge
-                # ranks on the IDENTICAL values the batch cut used
-                # (np.round is half-even, Spark ROUND is half-up — using
-                # one source kills the boundary disagreement outright)
-                "_rkey": np.take_along_axis(rkey, part, axis=0).ravel(order="F"),
             }
             if shard_col is not None:
                 rows["shard_id"] = pdf["shard_id"].to_numpy()[part].ravel(order="F")
             yield pd.DataFrame(rows)
 
+    # the global merge recomputes rank_key(distance) in the window —
+    # bit-identical to the rkey each batch cut on (same IEEE ops), so
+    # nothing extra needs to ride the shuffle
     partials = src.mapInPandas(scan, schema=out_fields)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("_rkey").asc(), F.col("id").asc()
-    )
     return (
-        partials.withColumn("rank", F.row_number().over(w))
+        partials.withColumn("rank", _topk_window(k))
         .filter(F.col("rank") <= k)
         .select(
             "query_id",
@@ -308,7 +311,7 @@ def sharded_knn(
     )
     per_shard = F.row_number().over(
         Window.partitionBy("query_id", "shard_id").orderBy(
-            F.col("distance").asc(), F.col("id").asc()
+            rank_key("distance").asc(), F.col("id").asc()
         )
     )
     partials = scored.withColumn("shard_rank", per_shard).filter(F.col("shard_rank") <= k)
@@ -377,7 +380,7 @@ def grouped_topk(
         squared_l2(F.col(vector_col), F.col(query_vector_col)).alias("distance"),
     )
     w = Window.partitionBy("query_id", "group").orderBy(
-        F.col("distance").asc(), F.col("id").asc()
+        rank_key("distance").asc(), F.col("id").asc()
     )
     ranked = scored.withColumn("rank", F.row_number().over(w))
     return ranked.filter(F.col("rank") <= k)

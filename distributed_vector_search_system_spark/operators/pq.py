@@ -232,10 +232,16 @@ def pq_adc_topk(
             coarse.select("query_id", "id", F.col("_adc").alias("distance")), k
         )
     # per-query partial top-(k·rerank) — WindowGroupLimit keeps the
-    # shuffle at candidate-triples size, same shape as quantized_knn
+    # shuffle at candidate-triples size, same shape as quantized_knn.
+    # Candidates rank on rank_key(_adc) (the repo-wide distance-space
+    # key): PQ codes duplicate heavily, so exact ADC ties at the
+    # candidate boundary are common and a raw-double cut would be
+    # ulp-sensitive; the oracle cuts on the identical round_even key.
     from pyspark.sql import Window
 
-    w = Window.partitionBy("query_id").orderBy(F.col("_adc").asc(), F.col("id").asc())
+    from ..functions.distance import rank_key
+
+    w = Window.partitionBy("query_id").orderBy(rank_key("_adc").asc(), F.col("id").asc())
     cands = (
         coarse.withColumn("_crank", F.row_number().over(w))
         .filter(F.col("_crank") <= k * rerank)

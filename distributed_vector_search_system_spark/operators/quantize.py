@@ -167,16 +167,16 @@ def _quantized_coarse_numpy(
             np.maximum(d2, 0.0, out=d2)
             kk = min(n_cands, d2.shape[0])
             ids = pdf["id"].to_numpy()
-            # smallest kk by (ROUNDED distance, id) per query — one
-            # vectorized argpartition over all columns + repair only
-            # where the boundary cohort actually ties
-            # (knn._select_topk_matrix; int8 codes make exact ties
-            # common, so the repair path is hot here).  Rounding to 6
-            # decimals before selection AND merge kills the batch-size-
-            # dependent BLAS ulp noise that would otherwise let Spark
-            # partitioning pick which of two duplicate vectors becomes
-            # a candidate (see knn._knn_numpy; same convention as the
-            # expr coarse ranking, so the two paths stay identical).
+            # smallest kk by (rank_key, id) per query — one vectorized
+            # argpartition over all columns + repair only where the
+            # boundary cohort actually ties (knn._select_topk_matrix;
+            # int8 codes make exact ties common, so the repair path is
+            # hot here).  np.round(d2, 6) IS the repo-wide rank key
+            # (rint(x*1e6)/1e6, functions.distance.rank_key) that the
+            # expr coarse window and the oracle's round_even compute
+            # bit-identically, so the three coarse paths select the
+            # SAME candidates even at exact half-boundaries (ADVICE
+            # r07; selection stays prefix-closed under the merge).
             rkey = np.round(d2, 6)
             sel = _select_topk_matrix(rkey, ids, kk)  # (kk, Q)
             yield pd.DataFrame(
@@ -284,12 +284,17 @@ def quantized_knn(
             "id",
             squared_l2(F.col("_dq"), F.col(query_vector_col)).alias("_coarse"),
         )
-        # candidate rank on the 6-decimal ROUNDING of the coarse
-        # distance (same key as the numpy kernel and the oracle): raw
-        # doubles would make the expr/numpy/oracle candidate boundaries
-        # ulp-sensitive where two rows genuinely tie
+        # candidate rank on rank_key(_coarse) — BIT-identical to the
+        # numpy kernel's np.round(d2, 6) and the oracle's round_even
+        # key (one source for all three paths, ADVICE r07): raw doubles
+        # would make the candidate boundaries ulp-sensitive where two
+        # rows genuinely tie, and the previous F.round (HALF_UP on the
+        # decimal string) could disagree with np.round (half-even on
+        # the scaled binary) at exact half-boundaries
+        from ..functions.distance import rank_key
+
         w = Window.partitionBy("query_id").orderBy(
-            F.round(F.col("_coarse"), 6).asc(), F.col("id").asc()
+            rank_key("_coarse").asc(), F.col("id").asc()
         )
         cands = (
             scored.withColumn("_crank", F.row_number().over(w))
@@ -321,8 +326,6 @@ def quantized_knn(
             "query_id", "id", squared_l2(F.col("_fv"), F.col("_qv")).alias("distance")
         )
     )
-    w2 = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("id").asc())
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-    )
+    from .knn import merge_topk
+
+    return merge_topk(exact, k)

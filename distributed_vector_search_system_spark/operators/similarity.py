@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.distance import cosine_similarity, squared_l2
+from ..functions.distance import cosine_similarity, rank_key, squared_l2
 from ..functions.hashing import portable_hash64
 from .knn import merge_topk
 
@@ -311,7 +311,7 @@ def knn_join(
         squared_l2(F.col("_lv"), F.col("_rv")).alias("distance"),
     )
     w = Window.partitionBy("left_id").orderBy(
-        F.col("distance").asc(), F.col("right_id").asc()
+        rank_key("distance").asc(), F.col("right_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k

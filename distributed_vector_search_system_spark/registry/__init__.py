@@ -18,9 +18,14 @@ FIRST 50 registry entries, so
 
 Conventions (FIXTURES.md):
 - squared L2, un-rooted, computed in double in BOTH engines;
-- distances rounded to 6 decimals in BOTH engines (kills last-ulp
-  summation-order noise while keeping 1e-6 discrimination);
-- deterministic tie-break ``(distance, id)``;
+- OUTPUT distances rounded to 6 decimals in BOTH engines (Spark
+  ``F.round`` / DuckDB ``ROUND`` — kills last-ulp summation-order
+  noise while keeping 1e-6 discrimination);
+- distance-space top-k RANKS on the shared half-even key
+  ``rint(x*1e6)/1e6`` (Spark ``functions.distance.rank_key``, DuckDB
+  ``round_even((x)*1e6, 0)/1e6``, numpy ``np.round(x, 6)`` — all
+  three bit-identical, so expr / numpy / oracle tiers select the same
+  rows; ADVICE r07), then ties break on ``id``;
 - every computed column aliased identically on both sides;
 - integer SUMs CAST to BIGINT in DuckDB oracles (HUGEINT → float64
   otherwise); array outputs serialized to CSV strings on both sides

@@ -34,7 +34,7 @@ def _knn_oracle(query_pred: str, vector_pred: str, k: int) -> str:
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE {query_pred}),
 v AS (SELECT vec_id, embedding FROM embeddings WHERE {vector_pred}),
 scored AS (SELECT q.query_id, v.vec_id AS id, {dist} AS distance FROM q CROSS JOIN v),
-ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, id) AS INT) AS rank
+ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY round_even((distance) * 1e6, 0) / 1e6, id) AS INT) AS rank
            FROM scored)
 SELECT query_id, id, ROUND(distance, 6) AS distance, rank FROM ranked WHERE rank <= {k}
 """
@@ -260,7 +260,7 @@ q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 
 scored AS (
   SELECT q.query_id, v.vec_id AS id, {_KNN_AFTER_MUT_DIST} AS distance
   FROM q CROSS JOIN compacted v),
-ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, id) AS INT) AS rank
+ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY round_even((distance) * 1e6, 0) / 1e6, id) AS INT) AS rank
            FROM scored)
 SELECT query_id, id, ROUND(distance, 6) AS distance, rank FROM ranked WHERE rank <= 5
 """,
@@ -617,7 +617,7 @@ coarse AS (
 ),
 cand AS (
   SELECT query_id, id, qe FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ROUND(cd, 6), id) AS crn
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY round_even((cd) * 1e6, 0) / 1e6, id) AS crn
     FROM coarse)
   WHERE crn <= {k * rerank}
 ),
@@ -626,7 +626,7 @@ exact AS (
   FROM cand c JOIN embeddings v ON c.id = v.vec_id
 )
 SELECT query_id, id, ROUND(distance, 6) AS distance, rank FROM (
-  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, id) AS INT) AS rank
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY round_even((distance) * 1e6, 0) / 1e6, id) AS INT) AS rank
   FROM exact)
 WHERE rank <= {k}
 """
@@ -746,7 +746,7 @@ qp AS (SELECT query_id, qe, cell_id FROM
 scored AS (SELECT qp.query_id, a.vec_id AS id, {l2_qa} AS distance
            FROM qp JOIN asg a ON a.cell_id = qp.cell_id),
 ranked AS (SELECT query_id, id, distance,
-           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, id) AS INT) AS rank
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY round_even((distance) * 1e6, 0) / 1e6, id) AS INT) AS rank
            FROM scored)
 SELECT query_id, id, ROUND(distance, 6) AS distance, rank FROM ranked WHERE rank <= 5
 """
@@ -975,7 +975,7 @@ adc AS (
 ),
 cand AS (
   SELECT query_id, id FROM
-    (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, id) AS crn FROM adc)
+    (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY round_even((adist) * 1e6, 0) / 1e6, id) AS crn FROM adc)
   WHERE crn <= {5 * _PQ_RERANK}
 ),
 exact AS (
@@ -984,7 +984,7 @@ exact AS (
   JOIN embeddings v ON c.id = v.vec_id
 )
 SELECT query_id, id, ROUND(distance, 6) AS distance, rank FROM (
-  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, id) AS INT) AS rank
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY round_even((distance) * 1e6, 0) / 1e6, id) AS INT) AS rank
   FROM exact)
 WHERE rank <= 5
 """
@@ -1069,7 +1069,7 @@ qp AS (SELECT query_id, qe, cell_id FROM
 scored AS (SELECT qp.query_id, a.vec_id AS id, {l2_qa} AS distance
            FROM qp JOIN asg a ON a.cell_id = qp.cell_id),
 ranked AS (SELECT query_id, id, distance,
-           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, id) AS INT) AS rank
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY round_even((distance) * 1e6, 0) / 1e6, id) AS INT) AS rank
            FROM scored)
 SELECT query_id, id, ROUND(distance, 6) AS distance, rank FROM ranked WHERE rank <= 5
 """
@@ -1229,7 +1229,7 @@ adc AS (
 ),
 cand AS (
   SELECT query_id, id FROM
-    (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, id) AS crn FROM adc)
+    (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY round_even((adist) * 1e6, 0) / 1e6, id) AS crn FROM adc)
   WHERE crn <= {5 * _IVFPQ_RERANK}
 ),
 exact AS (
@@ -1238,7 +1238,7 @@ exact AS (
   JOIN embeddings v ON c.id = v.vec_id
 )
 SELECT query_id, id, ROUND(distance, 6) AS distance, rank FROM (
-  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, id) AS INT) AS rank
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY round_even((distance) * 1e6, 0) / 1e6, id) AS INT) AS rank
   FROM exact)
 WHERE rank <= 5
 """
@@ -1293,7 +1293,7 @@ scored AS (SELECT q.query_id, v.vec_id AS id, {_RADIUS_DIST} AS distance
            FROM q CROSS JOIN embeddings v),
 within AS (SELECT * FROM scored WHERE distance <= 1.55)
 SELECT query_id, id, ROUND(distance, 6) AS distance,
-       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, id) AS INT) AS rank
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY round_even((distance) * 1e6, 0) / 1e6, id) AS INT) AS rank
 FROM within
 """
 
@@ -1302,7 +1302,7 @@ WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_
 scored AS (SELECT q.query_id, v.label AS grp, v.vec_id AS id, {_RADIUS_DIST} AS distance
            FROM q CROSS JOIN embeddings v),
 ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id, grp
-                                             ORDER BY distance, id) AS INT) AS rank
+                                             ORDER BY round_even((distance) * 1e6, 0) / 1e6, id) AS INT) AS rank
            FROM scored)
 SELECT query_id, grp, id, ROUND(distance, 6) AS distance, rank FROM ranked WHERE rank <= 3
 """
@@ -1372,7 +1372,7 @@ lp AS (SELECT left_id, le, cell_id FROM
 scored AS (SELECT lp.left_id, a.vec_id AS right_id, {l2_lr} AS distance
            FROM lp JOIN asg a ON a.cell_id = lp.cell_id),
 ranked AS (SELECT left_id, right_id, distance,
-           CAST(ROW_NUMBER() OVER (PARTITION BY left_id ORDER BY distance, right_id) AS INT) AS rank
+           CAST(ROW_NUMBER() OVER (PARTITION BY left_id ORDER BY round_even((distance) * 1e6, 0) / 1e6, right_id) AS INT) AS rank
            FROM scored)
 SELECT left_id, right_id, ROUND(distance, 6) AS distance, rank
 FROM ranked WHERE rank <= {_KNNJOIN_K}
@@ -1456,7 +1456,7 @@ qp AS (SELECT query_id, qe, cell_id FROM
 scored AS (SELECT qp.query_id, a.vec_id AS id, {l2_qa} AS distance
            FROM qp JOIN asg a ON a.cell_id = qp.cell_id),
 ranked AS (SELECT query_id, id, distance,
-           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, id) AS INT) AS rank
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY round_even((distance) * 1e6, 0) / 1e6, id) AS INT) AS rank
            FROM scored)
 SELECT query_id, id, ROUND(distance, 6) AS distance, rank FROM ranked WHERE rank <= 5
 """
@@ -1553,7 +1553,7 @@ qp AS (SELECT query_id, qe, cell_id FROM
 scored AS (SELECT qp.query_id, a.vec_id AS id, {l2_qa} AS distance
            FROM qp JOIN asg a ON a.cell_id = qp.cell_id),
 ranked AS (SELECT query_id, id, distance,
-           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, id) AS INT) AS rank
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY round_even((distance) * 1e6, 0) / 1e6, id) AS INT) AS rank
            FROM scored)
 SELECT query_id, id, ROUND(1.0 - distance / 2.0, 6) AS cosine, rank
 FROM ranked WHERE rank <= 5
@@ -1788,7 +1788,7 @@ adc AS (
 ),
 cand AS (
   SELECT query_id, id FROM
-    (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, id) AS crn FROM adc)
+    (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY round_even((adist) * 1e6, 0) / 1e6, id) AS crn FROM adc)
   WHERE crn <= {5 * _COSINE_IVFPQ_RERANK}
 ),
 exact AS (
@@ -1797,7 +1797,7 @@ exact AS (
   JOIN nv v ON c.id = v.vec_id
 )
 SELECT query_id, id, ROUND(1.0 - distance / 2.0, 6) AS cosine, rank FROM (
-  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, id) AS INT) AS rank
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY round_even((distance) * 1e6, 0) / 1e6, id) AS INT) AS rank
   FROM exact)
 WHERE rank <= 5
 """
@@ -1813,3 +1813,13 @@ QUERIES["ann_cosine_ivfpq_topk"] = q_ann_cosine_ivfpq_topk
 ORACLES["ann_cosine_ivfpq_topk"] = _cosine_ivfpq_oracle()
 EXTRA_QUERIES["vector_centroids"] = q_vector_centroids
 EXTRA_ORACLES["vector_centroids"] = _CENTROID_SQL
+
+# round-8 rotation (VERDICT r07 item 2): two thin vector rows leave the
+# driver window for the round-7 flagships (registry/llm.py) — the
+# sharded fan-out's result-equality with plain knn and the per-shard
+# count stay verified with the identical DuckDB comparison here, plus
+# dedicated semantics tests (tests/test_knn.py).
+for _name in ("knn_sharded", "shard_cardinality"):
+    EXTRA_QUERIES[_name] = QUERIES.pop(_name)
+    EXTRA_ORACLES[_name] = ORACLES.pop(_name)
+del _name

@@ -217,7 +217,12 @@ def search_ivfpq_index(
         )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("query_id").orderBy(F.col("_adc").asc(), F.col("id").asc())
+    from ..functions.distance import rank_key
+
+    # candidate cut on rank_key(_adc) — the repo-wide distance-space
+    # order (PQ codes duplicate heavily → exact boundary ties), matching
+    # the oracle's round_even key (ADVICE r07)
+    w = Window.partitionBy("query_id").orderBy(rank_key("_adc").asc(), F.col("id").asc())
     cands = (
         coarse.withColumn("_crank", F.row_number().over(w))
         .filter(F.col("_crank") <= k * rerank)

@@ -720,10 +720,20 @@ class MutablePostingIndexStore(PostingIndexStore):
 
     def compact(self, spark: SparkSession) -> None:
         """Fold base+delta through the arbiter into a re-clustered
-        next-generation base: superseded posting rows and tombstoned
-        docs drop out; ``muts/`` keeps ONE winner row per live doc (the
-        doc-length table, and the arbiter for any re-appended stale
-        seqs after a crash redelivery)."""
+        next-generation base: superseded posting rows drop out and
+        tombstoned docs keep NO postings; ``muts/`` keeps ONE winner
+        row per doc — upsert winners (the doc-length table) AND delete
+        winners (tombstones).  Tombstones must survive compaction
+        (ADVICE r07): a crash-redelivered PRE-delete upsert batch
+        applied after a tombstone-free compaction would find no
+        arbiter row for the deleted id, win by default, and resurrect
+        the document — keeping the delete winner makes ``apply_log``'s
+        redelivery idempotency hold across compaction for ANY replayed
+        batch, not just the latest (tested in
+        tests/test_posting_store_mutable.py).  A tombstone is one
+        4-column row per ever-deleted doc and stays the per-id winner
+        until a newer upsert re-creates the id, at which point the
+        next compaction drops it."""
         from pyspark.errors import AnalysisException
 
         os = self._os
@@ -746,7 +756,7 @@ class MutablePostingIndexStore(PostingIndexStore):
             .parquet(os.path.join(self.root, nxt, "postings"))
         )
         (
-            live_ids.write.mode("overwrite")
+            winners.write.mode("overwrite")
             .parquet(os.path.join(self.root, nxt, "muts"))
         )
         self._commit_gen(nxt)

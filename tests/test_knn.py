@@ -183,3 +183,42 @@ def test_knn_numpy_deterministic_on_duplicate_vectors(spark):
         )
         assert a == b, (parts, a, b)
         assert {x[1] for x in a} == {0, 1, 2}, a
+
+
+def test_rank_key_parity_three_engines(spark):
+    """The repo-wide distance rank key must be BIT-identical across its
+    three implementations (ADVICE r07): Spark ``rank_key`` (SQL rint),
+    numpy ``np.round(x, 6)``, and the DuckDB oracle form
+    ``round_even((x)*1e6, 0)/1e6``.  Probed on random doubles plus
+    adversarial half-boundary decimals where HALF_UP (F.round / DuckDB
+    ROUND) and half-even genuinely disagree."""
+    import duckdb
+
+    from distributed_vector_search_system_spark.functions.distance import (
+        RANK_KEY_SQL,
+        rank_key,
+    )
+
+    rng = np.random.default_rng(7)
+    vals = list(rng.uniform(0.0, 200.0, 5000))
+    # exact .5 at the 7th decimal (as close as doubles represent it),
+    # even and odd 6th digits — the cases where half rules diverge
+    vals += [0.1234565, 0.1234575, 1.0000005, 2.0000015, 99.9999995]
+    np_key = np.round(np.asarray(vals), 6)
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    spark_key = np.array(
+        [r["k"] for r in df.select(rank_key("v").alias("k")).collect()]
+    )
+    assert np.array_equal(spark_key, np_key)
+
+    import pandas as pd
+
+    pdf = pd.DataFrame({"v": vals})
+    duck_key = (
+        duckdb.connect()
+        .execute(f"SELECT {RANK_KEY_SQL.format(x='v')} AS k FROM pdf")
+        .fetchdf()["k"]
+        .to_numpy()
+    )
+    assert np.array_equal(duck_key, np_key)

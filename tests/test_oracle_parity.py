@@ -16,6 +16,23 @@ _QUERIES = registry.all_queries()
 _ORACLES = registry.all_oracle_sql()
 
 
+def test_registry_row_counts():
+    """Pin the registry composition so SURVEY.md's prose cannot drift
+    from the code again (VERDICT r07 bookkeeping item): update these
+    numbers — and the SURVEY close — together, deliberately."""
+    assert len(registry.queries()) == 50
+    assert len(registry.extra_queries()) == EXPECTED_EXTRA
+    # every driver-window row is oracled; the pytest tier may hold
+    # genuinely non-SQL-expressible entries (numpy-verified instead)
+    assert len(registry.oracle_sql()) == 50
+    assert len(registry.extra_oracle_sql()) == EXPECTED_EXTRA_ORACLED
+
+
+#: pytest-tier row count / oracled subset — bump when adding operators
+EXPECTED_EXTRA = 58
+EXPECTED_EXTRA_ORACLED = 57
+
+
 def test_driver_window_holds_all_llm_queries():
     """The external driver checks only the first DRIVER_LIMIT entries;
     regression-lock the round-1 failure mode (LLM queries past the

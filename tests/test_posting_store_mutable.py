@@ -114,8 +114,12 @@ def test_compact_preserves_results_and_gcs(spark, tmp_path):
     assert live.filter(F.col("id").isin([2])).filter(
         F.col("term") == "banana"
     ).count() == 0
-    # one winner muts row per live doc (the doc-length table)
-    assert spark.read.parquet(muts).count() == 5
+    # one winner muts row per doc: 5 live + doc 4's delete tombstone
+    # (tombstones survive compaction — ADVICE r07, see
+    # test_stale_predelete_upsert_redelivered_after_compaction)
+    kept = spark.read.parquet(muts)
+    assert kept.count() == 6
+    assert kept.filter("op = 'delete'").collect()[0]["id"] == 4
 
 
 def test_redelivery_across_compaction(spark, tmp_path):
@@ -127,6 +131,24 @@ def test_redelivery_across_compaction(spark, tmp_path):
     q = _q(spark, ("banana", "cherry"))
     before = _result(s.search(spark, q, 5))
     s.apply_log(_log_df(spark))  # stale redelivery into the new gen
+    assert _result(s.search(spark, q, 5)) == before
+
+
+def test_stale_predelete_upsert_redelivered_after_compaction(spark, tmp_path):
+    """The resurrection scenario (ADVICE r07): batch A upserts a doc,
+    batch B deletes it, compaction folds both — then batch A ALONE is
+    crash-redelivered.  Without the retained tombstone the stale upsert
+    would find no arbiter row and win by default; with it, the delete's
+    higher seq keeps the doc dead."""
+    s = _store(spark, tmp_path)
+    batch_a = [(1, "upsert", 4, "banana banana banana")]
+    s.apply_log(_log_df(spark, batch_a))
+    s.apply_log(_log_df(spark, [(2, "delete", 4, None)]))
+    s.compact(spark)
+    q = _q(spark, ("banana",))
+    before = _result(s.search(spark, q, 5))
+    assert not any(t[2] == 4 for t in before)
+    s.apply_log(_log_df(spark, batch_a))  # stale pre-delete redelivery
     assert _result(s.search(spark, q, 5)) == before
 
 
