@@ -99,6 +99,14 @@ class VectorEngine:
         self._index_state: dict[tuple, tuple] = {}
         #: observable build counter (tests assert reuse vs rebuild)
         self.index_builds = 0
+        # incremental (merge-on-read) serving tier — attach_store();
+        # mutations flow to it as O(Δ) appends at compaction instead of
+        # the per-epoch full rebuild attach_index pays (VERDICT r07
+        # item 1; the lexical side proved the pattern in round 7,
+        # text_engine.TextEngine.attach_store)
+        self._store = None
+        self._store_conf: dict | None = None
+        self._store_seq_base = 0
         # semantic cache store (C4 made live at the ENGINE surface,
         # VERDICT r04 item 6): (cached_id, qvec, k, rows) of previously
         # computed searches, probed by operators/cache.semantic_probe.
@@ -202,10 +210,23 @@ class VectorEngine:
         if where is not None:
             scan = snap.filter(F.expr(where) if isinstance(where, str) else where)
         if (
-            method in ("quantized", "pq") or method in self.INDEXED_METHODS
+            method in ("quantized", "pq", "store")
+            or method in self.INDEXED_METHODS
         ) and self._shard_col is not None:
             raise ValueError(
                 f"{method} search does not carry shard columns; use method='expr'"
+            )
+        if method == "store":
+            if self._store is None:
+                raise ValueError(
+                    "method='store' requires attach_store(root) first"
+                )
+            # the gate already ran: STRONG compacted pending mutations,
+            # which pushed them to the store as O(Δ) appends — the
+            # store state tracks the compacted snapshot exactly
+            return self._store.search(
+                self._spark, queries, k,
+                n_probe=self._store_conf["n_probe"], where=where,
             )
         if method in self.INDEXED_METHODS:
             return self._search_indexed(
@@ -266,6 +287,7 @@ class VectorEngine:
         pq_ksub: int = 16,
         replicas: int = 1,
         centroid_source: str = "head",
+        keep_epochs: int | None = None,
     ) -> None:
         """Declare a persisted-index serving tier rooted at ``root``.
 
@@ -286,8 +308,15 @@ class VectorEngine:
           which itself invalidates the index; ``"eventual"`` serves the
           current compacted snapshot — identical to the scan tiers;
         - each epoch's index lives at ``root/<kind>_e<epoch>``;
-          superseded epochs are dropped from the memo (directory GC is
-          deployment cadence policy, like any compaction output).
+          superseded epochs are dropped from the memo, and their
+          DIRECTORIES are pruned by :meth:`prune_epochs` — either
+          on demand, or automatically at every ``compact()`` when
+          ``keep_epochs=N`` is set.  Pruning keeps the newest N epochs
+          per kind among those ON DISK, so an in-flight reader of the
+          just-superseded epoch survives at least one full
+          write→compact cycle before its directory can go (tested in
+          tests/test_engine.py; VERDICT r07 item 6 — the keep-last-N
+          contract made enforceable instead of policy prose).
 
         ``centroid_source``: ``"head"`` (default) uses the
         deterministic hash-thinned head sample (the ``ann_ivf_topk``
@@ -305,6 +334,8 @@ class VectorEngine:
             raise ValueError("replicas must be >= 1")
         if centroid_source not in ("head", "trained"):
             raise ValueError("centroid_source must be 'head' or 'trained'")
+        if keep_epochs is not None and keep_epochs < 1:
+            raise ValueError("keep_epochs must be >= 1 (or None)")
         self._index_root = root
         self._index_conf = {
             "num_cells": num_cells,
@@ -314,8 +345,46 @@ class VectorEngine:
             "pq_ksub": pq_ksub,
             "replicas": replicas,
             "centroid_source": centroid_source,
+            "keep_epochs": keep_epochs,
         }
         self._index_state = {}
+
+    def prune_epochs(self, keep: int = 1) -> list[str]:
+        """Delete superseded per-epoch index directories under the
+        ``attach_index`` root, keeping the newest ``keep`` epochs PER
+        KIND among those on disk.  Returns the removed paths.
+
+        Reader-safety contract: an index is built lazily AFTER a
+        compaction bumps the epoch, so at prune time (compact cadence)
+        the newest on-disk epoch is the one just superseded — with
+        ``keep=1`` it survives this prune and is dropped only by the
+        NEXT cycle's, giving in-flight readers one full cycle to drain
+        (the manifest-swap discipline of the merge-on-read stores,
+        applied to the rebuild tier)."""
+        import os
+        import shutil
+
+        if keep < 1:
+            raise ValueError("keep must be >= 1")
+        if self._index_root is None:
+            raise ValueError("prune_epochs requires attach_index(root) first")
+        try:
+            names = os.listdir(self._index_root)
+        except FileNotFoundError:  # nothing built yet
+            return []
+        by_kind: dict[str, list[tuple[int, str]]] = {}
+        for name in names:
+            kind, sep, tail = name.rpartition("_e")
+            if not sep or not tail.isdigit():
+                continue  # not an epoch dir — never touch it
+            by_kind.setdefault(kind, []).append((int(tail), name))
+        removed = []
+        for _kind, epochs in by_kind.items():
+            for _epoch, name in sorted(epochs)[:-keep]:
+                path = os.path.join(self._index_root, name)
+                shutil.rmtree(path, ignore_errors=True)
+                removed.append(path)
+        return removed
 
     def _ensure_index(self, kind: str) -> tuple:
         """Build (or reuse) the ``kind`` index for the CURRENT snapshot
@@ -432,6 +501,117 @@ class VectorEngine:
             n_probe=conf["n_probe"], rerank=conf["rerank"],
             replicated=rep, where=where,
         )
+
+    def attach_store(
+        self,
+        root: str,
+        *,
+        num_cells: int = 16,
+        n_probe: int = 4,
+        centroid_source: str = "head",
+    ) -> None:
+        """Declare the INCREMENTAL vector serving tier: a
+        ``streaming.ivf_stream.IvfIndexStore`` rooted at ``root``,
+        initialized from the current snapshot (one corpus scan, ever).
+        After this, every ``compact()`` pushes the folded mutation log
+        into the store as **O(Δ) appends** — upserts land in the delta
+        under their (possibly new) cell, every mutation lands one
+        arbiter row — and ``search(method="store")`` serves the
+        merge-on-read index, which tracks the compacted snapshot
+        exactly under the SAME consistency gates (a STRONG read
+        compacts → pushes → reads; tested against the expr path).
+
+        This closes the engine's last O(corpus)-per-write asymmetry
+        (VERDICT r07 item 1): ``attach_index`` rebuilds the whole
+        persisted index at every snapshot epoch — the reference's own
+        full-rewrite-per-mutation shape (src/index/vector_shard.cc:
+        101-106) at compaction cadence — while the store pays O(batch)
+        per compaction and amortizes re-clustering into its own
+        ``compact_store()`` (manifest-swapped generations, crash- and
+        reader-safe), exactly like the lexical side's
+        ``TextEngine.attach_store``.
+
+        Centroids are computed ONCE from the attach-time snapshot
+        (``"head"`` = the deterministic hash-thinned sample, or
+        ``"trained"`` = ``kmeans_fit``) and stay fixed for the store's
+        lifetime — the merge-on-read contract: new vectors are assigned
+        to their nearest EXISTING cell map-side, so routing never needs
+        a rebuild; correctness is centroid-agnostic (probing selects
+        candidates, in-cell ranking is exact)."""
+        if self._pending:
+            # the store must initialize from a fold point; pending
+            # entries compact into the snapshot it scans (their seqs
+            # would otherwise double-apply on the next push)
+            self.compact()
+        if centroid_source not in ("head", "trained"):
+            raise ValueError("centroid_source must be 'head' or 'trained'")
+        if self._shard_col is not None:
+            raise ValueError(
+                "attach_store does not carry shard columns; the store's "
+                "cell partitioning replaces shard routing"
+            )
+        need = {"vec_id", "embedding", "label"}
+        if not need <= set(self._snapshot.columns):
+            raise ValueError(
+                f"attach_store requires snapshot columns {sorted(need)}"
+            )
+        if centroid_source == "trained":
+            from .operators.clustering import kmeans_fit
+
+            cents, _ = kmeans_fit(self._snapshot, num_cells)
+        else:
+            from .operators.sampling import thinned_head_rows
+            from .operators.similarity import IVF_THIN_SEED
+
+            rows = thinned_head_rows(
+                self._snapshot.select(
+                    F.col("vec_id").alias("_id"), F.col("embedding").alias("_v")
+                ),
+                num_cells,
+                seed=IVF_THIN_SEED,
+                id_col="_id",
+            )
+            cents = [[float(x) for x in r["_v"]] for r in rows]
+        from .streaming.ivf_stream import IvfIndexStore
+
+        store = IvfIndexStore(root, cents)
+        store.init_base(self._snapshot.select("vec_id", "embedding", "label"))
+        self._store = store
+        self._store_conf = {"n_probe": n_probe}
+        self._store_seq_base = 0
+
+    def _push_to_store(self, log: DataFrame, max_seq: int) -> None:
+        """Append one compacted mutation log to the attached store with
+        seqs remapped onto the engine's store-global monotone range —
+        each ``MutationLog`` restarts at 1, so raw seqs from a later
+        compaction would lose LWW arbitration against an earlier one.
+        ``max_seq`` is the log's highest seq (driver-known, no extra
+        job); the next push's offset starts strictly above it."""
+        offset = self._store_seq_base
+        self._store.append_batch(
+            log.select(
+                (F.lit(offset) + F.col("seq")).cast("long").alias("seq"),
+                "op",
+                "vec_id",
+                "embedding",
+                "label",
+            )
+        )
+        self._store_seq_base = offset + int(max_seq)
+
+    def compact_store(self) -> None:
+        """Fold the attached store's delta+muts into a fresh clustered
+        generation (amortized maintenance, off the write path) — the
+        atomic manifest swap keeps concurrent readers on a complete
+        snapshot either side of the commit."""
+        if self._store is None:
+            raise ValueError("compact_store requires attach_store(root) first")
+        self._store.compact(self._spark)
+
+    @property
+    def store(self):
+        """The attached ``IvfIndexStore`` (read-only handle), or None."""
+        return self._store
 
     #: bound on the semantic store, mirroring the exact cache default
     SEMANTIC_MAX_ENTRIES = 1024
@@ -589,6 +769,10 @@ class VectorEngine:
             ],
         )
         self._snapshot = apply_mutations(self._snapshot, log)
+        if self._store is not None:
+            # the bulk log's rows share one constant seq (= base_seq),
+            # so remapping preserves it and the next push lands above
+            self._push_to_store(log, max_seq=base_seq)
         self._snapshot_epoch += 1
         self._on_mutation(applied=True)
 
@@ -606,13 +790,24 @@ class VectorEngine:
     # -- maintenance -------------------------------------------------------
 
     def compact(self) -> None:
-        """Fold the pending mutation log into the snapshot (R11 replay)."""
+        """Fold the pending mutation log into the snapshot (R11 replay).
+        An attached store receives the SAME log as O(Δ) appends
+        (``attach_store``) — store state == compacted snapshot by
+        construction (identical per-seq LWW fold)."""
         if self._pending:
-            self._snapshot = self._log.compact_into(self._snapshot)
+            log_df = self._log.to_df()
+            self._snapshot = apply_mutations(self._snapshot, log_df)
+            if self._store is not None:
+                self._push_to_store(log_df, max_seq=self._log.max_seq)
             self._log = MutationLog(self._spark, dim=self._dim)
             self._pending = 0
             self._snapshot_epoch += 1
             self._compactions += 1
+            if (
+                self._index_conf is not None
+                and self._index_conf.get("keep_epochs") is not None
+            ):
+                self.prune_epochs(self._index_conf["keep_epochs"])
             if (
                 self._auto_checkpoint is not None
                 and self._compactions % self._auto_checkpoint == 0

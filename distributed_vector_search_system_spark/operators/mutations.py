@@ -103,6 +103,13 @@ class MutationLog:
     def version(self) -> int:
         return self._version
 
+    @property
+    def max_seq(self) -> int:
+        """Highest assigned seq (0 if empty) — driver-known, used by the
+        engine to remap pushed log seqs onto a store-global monotone
+        range (seqs restart at 1 per log instance)."""
+        return self._entries[-1][0] if self._entries else 0
+
     def upsert(self, vec_id: int, embedding: list[float], *, shard_id: str | None = None,
                label: int | None = None) -> None:
         if self._dim is not None and len(embedding) != self._dim:

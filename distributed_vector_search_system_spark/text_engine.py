@@ -85,6 +85,7 @@ class TextEngine:
         self.version = 0
         self._snapshot_epoch = 0
         self._index_root: str | None = None
+        self._keep_epochs: int | None = None
         self._index_state: dict[int, str] = {}
         #: observable build counter (tests assert reuse vs rebuild)
         self.index_builds = 0
@@ -157,7 +158,7 @@ class TextEngine:
             self._spark, path, queries, k, k1=k1, b=b, filter_ids=filter_ids
         )
 
-    def attach_index(self, root: str) -> None:
+    def attach_index(self, root: str, *, keep_epochs: int | None = None) -> None:
         """Declare the posting-index serving tier rooted at ``root``.
 
         Indexes build lazily at first ``method="indexed"`` read and are
@@ -167,9 +168,43 @@ class TextEngine:
         from the new snapshot; an EVENTUAL read between a mutation and
         its compaction serves the same pre-write snapshot as the scan
         path WITHOUT a rebuild (tested).  Superseded epochs drop from
-        the memo; directory GC is deployment cadence policy."""
+        the memo; their DIRECTORIES are pruned by :meth:`prune_epochs`
+        — on demand, or at every ``compact()`` when ``keep_epochs=N``
+        is set (newest N on-disk epochs survive, so an in-flight reader
+        of the just-superseded epoch gets one full cycle to drain —
+        VERDICT r07 item 6)."""
+        if keep_epochs is not None and keep_epochs < 1:
+            raise ValueError("keep_epochs must be >= 1 (or None)")
         self._index_root = root
+        self._keep_epochs = keep_epochs
         self._index_state = {}
+
+    def prune_epochs(self, keep: int = 1) -> list[str]:
+        """Delete superseded ``posting_e<epoch>`` directories under the
+        index root, keeping the newest ``keep`` on disk (see
+        ``VectorEngine.prune_epochs`` for the reader-safety contract)."""
+        import os
+        import shutil
+
+        if keep < 1:
+            raise ValueError("keep must be >= 1")
+        if self._index_root is None:
+            raise ValueError("prune_epochs requires attach_index(root) first")
+        try:
+            names = os.listdir(self._index_root)
+        except FileNotFoundError:
+            return []
+        epochs = []
+        for name in names:
+            kind, sep, tail = name.rpartition("_e")
+            if kind == "posting" and sep and tail.isdigit():
+                epochs.append((int(tail), name))
+        removed = []
+        for _epoch, name in sorted(epochs)[:-keep]:
+            path = os.path.join(self._index_root, name)
+            shutil.rmtree(path, ignore_errors=True)
+            removed.append(path)
+        return removed
 
     def _ensure_index(self) -> str:
         import os
@@ -294,6 +329,8 @@ class TextEngine:
         self._entries = []
         self._pending = 0
         self._snapshot_epoch += 1
+        if self._index_root is not None and self._keep_epochs is not None:
+            self.prune_epochs(self._keep_epochs)
 
 
 class HybridEngine:

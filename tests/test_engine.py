@@ -698,3 +698,206 @@ def test_attach_index_trained_centroids(spark, tmp_path):
     assert cgot == cwant and e.index_builds == 2
     with pytest.raises(ValueError, match="centroid_source"):
         e.attach_index(str(tmp_path / "idx2"), centroid_source="nope")
+
+
+# --- incremental store serving (attach_store — VERDICT r07 item 1) --------
+
+
+def _store_engine(spark, tmp_path, **kw):
+    e = _engine(spark)
+    e.attach_store(str(tmp_path / "vstore"), num_cells=4, n_probe=4, **kw)
+    return e
+
+
+def _res(df):
+    return {(r["query_id"], r["rank"], r["id"], round(r["distance"], 6))
+            for r in df.collect()}
+
+
+def test_store_serves_snapshot_exactly(spark, tmp_path):
+    """Full-probe store search == the exact expr scan on the attach-time
+    snapshot (probing covers every cell, in-cell ranking is exact)."""
+    e = _store_engine(spark, tmp_path)
+    q = _q(spark, 0, [3.2, 0.0], 4)
+    assert _res(e.search(q, 4, method="store")) == _res(e.search(q, 4))
+
+
+def test_store_zero_full_rebuilds_across_mutations(spark, tmp_path):
+    """THE r07 item-1 contract: upsert → search → delete → search under
+    STRONG, served from the store with ZERO full index builds — the
+    mutation log reaches the store as O(Δ) appends at compaction (the
+    base generation is never rewritten), and every read equals the
+    exact scan over the same gated snapshot."""
+    e = _store_engine(spark, tmp_path)
+    q = _q(spark, 0, [3.2, 0.0], 4)
+    e.upsert(100, [3.1, 0.0], label=1)
+    got = _res(e.search(q, 4, method="store", consistency=STRONG))
+    assert got == _res(e.search(q, 4)) and 100 in {t[2] for t in got}
+    e.delete(100)
+    got2 = _res(e.search(q, 4, method="store", consistency=STRONG))
+    assert got2 == _res(e.search(q, 4)) and 100 not in {t[2] for t in got2}
+    # no per-epoch rebuild ran, and the store never re-based
+    assert e.index_builds == 0
+    assert e.store._current_gen() == "gen-000000"
+
+
+def test_store_eventual_lags_until_compaction(spark, tmp_path):
+    """The gates are uniform across tiers: an EVENTUAL store read
+    between a mutation and its compaction serves the pre-write
+    snapshot, exactly like the scan tiers."""
+    e = _store_engine(spark, tmp_path)
+    q = _q(spark, 0, [3.15, 0.0], 1)
+    e.upsert(100, [3.15, 0.0], label=1)
+    assert 100 not in {t[2] for t in _res(e.search(q, 1, method="store"))}
+    e.compact()
+    assert 100 in {t[2] for t in _res(e.search(q, 1, method="store"))}
+
+
+def test_store_lww_across_compactions(spark, tmp_path):
+    """Seq remapping (engine._push_to_store): each MutationLog restarts
+    its seqs at 1, so a later compaction's upsert must still beat an
+    earlier compaction's for the same id — the store-global offset
+    keeps pushed seqs monotone."""
+    e = _store_engine(spark, tmp_path)
+    q = _q(spark, 0, [50.0, 0.0], 1)
+    e.upsert(200, [50.0, 0.0], label=1)
+    e.compact()
+    e.upsert(200, [-50.0, 0.0], label=1)  # move it far away
+    e.compact()
+    top = _res(e.search(q, 1, method="store"))
+    assert top == _res(e.search(q, 1))
+    assert 200 not in {t[2] for t in top}  # the LATER write won
+    e.delete(200)
+    e.compact()
+    assert 200 not in {
+        t[2] for t in _res(e.search(_q(spark, 0, [-50.0, 0.0], 1), 1, method="store"))
+    }
+
+
+def test_store_upsert_batch_push(spark, tmp_path):
+    """The bulk write path pushes its one-generation log too."""
+    e = _store_engine(spark, tmp_path)
+    ups = spark.createDataFrame(
+        [(300, [7.7, 0.0], 1), (3, [7.8, 0.0], 2)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    e.upsert_batch(ups)
+    q = _q(spark, 0, [7.7, 0.0], 2)
+    got = _res(e.search(q, 2, method="store"))
+    assert got == _res(e.search(q, 2))
+    assert {t[2] for t in got} == {300, 3}
+    # single upserts issued after a bulk batch keep winning (offsets
+    # stay monotone across the two push paths)
+    e.upsert(300, [90.0, 0.0], label=1)
+    e.compact()
+    got2 = _res(e.search(q, 2, method="store"))
+    assert got2 == _res(e.search(q, 2)) and 300 not in {t[2] for t in got2}
+
+
+def test_store_compact_store_preserves_and_swaps_generation(spark, tmp_path):
+    e = _store_engine(spark, tmp_path)
+    e.upsert(100, [3.05, 0.0], label=1)
+    e.delete(5)
+    e.compact()
+    q = _q(spark, 0, [3.0, 0.0], 5)
+    before = _res(e.search(q, 5, method="store"))
+    e.compact_store()
+    assert e.store._current_gen() == "gen-000001"
+    assert _res(e.search(q, 5, method="store")) == before
+
+
+def test_store_guards(spark, tmp_path):
+    e = _engine(spark)
+    with pytest.raises(ValueError, match="attach_store"):
+        e.search(_q(spark, 0, [0.0, 0.0], 2), 2, method="store")
+    with pytest.raises(ValueError, match="compact_store"):
+        e.compact_store()
+    sharded = VectorEngine(
+        spark,
+        spark.createDataFrame(
+            [(i, [float(i), 0.0], None) for i in range(6)], schema=VECTORS_SCHEMA
+        ).withColumn("shard_id", (F.col("vec_id") % 2).cast("string")),
+        dim=2,
+        shard_col="shard_id",
+    )
+    with pytest.raises(ValueError, match="shard"):
+        sharded.attach_store(str(tmp_path / "sstore"))
+
+
+# --- epoch-directory GC (prune_epochs — VERDICT r07 item 6) ---------------
+
+
+def test_prune_epochs_keeps_inflight_readers_one_cycle(spark, tmp_path):
+    """keep_epochs=1 at compact cadence: the JUST-superseded epoch's
+    directory survives the prune that runs at its superseding
+    compaction (an in-flight reader can still collect from it), and is
+    removed only by the NEXT cycle's prune."""
+    import os
+
+    root = str(tmp_path / "gcidx")
+    e = _engine(spark)
+    e.attach_index(root, num_cells=4, n_probe=4, keep_epochs=1)
+    q = _q(spark, 0, [3.2, 0.0], 3)
+    e.search(q, 3, method="ivf").collect()  # builds ivf_e0
+    # an in-flight reader holding the epoch-0 plan
+    inflight = spark.read.parquet(os.path.join(root, "ivf_e0"))
+    e.upsert(100, [3.3, 0.0], label=1)
+    e.compact()  # prune runs: ivf_e0 is the newest on disk -> survives
+    assert os.path.isdir(os.path.join(root, "ivf_e0"))
+    assert inflight.count() > 0  # the old reader still drains
+    e.search(q, 3, method="ivf").collect()  # builds ivf_e1
+    e.upsert(101, [3.4, 0.0], label=1)
+    e.compact()  # now ivf_e1 is newest; ivf_e0 goes
+    assert not os.path.exists(os.path.join(root, "ivf_e0"))
+    assert os.path.isdir(os.path.join(root, "ivf_e1"))
+
+
+def test_prune_epochs_per_kind_and_guards(spark, tmp_path):
+    import os
+
+    root = str(tmp_path / "gcidx2")
+    e = _engine(spark)
+    with pytest.raises(ValueError, match="attach_index"):
+        e.prune_epochs()
+    e.attach_index(root, num_cells=4, n_probe=4)
+    q = _q(spark, 0, [3.2, 0.0], 3)
+    e.search(q, 3, method="ivf").collect()
+    e.search(q, 3, method="cosine_ivf").collect()
+    e.upsert(100, [3.3, 0.0], label=1)
+    e.compact()  # keep_epochs unset: nothing auto-prunes
+    e.search(q, 3, method="ivf").collect()
+    e.search(q, 3, method="cosine_ivf").collect()
+    have = set(os.listdir(root))
+    assert {"ivf_e0", "ivf_e1", "cosine_ivf_e0", "cosine_ivf_e1"} <= have
+    # a non-epoch file under the root is never touched
+    open(os.path.join(root, "README"), "w").write("x")
+    removed = e.prune_epochs(keep=1)
+    assert sorted(os.path.basename(p) for p in removed) == [
+        "cosine_ivf_e0", "ivf_e0",
+    ]
+    assert os.path.exists(os.path.join(root, "README"))
+    with pytest.raises(ValueError, match="keep"):
+        e.prune_epochs(keep=0)
+
+
+def test_text_engine_prune_epochs(spark, tmp_path):
+    import os
+
+    from distributed_vector_search_system_spark.text_engine import TextEngine
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana"), (2, "banana cherry")], "doc_id long, text string"
+    )
+    te = TextEngine(spark, docs)
+    root = str(tmp_path / "lexgc")
+    te.attach_index(root, keep_epochs=1)
+    q = spark.createDataFrame([(0, ["banana"])], "query_id long, qterms array<string>")
+    te.search(q, 2, method="indexed").collect()  # posting_e0
+    te.upsert_doc(3, "banana banana")
+    te.compact()  # posting_e0 newest -> survives
+    assert os.path.isdir(os.path.join(root, "posting_e0"))
+    te.search(q, 2, method="indexed").collect()  # posting_e1
+    te.upsert_doc(4, "cherry")
+    te.compact()
+    assert not os.path.exists(os.path.join(root, "posting_e0"))
+    assert os.path.isdir(os.path.join(root, "posting_e1"))
