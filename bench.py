@@ -521,6 +521,7 @@ def _measure_scale(sf_dir: str) -> dict:
 
     def vector_ops(d: str) -> dict:
         from distributed_vector_search_system_spark.operators.retrieval import (
+            hybrid_rrf_indexed_topk,
             hybrid_rrf_topk,
             queries_from_docs,
         )
@@ -586,10 +587,33 @@ def _measure_scale(sf_dir: str) -> dict:
             f"ivfidx_{os.path.basename(os.path.normpath(d))}",
         )
         write_ivf_index(emb, ivf_idx, cents)
+        # id-bucketed rerank store (VERDICT r07 item 4): the store-backed
+        # two-phase tier next to the plain one measures the DPP re-rank's
+        # crossover — the store adds a ~fixed DPP-subquery cost while the
+        # plain broadcast re-rank re-scans the whole float column, so the
+        # store row should scale FLATTER than knn_fixedq_quantized even
+        # though phase 1 (the int8 scan) grows for both.  Build excluded
+        # (write path), deterministic path, overwritten per run.
+        from distributed_vector_search_system_spark.sources.rerank_store import (
+            write_rerank_store,
+        )
+
+        rr_store = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".scale_cache",
+            f"rrstore_{os.path.basename(os.path.normpath(d))}",
+        )
+        write_rerank_store(emb, rr_store)
         return {
             "knn_fixedq_expr": lambda: knn(emb, q, 10),
             "knn_fixedq_numpy": lambda: knn(emb, q, 10, method="numpy"),
             "knn_fixedq_quantized": lambda: quantized_knn(emb, q, 10),
+            "quantized_fixedq_store": lambda: quantized_knn(
+                emb, q, 10, rerank_store=rr_store
+            ),
+            "hybrid_fixedq_indexed": lambda: hybrid_rrf_indexed_topk(
+                spark, idx, ivf_idx, cents, hq, 10
+            ),
             "ann_fixedq_ivf": lambda: ann_ivf_topk(
                 emb, q, 10, thin_count_key=f"{d}:embeddings"
             ),

@@ -333,6 +333,18 @@ class PostingIndexStore:
         # redelivered-batch duplicates collapse here
         return rows.dropDuplicates(["term", "id"])
 
+    def _attach_df(self, posting: DataFrame) -> DataFrame:
+        """Attach the corpus-level per-term document frequency as a
+        ``df`` column.  ``_live_postings`` output is unique on
+        ``(term, id)``, so df is a plain per-term count; the aggregate
+        + broadcast-join shape reads the posting subtree twice, which
+        is the right trade exactly when that subtree is a bare
+        restricted scan (this class).  Stores whose live-posting
+        subtree is expensive to recompute override this with a
+        single-pass form (see ``MutablePostingIndexStore``)."""
+        dfreq = posting.groupBy("term").agg(F.count_distinct("id").alias("df"))
+        return posting.join(F.broadcast(dfreq), "term")
+
     def _stats(self, spark: SparkSession) -> DataFrame:
         _, _, stats_path = self._paths()
         return (
@@ -368,13 +380,11 @@ class PostingIndexStore:
         terms = sorted({r["term"] for r in qt.select("term").distinct().collect()})
         posting = self._live_postings(spark, terms)
         # corpus-level df: computed BEFORE the filter restriction
-        dfreq = posting.groupBy("term").agg(F.count_distinct("id").alias("df"))
-        hits = posting
+        hits = self._attach_df(posting)
         if filter_ids is not None:
             hits = hits.join(filter_ids.select("id"), "id", "left_semi")
         scored = (
             hits.join(F.broadcast(qt), "term")
-            .join(F.broadcast(dfreq), "term")
             .crossJoin(F.broadcast(self._stats(spark)))
             .select(
                 "query_id",
@@ -477,14 +487,18 @@ class MutablePostingIndexStore(PostingIndexStore):
 
     Scale notes: a query pays (a) the term-restricted posting scan
     (row-group skipping on the clustered base, full scan of the small
-    delta), (b) the LWW window over ``muts`` rows SEMI-JOINED to the
-    candidate doc ids first — O(candidate docs), not O(corpus) — and
-    (c) the global stats aggregate over ``muts`` (a 4-column table,
+    delta), (b) the LWW max-aggregate over ``muts`` rows SEMI-JOINED
+    to the candidate doc ids first — O(candidate docs), not O(corpus),
+    and a hash aggregate rather than a sort window, so it combines
+    map-side — and (c) the global stats aggregate over ``muts`` (a
+    4-column table,
     one row per doc version), memoized per (generation, applied-log
     count) so repeated queries between writes pay it once.  Retry
     safety: appends are content-keyed by ``(id, seq)`` (muts) /
-    ``(term, id, seq)`` (postings) and reads deduplicate on those
-    keys, so a crash-redelivered batch changes nothing — including
+    ``(term, id, seq)`` (postings); posting reads deduplicate on that
+    key and muts reads reduce through max/max_by aggregates that
+    byte-identical duplicates cannot perturb, so a crash-redelivered
+    batch changes nothing — including
     across a compaction, where the kept winner rows arbitrate
     re-appended stale seqs.
     """
@@ -637,19 +651,28 @@ class MutablePostingIndexStore(PostingIndexStore):
     # -- read path ------------------------------------------------------------
 
     def _all_muts(self, spark: SparkSession) -> DataFrame:
+        """Raw arbiter rows.  NO dedup: every consumer below reduces
+        through max/max_by aggregates, which redelivered duplicate
+        ``(id, seq)`` rows (byte-identical by the content-keyed append
+        contract) cannot perturb — so the read path never pays a
+        dedup shuffle for the write path's at-least-once delivery."""
         *_, muts_path = self._paths()
-        return spark.read.parquet(muts_path).dropDuplicates(["id", "seq"])
+        return spark.read.parquet(muts_path)
 
     @staticmethod
     def _winners(muts: DataFrame) -> DataFrame:
         """Per-id LWW winner ``(id, seq, op, dl)`` — highest seq wins
-        (ties impossible: the driver assigns dense seqs, and the seq-0
-        base rows are unique per id)."""
-        w = Window.partitionBy("id").orderBy(F.col("seq").desc())
-        return (
-            muts.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+        (ties are only redelivered duplicates of the SAME row: the
+        driver assigns dense seqs and the seq-0 base rows are unique
+        per id).  A hash aggregate with map-side partial combine —
+        deliberately NOT a row_number window, which would shuffle AND
+        sort every mutation row; ``max_by`` reduces to one row per id
+        before the exchange (measured in the bench
+        ``lexical_maintenance`` section, see ``_live_postings``)."""
+        return muts.groupBy("id").agg(
+            F.max("seq").alias("seq"),
+            F.max_by("op", "seq").alias("op"),
+            F.max_by("dl", "seq").alias("dl"),
         )
 
     def _live_postings(self, spark: SparkSession, terms: list[str]) -> DataFrame:
@@ -676,16 +699,54 @@ class MutablePostingIndexStore(PostingIndexStore):
             )
         except AnalysisException:
             pass  # delete-only generation: no delta postings to merge
+        raw = rows  # pre-dedup: candidate-id restriction is dup-insensitive
         rows = rows.dropDuplicates(["term", "id", "seq"])  # redelivery
         # LWW liveness: restrict the arbiter to candidate ids FIRST
         # (O(candidate docs), not O(corpus)), then keep only rows whose
         # seq is their id's winning seq.  Deletes write no postings, so
-        # the inner join drops tombstoned ids outright.
-        cand = self._all_muts(spark).join(
-            rows.select("id").distinct(), "id", "left_semi"
+        # the inner join drops tombstoned ids outright.  The semi-join
+        # probes the PRE-dedup restricted scan (a semi-join hashes only
+        # the join key and duplicates cannot change it — no ``distinct``
+        # pre-aggregate, no dedup exchange on the probe side) and the
+        # winner is one ``max`` hash aggregate, never a per-id sort
+        # window.  Measured at sf0.1 (bench ``lexical_maintenance``):
+        # these two changes plus the single-pass df in ``_attach_df``
+        # took a dirty read from ~2.3x a compacted read to ~1.6x, and
+        # the residue is per-stage launch overhead over query-bounded
+        # rows — constant in corpus size, so the ratio falls toward 1
+        # as the corpus grows.  compact() still restores the
+        # arbiter-free clean plan exactly.
+        win = (
+            self._all_muts(spark)
+            .join(raw.select("id"), "id", "left_semi")
+            .groupBy("id")
+            .agg(F.max("seq").alias("seq"))
         )
-        win = self._winners(cand).select("id", "seq")
         return rows.join(win, ["id", "seq"], "inner").drop("seq")
+
+    def _attach_df(self, posting: DataFrame) -> DataFrame:
+        """Single-pass df when the generation is dirty: the parent's
+        aggregate + broadcast-join shape evaluates the posting subtree
+        twice, and here that subtree is the whole merge-on-read
+        arbiter — column pruning gives the two consumers different
+        canonical plans, so Spark's exchange reuse cannot deduplicate
+        them (measured: the two-pass form made a dirty read ~2.3x a
+        compacted one).  A count over a term-partitioned window reads
+        the arbitered rows ONCE (output unique on ``(term, id)``, so
+        the per-partition row count IS df) at the cost of one extra
+        term exchange over query-bounded rows.  Clean generations keep
+        the parent's shape — there the subtree is a bare restricted
+        scan and two cheap scans beat a shuffle."""
+        from .fsutil import read_marker
+
+        base_path, *_ = self._paths()
+        gen_dir = self._os.path.dirname(base_path)
+        spark = posting.sparkSession
+        if read_marker(spark, self._os.path.join(gen_dir, "_DIRTY")) is None:
+            return super()._attach_df(posting)
+        return posting.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
 
     def _stats(self, spark: SparkSession) -> DataFrame:
         # Memoized per (generation, applied-log count) ON THIS OBJECT —

@@ -261,22 +261,41 @@ def test_delete_only_log_is_honored(spark, tmp_path):
 
 
 def test_clean_generation_skips_arbiter(spark, tmp_path):
-    """Fresh init and post-compact reads take the arbiter-free plan —
-    exactly ONE window (the rank); a dirty generation adds the LWW
-    winners window — and the rows come back identical."""
+    """Fresh init and post-compact reads take the arbiter-free plan,
+    and the DIRTY plan adds NO window either: the LWW arbiter is a
+    max-aggregate (map-side combinable), so every state carries exactly
+    ONE window — the rank.  The dirty plan is distinguished by its
+    muts/ scan; compact removes it — and the rows come back identical."""
+
+    def plan(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
 
     def n_windows(df):
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
-        return plan.count("Window [")
+        return plan(df).count("Window [")
 
     s = _store(spark, tmp_path)
     q = _q(spark, ("banana", "cherry"))
-    assert n_windows(s.search(spark, q, 4)) == 1  # clean: no arbiter
+    def n_scans(df):  # parquet relation nodes in the optimized plan
+        return plan(df).count("] parquet")
+
+    s = _store(spark, tmp_path)
+    q = _q(spark, ("banana", "cherry"))
+    clean = s.search(spark, q, 4)
+    assert n_windows(clean) == 1  # clean: no arbiter, aggregate df
+    assert n_scans(clean) == 2  # postings twice (df pass + score pass)
     s.apply_log(_log_df(spark))
-    # dirty: the LWW winners window enters the plan (once per postings
-    # subtree — the score join and the df aggregate each carry one)
-    assert n_windows(s.search(spark, q, 4)) > 1
+    dirty = s.search(spark, q, 4)
+    # dirty: the arbiter enters as max-aggregates + joins (never a
+    # per-id sort window), and the expensive ARBITERED subtree is
+    # consumed ONCE — df comes from a term-partitioned window instead
+    # of a second pass.  Five scans: postings+delta twice (score path
+    # + the semi-join's bare candidate-id probe) and muts once.
+    assert n_windows(dirty) == 2  # term-df window + rank window
+    assert "seq DESC" not in plan(dirty)  # no row_number arbiter
+    assert n_scans(dirty) == 5
     before = _result(s.search(spark, q, 5))
     s.compact(spark)
-    assert n_windows(s.search(spark, q, 4)) == 1  # compact restores fast path
+    after = s.search(spark, q, 4)
+    assert n_windows(after) == 1  # compact restores fast path
+    assert n_scans(after) == 2
     assert _result(s.search(spark, q, 5)) == before
