@@ -188,6 +188,32 @@ def _measure_recall(sf_dir: str) -> dict:
             n_probe=4, rerank=0, replicated=True,
         )
     )
+    # SQ8 middle rung (round 8): the int8 coarse ordering is near-exact
+    # (per-component error <= scale/2), so the SHALLOW rerank=3 should
+    # sit at the IVF ceiling where PQ needs rerank≈50 — the ladder's
+    # no-training / low-rerank trade on the record
+    from distributed_vector_search_system_spark.sources.ivfsq_index import (
+        search_ivf_sq8_index,
+        write_ivf_sq8_index,
+    )
+
+    sq8_r2 = os.path.join(root, "sq8_r2")
+    write_ivf_sq8_index(emb, sq8_r2, cents, replicas=2)
+    out["trained_sq8_r2_rerank3"] = {
+        str(np): recall(
+            search_ivf_sq8_index(
+                spark, sq8_r2, q, RECALL_K, cents,
+                n_probe=np, rerank=3, replicated=True,
+            )
+        )
+        for np in (4, 8)
+    }
+    out["sq8_coarse_only_nprobe4"] = recall(
+        search_ivf_sq8_index(
+            spark, sq8_r2, q, RECALL_K, cents,
+            n_probe=4, rerank=0, replicated=True,
+        )
+    )
     # residual encoding (round 5): the classic-IVFPQ refinement whose
     # payoff is exactly this ADC-only line — same geometry, residual
     # codebooks + per-cell query LUTs

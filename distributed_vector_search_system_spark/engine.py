@@ -145,7 +145,7 @@ class VectorEngine:
         needs ``dim``), "auto" (expr vs GEMM by the engine's
         declared dimension — the measured d768 crossover), or — once
         ``attach_index(root)`` has been called — one of
-        ``INDEXED_METHODS`` ("ivf" / "ivfpq" / "cosine_ivf" /
+        ``INDEXED_METHODS`` ("ivf" / "ivfpq" / "sq8" / "cosine_ivf" /
         "cosine_ivfpq"): partition-pruned serving from a persisted
         per-epoch index under the same gates and invalidation (see
         ``attach_index``; cosine kinds return ``cosine`` instead of
@@ -274,7 +274,9 @@ class VectorEngine:
     #: reference's single ``ShardManager::Search`` surface serves every
     #: tier through one call — these give the partition-pruned stores
     #: the same front door, behind the same gates, as the scan tiers)
-    INDEXED_METHODS = ("ivf", "ivfpq", "cosine_ivf", "cosine_ivfpq")
+    INDEXED_METHODS = (
+        "ivf", "ivfpq", "sq8", "cosine_ivf", "cosine_ivfpq", "cosine_sq8",
+    )
 
     def attach_index(
         self,
@@ -291,10 +293,14 @@ class VectorEngine:
     ) -> None:
         """Declare a persisted-index serving tier rooted at ``root``.
 
-        After this, ``search(method="ivf" | "ivfpq" | "cosine_ivf" |
-        "cosine_ivfpq")`` serves from a cell-partitioned parquet index
-        (sources/ivf_index.py, sources/ivfpq_index.py) instead of a
-        scan — the 100 TB read path — while keeping the SAME
+        After this, ``search(method="ivf" | "ivfpq" | "sq8" |
+        "cosine_ivf" | "cosine_ivfpq" | "cosine_sq8")`` serves from a
+        cell-partitioned parquet index (sources/ivf_index.py,
+        sources/ivfpq_index.py, sources/ivfsq_index.py — the sq8 kinds
+        are the int8 middle rung of the compression ladder: no codebook
+        training, ~8x less coarse IO than float cells, shallow exact
+        re-rank) instead of a scan — the 100 TB read path — while
+        keeping the SAME
         consistency gates, caches, and invalidation as every other
         method:
 
@@ -441,10 +447,20 @@ class VectorEngine:
         from .sources import ivf_index as ivf_mod
         from .sources import ivfpq_index as ivfpq_mod
 
+        from .sources import ivfsq_index as ivfsq_mod
+
         if kind == "ivf":
             ivf_mod.write_ivf_index(snap, path, cents, replicas=conf["replicas"])
         elif kind == "cosine_ivf":
             ivf_mod.write_cosine_ivf_index(
+                snap, path, cents, replicas=conf["replicas"]
+            )
+        elif kind == "sq8":
+            ivfsq_mod.write_ivf_sq8_index(
+                snap, path, cents, replicas=conf["replicas"]
+            )
+        elif kind == "cosine_sq8":
+            ivfsq_mod.write_cosine_ivf_sq8_index(
                 snap, path, cents, replicas=conf["replicas"]
             )
         elif kind == "ivfpq":
@@ -489,6 +505,22 @@ class VectorEngine:
                 self._spark, path, queries, k, cents,
                 n_probe=conf["n_probe"], replicated=rep, where=where,
                 round_scores=round_scores,
+            )
+        if kind == "sq8":
+            from .sources import ivfsq_index as ivfsq_mod
+
+            return ivfsq_mod.search_ivf_sq8_index(
+                self._spark, path, queries, k, cents,
+                n_probe=conf["n_probe"], rerank=conf["rerank"],
+                replicated=rep, where=where,
+            )
+        if kind == "cosine_sq8":
+            from .sources import ivfsq_index as ivfsq_mod
+
+            return ivfsq_mod.search_cosine_ivf_sq8_index(
+                self._spark, path, queries, k, cents,
+                n_probe=conf["n_probe"], rerank=conf["rerank"],
+                replicated=rep, where=where,
             )
         if kind == "ivfpq":
             return ivfpq_mod.search_ivfpq_index(

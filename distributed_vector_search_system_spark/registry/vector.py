@@ -1925,3 +1925,120 @@ SELECT query_id, id, ROUND(distance, 6) AS distance, rank FROM ranked WHERE rank
 
 EXTRA_QUERIES["knn_store_mutations"] = q_knn_store_mutations
 EXTRA_ORACLES["knn_store_mutations"] = _knn_store_mutations_oracle()
+
+
+# --- persisted IVF+SQ8 index (round 8, sources/ivfsq_index.py) ---------------
+# The middle rung of the compressed serving ladder (FAISS
+# IndexIVFScalarQuantizer re-expressed as parquet layout + pruning):
+# cell-partitioned int8 codes + per-vector scale, ~8x less coarse scan
+# IO than the float cells, no codebook training, shallow exact re-rank.
+# Every stage is deterministic (hash-thinned centroids, max-abs affine
+# encode), so the oracle replays centroid choice, cell routing,
+# quantization, the coarse cut, and the re-rank end-to-end in SQL.
+
+_SQ8_RERANK = 3
+_SQ8_STATE: dict[str, str] = {}
+
+
+def sq8_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the cell-partitioned SQ8 index once per process."""
+    import tempfile
+
+    from ..sources.ivfsq_index import write_ivf_sq8_index
+
+    path = _SQ8_STATE.get(sf_dir)
+    if path is None:
+        name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        path = os.path.join(
+            tempfile.gettempdir(), f"dvss_spark_ivfsq_{os.getpid()}", name
+        )
+        write_ivf_sq8_index(
+            _emb(spark, sf_dir), path, _ivf_thinned_centroids(spark, sf_dir)
+        )
+        _SQ8_STATE[sf_dir] = path
+    return path
+
+
+def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.ivfsq_index import search_ivf_sq8_index
+
+    emb = _emb(spark, sf_dir)
+    q = _query_set(emb, F.col("vec_id") % 100 == 31)
+    return _round_result(
+        search_ivf_sq8_index(
+            spark, sq8_index(spark, sf_dir), q, 5,
+            _ivf_thinned_centroids(spark, sf_dir),
+            n_probe=_IVF_NPROBE, rerank=_SQ8_RERANK,
+        )
+    )
+
+
+def _ann_sq8_oracle() -> str:
+    from ..functions.hashing import portable_hash64_sql
+    from ..operators.similarity import IVF_THIN_SEED
+
+    h = portable_hash64_sql("CAST(vec_id AS VARCHAR)", seed=IVF_THIN_SEED)
+    l2_vc = _SQL_SQ_L2.format(q="v.embedding", v="c.cvec")
+    l2_qc = _SQL_SQ_L2.format(q="q.qe", v="c.cvec")
+    l2_qd = _SQL_SQ_L2.format(q="qp.qe", v="a.dq")
+    l2_ex = _SQL_SQ_L2.format(q="c.qe", v="v.embedding")
+    return f"""
+WITH nt AS (SELECT GREATEST(COUNT(*) // {_IVF_NUM_CELLS * 4}, 1) AS step FROM embeddings),
+sel AS (
+  SELECT vec_id, embedding FROM embeddings, nt
+  WHERE ({h}) % step = 0
+  ORDER BY vec_id LIMIT {_IVF_NUM_CELLS}
+),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
+         embedding AS cvec
+  FROM sel
+),
+sq AS (
+  SELECT vec_id, embedding,
+    (SELECT MAX(ABS(CAST(u.a AS DOUBLE))) FROM (SELECT UNNEST(embedding) AS a) u)
+      / 127.0 AS scale
+  FROM embeddings
+),
+dq AS (
+  SELECT vec_id, embedding,
+    CASE WHEN scale = 0
+         THEN list_transform(embedding, x -> 0.0)
+         ELSE list_transform(embedding, x -> GREATEST(-127.0,
+                LEAST(127.0, FLOOR(CAST(x AS DOUBLE) / scale + 0.5))) * scale)
+    END AS dq
+  FROM sq
+),
+vd AS (SELECT v.vec_id, v.embedding, d.dq, c.cell_id, {l2_vc} AS d
+       FROM embeddings v JOIN dq d USING (vec_id) CROSS JOIN cents c),
+asg AS (SELECT vec_id, embedding, dq, cell_id FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+         FROM vd)
+        WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 31),
+qd AS (SELECT q.query_id, q.qe, c.cell_id, {l2_qc} AS d FROM q CROSS JOIN cents c),
+qp AS (SELECT query_id, qe, cell_id FROM
+       (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, cell_id) AS rn
+        FROM qd)
+       WHERE rn <= {_IVF_NPROBE}),
+coarse AS (SELECT qp.query_id, a.vec_id AS id, qp.qe, {l2_qd} AS cd
+           FROM qp JOIN asg a ON a.cell_id = qp.cell_id),
+cand AS (
+  SELECT query_id, id, qe FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY round_even((cd) * 1e6, 0) / 1e6, id) AS crn
+    FROM coarse)
+  WHERE crn <= {5 * _SQ8_RERANK}
+),
+exact AS (
+  SELECT c.query_id, c.id, {l2_ex} AS distance
+  FROM cand c JOIN embeddings v ON c.id = v.vec_id
+)
+SELECT query_id, id, ROUND(distance, 6) AS distance, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY round_even((distance) * 1e6, 0) / 1e6, id) AS INT) AS rank
+  FROM exact)
+WHERE rank <= 5
+"""
+
+
+EXTRA_QUERIES["ann_sq8_topk"] = q_ann_sq8_topk
+EXTRA_ORACLES["ann_sq8_topk"] = _ann_sq8_oracle()

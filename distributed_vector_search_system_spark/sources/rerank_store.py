@@ -33,6 +33,21 @@ directory count against over-read: at extreme corpus sizes you would
 raise it (or move the bucket→file map into a table-format manifest);
 the pruning mechanism is identical.
 
+**When to use it — the measured crossover (VERDICT r07 item 4).**  The
+DPP machinery is not free: the broadcast side becomes a runtime
+subquery stage, a ~constant overhead per search.  The plain broadcast
+re-rank instead re-scans the whole float column — a cost that grows
+with the corpus.  Measured on the two-phase int8 tier
+(``quantized_knn`` with/without ``rerank_store=``, 8 queries, d=64,
+BENCH_DETAIL scale anchor): at sf0.1 (5k vectors, a handful of row
+groups) the two are at cost parity (1.16 s plain vs 1.19 s store);
+at 10x (50k vectors) the store is already ahead (3.10 s vs 3.41 s)
+and its re-rank bytes stay candidate-bounded while the plain path's
+keep growing linearly.  Rule of thumb: omit ``rerank_store=`` while
+the float column fits in a few row groups (≲10⁴ rows); pass it
+beyond that — at 10⁶+ rows the plain re-rank's full-column scan is
+the dominant cost and the store's overhead is noise.
+
 Works for ANY per-id payload lookup, not just vectors — the store
 keeps every column it is given.  The cell-partitioned IVF/IVFPQ
 indexes (sources/ivf_index.py, sources/ivfpq_index.py) remain the

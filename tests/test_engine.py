@@ -550,7 +550,7 @@ def test_indexed_search_matches_expr_at_full_probe(spark, tmp_path):
     scan — routing only prunes, re-rank is the same squared-L2."""
     e = _attach(spark, tmp_path)
     q = _q(spark, 0, [3.2, 0.0], 3)
-    for kind in ("ivf", "ivfpq"):
+    for kind in ("ivf", "ivfpq", "sq8"):
         got = {
             (r["rank"], r["id"], round(r["distance"], 6))
             for r in e.search(q, 3, method=kind).collect()
@@ -627,7 +627,7 @@ def test_indexed_cosine_kinds(spark, tmp_path):
             nonzero, q.select(F.col("query_id"), F.col("qvec")), 3
         ).collect()
     }
-    for kind in ("cosine_ivf", "cosine_ivfpq"):
+    for kind in ("cosine_ivf", "cosine_ivfpq", "cosine_sq8"):
         got = {
             (r["rank"], r["id"], round(r["cosine"], 6))
             for r in e.search(q, 3, method=kind).collect()
