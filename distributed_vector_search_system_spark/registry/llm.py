@@ -2155,3 +2155,194 @@ SELECT doc_id, pos, owner_doc_id, owner_pos FROM ranked WHERE rn > 1
 
 EXTRA_QUERIES["substring_dedup"] = q_substring_dedup
 EXTRA_ORACLES["substring_dedup"] = _substring_dedup_oracle()
+
+
+# --- fused serving from BOTH incremental stores (round 8) --------------------
+# Round 8 gave the vector engine the O(Δ) merge-on-read tier the text
+# engine got in round 7; this row proves the two COMPOSE: doc mutations
+# and vector mutations flow to their stores as deltas, and the fused
+# HybridEngine read (vector_method='store' + text_method='store') under
+# one STRONG gate must equal the oracle's replay of BOTH LWW folds —
+# BM25 over the mutated documents fused with the store-probe IVF over
+# the mutated embeddings.  No full index rebuild happens on either leg.
+
+_VECMUT_REPLACE = (3, 9, 2003)      # vec 3 takes vec 9's embedding
+_VECMUT_INSERT = (1_000_003, 7, 7)  # new id borrowing vec 7's embedding
+_VECMUT_DELETE = 4
+
+
+def q_hybrid_store_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine import VectorEngine
+    from ..text_engine import HybridEngine, TextEngine
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = os.path.join(
+        tempfile.gettempdir(), f"dvss_spark_hybstore_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)  # stale stores from a prior run
+    ve = VectorEngine(spark, emb.select("vec_id", "embedding", "label"))
+    ve.attach_store(os.path.join(root, "vec"))
+    te = TextEngine(spark, docs)
+    te.attach_store(os.path.join(root, "lex"))
+    src = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.filter(
+            F.col("vec_id").isin([_VECMUT_REPLACE[1], _VECMUT_INSERT[1]])
+        ).collect()
+    }
+    ve.upsert(_VECMUT_REPLACE[0], src[_VECMUT_REPLACE[1]],
+              label=_VECMUT_REPLACE[2])
+    ve.delete(_VECMUT_DELETE)
+    ve.upsert(_VECMUT_INSERT[0], src[_VECMUT_INSERT[1]],
+              label=_VECMUT_INSERT[2])
+    te.upsert_doc(*_DOCMUT_REPLACE)
+    te.upsert_doc(*_DOCMUT_INSERT)
+    te.delete_doc(_DOCMUT_DELETE)
+    q = _retrieval_queries(spark, sf_dir).join(
+        emb.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        ),
+        "query_id",
+        "left",
+    )
+    return HybridEngine(ve, te).search(
+        q, _HYBRID_K, leg_k=_HYBRID_LEG_K,
+        vector_method="store", text_method="store", consistency="strong",
+    )
+
+
+def _hybrid_store_mutations_oracle() -> str:
+    from ..functions.hashing import portable_hash64_sql
+    from ..operators.retrieval import RRF_K
+    from ..operators.similarity import IVF_THIN_SEED
+    from .vector import _IVF_NPROBE, _IVF_NUM_CELLS, _SQL_SQ_L2
+
+    rid, rtext = _DOCMUT_REPLACE
+    iid, itext = _DOCMUT_INSERT
+    h = portable_hash64_sql("CAST(vec_id AS VARCHAR)", seed=IVF_THIN_SEED)
+    l2_vc = _SQL_SQ_L2.format(q="v.embedding", v="c.cvec")
+    l2_qc = _SQL_SQ_L2.format(q="vq.qv", v="c.cvec")
+    l2_qa = _SQL_SQ_L2.format(q="qp.qv", v="a.embedding")
+    return f"""
+WITH docs_mut AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id NOT IN ({rid}, {iid}, {_DOCMUT_DELETE})
+  UNION ALL SELECT CAST({rid} AS BIGINT), '{rtext}'
+  UNION ALL SELECT CAST({iid} AS BIGINT), '{itext}'
+),
+{_bm25_scored_ctes(docs_rel="docs_mut")},
+mut AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id NOT IN ({_VECMUT_REPLACE[0]}, {_VECMUT_DELETE})
+  UNION ALL
+  SELECT CAST({_VECMUT_REPLACE[0]} AS BIGINT),
+         (SELECT embedding FROM embeddings WHERE vec_id = {_VECMUT_REPLACE[1]})
+  UNION ALL
+  SELECT CAST({_VECMUT_INSERT[0]} AS BIGINT),
+         (SELECT embedding FROM embeddings WHERE vec_id = {_VECMUT_INSERT[1]})
+),
+nt AS (SELECT GREATEST(COUNT(*) // {_IVF_NUM_CELLS * 4}, 1) AS step FROM embeddings),
+sel AS (
+  SELECT vec_id, embedding FROM embeddings, nt
+  WHERE ({h}) % step = 0
+  ORDER BY vec_id LIMIT {_IVF_NUM_CELLS}
+),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
+         embedding AS cvec
+  FROM sel
+),
+vd AS (SELECT v.vec_id, v.embedding, c.cell_id, {l2_vc} AS d
+       FROM mut v CROSS JOIN cents c),
+asg AS (SELECT vec_id, embedding, cell_id FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+         FROM vd)
+        WHERE rn = 1),
+vq AS (SELECT q.query_id, e.embedding AS qv FROM q
+       JOIN embeddings e ON e.vec_id = q.query_id),
+qd AS (SELECT vq.query_id, vq.qv, c.cell_id, {l2_qc} AS d FROM vq CROSS JOIN cents c),
+qp AS (SELECT query_id, qv, cell_id FROM
+       (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, cell_id) AS rn
+        FROM qd)
+       WHERE rn <= {_IVF_NPROBE}),
+vscored AS (SELECT qp.query_id, a.vec_id AS id, {l2_qa} AS distance
+            FROM qp JOIN asg a ON a.cell_id = qp.cell_id),
+vr AS (SELECT query_id, id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY round_even((distance) * 1e6, 0) / 1e6, id) AS INT) AS rank
+       FROM vscored),
+legs AS (
+  SELECT query_id, id, rank FROM vr WHERE rank <= {_HYBRID_LEG_K}
+  UNION ALL
+  SELECT query_id, id, brank AS rank FROM bm25_ranked WHERE brank <= {_HYBRID_LEG_K}
+),
+fused AS (SELECT query_id, id, ROUND(SUM(1.0 / ({RRF_K} + rank)), 6) AS rrf
+          FROM legs GROUP BY 1, 2)
+SELECT query_id, id, rrf, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY rrf DESC, id) AS INT) AS rank
+  FROM fused)
+WHERE rank <= {_HYBRID_K}
+"""
+
+
+EXTRA_QUERIES["hybrid_store_mutations"] = q_hybrid_store_mutations
+EXTRA_ORACLES["hybrid_store_mutations"] = _hybrid_store_mutations_oracle()
+
+
+# --- late-interaction MaxSim retrieval (round 8) -----------------------------
+# The third retrieval scoring family (operators/late_interaction.py):
+# multi-vector documents scored Σ_i max_j sim(q_i, d_j).  The fixture
+# has one embedding per id, so multi-vector docs are derived
+# deterministically: four consecutive vec_ids form one pseudo-document
+# (doc_key = vec_id // 4) and the query reuses a pseudo-document's own
+# token set — exact, fully SQL-replayable (cosine per pair, MAX per
+# query token, SUM per doc, rounded rank).
+
+_MAXSIM_GROUP = 4
+_MAXSIM_QPRED_SQL = "doc_key % 50 = 3"
+_MAXSIM_K = 5
+
+
+def q_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.late_interaction import maxsim_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dv = emb.select(
+        F.expr(f"vec_id div {_MAXSIM_GROUP}").alias("doc_id"),
+        "vec_id",
+        "embedding",
+    )
+    q = (
+        dv.filter(F.col("doc_id") % 50 == 3)
+        .groupBy(F.col("doc_id").alias("query_id"))
+        .agg(F.collect_list("embedding").alias("qvecs"))
+    )
+    return maxsim_topk(dv, q, _MAXSIM_K)
+
+
+def _maxsim_oracle() -> str:
+    cos = _SQL_COSINE.format(x="qt.qv", y="d.embedding")
+    return f"""
+WITH dv AS (SELECT vec_id // {_MAXSIM_GROUP} AS doc_key, vec_id, embedding
+            FROM embeddings),
+qt AS (SELECT doc_key AS query_id, vec_id AS qtok, embedding AS qv
+       FROM dv WHERE {_MAXSIM_QPRED_SQL}),
+pair AS (SELECT qt.query_id, qt.qtok, d.doc_key AS id, {cos} AS s
+         FROM qt CROSS JOIN dv d),
+mx AS (SELECT query_id, qtok, id, MAX(s) AS ms FROM pair GROUP BY 1, 2, 3),
+sc AS (SELECT query_id, id, ROUND(SUM(ms), 6) AS maxsim FROM mx GROUP BY 1, 2)
+SELECT query_id, id, maxsim, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY maxsim DESC, id) AS INT) AS rank
+  FROM sc)
+WHERE rank <= {_MAXSIM_K}
+"""
+
+
+EXTRA_QUERIES["maxsim_topk"] = q_maxsim_topk
+EXTRA_ORACLES["maxsim_topk"] = _maxsim_oracle()

@@ -1,0 +1,116 @@
+"""Late-interaction MaxSim retrieval (operators/late_interaction.py).
+
+Oracle parity for the maxsim_topk registry row runs in
+test_oracle_parity.py; these tests pin the math against an independent
+numpy recomputation, the dot-metric variant, permutation invariance,
+and the plan shape (broadcast query side — the corpus never shuffles
+before the first aggregate)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_vector_search_system_spark.operators.late_interaction import (
+    maxsim_topk,
+)
+from distributed_vector_search_system_spark.tables import load_table
+
+
+def _fixture(spark, sf_dir, group=4, qmod=50):
+    emb = load_table(spark, sf_dir, "embeddings")
+    dv = emb.select(
+        F.expr(f"vec_id div {group}").alias("doc_id"), "vec_id", "embedding"
+    )
+    q = (
+        dv.filter(F.col("doc_id") % qmod == 3)
+        .groupBy(F.col("doc_id").alias("query_id"))
+        .agg(F.collect_list("embedding").alias("qvecs"))
+    )
+    return emb, dv, q
+
+
+def _numpy_maxsim(emb_rows, group, qmod, k, metric="cosine"):
+    docs: dict[int, list[np.ndarray]] = {}
+    for r in emb_rows:
+        docs.setdefault(r["vec_id"] // group, []).append(
+            np.array(r["embedding"], dtype=np.float64)
+        )
+
+    def sim(a, b):
+        if metric == "dot":
+            return float(a @ b)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    out = {}
+    for qid, qvecs in docs.items():
+        if qid % qmod != 3:
+            continue
+        scores = []
+        for did, dvecs in docs.items():
+            s = sum(max(sim(qv, dv) for dv in dvecs) for qv in qvecs)
+            scores.append((round(s, 6), did))
+        scores.sort(key=lambda t: (-t[0], t[1]))
+        out[qid] = [
+            (did, s, rank + 1) for rank, (s, did) in enumerate(scores[:k])
+        ]
+    return out
+
+
+@pytest.mark.parametrize("metric", ["cosine", "dot"])
+def test_matches_numpy(spark, sf_oracle, metric):
+    emb, dv, q = _fixture(spark, sf_oracle)
+    got = maxsim_topk(dv, q, 5, metric=metric).collect()
+    want = _numpy_maxsim(emb.collect(), 4, 50, 5, metric=metric)
+    got_by_q: dict = {}
+    for r in got:
+        got_by_q.setdefault(r["query_id"], []).append(
+            (r["id"], round(r["maxsim"], 6), r["rank"])
+        )
+    assert set(got_by_q) == set(want)
+    for qid, rows in got_by_q.items():
+        assert sorted(rows, key=lambda t: t[2]) == want[qid], qid
+
+
+def test_self_match_ranks_first(spark, sf_oracle):
+    """A query that IS a document's token set must retrieve that
+    document at rank 1 (every token's best match is itself, cosine 1)."""
+    _, dv, q = _fixture(spark, sf_oracle)
+    top = {
+        r["query_id"]: r["id"]
+        for r in maxsim_topk(dv, q, 1).collect()
+    }
+    assert top and all(qid == did for qid, did in top.items())
+
+
+def test_token_order_invariance(spark, sf_oracle):
+    """Σ max is permutation-invariant: reversing each query's token
+    array must not change any result row."""
+    _, dv, q = _fixture(spark, sf_oracle)
+    qrev = q.select("query_id", F.reverse("qvecs").alias("qvecs"))
+    key = lambda r: (r["query_id"], r["rank"], r["id"], r["maxsim"])  # noqa: E731
+    assert sorted(map(key, maxsim_topk(dv, q, 5).collect())) == sorted(
+        map(key, maxsim_topk(dv, qrev, 5).collect())
+    )
+
+
+def test_rejects_unknown_metric(spark, sf_smoke):
+    _, dv, q = _fixture(spark, sf_smoke)
+    with pytest.raises(ValueError, match="metric"):
+        maxsim_topk(dv, q, 5, metric="euclid")
+
+
+def test_plan_broadcasts_queries_and_streams_corpus(spark, sf_oracle):
+    """The query-token side is broadcast (RPC-bounded contract) and the
+    corpus reaches the first aggregate without a prior Exchange — the
+    per-token max combines map-side before anything shuffles."""
+    _, dv, q = _fixture(spark, sf_oracle)
+    df = maxsim_topk(dv, q, 5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # exactly two scans: the corpus side (consumed once) and the
+    # fixture-derived query side (tiny, broadcast) — the corpus subtree
+    # is never evaluated twice
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("] parquet") == 2
