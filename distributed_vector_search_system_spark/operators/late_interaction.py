@@ -98,3 +98,102 @@ def maxsim_topk(
     return agg.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+#: token-leg id = query_id * _TOKEN_LEG + token position; 2^20 tokens
+#: per query bounds any realistic late-interaction encoder (ColBERT
+#: uses 32) while keeping the composed id well inside int64
+_TOKEN_LEG = 1 << 20
+
+
+def maxsim_ivf_topk(
+    spark,
+    token_index_path: str,
+    token_store_path: str,
+    queries: DataFrame,
+    k: int,
+    centroids: list[list[float]],
+    *,
+    n_probe: int = 4,
+    gather: int = 20,
+    doc_id_col: str = "doc_id",
+    vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vectors_col: str = "qvecs",
+    round_scores: int = 6,
+) -> DataFrame:
+    """Two-stage MaxSim — the 100 TB serving shape of
+    :func:`maxsim_topk` (the ColBERT gather-then-rescore plan),
+    composed from three layouts this engine already serves:
+
+    1. **Gather** (``sources/ivf_index.write_cosine_ivf_index`` over
+       the TOKEN vectors, carrying ``doc_id_col``): each query token
+       routes through the cosine IVF index independently — probed-cell
+       partition pruning bounds its scan — and keeps its ``gather``
+       best DOCUMENTS by best-token cosine (``replicated=True``
+       collapses a doc's multiple token hits map-side).  Candidate
+       docs per query = union over its tokens: ≤ tokens × ``gather``.
+    2. **Re-score** (``sources/rerank_store.write_rerank_store`` over
+       the same token rows, bucketed by ``doc_id_col``): the
+       candidates' FULL token sets come back through one DPP-pruned
+       gather (``bounded_gather`` — only buckets holding candidate
+       docs open), then the exact MaxSim aggregate runs on
+       candidate-bounded rows only.
+
+    Both stages' IO is bounded independently of corpus size (probed
+    cells; candidate buckets) — the exact operator's full-scan cost is
+    paid by neither.  At full probe coverage with ``gather`` ≥ the
+    document count, results equal :func:`maxsim_topk` exactly over the
+    zero-norm-free corpus (tested; zero-norm tokens have no direction
+    and are excluded by the cosine index contract on both sides).
+
+    Determinism: the gather cut ranks on 6-decimal-rounded cosine with
+    doc-id tie-break (the hybrid-leg convention), the final ranking on
+    the ``round_scores``-rounded MaxSim sum — both replayable in SQL
+    (registry row ``maxsim_ivf_topk``)."""
+    from ..sources.ivf_index import search_cosine_ivf_index
+    from ..sources.rerank_store import bounded_gather
+
+    qtok = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.posexplode(F.col(query_vectors_col)).alias("_qpos", "_qv"),
+    )
+    legs = qtok.select(
+        (F.col("query_id") * _TOKEN_LEG + F.col("_qpos")).alias("query_id"),
+        F.col("_qv").alias("qvec"),
+    )
+    hits = search_cosine_ivf_index(
+        spark, token_index_path, legs, gather, centroids,
+        n_probe=n_probe, id_col=doc_id_col,
+        replicated=True, round_scores=6,
+    )
+    cands = hits.select(
+        # integral div: exact for any int64 leg id (never a double quotient)
+        F.expr(f"query_id div {_TOKEN_LEG}").alias("query_id"),
+        F.col("id").alias(doc_id_col),
+    ).distinct()
+    toks = bounded_gather(
+        spark, token_store_path, cands.select(doc_id_col), id_col=doc_id_col
+    )
+    pair = (
+        toks.join(F.broadcast(cands), on=doc_id_col)
+        .join(F.broadcast(qtok), on="query_id")
+        .select(
+            "query_id",
+            "_qpos",
+            F.col(doc_id_col).alias("id"),
+            cosine_similarity(F.col(vector_col), F.col("_qv")).alias("_s"),
+        )
+    )
+    per_token = pair.groupBy("query_id", "_qpos", "id").agg(
+        F.max("_s").alias("_ms")
+    )
+    agg = per_token.groupBy("query_id", "id").agg(
+        F.round(F.sum("_ms"), round_scores).alias("maxsim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("maxsim").desc(), F.col("id").asc()
+    )
+    return agg.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -2346,3 +2346,136 @@ WHERE rank <= {_MAXSIM_K}
 
 EXTRA_QUERIES["maxsim_topk"] = q_maxsim_topk
 EXTRA_ORACLES["maxsim_topk"] = _maxsim_oracle()
+
+
+# --- two-stage MaxSim serving (round 8) --------------------------------------
+# The ColBERT gather-then-rescore plan as an oracle row: every query
+# token routes through the cosine IVF index (probed-cell pruning),
+# keeps its `gather` best docs by best-token cosine, and the candidate
+# union re-scores exactly from the doc-bucketed token store.  The
+# oracle replays centroid routing, per-token probes, the replicated
+# min-distance collapse, the rounded gather cut, the candidate union,
+# and the exact MaxSim — end to end in SQL.
+
+_MAXSIM_IVF_NPROBE = 4
+_MAXSIM_IVF_GATHER = 8
+_MAXSIM_IVF_STATE: dict[str, tuple[str, str, list[list[float]]]] = {}
+
+
+def maxsim_ivf_layout(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str, list[list[float]]]:
+    """Token-level cosine IVF index + doc-bucketed token store over the
+    pseudo-document corpus, built once per process."""
+    import os as _os
+    import tempfile
+
+    from ..sources.ivf_index import write_cosine_ivf_index
+    from ..sources.rerank_store import write_rerank_store
+    from .trained_cents import COSINE_CENTROIDS_SF001
+
+    state = _MAXSIM_IVF_STATE.get(sf_dir)
+    if state is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        dv = emb.select(
+            F.expr(f"vec_id div {_MAXSIM_GROUP}").alias("doc_id"),
+            "vec_id",
+            "embedding",
+        )
+        name = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+        root = _os.path.join(
+            tempfile.gettempdir(), f"dvss_spark_maxsim_{_os.getpid()}", name
+        )
+        idx = _os.path.join(root, "tok_ivf")
+        store = _os.path.join(root, "tok_store")
+        cents = COSINE_CENTROIDS_SF001
+        write_cosine_ivf_index(dv, idx, cents)
+        write_rerank_store(dv, store, id_col="doc_id")
+        state = (idx, store, cents)
+        _MAXSIM_IVF_STATE[sf_dir] = state
+    return state
+
+
+def q_maxsim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.late_interaction import maxsim_ivf_topk
+
+    idx, store, cents = maxsim_ivf_layout(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.select(
+            F.expr(f"vec_id div {_MAXSIM_GROUP}").alias("query_id"), "embedding"
+        )
+        .filter(F.col("query_id") % 50 == 3)
+        .groupBy("query_id")
+        .agg(F.collect_list("embedding").alias("qvecs"))
+    )
+    return maxsim_ivf_topk(
+        spark, idx, store, q, _MAXSIM_K, cents,
+        n_probe=_MAXSIM_IVF_NPROBE, gather=_MAXSIM_IVF_GATHER,
+    )
+
+
+def _maxsim_ivf_oracle() -> str:
+    from .trained_cents import COSINE_CENTROIDS_SF001
+    from .vector import _SQL_L2NORM, _SQL_SQ_L2
+
+    rows = ",\n  ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(COSINE_CENTROIDS_SF001)
+    )
+    l2_vc = _SQL_SQ_L2.format(q="v.e", v="c.cvec")
+    l2_qc = _SQL_SQ_L2.format(q="qt.qe", v="c.cvec")
+    l2_qa = _SQL_SQ_L2.format(q="qp.qe", v="a.e")
+    cos_exact = _SQL_COSINE.format(x="qr.qv", y="d.embedding")
+    norm_col = _SQL_L2NORM.format(x="embedding")
+    return f"""
+WITH cents(cell_id, cvec) AS (VALUES
+  {rows}
+),
+dv AS (SELECT vec_id // {_MAXSIM_GROUP} AS doc_key, vec_id, embedding,
+              {norm_col} AS nrm
+       FROM embeddings),
+nv AS (SELECT doc_key, vec_id,
+              list_transform(embedding, v -> CAST(v AS DOUBLE) / nrm) AS e
+       FROM dv WHERE nrm > 0),
+asg AS (SELECT doc_key, vec_id, e, cell_id FROM
+        (SELECT v.*, c.cell_id,
+                ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                   ORDER BY {l2_vc}, c.cell_id) AS rn
+         FROM nv v CROSS JOIN cents c)
+        WHERE rn = 1),
+qt AS (SELECT doc_key AS query_id, vec_id AS qtok, e AS qe
+       FROM nv WHERE doc_key % 50 = 3),
+qp AS (SELECT query_id, qtok, qe, cell_id FROM
+       (SELECT qt.*, c.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY qt.qtok
+                                  ORDER BY {l2_qc}, c.cell_id) AS rn
+        FROM qt CROSS JOIN cents c)
+       WHERE rn <= {_MAXSIM_IVF_NPROBE}),
+tokhit AS (SELECT qp.query_id, qp.qtok, a.doc_key AS id,
+                  MIN({l2_qa}) AS d
+           FROM qp JOIN asg a ON a.cell_id = qp.cell_id
+           GROUP BY 1, 2, 3),
+grank AS (SELECT query_id, qtok, id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY qtok
+               ORDER BY ROUND(1.0 - d / 2.0, 6) DESC, id) AS INT) AS rnk
+          FROM tokhit),
+cand AS (SELECT DISTINCT query_id, id FROM grank WHERE rnk <= {_MAXSIM_IVF_GATHER}),
+qr AS (SELECT doc_key AS query_id, vec_id AS qtok, embedding AS qv
+       FROM dv WHERE doc_key % 50 = 3),
+pair AS (SELECT qr.query_id, qr.qtok, d.doc_key AS id, {cos_exact} AS s
+         FROM qr
+         JOIN cand ON cand.query_id = qr.query_id
+         JOIN dv d ON d.doc_key = cand.id),
+mx AS (SELECT query_id, qtok, id, MAX(s) AS ms FROM pair GROUP BY 1, 2, 3),
+sc AS (SELECT query_id, id, ROUND(SUM(ms), 6) AS maxsim FROM mx GROUP BY 1, 2)
+SELECT query_id, id, maxsim, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY maxsim DESC, id) AS INT) AS rank
+  FROM sc)
+WHERE rank <= {_MAXSIM_K}
+"""
+
+
+EXTRA_QUERIES["maxsim_ivf_topk"] = q_maxsim_ivf_topk
+EXTRA_ORACLES["maxsim_ivf_topk"] = _maxsim_ivf_oracle()

@@ -198,3 +198,33 @@ def bounded_rerank(
         )
     )
     return merge_topk(exact, k)
+
+
+def bounded_gather(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ALL store rows whose ``id_col`` appears in the (contractually
+    tiny, broadcast) one-column ``ids`` frame — the generic DPP-pruned
+    fetch underneath :func:`bounded_rerank`, exposed for payloads that
+    are not scored immediately: multi-row-per-id gathers (e.g. a
+    document's token vectors for late-interaction re-scoring), feature
+    fetches, audit reads.  Stays ONE lazy plan: the bucket key is
+    derived map-side on the id frame and the store joins on
+    ``(id_bucket, id)`` with the id side broadcast, so dynamic
+    partition pruning opens only buckets holding requested ids.
+    Returns every stored column (minus the bucket key); duplicate ids
+    in ``ids`` are collapsed first."""
+    bucket_rows = store_bucket_rows(spark, path)
+    ids_b = ids.select(F.col(ids.columns[0]).alias(id_col)).distinct().select(
+        id_col,
+        F.floor(F.col(id_col) / F.lit(bucket_rows)).alias(BUCKET_COL),
+    )
+    return (
+        spark.read.parquet(path)
+        .join(F.broadcast(ids_b), on=[BUCKET_COL, id_col])
+        .drop(BUCKET_COL)
+    )

@@ -114,3 +114,92 @@ def test_plan_broadcasts_queries_and_streams_corpus(spark, sf_oracle):
     # is never evaluated twice
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert opt.count("] parquet") == 2
+
+
+# --- two-stage serving (maxsim_ivf_topk) ------------------------------------
+
+
+def _layout(spark, sf_dir):
+    from distributed_vector_search_system_spark.registry.llm import (
+        maxsim_ivf_layout,
+    )
+
+    return maxsim_ivf_layout(spark, sf_dir)
+
+
+def _queries_arr(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(F.expr("vec_id div 4").alias("query_id"), "embedding")
+        .filter(F.col("query_id") % 50 == 3)
+        .groupBy("query_id")
+        .agg(F.collect_list("embedding").alias("qvecs"))
+    )
+
+
+def test_two_stage_full_coverage_equals_exact(spark, sf_oracle):
+    """Full probe + gather >= doc count: the gather phase cannot miss a
+    candidate, so the two-stage plan equals the exact operator."""
+    from distributed_vector_search_system_spark.operators.late_interaction import (
+        maxsim_ivf_topk,
+    )
+
+    idx, store, cents = _layout(spark, sf_oracle)
+    emb, dv, _ = _fixture(spark, sf_oracle)
+    q = _queries_arr(spark, sf_oracle)
+    ndocs = dv.select("doc_id").distinct().count()
+    got = maxsim_ivf_topk(
+        spark, idx, store, q, 5, cents,
+        n_probe=len(cents), gather=ndocs,
+    )
+    want = maxsim_topk(dv, q, 5)
+    key = lambda r: (r["query_id"], r["rank"], r["id"], r["maxsim"])  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+
+
+def test_two_stage_plan_prunes_both_phases(spark, sf_oracle):
+    """Phase 1 reads only probed cell directories (cell_id
+    PartitionFilters); phase 2 reads only candidate doc buckets
+    (dynamic partition pruning on the token store)."""
+    from distributed_vector_search_system_spark.operators.late_interaction import (
+        maxsim_ivf_topk,
+    )
+
+    idx, store, cents = _layout(spark, sf_oracle)
+    q = _queries_arr(spark, sf_oracle)
+    df = maxsim_ivf_topk(spark, idx, store, q, 5, cents, n_probe=2, gather=4)
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("cell_id" in l for l in pf), plan
+    assert any("dynamicpruning" in l for l in pf), plan
+
+
+def test_two_stage_partial_probe_is_plausible(spark, sf_oracle):
+    """Partial probes return k contiguously-ranked rows per query whose
+    scores are genuine MaxSim values (each returned doc's score equals
+    the exact operator's score for that (query, doc) pair)."""
+    from distributed_vector_search_system_spark.operators.late_interaction import (
+        maxsim_ivf_topk,
+    )
+
+    idx, store, cents = _layout(spark, sf_oracle)
+    _, dv, _ = _fixture(spark, sf_oracle)
+    q = _queries_arr(spark, sf_oracle)
+    got = maxsim_ivf_topk(
+        spark, idx, store, q, 5, cents, n_probe=2, gather=4
+    ).collect()
+    assert got
+    exact = {
+        (r["query_id"], r["id"]): r["maxsim"]
+        for r in maxsim_topk(dv, q, 10**6).collect()
+    }
+    by_q: dict = {}
+    for r in got:
+        assert abs(r["maxsim"] - exact[(r["query_id"], r["id"])]) < 2e-6
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
