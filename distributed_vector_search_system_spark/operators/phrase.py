@@ -1,0 +1,160 @@
+"""Exact phrase search: positional token intersection.
+
+BM25 and the posting stores treat a document as a bag of terms; a
+phrase query ("vector search engine", quoted) additionally requires the
+terms to be CONTIGUOUS and IN ORDER.  The classic inverted-index answer
+(Lucene/ES ``match_phrase``) intersects positional posting lists; the
+relational re-expression here is one join + one aggregate:
+
+    every (phrase slot i, document position p) hit votes for the
+    ANCHOR ``a = p − i``; a document contains the phrase at anchor
+    ``a`` iff all ``m`` slots voted for ``a``.
+
+Spark shape:
+
+- the query side (phrase slots) is RPC-bounded → broadcast;
+- document token positions stream through ONE scan (from-scratch
+  form) or a term-restricted pruned read of the POSITIONAL index
+  (indexed form — only the phrase's terms' postings are read, pushed
+  down to the parquet scan);
+- one hash aggregate per (query, doc, anchor) with map-side combine —
+  for a fixed (anchor, slot) at most one position can match, so
+  ``count(*) == m`` IS the full-phrase test — then a count of anchors
+  gives the phrase frequency and the standard rounded top-k cut.
+
+A slot is ``posexplode`` 0-based; anchors are therefore 0-based
+document positions, and a full match forces ``anchor ≥ 0``
+automatically (slot 0 must land on the anchor itself).
+
+The reference has no text tier at all; this extends the engine's
+lexical family (BM25 / hybrid / stores) with the third classic query
+class, sharing ``functions.text.tokens`` so phrase semantics agree
+with every other lexical operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+#: positional postings are term-clustered like the BM25 index
+POSITIONAL_PARTITIONS = 8
+
+
+def _phrase_slots(queries: DataFrame, query_id_col: str, phrase_col: str):
+    """(query_id, _slot, term) + broadcastable per-query slot count."""
+    qslot = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.size(F.col(phrase_col)).alias("_m"),
+        F.posexplode(F.col(phrase_col)).alias("_slot", "term"),
+    )
+    return qslot
+
+
+def _anchor_topk(
+    qslot: DataFrame, positions: DataFrame, k: int
+) -> DataFrame:
+    """Shared back half: anchor votes → full-phrase anchors → phrase
+    frequency → top-k.  ``positions`` is ``(id, pos, term)``."""
+    hit = positions.join(F.broadcast(qslot), "term").select(
+        "query_id",
+        "id",
+        (F.col("pos") - F.col("_slot")).alias("_anchor"),
+        "_m",
+    )
+    anchors = hit.groupBy("query_id", "id", "_anchor", "_m").agg(
+        F.count("*").alias("_ns")
+    )
+    freq = (
+        anchors.filter(F.col("_ns") == F.col("_m"))
+        .groupBy("query_id", "id")
+        .agg(F.count("*").alias("phrase_tf"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("phrase_tf").desc(), F.col("id").asc()
+    )
+    return freq.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def phrase_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """Top-k documents by exact-phrase frequency, from scratch (one
+    corpus tokenize per query batch).
+
+    ``queries``: one row per query, the phrase as an ORDERED token
+    array ``(query_id_col, phrase_col: array<string>)`` — tokens as
+    produced by ``functions.text.tokens`` (lowercase, [a-z0-9]+).
+    Documents with zero occurrences are absent (no zero-score rows);
+    a single-token phrase degrades to term search ranked by tf.
+    Returns ``(query_id, id, phrase_tf, rank)``, rank by (phrase_tf
+    desc, id)."""
+    positions = docs.select(
+        F.col(doc_id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "term"),
+    )
+    return _anchor_topk(
+        _phrase_slots(queries, query_id_col, phrase_col), positions, k
+    )
+
+
+def write_positional_index(
+    docs: DataFrame,
+    path: str,
+    *,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """Persist positional postings ``(term, id, pos)``, term-clustered
+    (repartition + sortWithinPartitions on ``term``) so a phrase
+    query's ``term IN (…)`` pushdown skips row groups — the same
+    layout discipline as ``write_posting_index``, with positions
+    instead of term frequencies.  Index size is one row per TOKEN
+    (vs one per distinct (term, doc) for BM25) — the classic
+    positional-index storage trade."""
+    (
+        docs.select(
+            F.col(doc_id_col).alias("id"),
+            F.posexplode(tokens(text_col)).alias("pos", "term"),
+        )
+        .repartition(POSITIONAL_PARTITIONS, "term")
+        .sortWithinPartitions("term")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def phrase_search_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    *,
+    query_id_col: str = "query_id",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """Top-k by exact-phrase frequency served from a
+    ``write_positional_index`` layout: only the phrase terms' posting
+    rows are read (the term restriction reaches the parquet scan as
+    PushedFilters over the term-clustered files — plan-locked in
+    tests/test_phrase.py), then the same anchor intersection as
+    :func:`phrase_topk`.  Results are identical by construction (the
+    index stores exactly the from-scratch tokenization)."""
+    qslot = _phrase_slots(queries, query_id_col, phrase_col)
+    terms = sorted(
+        {r["term"] for r in qslot.select("term").distinct().collect()}
+    )
+    positions = spark.read.parquet(path).filter(F.col("term").isin(terms))
+    return _anchor_topk(qslot, positions, k)

@@ -2479,3 +2479,95 @@ WHERE rank <= {_MAXSIM_K}
 
 EXTRA_QUERIES["maxsim_ivf_topk"] = q_maxsim_ivf_topk
 EXTRA_ORACLES["maxsim_ivf_topk"] = _maxsim_ivf_oracle()
+
+
+# --- exact phrase search (round 8, operators/phrase.py) ----------------------
+# The third classic lexical query class (after ranked BM25 and boolean
+# filtered): positional intersection — slot i voting anchor pos−i,
+# COUNT(*)==m per anchor is the full-phrase test.  Phrases are derived
+# deterministically from the corpus (tokens 2..4 of each query doc, a
+# CONSECUTIVE slice, unlike the BM25 rows' distinct-token prefix).
+# The indexed row serves the identical result from the term-clustered
+# positional index and therefore SHARES the oracle verbatim (the
+# bucketed-compaction precedent).
+
+_PHRASE_QPRED = "doc_id % 100 = 11"
+_PHRASE_K = 5
+_PHRASE_IDX_STATE: dict[str, str] = {}
+
+
+def _phrase_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens as _tok
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.col("doc_id").alias("query_id"), _tok("text").alias("_w"))
+        .filter(F.expr(_PHRASE_QPRED.replace("doc_id", "query_id")))
+        .filter(F.size("_w") >= 4)
+        .select("query_id", F.slice("_w", 2, 3).alias("phrase"))
+    )
+
+
+def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.phrase import phrase_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_topk(docs, _phrase_queries(spark, sf_dir), _PHRASE_K)
+
+
+def phrase_index(spark: SparkSession, sf_dir: str) -> str:
+    import os as _os
+    import tempfile
+
+    from ..operators.phrase import write_positional_index
+
+    path = _PHRASE_IDX_STATE.get(sf_dir)
+    if path is None:
+        name = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+        path = _os.path.join(
+            tempfile.gettempdir(), f"dvss_spark_phraseidx_{_os.getpid()}", name
+        )
+        write_positional_index(load_table(spark, sf_dir, "documents"), path)
+        _PHRASE_IDX_STATE[sf_dir] = path
+    return path
+
+
+def q_phrase_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.phrase import phrase_search_index
+
+    return phrase_search_index(
+        spark, phrase_index(spark, sf_dir),
+        _phrase_queries(spark, sf_dir), _PHRASE_K,
+    )
+
+
+def _phrase_oracle() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+qs AS (SELECT doc_id AS query_id, list_slice(w, 2, 4) AS phrase FROM toks
+       WHERE {_PHRASE_QPRED} AND len(w) >= 4),
+qslot AS (SELECT query_id, len(phrase) AS m,
+                 UNNEST(range(1, len(phrase) + 1)) AS slot, phrase
+          FROM qs),
+qterm AS (SELECT query_id, m, slot, phrase[slot] AS term FROM qslot),
+px AS (SELECT doc_id AS id, w, UNNEST(range(1, len(w) + 1)) AS pos FROM toks),
+tp AS (SELECT id, pos, w[pos] AS term FROM px),
+hit AS (SELECT q.query_id, t.id, t.pos - q.slot AS anchor, q.m
+        FROM qterm q JOIN tp t USING (term)),
+anch AS (SELECT query_id, id, anchor, m, COUNT(*) AS ns
+         FROM hit GROUP BY 1, 2, 3, 4),
+pf AS (SELECT query_id, id, COUNT(*) AS phrase_tf
+       FROM anch WHERE ns = m GROUP BY 1, 2)
+SELECT query_id, id, phrase_tf, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY phrase_tf DESC, id) AS INT) AS rank
+  FROM pf)
+WHERE rank <= {_PHRASE_K}
+"""
+
+
+EXTRA_QUERIES["phrase_topk"] = q_phrase_topk
+EXTRA_ORACLES["phrase_topk"] = _phrase_oracle()
+# identical result from the positional index — shares the oracle
+EXTRA_QUERIES["phrase_index_topk"] = q_phrase_index_topk
+EXTRA_ORACLES["phrase_index_topk"] = _phrase_oracle()

@@ -87,6 +87,7 @@ class TextEngine:
         self._index_root: str | None = None
         self._keep_epochs: int | None = None
         self._index_state: dict[int, str] = {}
+        self._pos_state: dict[int, str] = {}
         #: observable build counter (tests assert reuse vs rebuild)
         self.index_builds = 0
         self._store = None
@@ -178,6 +179,7 @@ class TextEngine:
         self._index_root = root
         self._keep_epochs = keep_epochs
         self._index_state = {}
+        self._pos_state = {}
 
     def prune_epochs(self, keep: int = 1) -> list[str]:
         """Delete superseded ``posting_e<epoch>`` directories under the
@@ -194,16 +196,17 @@ class TextEngine:
             names = os.listdir(self._index_root)
         except FileNotFoundError:
             return []
-        epochs = []
+        by_kind: dict[str, list[tuple[int, str]]] = {}
         for name in names:
             kind, sep, tail = name.rpartition("_e")
-            if kind == "posting" and sep and tail.isdigit():
-                epochs.append((int(tail), name))
+            if kind in ("posting", "positional") and sep and tail.isdigit():
+                by_kind.setdefault(kind, []).append((int(tail), name))
         removed = []
-        for _epoch, name in sorted(epochs)[:-keep]:
-            path = os.path.join(self._index_root, name)
-            shutil.rmtree(path, ignore_errors=True)
-            removed.append(path)
+        for _kind, epochs in by_kind.items():
+            for _epoch, name in sorted(epochs)[:-keep]:
+                path = os.path.join(self._index_root, name)
+                shutil.rmtree(path, ignore_errors=True)
+                removed.append(path)
         return removed
 
     def _ensure_index(self) -> str:
@@ -224,6 +227,58 @@ class TextEngine:
             self._snapshot, path, doc_id_col=self._doc_id, text_col=self._text
         )
         self._index_state[self._snapshot_epoch] = path
+        self.index_builds += 1
+        return path
+
+    def search_phrase(
+        self,
+        queries: DataFrame,
+        k: int,
+        *,
+        consistency: str = EVENTUAL,
+        method: str = "scan",
+    ) -> DataFrame:
+        """Exact-phrase top-k ``(query_id, id, phrase_tf, rank)`` for
+        queries carrying ``(query_id, phrase array<string>)`` — the
+        third lexical query class (operators/phrase.py), behind the
+        SAME consistency gates and per-epoch index discipline as BM25:
+        a STRONG read compacts pending doc mutations first, and
+        ``method="indexed"`` (after ``attach_index``) serves from a
+        per-epoch POSITIONAL index at ``root/positional_e<epoch>``
+        that a compacted write invalidates like the posting index
+        (``prune_epochs`` GCs both kinds)."""
+        from .operators.phrase import phrase_search_index, phrase_topk
+
+        snap = self._read_snapshot(consistency)
+        if method == "scan":
+            return phrase_topk(
+                snap, queries, k,
+                doc_id_col=self._doc_id, text_col=self._text,
+            )
+        if method != "indexed":
+            raise ValueError(f"unknown method: {method!r}")
+        return phrase_search_index(
+            self._spark, self._ensure_positional_index(), queries, k
+        )
+
+    def _ensure_positional_index(self) -> str:
+        import os
+
+        if self._index_root is None:
+            raise ValueError("method='indexed' requires attach_index(root) first")
+        path = self._pos_state.get(self._snapshot_epoch)
+        if path is not None:
+            return path
+        from .operators.phrase import write_positional_index
+
+        self._pos_state.clear()  # older epochs are stale by definition
+        path = os.path.join(
+            self._index_root, f"positional_e{self._snapshot_epoch}"
+        )
+        write_positional_index(
+            self._snapshot, path, doc_id_col=self._doc_id, text_col=self._text
+        )
+        self._pos_state[self._snapshot_epoch] = path
         self.index_builds += 1
         return path
 

@@ -29,8 +29,8 @@ def test_registry_row_counts():
 
 
 #: pytest-tier row count / oracled subset — bump when adding operators
-EXPECTED_EXTRA = 63
-EXPECTED_EXTRA_ORACLED = 62
+EXPECTED_EXTRA = 65
+EXPECTED_EXTRA_ORACLED = 64
 
 
 def test_driver_window_holds_all_llm_queries():

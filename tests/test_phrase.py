@@ -1,0 +1,138 @@
+"""Exact phrase search (operators/phrase.py).
+
+Oracle parity for phrase_topk / phrase_index_topk runs in
+test_oracle_parity.py; these tests pin the anchor-intersection math on
+adversarial synthetic docs (overlapping and repeated-term phrases),
+scratch==indexed equality, and the indexed plan's term pushdown."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_vector_search_system_spark.operators.phrase import (
+    phrase_search_index,
+    phrase_topk,
+    write_positional_index,
+)
+from distributed_vector_search_system_spark.tables import load_table
+
+_DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "quick brown quick brown quick brown"),
+    (3, "brown quick brown fox"),
+    (4, "aa aa aa aa"),          # repeated-term phrases, overlapping
+    (5, "aa bb aa bb aa"),
+    (6, "zz"),                   # never matches
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(_DOCS, "doc_id long, text string")
+
+
+def _q(spark, *phrases):
+    return spark.createDataFrame(
+        [(i, list(p)) for i, p in enumerate(phrases)],
+        "query_id long, phrase array<string>",
+    )
+
+
+def _result(df):
+    return sorted(
+        (r["query_id"], r["id"], r["phrase_tf"], r["rank"]) for r in df.collect()
+    )
+
+
+def _naive(phrase, qid, k):
+    """Reference: count contiguous occurrences by list scan."""
+    hits = []
+    for did, text in _DOCS:
+        w = [t for t in text.lower().split() if t]
+        m = len(phrase)
+        n = sum(1 for i in range(len(w) - m + 1) if w[i : i + m] == list(phrase))
+        if n > 0:
+            hits.append((n, did))
+    hits.sort(key=lambda t: (-t[0], t[1]))
+    return sorted(
+        (qid, did, n, rank + 1) for rank, (n, did) in enumerate(hits[:k])
+    )
+
+
+def test_counts_and_order_and_overlap(spark):
+    """Occurrence counts match a naive scan, including OVERLAPPING
+    occurrences of repeated-term phrases ('aa aa' in 'aa aa aa aa'
+    occurs 3 times) and in-order-only matching ('quick brown' but not
+    'brown quick' reversed)."""
+    for phrase in (
+        ("quick", "brown"),
+        ("brown", "quick"),
+        ("aa", "aa"),
+        ("aa", "bb", "aa"),
+        ("the", "lazy", "dog"),
+        ("dog", "lazy"),  # wrong order: zero rows for doc 1
+        ("zz",),          # single-token degrade
+    ):
+        got = _result(phrase_topk(_docs(spark), _q(spark, phrase), 10))
+        assert got == _naive(phrase, 0, 10), phrase
+
+
+def test_absent_phrase_returns_no_rows(spark):
+    out = phrase_topk(_docs(spark), _q(spark, ("missing", "entirely")), 5)
+    assert out.count() == 0
+
+
+def test_index_equals_scratch(spark, sf_oracle, tmp_path):
+    from distributed_vector_search_system_spark.registry.llm import (
+        _phrase_queries,
+    )
+
+    docs = load_table(spark, sf_oracle, "documents")
+    path = str(tmp_path / "posidx")
+    write_positional_index(docs, path)
+    q = _phrase_queries(spark, sf_oracle)
+    a = _result(phrase_topk(docs, q, 5))
+    b = _result(phrase_search_index(spark, path, q, 5))
+    assert a and a == b
+
+
+def test_indexed_plan_pushes_terms_down(spark, tmp_path):
+    """The phrase's terms reach the positional-index scan as
+    PushedFilters — unrelated terms' row groups are skippable."""
+    path = str(tmp_path / "posidx_small")
+    write_positional_index(_docs(spark), path)
+    df = phrase_search_index(spark, path, _q(spark, ("quick", "brown")), 5)
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("term" in l and ("quick" in l or "In(" in l) for l in pushed), plan
+
+
+def test_text_engine_phrase_gates_and_epochs(spark, tmp_path):
+    """search_phrase under the engine: STRONG sees a doc mutation, the
+    positional index rebuilds per epoch (not per read), and scan ==
+    indexed at every step."""
+    from distributed_vector_search_system_spark.text_engine import TextEngine
+
+    eng = TextEngine(spark, _docs(spark))
+    eng.attach_index(str(tmp_path / "idx"))
+    q = _q(spark, ("quick", "brown"))
+    scan0 = _result(eng.search_phrase(q, 5))
+    idx0 = _result(eng.search_phrase(q, 5, method="indexed"))
+    idx0_again = _result(eng.search_phrase(q, 5, method="indexed"))
+    assert scan0 == idx0 == idx0_again and scan0
+    builds_after_reads = eng.index_builds
+    # replace doc 2 ('quick brown' x3) with a phrase-free text; STRONG
+    # must drop it from both paths, with exactly one positional rebuild
+    eng.upsert_doc(2, "nothing here")
+    s1 = _result(eng.search_phrase(q, 5, consistency="strong"))
+    i1 = _result(eng.search_phrase(q, 5, consistency="strong", method="indexed"))
+    assert s1 == i1 and all(t[1] != 2 for t in i1) and any(t[1] == 1 for t in i1)
+    assert eng.index_builds == builds_after_reads + 1
+    # prune keeps the newest positional epoch on disk
+    removed = eng.prune_epochs(keep=1)
+    import os
+    left = os.listdir(str(tmp_path / "idx"))
+    assert sum(1 for n in left if n.startswith("positional_e")) == 1
