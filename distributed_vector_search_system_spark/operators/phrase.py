@@ -158,3 +158,75 @@ def phrase_search_index(
     )
     positions = spark.read.parquet(path).filter(F.col("term").isin(terms))
     return _anchor_topk(qslot, positions, k)
+
+
+def proximity_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    window: int = 8,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """Top-k documents by PROXIMITY: how many length-``window`` sliding
+    token windows contain ALL the query's terms (unordered — the
+    Elasticsearch ``match`` + proximity / Galago ``#uw`` family, where
+    :func:`phrase_topk` is the ordered/contiguous special case).
+
+    Same anchor-voting shape as the phrase operator, widened: a hit of
+    term t at position p supports every window START ``s ∈ (p−window,
+    p]`` (a bounded ``explode`` of ``window`` starts per hit — the
+    blow-up factor is the constant ``window``, never data-sized), and a
+    start with ``count_distinct(term) == m`` contains all terms.  Score
+    = number of such starts (overlapping windows each count — a run
+    where the terms stay near each other scores higher, which is the
+    point of proximity ranking); rank by (window_count desc, id).
+
+    Duplicate terms in ``terms_col`` are collapsed — proximity is a
+    SET test, unlike the phrase's ordered slots.  Windows are clipped
+    to starts ≥ 0 so a hit near the document head cannot vote for
+    out-of-range starts.  Returns ``(query_id, id, window_count,
+    rank)``; documents with no qualifying window are absent."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    qterm = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.size(F.array_distinct(F.col(terms_col))).alias("_m"),
+        F.explode(F.array_distinct(F.col(terms_col))).alias("term"),
+    )
+    positions = docs.select(
+        F.col(doc_id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "term"),
+    )
+    starts = (
+        positions.join(F.broadcast(qterm), "term")
+        .select(
+            "query_id",
+            "id",
+            "_m",
+            "term",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("pos") - (window - 1), F.lit(0)),
+                    F.col("pos"),
+                )
+            ).alias("_start"),
+        )
+    )
+    wins = starts.groupBy("query_id", "id", "_start", "_m").agg(
+        F.count_distinct("term").alias("_nt")
+    )
+    freq = (
+        wins.filter(F.col("_nt") == F.col("_m"))
+        .groupBy("query_id", "id")
+        .agg(F.count("*").alias("window_count"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("window_count").desc(), F.col("id").asc()
+    )
+    return freq.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -2571,3 +2571,53 @@ EXTRA_ORACLES["phrase_topk"] = _phrase_oracle()
 # identical result from the positional index — shares the oracle
 EXTRA_QUERIES["phrase_index_topk"] = q_phrase_index_topk
 EXTRA_ORACLES["phrase_index_topk"] = _phrase_oracle()
+
+
+# --- proximity search (round 8, operators/phrase.py) -------------------------
+# The unordered positional query class next to the exact phrase: a
+# length-W sliding window must contain ALL query terms; score = number
+# of such windows.  Same fixture-derived query shape as the BM25 rows
+# (first-3 distinct tokens), disjoint predicate.
+
+_PROX_QPRED = "doc_id % 100 = 19"
+_PROX_WINDOW = 6
+_PROX_K = 5
+
+
+def q_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.phrase import proximity_topk
+    from ..operators.retrieval import queries_from_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = queries_from_docs(docs, F.expr(_PROX_QPRED))
+    return proximity_topk(
+        docs, q, _PROX_K, window=_PROX_WINDOW, terms_col="qterms"
+    )
+
+
+def _proximity_oracle() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+qs AS (SELECT doc_id AS query_id, list_distinct(list_slice(w, 1, 3)) AS ts
+       FROM toks WHERE {_PROX_QPRED}),
+qterm AS (SELECT query_id, len(ts) AS m, UNNEST(ts) AS term FROM qs),
+px AS (SELECT doc_id AS id, w, UNNEST(range(1, len(w) + 1)) AS pos FROM toks),
+tp AS (SELECT id, pos, w[pos] AS term FROM px),
+hits AS (SELECT q.query_id, t.id, q.m, q.term,
+                UNNEST(range(GREATEST(t.pos - {_PROX_WINDOW - 1}, 1),
+                             t.pos + 1)) AS s
+         FROM qterm q JOIN tp t USING (term)),
+wins AS (SELECT query_id, id, s, m, COUNT(DISTINCT term) AS nt
+         FROM hits GROUP BY 1, 2, 3, 4),
+pf AS (SELECT query_id, id, COUNT(*) AS window_count
+       FROM wins WHERE nt = m GROUP BY 1, 2)
+SELECT query_id, id, window_count, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY window_count DESC, id) AS INT) AS rank
+  FROM pf)
+WHERE rank <= {_PROX_K}
+"""
+
+
+EXTRA_QUERIES["proximity_topk"] = q_proximity_topk
+EXTRA_ORACLES["proximity_topk"] = _proximity_oracle()

@@ -888,3 +888,41 @@ for _name in ("rel_range_filter", "rel_events_windows"):
     EXTRA_QUERIES[_name] = QUERIES.pop(_name)
     EXTRA_ORACLES[_name] = ORACLES.pop(_name)
 del _name
+
+
+# --- multi-level aggregation: ROLLUP (round 8) -------------------------------
+# The OLAP cube family was the one classic relational query shape with
+# no row: Spark's rollup() and DuckDB's GROUP BY ROLLUP share exact
+# semantics (subtotal rows carry NULL group keys), and Catalyst plans
+# it as ONE Expand + hash aggregate — no per-level re-scan.  grouping
+# levels are disambiguated by the NULL pattern itself (the fixture's
+# group keys are never null) plus an explicit level marker from
+# grouping_id / GROUPING.
+
+def q_rel_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("lvl"),
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS lvl,
+       COUNT(*) AS n,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+EXTRA_QUERIES["rel_rollup_pricing"] = q_rel_rollup_pricing
+EXTRA_ORACLES["rel_rollup_pricing"] = _ROLLUP_SQL

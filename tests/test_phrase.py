@@ -136,3 +136,59 @@ def test_text_engine_phrase_gates_and_epochs(spark, tmp_path):
     import os
     left = os.listdir(str(tmp_path / "idx"))
     assert sum(1 for n in left if n.startswith("positional_e")) == 1
+
+
+# --- proximity (unordered window) --------------------------------------------
+
+
+def test_proximity_counts_match_naive(spark):
+    from distributed_vector_search_system_spark.operators.phrase import (
+        proximity_topk,
+    )
+
+    def naive(terms, window):
+        out = {}
+        ts = set(terms)
+        for did, text in _DOCS:
+            w = [t for t in text.lower().split() if t]
+            n = 0
+            for s in range(len(w)):  # same clipped-start convention
+                if ts <= set(w[s : s + window]):
+                    n += 1
+            if n:
+                out[did] = n
+        return out
+
+    for terms, window in (
+        (["quick", "brown"], 3),
+        (["fox", "dog"], 6),       # within 6 of each other in doc 1? spans
+        (["the", "dog"], 3),
+        (["aa", "bb"], 2),
+        (["quick"], 1),            # single-term: every occurrence window
+    ):
+        q = spark.createDataFrame(
+            [(0, terms)], "query_id long, terms array<string>"
+        )
+        got = {
+            r["id"]: r["window_count"]
+            for r in proximity_topk(
+                _docs(spark), q, 10, window=window
+            ).collect()
+        }
+        assert got == naive(terms, window), (terms, window)
+
+
+def test_proximity_order_insensitive_and_phrase_is_stricter(spark):
+    """Proximity accepts both orders; the exact phrase only one —
+    'dog lazy' has proximity hits in doc 1 but zero phrase hits."""
+    from distributed_vector_search_system_spark.operators.phrase import (
+        proximity_topk,
+    )
+
+    q = spark.createDataFrame(
+        [(0, ["dog", "lazy"])], "query_id long, terms array<string>"
+    )
+    prox = proximity_topk(_docs(spark), q, 10, window=3).collect()
+    assert any(r["id"] == 1 for r in prox)
+    ph = phrase_topk(_docs(spark), _q(spark, ("dog", "lazy")), 10).collect()
+    assert all(r["id"] != 1 for r in ph)
