@@ -214,6 +214,18 @@ def _measure_recall(sf_dir: str) -> dict:
             n_probe=4, rerank=0, replicated=True,
         )
     )
+    # binary (1-bit) rung: Hamming carries direction only, so its
+    # exact-rerank recall vs depth sits between the sign-agnostic PQ
+    # ADC and the near-exact int8 ordering — the ladder's bottom rung
+    # on the record
+    from distributed_vector_search_system_spark.operators.quantize import (
+        binary_knn,
+    )
+
+    out["binary_rerank"] = {
+        str(rr): recall(binary_knn(emb, q, RECALL_K, dim, rerank=rr))
+        for rr in (4, 8, 16)
+    }
     # residual encoding (round 5): the classic-IVFPQ refinement whose
     # payoff is exactly this ADC-only line — same geometry, residual
     # codebooks + per-cell query LUTs

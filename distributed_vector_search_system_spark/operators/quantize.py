@@ -329,3 +329,133 @@ def quantized_knn(
     from .knn import merge_topk
 
     return merge_topk(exact, k)
+
+
+# --- binary (1-bit) quantization tier ---------------------------------------
+# The bottom rung of the compression ladder (float → int8 → PQ →
+# BINARY): one SIGN bit per dimension, packed 64-to-a-long, coarse
+# ranking by Hamming distance (popcount of XOR — pure integer codegen,
+# 32 longs per 2048-dim vector, 256x less IO than the double column).
+# The modern vector-DB default for the first cut at extreme scale;
+# exact re-rank recovers true distances, mirroring quantized_knn's
+# two-phase contract.  Sign rule: bit = 1 iff x > 0 (zero → 0), so the
+# packed Hamming EQUALS the per-dimension sign-disagreement count and
+# the DuckDB oracle can replay the distance without replaying the
+# packing (registry row knn_binary).
+
+
+def binarize_expr(vector_col, dim: int) -> Column:
+    """Pack ``dim`` sign bits into ``ceil(dim/64)`` longs (big-endian
+    within each word: bit for element i sits at position 63-(i mod 64)
+    of word i//64; a short tail word is left-aligned by the same fold).
+    Codegen-only — no UDF, no shuffle."""
+    v = F.col(vector_col) if isinstance(vector_col, str) else vector_col
+    nwords = (dim + 63) // 64
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(nwords - 1)),
+        lambda w: F.aggregate(
+            F.slice(v, w * 64 + 1, 64),
+            F.lit(0).cast("long"),
+            # shiftleft wraps (no ANSI overflow check) — acc*2 would
+            # throw when the word's top bit lands in the sign position
+            lambda acc, x: F.shiftleft(acc, 1).bitwiseOR(
+                F.when(_dbl(x) > 0.0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+            ),
+        ),
+    )
+
+
+def hamming_packed(a, b) -> Column:
+    """Hamming distance between two packed sign-bit arrays."""
+    ac = F.col(a) if isinstance(a, str) else a
+    bc = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(ac, bc, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def binary_knn(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    *,
+    rerank: int = 8,
+    rerank_store: str | None = None,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vector_col: str = "qvec",
+    bits_col: str = "qbits",
+) -> DataFrame:
+    """Two-phase exact-rerank kNN over the binary tier.
+
+    Phase 1 ranks by packed Hamming distance — an INTEGER, so the
+    coarse cut needs no rounded key at all (ties are exact and the id
+    tie-break is total); per-query top ``k·rerank`` survives via the
+    WindowGroupLimit pattern.  Phase 2 re-ranks exactly, either
+    through the broadcast join (default) or the id-bucketed
+    ``rerank_store=`` (DPP-bounded IO — the same trade documented on
+    :func:`quantized_knn`).
+
+    If ``bits_col`` already exists on ``vectors`` (the stored binary
+    tier, packed once at write time), phase 1 reads ONLY it; otherwise
+    bits derive on the fly.  Sign bits carry direction, not magnitude:
+    Hamming approximates ANGULAR closeness, so ``rerank`` should sit
+    deeper than the int8 tier's (default 8 vs 4) — recall tracked in
+    the bench recall section next to the other rungs."""
+    from ..functions.distance import rank_key  # noqa: F401  (doc pointer)
+
+    qb = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vector_col).alias("_qv"),
+        binarize_expr(query_vector_col, dim).alias("_qbits"),
+    )
+    if bits_col in vectors.columns:
+        tier = vectors.select(id_col, bits_col)
+    else:
+        tier = vectors.select(
+            id_col, binarize_expr(vector_col, dim).alias(bits_col)
+        )
+    coarse = tier.join(F.broadcast(qb.select("query_id", "_qbits")), how="cross").select(
+        "query_id",
+        F.col(id_col).alias("id"),
+        hamming_packed(bits_col, "_qbits").alias("_hd"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_hd").asc(), F.col("id").asc()
+    )
+    cands = (
+        coarse.withColumn("_crank", F.row_number().over(w))
+        .filter(F.col("_crank") <= k * rerank)
+        .select("query_id", "id")
+    )
+    if rerank_store is not None:
+        from ..sources.rerank_store import bounded_rerank
+
+        return bounded_rerank(
+            vectors.sparkSession, rerank_store, cands,
+            queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(query_vector_col).alias("qvec"),
+            ),
+            k, id_col=id_col, vector_col=vector_col,
+            query_id_col="query_id", query_vector_col="qvec",
+        )
+    full = vectors.select(F.col(id_col).alias("id"), F.col(vector_col).alias("_fv"))
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vector_col).alias("_qv")
+    )
+    exact = (
+        cands.join(full, on="id")
+        .join(F.broadcast(qv), on="query_id")
+        .select(
+            "query_id", "id",
+            squared_l2(F.col("_fv"), F.col("_qv")).alias("distance"),
+        )
+    )
+    from ..operators.knn import merge_topk
+
+    return merge_topk(exact, k)

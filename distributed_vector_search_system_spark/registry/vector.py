@@ -2042,3 +2042,64 @@ WHERE rank <= 5
 
 EXTRA_QUERIES["ann_sq8_topk"] = q_ann_sq8_topk
 EXTRA_ORACLES["ann_sq8_topk"] = _ann_sq8_oracle()
+
+
+# --- binary (1-bit) quantization tier (round 8) ------------------------------
+# The bottom rung of the compression ladder: sign bits packed into
+# longs, integer Hamming coarse rank (no rounded key needed — ties are
+# exact), exact re-rank.  The oracle replays the Hamming as the
+# per-dimension sign-disagreement count (equal to the packed popcount
+# by construction: bit = 1 iff x > 0 on both sides), then the same
+# exact re-rank as the int8 tier.
+
+_BINARY_RERANK = 8
+_BINARY_QPRED_SPARK = lambda: F.col("vec_id") % 40 == 9  # noqa: E731
+_BINARY_QPRED_SQL = "vec_id % 40 = 9"
+
+
+def q_knn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantize import binary_knn
+
+    emb = _emb(spark, sf_dir)
+    dim = len(emb.select("embedding").first()[0])
+    q = _query_set(emb, _BINARY_QPRED_SPARK())
+    return _round_result(
+        binary_knn(emb, q, 5, dim, rerank=_BINARY_RERANK)
+    )
+
+
+_BIN_HD = (
+    "(SELECT SUM(CASE WHEN (CAST(u.a AS DOUBLE) > 0) <> (CAST(u.b AS DOUBLE) > 0) "
+    "THEN 1 ELSE 0 END) FROM (SELECT UNNEST({q}) AS a, UNNEST({v}) AS b) u)"
+)
+
+
+def _knn_binary_oracle() -> str:
+    hd = _BIN_HD.format(q="q.qe", v="v.embedding")
+    ex = _SQL_SQ_L2.format(q="c.qe", v="v.embedding")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE {_BINARY_QPRED_SQL}),
+coarse AS (
+  SELECT q.query_id, v.vec_id AS id, q.qe, {hd} AS hd
+  FROM q CROSS JOIN embeddings v
+),
+cand AS (
+  SELECT query_id, id, qe FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hd, id) AS crn
+    FROM coarse)
+  WHERE crn <= {5 * _BINARY_RERANK}
+),
+exact AS (
+  SELECT c.query_id, c.id, {ex} AS distance
+  FROM cand c JOIN embeddings v ON c.id = v.vec_id
+)
+SELECT query_id, id, ROUND(distance, 6) AS distance, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY round_even((distance) * 1e6, 0) / 1e6, id) AS INT) AS rank
+  FROM exact)
+WHERE rank <= 5
+"""
+
+
+EXTRA_QUERIES["knn_binary"] = q_knn_binary
+EXTRA_ORACLES["knn_binary"] = _knn_binary_oracle()

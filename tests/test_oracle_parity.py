@@ -29,8 +29,8 @@ def test_registry_row_counts():
 
 
 #: pytest-tier row count / oracled subset — bump when adding operators
-EXPECTED_EXTRA = 67
-EXPECTED_EXTRA_ORACLED = 66
+EXPECTED_EXTRA = 68
+EXPECTED_EXTRA_ORACLED = 67
 
 
 def test_driver_window_holds_all_llm_queries():

@@ -245,3 +245,110 @@ def test_numpy_coarse_kernel_deterministic_on_duplicate_vectors(spark):
         assert sorted(a) == sorted(b), (a, b)
         # smallest ids among the tied duplicates must win
         assert {x[1] for x in a} == {0, 1}, a
+
+
+# --- binary (1-bit) tier (round 8) -------------------------------------------
+
+
+def test_binarize_packs_sign_bits_exactly(spark):
+    """Packed words equal an independent numpy packing, including the
+    64th bit (sign position — the shiftleft-not-multiply regression)
+    and a non-multiple-of-64 tail."""
+    import numpy as np
+
+    from distributed_vector_search_system_spark.operators.quantize import (
+        binarize_expr,
+    )
+
+    rng = np.random.RandomState(7)
+    for dim in (64, 70, 128, 5):
+        vecs = [rng.randn(dim).tolist() for _ in range(6)]
+        # force the FIRST element positive so bit 63 of word 0 is set
+        vecs[0][0] = 3.5
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            r["vec_id"]: list(r["b"])
+            for r in df.select(
+                "vec_id", binarize_expr("embedding", dim).alias("b")
+            ).collect()
+        }
+
+        def pack(v):
+            words = []
+            for w in range(0, len(v), 64):
+                acc = 0
+                for x in v[w : w + 64]:
+                    acc = ((acc << 1) & 0xFFFFFFFFFFFFFFFF) | (1 if x > 0 else 0)
+                if acc >= 1 << 63:  # two's-complement long
+                    acc -= 1 << 64
+                words.append(acc)
+            return words
+
+        for i, v in enumerate(vecs):
+            assert got[i] == pack(v), (dim, i)
+
+
+def test_hamming_packed_equals_sign_disagreements(spark, sf_oracle):
+    import numpy as np
+
+    from distributed_vector_search_system_spark.operators.quantize import (
+        binarize_expr,
+        hamming_packed,
+    )
+    from distributed_vector_search_system_spark.tables import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings").limit(40)
+    dim = len(emb.select("embedding").first()[0])
+    a = emb.select(
+        "vec_id", "embedding", binarize_expr("embedding", dim).alias("ba")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), binarize_expr("embedding", dim).alias("bq")
+    )
+    rows = a.crossJoin(q).select(
+        "vec_id", "embedding", "qe", hamming_packed("ba", "bq").alias("hd")
+    ).collect()
+    for r in rows:
+        x = np.array(r["embedding"]) > 0
+        y = np.array(r["qe"]) > 0
+        assert r["hd"] == int((x != y).sum())
+
+
+def test_binary_knn_exact_distances_and_store_parity(spark, sf_oracle, tmp_path):
+    """Returned distances are exact, and the rerank_store path returns
+    identical rows (same candidates, same re-rank)."""
+    from distributed_vector_search_system_spark.operators.quantize import (
+        binary_knn,
+    )
+    from distributed_vector_search_system_spark.sources.rerank_store import (
+        write_rerank_store,
+    )
+    from distributed_vector_search_system_spark.tables import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    q = emb.filter(F.col("vec_id") % 100 == 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    from distributed_vector_search_system_spark.functions.distance import (
+        squared_l2,
+    )
+
+    plain = binary_knn(emb, q, 5, dim).collect()
+    assert plain
+    truth = {
+        (r["query_id"], r["vec_id"]): r["d"]
+        for r in q.crossJoin(emb.select("vec_id", "embedding"))
+        .select("query_id", "vec_id", squared_l2("embedding", F.col("qvec")).alias("d"))
+        .collect()
+    }
+    for r in plain:
+        assert abs(r["distance"] - truth[(r["query_id"], r["id"])]) < 1e-9
+    store = str(tmp_path / "rr")
+    write_rerank_store(emb, store)
+    backed = binary_knn(emb, q, 5, dim, rerank_store=store).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["id"], round(r["distance"], 6))  # noqa: E731
+    assert sorted(map(key, plain)) == sorted(map(key, backed))
