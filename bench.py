@@ -763,6 +763,13 @@ def _measure_maintenance(sf_dir: str) -> dict:
         t0 = time.perf_counter()
         store.search(spark, q, 10).write.format("noop").mode("overwrite").save()
         store_q_s = round(time.perf_counter() - t0, 4)
+        # steady form: the first dirty read pays the one-off per-write
+        # stats memo + plan codegen; the repeat is what every further
+        # read between writes costs — the number the ≤1.5x-of-compacted
+        # contract is about (VERDICT r07 item 3)
+        t0 = time.perf_counter()
+        store.search(spark, q, 10).write.format("noop").mode("overwrite").save()
+        store_q_steady_s = round(time.perf_counter() - t0, 4)
         # compact() folds the delta through the arbiter into a clean
         # generation; reads then skip the LWW joins (the _DIRTY gate),
         # so the merge-on-read tax lasts exactly one compaction cadence
@@ -772,6 +779,9 @@ def _measure_maintenance(sf_dir: str) -> dict:
         t0 = time.perf_counter()
         store.search(spark, q, 10).write.format("noop").mode("overwrite").save()
         store_cq_s = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        store.search(spark, q, 10).write.format("noop").mode("overwrite").save()
+        store_cq_steady_s = round(time.perf_counter() - t0, 4)
     finally:
         shutil.rmtree(root, ignore_errors=True)
         spark.stop()
@@ -783,7 +793,9 @@ def _measure_maintenance(sf_dir: str) -> dict:
         "store_compact_sec": compact_s,
         "rebuilt_index_query_sec": rebuilt_q_s,
         "store_merge_on_read_query_sec": store_q_s,
+        "store_merge_on_read_query_steady_sec": store_q_steady_s,
         "store_compacted_query_sec": store_cq_s,
+        "store_compacted_query_steady_sec": store_cq_steady_s,
     }
 
 

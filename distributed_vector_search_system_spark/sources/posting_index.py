@@ -711,11 +711,13 @@ class MutablePostingIndexStore(PostingIndexStore):
         # winner is one ``max`` hash aggregate, never a per-id sort
         # window.  Measured at sf0.1 (bench ``lexical_maintenance``):
         # these two changes plus the single-pass df in ``_attach_df``
-        # took a dirty read from ~2.3x a compacted read to ~1.6x, and
-        # the residue is per-stage launch overhead over query-bounded
-        # rows — constant in corpus size, so the ratio falls toward 1
-        # as the corpus grows.  compact() still restores the
-        # arbiter-free clean plan exactly.
+        # took a steady dirty read from ~2.3x a compacted read to
+        # 1.48x (2.00 s vs 1.35 s; the FIRST dirty read after a write
+        # additionally pays the one-off stats memo + plan codegen,
+        # 4.4 s vs 2.6 s cold).  The residue is per-stage launch
+        # overhead over query-bounded rows — constant in corpus size,
+        # so the ratio falls toward 1 as the corpus grows.  compact()
+        # still restores the arbiter-free clean plan exactly.
         win = (
             self._all_muts(spark)
             .join(raw.select("id"), "id", "left_semi")
