@@ -2103,3 +2103,47 @@ WHERE rank <= 5
 
 EXTRA_QUERIES["knn_binary"] = q_knn_binary
 EXTRA_ORACLES["knn_binary"] = _knn_binary_oracle()
+
+
+# --- hot-cell splitting (round 8, sources/ivf_index.py) ----------------------
+# Incremental IVF rebalancing as a registry row: build a fresh
+# cell-partitioned layout, split every cell above 1.5x the mean via
+# sub-clustering + dynamic partition overwrite, return the post-split
+# histogram.  kmeans sub-training has no SQL form, so the row is
+# weak-checked (rows-only) — the invariants (row preservation, cold
+# partitions untouched byte-for-byte, full-probe exactness unchanged)
+# live in tests/test_ivf_index.py.
+
+def q_ivf_cell_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources.ivf_index import (
+        cell_stats,
+        split_hot_cells,
+        write_ivf_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = _ivf_thinned_centroids(spark, sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(), f"dvss_spark_rebal_{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)) or "sf",
+    )
+    shutil.rmtree(path, ignore_errors=True)  # fresh layout every call
+    write_ivf_index(emb, path, cents)
+    n = emb.count()
+    threshold = max(int(1.5 * n / len(cents)), 1)
+    new_cents = split_hot_cells(
+        spark, path, cents, max_rows=threshold, factor=2
+    )
+    return cell_stats(spark, path).select(
+        "cell_id",
+        "n_rows",
+        F.lit(len(new_cents)).alias("n_cells_after"),
+        F.lit(threshold).alias("split_threshold"),
+    )
+
+
+EXTRA_QUERIES["ivf_cell_rebalance"] = q_ivf_cell_rebalance
+# no oracle: kmeans sub-training has no SQL form (weak-checked)

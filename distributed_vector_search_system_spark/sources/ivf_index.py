@@ -304,3 +304,123 @@ def search_cosine_ivf_index(
         (F.lit(1.0) - F.col("distance") / 2.0).alias("cosine"),
         "rank",
     )
+
+
+# --- incremental rebalancing: hot-cell splitting ------------------------------
+# At 100 TB, cell-size skew is an operations problem, not a build-time
+# one: a hot cell makes every probe that touches it scan disproportionate
+# bytes, and the full-retrain fix rewrites the whole index.  The
+# incremental answer (FAISS re-trains; Milvus/Vespa-style systems split)
+# is to SUB-CLUSTER only the oversized cells and rewrite ONLY their
+# partitions — Spark's dynamic partition overwrite makes that a
+# first-class layout operation.
+
+
+def cell_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Per-cell row counts of a persisted IVF layout — the skew
+    observability surface (``(cell_id, n_rows)``).  Reads partition
+    keys + row-group metadata only (count aggregate over the scan)."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+def split_hot_cells(
+    spark: SparkSession,
+    path: str,
+    centroids: list[list[float]],
+    *,
+    max_rows: int,
+    factor: int = 2,
+    sub_iterations: int = 5,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> list[list[float]]:
+    """Split every cell holding more than ``max_rows`` rows into
+    ``factor`` sub-cells and rewrite ONLY those cells' partitions.
+    Returns the NEW centroid list (pass it to every subsequent
+    ``search_ivf_index`` call; persist it wherever the old list lived).
+
+    Mechanics, all bounded by the hot fraction — cold cells are never
+    read or written:
+
+    1. per-cell counts (metadata-cheap aggregate) pick the hot cells;
+    2. each hot cell's rows come back through the cell's OWN partition
+       filter, and ``kmeans_fit`` trains ``factor`` sub-centroids on
+       exactly those rows (locality: the sub-centroids partition the
+       old cell's region);
+    3. the old centroid is REPLACED by sub-centroid 0 and the rest are
+       APPENDED, so every existing cold cell id stays valid — readers
+       holding the old centroid list keep routing correctly to cold
+       cells while the swap propagates;
+    4. hot rows are staged (the overwrite target cannot also be the
+       read source), reassigned to their nearest sub-centroid, and
+       written back with ``partitionOverwriteMode=dynamic`` — only the
+       touched ``cell_id=`` directories are replaced.
+
+    Quality note: rows move to the nearest of their OLD cell's
+    sub-centroids, not the globally nearest new centroid — the standard
+    incremental-recluster trade.  Since sub-centroids are trained on
+    exactly the cell's rows, locality is preserved; a periodic full
+    retrain remains the quality ceiling (tests verify full-probe
+    exactness is unaffected and per-cell max shrinks).
+
+    ``vectors written with replicas > 1`` are split the same way (each
+    stored copy re-routes within its own cell); the search-side
+    ``replicated=True`` dedup is unaffected."""
+    import shutil
+    import tempfile
+
+    if factor < 2:
+        raise ValueError("factor must be >= 2")
+    if max_rows < 1:
+        raise ValueError("max_rows must be >= 1")
+    from ..operators.clustering import kmeans_fit
+
+    counts = {
+        r["cell_id"]: r["n_rows"] for r in cell_stats(spark, path).collect()
+    }
+    hot = sorted(cid for cid, n in counts.items() if n > max_rows)
+    new_cents = [list(c) for c in centroids]
+    if not hot:
+        return new_cents
+    stage_root = tempfile.mkdtemp(prefix="dvss_split_stage_")
+    try:
+        for cid in hot:
+            rows = spark.read.parquet(path).filter(F.col("cell_id") == cid)
+            subs, _ = kmeans_fit(
+                rows, factor, max_iterations=sub_iterations,
+                id_col=id_col, vector_col=vector_col,
+            )
+            sub_ids = [cid] + list(
+                range(len(new_cents), len(new_cents) + len(subs) - 1)
+            )
+            new_cents[cid] = [float(x) for x in subs[0]]
+            new_cents.extend([float(x) for x in s] for s in subs[1:])
+            stage = f"{stage_root}/cell_{cid}"
+            rows.drop("cell_id").write.mode("overwrite").parquet(stage)
+            # drop the hot partition explicitly: dynamic overwrite only
+            # replaces partitions PRESENT in the write, and a split in
+            # which no row lands back on sub-centroid 0 would otherwise
+            # leave the old directory (stale duplicates) behind
+            shutil.rmtree(f"{path.rstrip('/')}/cell_id={cid}", ignore_errors=True)
+            staged = spark.read.parquet(stage)
+            id_map = ", ".join(str(i) for i in sub_ids)
+            reassigned = staged.withColumn(
+                "cell_id",
+                F.element_at(
+                    F.expr(f"array({id_map})"),
+                    nearest_centroid_expr(F.col(vector_col), subs) + 1,
+                ).cast("int"),
+            )
+            (
+                reassigned.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("cell_id")
+                .parquet(path)
+            )
+    finally:
+        shutil.rmtree(stage_root, ignore_errors=True)
+    return new_cents

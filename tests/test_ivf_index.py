@@ -196,3 +196,88 @@ def test_cosine_search_rejects_l2_index(spark, cosine_ivf, tmp_path):
     )
     with _pytest.raises(ValueError, match="not a cosine index"):
         search_cosine_ivf_index(spark, l2_path, q, 5, cents)
+
+
+# --- incremental rebalancing: hot-cell splitting (round 8) -------------------
+
+
+def test_split_hot_cells_rebalances_and_preserves_search(spark, tmp_path):
+    """A skewed layout: one dominant cell.  After split_hot_cells, (a)
+    the row multiset is preserved exactly, (b) the hot cell's max size
+    shrinks, (c) cold cells' files are untouched on disk, (d) full-probe
+    search over the NEW centroid list equals exact kNN, same as before."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from distributed_vector_search_system_spark.operators.knn import knn
+    from distributed_vector_search_system_spark.sources.ivf_index import (
+        cell_stats,
+        search_ivf_index,
+        split_hot_cells,
+        write_ivf_index,
+    )
+
+    # 3 far-apart regions; region 0 has 60 rows (hot), others 8 each
+    rows = []
+    vid = 0
+    for n, base in ((60, 0.0), (8, 100.0), (8, 200.0)):
+        for i in range(n):
+            rows.append((vid, [base + (i % 10) * 1.5, base + (i // 10) * 2.0], 0))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    cents = [[2.0, 2.0], [100.0, 100.0], [200.0, 200.0]]
+    path = str(tmp_path / "skewed_ivf")
+    write_ivf_index(emb, path, cents)
+    before = {r["cell_id"]: r["n_rows"] for r in cell_stats(spark, path).collect()}
+    assert before[0] == 60
+    cold_listing = {
+        d: sorted(os.listdir(os.path.join(path, d)))
+        for d in os.listdir(path)
+        if d.startswith("cell_id=") and d != "cell_id=0"
+    }
+
+    new_cents = split_hot_cells(spark, path, cents, max_rows=30, factor=2)
+    assert len(new_cents) == 4  # one split: replace + append
+    assert new_cents[1] == cents[1] and new_cents[2] == cents[2]
+
+    after = {r["cell_id"]: r["n_rows"] for r in cell_stats(spark, path).collect()}
+    assert sum(after.values()) == sum(before.values())  # no row lost/duped
+    assert max(after[c] for c in (0, 3)) < 60  # the hot cell actually split
+    assert after[1] == 8 and after[2] == 8
+    # ids preserved exactly (multiset equality via distinct ids + count)
+    got_ids = sorted(
+        r["vec_id"] for r in spark.read.parquet(path).select("vec_id").collect()
+    )
+    assert got_ids == sorted(r[0] for r in rows)
+    # cold partitions untouched byte-for-byte (same file listing)
+    for d, files in cold_listing.items():
+        assert sorted(os.listdir(os.path.join(path, d))) == files, d
+
+    q = emb.filter(F.col("vec_id").isin([0, 30, 61, 70])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = search_ivf_index(
+        spark, path, q, 5, new_cents, n_probe=len(new_cents)
+    )
+    want = knn(emb, q, 5)
+    key = lambda r: (r["query_id"], r["rank"], r["id"], round(r["distance"], 6))  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+
+
+def test_split_hot_cells_noop_below_threshold(spark, tmp_path):
+    from distributed_vector_search_system_spark.sources.ivf_index import (
+        split_hot_cells,
+        write_ivf_index,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 0.0], 0) for i in range(12)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    cents = [[0.0, 0.0], [11.0, 0.0]]
+    path = str(tmp_path / "small_ivf")
+    write_ivf_index(emb, path, cents)
+    assert split_hot_cells(spark, path, cents, max_rows=100) == cents

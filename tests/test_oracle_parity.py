@@ -29,7 +29,7 @@ def test_registry_row_counts():
 
 
 #: pytest-tier row count / oracled subset — bump when adding operators
-EXPECTED_EXTRA = 68
+EXPECTED_EXTRA = 69
 EXPECTED_EXTRA_ORACLED = 67
 
 
