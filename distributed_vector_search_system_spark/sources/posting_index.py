@@ -235,6 +235,47 @@ class PostingIndexStore:
             self._os.path.join(d, "stats_log"),
         )
 
+    def generations(self) -> list[str]:
+        """On-disk generation names, oldest first.  At most two exist
+        between compactions (current + the just-superseded one kept a
+        cycle for in-flight readers) — the pinnable read set."""
+        try:
+            names = self._os.listdir(self.root)
+        except FileNotFoundError:
+            return []
+        return sorted(n for n in names if n.startswith("gen-"))
+
+    def at(self, generation: str):
+        """A READ-ONLY view of this store pinned to ``generation`` —
+        the manifest-swap contract surfaced as time travel: the
+        just-superseded generation stays on disk for one compaction
+        cycle, so a reader can hold (or audit) the previous snapshot
+        while writers move on.  All read methods (``search``,
+        ``_live_postings``, ``_stats``) resolve paths through the pin;
+        every write raises.  Pins do not prevent GC — a pinned
+        generation older than one cycle may vanish, exactly like any
+        in-flight reader (the documented keep-one-cycle contract)."""
+        import copy
+
+        if generation not in self.generations():
+            raise ValueError(
+                f"unknown generation {generation!r}; on disk: "
+                f"{self.generations()}"
+            )
+        view = copy.copy(self)
+        view._current_gen = lambda: generation  # shadows the method
+
+        def _read_only(*_a, **_kw):
+            raise ValueError("generation-pinned view is read-only")
+
+        for name in (
+            "init_base", "append_batch", "apply_log", "compact",
+            "streaming_sink", "streaming_log_sink", "_commit_gen",
+        ):
+            if hasattr(view, name):
+                setattr(view, name, _read_only)
+        return view
+
     # -- write path ---------------------------------------------------------
 
     @staticmethod

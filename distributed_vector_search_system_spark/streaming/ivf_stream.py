@@ -107,6 +107,40 @@ class IvfIndexStore:
             os.path.join(d, "muts"),
         )
 
+    def generations(self) -> list[str]:
+        """On-disk generation names, oldest first (current + the
+        just-superseded one kept a cycle for in-flight readers)."""
+        try:
+            names = os.listdir(self.root)
+        except FileNotFoundError:
+            return []
+        return sorted(n for n in names if n.startswith("gen-"))
+
+    def at(self, generation: str):
+        """READ-ONLY view pinned to ``generation`` — the manifest-swap
+        reader-safety contract surfaced as time travel (same contract
+        as ``PostingIndexStore.at``): reads resolve through the pin,
+        writes raise, and GC is unaffected (a pin older than one
+        compaction cycle may vanish like any in-flight reader)."""
+        import copy
+
+        if generation not in self.generations():
+            raise ValueError(
+                f"unknown generation {generation!r}; on disk: "
+                f"{self.generations()}"
+            )
+        view = copy.copy(self)
+        view._current_gen = lambda: generation  # shadows the method
+
+        def _read_only(*_a, **_kw):
+            raise ValueError("generation-pinned view is read-only")
+
+        for name in ("init_base", "append_batch", "compact", "_commit_gen",
+                     "streaming_sink"):
+            if hasattr(view, name):
+                setattr(view, name, _read_only)
+        return view
+
     # Path views of the current generation (resolved per access) — handy
     # for tests/tooling; read paths internally use _snapshot_paths().
     @property

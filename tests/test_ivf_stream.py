@@ -295,3 +295,54 @@ def test_registry_stream_row_prunes_base_and_delta(spark, sf_oracle):
         if "PartitionFilters" in l and "cell_id" in l and "dynamicpruning" not in l
     ]
     assert len(pf) >= 2, plan  # base scan + delta scan
+
+
+def test_generation_pinned_reads(spark, sf_smoke, tmp_path):
+    """at(gen) on the vector store: the pre-compaction generation keeps
+    serving its snapshot while the live store absorbs new mutations."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from distributed_vector_search_system_spark.registry.vector import (
+        _ivf_thinned_centroids,
+    )
+    from distributed_vector_search_system_spark.streaming.ivf_stream import (
+        IvfIndexStore,
+    )
+    from distributed_vector_search_system_spark.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    store = IvfIndexStore(
+        str(tmp_path / "pin"), _ivf_thinned_centroids(spark, sf_smoke)
+    )
+    store.init_base(emb)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+    def res(s):
+        return sorted(
+            (r["query_id"], r["rank"], r["id"]) for r in s.search(
+                spark, q, 5, n_probe=len(store.centroids)
+            ).collect()
+        )
+
+    state0 = res(store)
+    store.compact(spark)  # gen-000001; gen-000000 retained one cycle
+    assert store.generations() == ["gen-000000", "gen-000001"]
+    # delete the current top hit AFTER the compaction
+    top_id = state0[0][2]
+    log = spark.createDataFrame(
+        [(1, "delete", top_id, None, None)],
+        "seq long, op string, vec_id long, embedding array<double>, label int",
+    )
+    store.append_batch(log)
+    live = res(store)
+    assert live != state0 and all(t[2] != top_id for t in live)
+    pinned = store.at("gen-000000")
+    assert res(pinned) == state0          # time travel
+    with _pytest.raises(ValueError, match="read-only"):
+        pinned.append_batch(log)
+    with _pytest.raises(ValueError, match="unknown generation"):
+        store.at("gen-42")
+    assert res(store) == live             # live handle unaffected

@@ -299,3 +299,32 @@ def test_clean_generation_skips_arbiter(spark, tmp_path):
     assert n_windows(after) == 1  # compact restores fast path
     assert n_scans(after) == 2
     assert _result(s.search(spark, q, 5)) == before
+
+
+def test_generation_pinned_reads(spark, tmp_path):
+    """at(gen): the previous generation stays readable for one cycle —
+    a pinned search sees the pre-compaction state while the live store
+    moves on; pins are read-only; unknown generations raise."""
+    import pytest as _pytest
+
+    s = _store(spark, tmp_path)
+    s.apply_log(_log_df(spark))          # batch 1 (the standard mutations)
+    q = _q(spark, ("banana", "cherry"))
+    state1 = _result(s.search(spark, q, 5))
+    s.compact(spark)                      # gen-000001; gen-000000 retained
+    gens = s.generations()
+    assert gens == ["gen-000000", "gen-000001"]
+    # new write AFTER the compaction: replace doc 1 with unrelated text
+    s.apply_log(_log_df(spark, [(100, "upsert", 1, "zzz qqq")]))
+    live = _result(s.search(spark, q, 5))
+    assert live != state1                 # doc 1 lost its banana terms
+    pinned = s.at("gen-000000")
+    assert _result(pinned.search(spark, q, 5)) == state1  # time travel
+    with _pytest.raises(ValueError, match="read-only"):
+        pinned.apply_log(_log_df(spark))
+    with _pytest.raises(ValueError, match="read-only"):
+        pinned.compact(spark)
+    with _pytest.raises(ValueError, match="unknown generation"):
+        s.at("gen-999999")
+    # the live handle is untouched by the view
+    assert _result(s.search(spark, q, 5)) == live
