@@ -82,6 +82,11 @@ RETRIEVAL = [
     # vector tiers')
     "bm25_index_topk",
     "hybrid_indexed_rrf",
+    # round 8: the two new retrieval families — positional (indexed
+    # exact phrase; build excluded via the per-process layout memo) and
+    # late interaction (two-stage token-routed MaxSim)
+    "phrase_index_topk",
+    "maxsim_ivf_topk",
 ]
 
 # The 100 TB serving tiers (quantized IO / bucketed ANN / physically
@@ -373,6 +378,13 @@ def _measure_once(sf_dir: str) -> dict:
     # the indexed retrieval rows' one-time posting-index build must not
     # pollute their cold timings (persisted_ivf_index is already built)
     _build("posting_index", _hybrid_posting_index)
+    from distributed_vector_search_system_spark.registry.llm import (
+        maxsim_ivf_layout,
+        phrase_index,
+    )
+
+    _build("positional_index", phrase_index)
+    _build("maxsim_token_layout", maxsim_ivf_layout)
     for name in retrieval:
         _time(name)
     spark.stop()

@@ -192,3 +192,66 @@ def test_proximity_order_insensitive_and_phrase_is_stricter(spark):
     assert any(r["id"] == 1 for r in prox)
     ph = phrase_topk(_docs(spark), _q(spark, ("dog", "lazy")), 10).collect()
     assert all(r["id"] != 1 for r in ph)
+
+
+def test_phrase_and_proximity_randomized_batch(spark):
+    """200 random (doc corpus, query) cases checked in TWO Spark passes
+    against pure-python references — alignment edges, repeated tokens,
+    and tiny vocabularies stress the anchor math far beyond the
+    hand-written cases."""
+    import random
+
+    rng = random.Random(8)
+    vocab = ["a", "b", "c", "d"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+        for i in range(60)
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    phrases = [
+        (qid, [rng.choice(vocab) for _ in range(rng.randint(1, 3))])
+        for qid in range(20)
+    ]
+    qdf = spark.createDataFrame(phrases, "query_id long, phrase array<string>")
+
+    def naive_phrase(p):
+        out = {}
+        for did, text in docs:
+            w = text.split()
+            m = len(p)
+            n = sum(1 for i in range(len(w) - m + 1) if w[i : i + m] == p)
+            if n:
+                out[did] = n
+        return out
+
+    got = {}
+    for r in phrase_topk(ddf, qdf, 10**6).collect():
+        got.setdefault(r["query_id"], {})[r["id"]] = r["phrase_tf"]
+    for qid, p in phrases:
+        assert got.get(qid, {}) == naive_phrase(p), (qid, p)
+
+    from distributed_vector_search_system_spark.operators.phrase import (
+        proximity_topk,
+    )
+
+    terms = [
+        (qid, sorted({rng.choice(vocab) for _ in range(rng.randint(1, 3))}))
+        for qid in range(20)
+    ]
+    tdf = spark.createDataFrame(terms, "query_id long, terms array<string>")
+    W = 4
+
+    def naive_prox(ts):
+        out = {}
+        for did, text in docs:
+            w = text.split()
+            n = sum(1 for s in range(len(w)) if set(ts) <= set(w[s : s + W]))
+            if n:
+                out[did] = n
+        return out
+
+    gotp = {}
+    for r in proximity_topk(ddf, tdf, 10**6, window=W).collect():
+        gotp.setdefault(r["query_id"], {})[r["id"]] = r["window_count"]
+    for qid, ts in terms:
+        assert gotp.get(qid, {}) == naive_prox(ts), (qid, ts)
