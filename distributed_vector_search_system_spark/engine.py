@@ -7,10 +7,14 @@ single writer (the "leader"), so:
 
 - G1/G2 consistency gates (search_service_impl.cc:10-31,52-62):
   ``consistency="strong"`` compacts all pending mutations into the
-  snapshot before reading; ``"eventual"``/``"bounded_staleness"`` read
-  the current compacted snapshot without forcing the apply.  There is no
-  non-leader to reject requests — the FAILED_PRECONDITION path is
-  structurally impossible here.
+  snapshot before reading; ``"eventual"`` reads the current compacted
+  snapshot without forcing the apply; ``"bounded_staleness"`` reads the
+  current snapshot while the pending-mutation lag is within
+  ``max_staleness`` and compacts like STRONG beyond it (the reference
+  declares the level but implements no bound — this engine makes it
+  real; see ``DEFAULT_MAX_STALENESS``).  There is no non-leader to
+  reject requests — the FAILED_PRECONDITION path is structurally
+  impossible here.
 - G3 leader-only writes: all mutations funnel through this object,
   which assigns the dense ``seq`` (the Raft total order, R1).
 - M4 cache invalidation: every accepted mutation bumps the snapshot
@@ -53,8 +57,12 @@ class VectorEngine:
         shard_col: str | None = None,
         auto_compact_threshold: int | None = None,
         auto_checkpoint_every: int | None = None,
+        max_staleness: int | float | None = None,
     ):
         self._spark = spark
+        self._max_staleness = (
+            self.DEFAULT_MAX_STALENESS if max_staleness is None else max_staleness
+        )
         self._dim = dim
         if validate and dim is not None:
             # load-time dimension invariant (vector_shard.cc:36-38)
@@ -116,10 +124,25 @@ class VectorEngine:
 
     # -- reads -------------------------------------------------------------
 
+    #: BOUNDED_STALENESS lag bound: a bounded read tolerates at most
+    #: this many pending (uncompacted) mutations; beyond it the gate
+    #: compacts like STRONG.  The reference declares the level but
+    #: implements no bound (src/rpc/search_service_impl.cc:10-12 treats
+    #: it as EVENTUAL); this engine makes the bound real — staleness is
+    #: measured in leader-ordered mutations, the one clock the
+    #: single-writer log actually has.  max_staleness=0 degenerates to
+    #: STRONG; float("inf") restores the reference's eventual-aliasing.
+    DEFAULT_MAX_STALENESS = 8
+
     def _read_snapshot(self, consistency: str) -> DataFrame:
         if consistency not in _LEVELS:
             raise ValueError(f"unknown consistency level: {consistency!r}")
         if consistency == STRONG and self._pending:
+            self.compact()
+        elif (
+            consistency == BOUNDED_STALENESS
+            and self._pending > self._max_staleness
+        ):
             self.compact()
         return self._snapshot
 

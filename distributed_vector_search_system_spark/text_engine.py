@@ -68,6 +68,7 @@ class TextEngine:
         doc_id_col: str = "doc_id",
         text_col: str = "text",
         auto_compact_threshold: int | None = None,
+        max_staleness: int | float | None = None,
     ):
         if doc_id_col not in docs.columns or text_col not in docs.columns:
             raise ValueError(
@@ -82,6 +83,10 @@ class TextEngine:
         self._seq = itertools.count(1)
         self._pending = 0
         self._auto_compact = auto_compact_threshold
+        self._max_staleness = (
+            VectorEngine.DEFAULT_MAX_STALENESS
+            if max_staleness is None else max_staleness
+        )
         self.version = 0
         self._snapshot_epoch = 0
         self._index_root: str | None = None
@@ -98,6 +103,14 @@ class TextEngine:
         if consistency not in _LEVELS:
             raise ValueError(f"unknown consistency level: {consistency!r}")
         if consistency == STRONG and self._pending:
+            self.compact()
+        elif (
+            consistency == "bounded_staleness"
+            and self._pending > self._max_staleness
+        ):
+            # the real lag bound (see VectorEngine.DEFAULT_MAX_STALENESS):
+            # a bounded read tolerates at most N leader-ordered pending
+            # doc mutations before it compacts like STRONG
             self.compact()
         return self._snapshot
 

@@ -901,3 +901,44 @@ def test_text_engine_prune_epochs(spark, tmp_path):
     te.compact()
     assert not os.path.exists(os.path.join(root, "posting_e0"))
     assert os.path.isdir(os.path.join(root, "posting_e1"))
+
+
+def test_bounded_staleness_has_a_real_bound(spark):
+    """bounded_staleness tolerates up to max_staleness pending mutations
+    (reads stay on the old snapshot, no compaction) and compacts like
+    STRONG once the lag exceeds the bound — the declared-but-unbounded
+    reference level (search_service_impl.cc:10-12) made concrete.
+    max_staleness=0 degenerates to STRONG."""
+    from distributed_vector_search_system_spark.engine import (
+        BOUNDED_STALENESS,
+        VectorEngine,
+    )
+
+    vectors = spark.createDataFrame(
+        [(i, [float(i), 0.0], 0) for i in range(10)], schema=VECTORS_SCHEMA
+    )
+    e = VectorEngine(spark, vectors, max_staleness=2)
+    q = _q(spark, 0, [50.0, 0.0], 3)
+    # two pending mutations: within the bound — the read must NOT see
+    # them and must not compact
+    e.upsert(100, [50.0, 0.0], label=0)
+    e.upsert(101, [50.0, 0.0], label=0)
+    ids = {r["id"] for r in e.search(q, 3, consistency=BOUNDED_STALENESS).collect()}
+    assert 100 not in ids and 101 not in ids
+    assert e._pending == 2
+    # third pending mutation exceeds the bound: the gate compacts and
+    # the read observes ALL pending writes
+    e.upsert(102, [50.0, 0.0], label=0)
+    ids = {r["id"] for r in e.search(q, 3, consistency=BOUNDED_STALENESS).collect()}
+    assert {100, 101, 102} <= ids
+    assert e._pending == 0
+    # max_staleness=0 == STRONG
+    z = VectorEngine(spark, vectors, max_staleness=0)
+    z.upsert(100, [50.0, 0.0], label=0)
+    ids = {r["id"] for r in z.search(q, 1, consistency=BOUNDED_STALENESS).collect()}
+    assert ids == {100} and z._pending == 0
+    # the default keeps the reference's lazy behavior for small lags
+    d = VectorEngine(spark, vectors)
+    d.upsert(100, [50.0, 0.0], label=0)
+    d.search(q, 1, consistency=BOUNDED_STALENESS).collect()
+    assert d._pending == 1

@@ -304,3 +304,25 @@ def test_hybrid_store_leg_and_per_leg_filters(spark, tmp_path):
     # vector leg restricted to label=0 ids {2, 4}; doc 3 appears in
     # neither leg, every fused id came through at least one filter
     assert ids <= {1, 2, 4}
+
+
+def test_text_bounded_staleness_has_a_real_bound(spark):
+    """The lexical gate shares the vector engine's bounded-staleness
+    contract: within the lag bound reads stay on the old snapshot;
+    beyond it they compact like STRONG."""
+    from distributed_vector_search_system_spark.text_engine import TextEngine
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana"), (2, "banana cherry")],
+        "doc_id long, text string",
+    )
+    e = TextEngine(spark, docs, max_staleness=1)
+    q = spark.createDataFrame(
+        [(0, ["banana"])], "query_id long, qterms array<string>"
+    )
+    e.upsert_doc(9, "banana banana banana")
+    ids = {r["id"] for r in e.search(q, 5, consistency="bounded_staleness").collect()}
+    assert 9 not in ids and e._pending == 1  # within bound: stale read
+    e.upsert_doc(10, "banana")
+    ids = {r["id"] for r in e.search(q, 5, consistency="bounded_staleness").collect()}
+    assert {9, 10} <= ids and e._pending == 0  # bound exceeded: compacted
