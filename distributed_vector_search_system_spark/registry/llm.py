@@ -2621,3 +2621,27 @@ WHERE rank <= {_PROX_K}
 
 EXTRA_QUERIES["proximity_topk"] = q_proximity_topk
 EXTRA_ORACLES["proximity_topk"] = _proximity_oracle()
+
+
+# round-9 rotation (VERDICT r08 item 1, the established policy): round
+# 8's retrieval flagships — the fused dual-store mutation row (doc +
+# vector mutations through BOTH merge-on-read stores, one STRONG hybrid
+# read), ColBERT-style exact MaxSim, and exact phrase search — join the
+# driver window for independent verification.  Four expression-tier
+# rows leave in exchange (hash sampling, language id, fingerprinting,
+# multimodal metadata — all single-pass map-only plans whose families
+# stay driver-covered via temperature_sample / text_quality /
+# doc-level curation_pipeline / multimodal_features) and keep the
+# IDENTICAL DuckDB comparison in the pytest tier.
+for _name in ("hybrid_store_mutations", "maxsim_topk", "phrase_topk"):
+    QUERIES[_name] = EXTRA_QUERIES.pop(_name)
+    ORACLES[_name] = EXTRA_ORACLES.pop(_name)
+for _name in (
+    "hash_sample",
+    "text_language_id",
+    "doc_fingerprint",
+    "multimodal_meta",
+):
+    EXTRA_QUERIES[_name] = QUERIES.pop(_name)
+    EXTRA_ORACLES[_name] = ORACLES.pop(_name)
+del _name

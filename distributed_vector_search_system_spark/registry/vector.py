@@ -2147,3 +2147,20 @@ def q_ivf_cell_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXTRA_QUERIES["ivf_cell_rebalance"] = q_ivf_cell_rebalance
 # no oracle: kmeans sub-training has no SQL form (weak-checked)
+
+
+# round-9 rotation (VERDICT r08 item 1, the established policy: each
+# round's flagships get an INDEPENDENT driver check the next round):
+# round 8's two vector flagships — the O(Δ) engine-served vector store
+# (whose store-global seq remap most deserves independent verification;
+# engine.py:attach_store) and the IVF+SQ8 middle compression rung —
+# join the driver window.  The numpy batch-kernel variant leaves in
+# exchange: it shares knn_batch's oracle (already driver-verified) and
+# keeps the identical DuckDB comparison in the pytest tier plus the
+# kernel-parity tests in tests/test_knn.py.
+for _name in ("knn_store_mutations", "ann_sq8_topk"):
+    QUERIES[_name] = EXTRA_QUERIES.pop(_name)
+    ORACLES[_name] = EXTRA_ORACLES.pop(_name)
+EXTRA_QUERIES["knn_batch_numpy"] = QUERIES.pop("knn_batch_numpy")
+EXTRA_ORACLES["knn_batch_numpy"] = ORACLES.pop("knn_batch_numpy")
+del _name
