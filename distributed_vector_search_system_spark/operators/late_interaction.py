@@ -150,9 +150,27 @@ def maxsim_ivf_topk(
     Determinism: the gather cut ranks on 6-decimal-rounded cosine with
     doc-id tie-break (the hybrid-leg convention), the final ranking on
     the ``round_scores``-rounded MaxSim sum — both replayable in SQL
-    (registry row ``maxsim_ivf_topk``)."""
+    (registry row ``maxsim_ivf_topk``).
+
+    ``query_id`` contract: a NON-NEGATIVE integral column (< 2^43).
+    Query-token legs route through the shared IVF machinery under the
+    composed id ``query_id * 2^20 + token_pos``; a non-integral column
+    raises, a negative id would divide back to the wrong query."""
     from ..sources.ivf_index import search_cosine_ivf_index
     from ..sources.rerank_store import bounded_gather
+
+    # the composed token-leg id (query_id * 2^20 + pos) is only
+    # reversible for NON-NEGATIVE INTEGER query ids: `div` truncates
+    # toward zero, so a negative id reconstructs to the wrong query,
+    # and a string id nulls out.  Enforce the integral type here; the
+    # non-negativity half is the documented caller contract (ADVICE r08).
+    _qid_type = queries.schema[query_id_col].dataType.simpleString()
+    if _qid_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"maxsim_ivf_topk requires an integral {query_id_col!r} "
+            f"column (got {_qid_type}): the per-token leg id composes "
+            f"query_id * {_TOKEN_LEG} + pos and must divide back exactly"
+        )
 
     qtok = queries.select(
         F.col(query_id_col).alias("query_id"),

@@ -347,8 +347,11 @@ def quantized_knn(
 def binarize_expr(vector_col, dim: int) -> Column:
     """Pack ``dim`` sign bits into ``ceil(dim/64)`` longs (big-endian
     within each word: bit for element i sits at position 63-(i mod 64)
-    of word i//64; a short tail word is left-aligned by the same fold).
-    Codegen-only — no UDF, no shuffle."""
+    of word i//64 — for a FULL word; a short tail word of t elements is
+    right-aligned by the same fold, its bits landing in positions
+    t-1..0, element order preserved).  Harmless for Hamming — both
+    sides pack identically — but mind it when decoding the raw words
+    (ADVICE r08).  Codegen-only — no UDF, no shuffle."""
     v = F.col(vector_col) if isinstance(vector_col, str) else vector_col
     nwords = (dim + 63) // 64
     return F.transform(

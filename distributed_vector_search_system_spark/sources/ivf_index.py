@@ -369,7 +369,19 @@ def split_hot_cells(
 
     ``vectors written with replicas > 1`` are split the same way (each
     stored copy re-routes within its own cell); the search-side
-    ``replicated=True`` dedup is unaffected."""
+    ``replicated=True`` dedup is unaffected.
+
+    **Offline-maintenance contract (single writer, no concurrent
+    readers):** step 4 drops the live ``cell_id=<cid>`` partition before
+    the rewrite commits, so a reader probing that cell mid-split sees a
+    partial/empty cell.  Run it only inside a maintenance window — or
+    let ``IvfIndexStore.compact(max_cell_rows=...)`` drive it, which
+    splits inside the NOT-YET-COMMITTED next generation so readers never
+    observe the window at all.  Crash safety: each hot cell's rows are
+    staged to a local directory BEFORE its partition is dropped, and the
+    staging root is deleted only after every rewrite commits — on any
+    failure the staged copies are kept and the raised error names the
+    path holding them for manual recovery."""
     import shutil
     import tempfile
 
@@ -421,6 +433,16 @@ def split_hot_cells(
                 .partitionBy("cell_id")
                 .parquet(path)
             )
-    finally:
-        shutil.rmtree(stage_root, ignore_errors=True)
+    except BaseException as exc:
+        # the live partition for the in-flight cell is already dropped;
+        # its rows survive ONLY in the staged copy — keep it and tell
+        # the operator where it is (ADVICE r08: never delete the stage
+        # on a failed rewrite)
+        raise RuntimeError(
+            f"split_hot_cells failed mid-rewrite; staged copies of the "
+            f"hot cells' rows are preserved under {stage_root} "
+            f"(subdirs cell_<id>) for recovery"
+        ) from exc
+    # every hot cell rewrote successfully — only now is the stage disposable
+    shutil.rmtree(stage_root, ignore_errors=True)
     return new_cents

@@ -63,11 +63,68 @@ from ..operators.mutations import UPSERT
 
 
 class IvfIndexStore:
-    """Paths + centroids of one persisted merge-on-read IVF index."""
+    """Paths + centroids of one persisted merge-on-read IVF index.
 
-    def __init__(self, root: str, centroids: list[list[float]]):
+    ``max_cell_rows`` (optional) arms automatic skew maintenance: every
+    ``compact()`` consults the folded base's per-cell counts and splits
+    any cell above the bound (see :meth:`compact`).  Because auto-splits
+    evolve the centroid list, each generation persists its own
+    ``centroids.json`` alongside the data; reopen a store with
+    :meth:`open` to pick up the committed list."""
+
+    def __init__(
+        self,
+        root: str,
+        centroids: list[list[float]],
+        *,
+        max_cell_rows: int | None = None,
+    ):
         self.root = root
         self.centroids = centroids
+        self.max_cell_rows = max_cell_rows
+
+    @classmethod
+    def open(cls, root: str, *, max_cell_rows: int | None = None):
+        """Reattach to an existing store: resolve the manifest and load
+        the committed generation's persisted centroid list (required —
+        a store that auto-splits cannot be correctly reopened with a
+        stale constructor-supplied list: probes would prune away the
+        appended sub-cells)."""
+        store = cls(root, [], max_cell_rows=max_cell_rows)
+        cents = store._read_centroids(store._current_gen())
+        if cents is None:
+            raise FileNotFoundError(
+                f"no centroids.json under {root}/{store._current_gen()}; "
+                "stores created before centroid persistence must be "
+                "constructed with the explicit centroid list"
+            )
+        store.centroids = cents
+        return store
+
+    # -- per-generation centroid persistence ---------------------------------
+
+    def _centroids_file(self, gen: str) -> str:
+        return os.path.join(self.root, gen, "centroids.json")
+
+    def _write_centroids(self, gen: str, cents: list[list[float]]) -> None:
+        import json
+
+        os.makedirs(os.path.join(self.root, gen), exist_ok=True)
+        tmp = self._centroids_file(gen) + ".tmp"
+        with open(tmp, "w", encoding="ascii") as f:
+            json.dump(cents, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._centroids_file(gen))
+
+    def _read_centroids(self, gen: str) -> list[list[float]] | None:
+        import json
+
+        try:
+            with open(self._centroids_file(gen), encoding="ascii") as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
 
     # -- generation manifest ------------------------------------------------
 
@@ -131,6 +188,11 @@ class IvfIndexStore:
             )
         view = copy.copy(self)
         view._current_gen = lambda: generation  # shadows the method
+        # a pinned reader must probe with the PINNED generation's
+        # centroid list (auto-splits may have evolved the live one)
+        pinned_cents = self._read_centroids(generation)
+        if pinned_cents is not None:
+            view.centroids = pinned_cents
 
         def _read_only(*_a, **_kw):
             raise ValueError("generation-pinned view is read-only")
@@ -168,6 +230,7 @@ class IvfIndexStore:
             self.centroids,
             vector_col=vector_col,
         )
+        self._write_centroids(gen, [list(map(float, c)) for c in self.centroids])
         self._commit_gen(gen)
 
     def append_batch(self, batch: DataFrame, *, vector_col: str = "embedding") -> None:
@@ -304,11 +367,33 @@ class IvfIndexStore:
 
     # -- maintenance --------------------------------------------------------
 
-    def compact(self, spark: SparkSession) -> None:
+    def compact(
+        self,
+        spark: SparkSession,
+        *,
+        max_cell_rows: int | None = None,
+        split_factor: int = 2,
+    ) -> None:
         """Fold delta+muts into the NEXT generation's base, then commit
         it with an atomic manifest swap.  Net state is unchanged
         (live_rows before == base rows after); amortized cost, run off
         the write path.
+
+        **Skew maintenance at compaction cadence** (VERDICT r08 item 4):
+        when ``max_cell_rows`` — the argument, or the store-level
+        default armed at construction — is set, the freshly folded base
+        is checked for hot cells and any cell above the bound is split
+        via :func:`sources.ivf_index.split_hot_cells` BEFORE the
+        manifest swap.  Because the split rewrites partitions of the
+        not-yet-committed generation, the offline-maintenance window
+        that standalone ``split_hot_cells`` requires does not apply:
+        readers stay on the old, intact generation throughout, and a
+        crash mid-split leaves the manifest untouched (the half-split
+        next-gen dir is overwritten by the next compact).  The evolved
+        centroid list is persisted in the new generation's
+        ``centroids.json`` before the swap, so the new cells survive a
+        process restart (``open()`` reads them back); the in-memory
+        ``self.centroids`` is updated only after the commit.
 
         Safety: the old generation's files are untouched until after the
         swap, so concurrent ``live_rows``/``search`` calls (which resolve
@@ -321,13 +406,25 @@ class IvfIndexStore:
         cur = self._current_gen()
         nxt = "gen-%06d" % (int(cur.rsplit("-", 1)[1]) + 1)
         live = self.live_rows(spark).withColumn("seq", F.lit(0).cast("long"))
+        nxt_base = os.path.join(self.root, nxt, "base")
         (
             live.select("vec_id", "embedding", "label", "seq", "cell_id")
             .write.mode("overwrite")
             .partitionBy("cell_id")
-            .parquet(os.path.join(self.root, nxt, "base"))
+            .parquet(nxt_base)
         )
+        new_cents = [list(map(float, c)) for c in self.centroids]
+        bound = max_cell_rows if max_cell_rows is not None else self.max_cell_rows
+        if bound is not None:
+            from ..sources.ivf_index import split_hot_cells
+
+            new_cents = split_hot_cells(
+                spark, nxt_base, new_cents,
+                max_rows=bound, factor=split_factor,
+            )
+        self._write_centroids(nxt, new_cents)
         self._commit_gen(nxt)
+        self.centroids = new_cents
         self._gc_generations(keep={cur, nxt})
 
     def _gc_generations(self, *, keep: set[str]) -> None:

@@ -281,3 +281,45 @@ def test_split_hot_cells_noop_below_threshold(spark, tmp_path):
     path = str(tmp_path / "small_ivf")
     write_ivf_index(emb, path, cents)
     assert split_hot_cells(spark, path, cents, max_rows=100) == cents
+
+
+def test_split_failure_preserves_staged_rows(spark, tmp_path, monkeypatch):
+    """ADVICE r08 (medium): a failure AFTER the live partition is
+    dropped but BEFORE the rewrite commits must not lose the hot cell's
+    rows — the staged copy survives and the raised error names it."""
+    import re
+    import shutil
+
+    import distributed_vector_search_system_spark.sources.ivf_index as ivf_mod
+
+    rows = [(i, [float(i % 7), float(i % 5)], 0) for i in range(40)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    cents = [[3.0, 2.0], [500.0, 500.0]]  # everything lands in cell 0
+    path = str(tmp_path / "fail_ivf")
+    ivf_mod.write_ivf_index(emb, path, cents)
+
+    def _boom(*_a, **_kw):
+        raise RuntimeError("injected reassignment failure")
+
+    # nearest_centroid_expr is invoked when building the REASSIGNED
+    # rows — strictly after the hot partition rmtree (kmeans_fit uses
+    # its own module-local reference and is unaffected)
+    monkeypatch.setattr(ivf_mod, "nearest_centroid_expr", _boom)
+    with pytest.raises(
+        RuntimeError, match="staged copies of the hot cells"
+    ) as exc_info:
+        ivf_mod.split_hot_cells(spark, path, cents, max_rows=10, factor=2)
+    monkeypatch.undo()
+
+    stage_root = re.search(r"preserved under (\S+) ", str(exc_info.value)).group(1)
+    try:
+        staged = spark.read.parquet(f"{stage_root}/cell_0")
+        # the live partition is gone mid-split, but EVERY dropped row is
+        # recoverable from the preserved stage
+        assert sorted(
+            r["vec_id"] for r in staged.select("vec_id").collect()
+        ) == list(range(40))
+    finally:
+        shutil.rmtree(stage_root, ignore_errors=True)

@@ -346,3 +346,110 @@ def test_generation_pinned_reads(spark, sf_smoke, tmp_path):
     with _pytest.raises(ValueError, match="unknown generation"):
         store.at("gen-42")
     assert res(store) == live             # live handle unaffected
+
+
+def _full_probe(spark, store, q, k=5):
+    return sorted(
+        (r["query_id"], r["rank"], r["id"])
+        for r in store.search(
+            spark, q, k, n_probe=len(store.centroids)
+        ).collect()
+    )
+
+
+def test_compact_auto_splits_hot_cell_and_search_is_unchanged(
+    spark, sf_smoke, tmp_path
+):
+    """VERDICT r08 item 4: a store armed with max_cell_rows splits the
+    hot cell DURING compact() — no operator intervention — inside the
+    not-yet-committed generation.  Invariants: the centroid list grows,
+    the evolved list is persisted (open() reads it back), and the
+    full-probe search result is IDENTICAL pre- and post-split."""
+    emb = _emb(spark, sf_smoke)
+    cents = _ivf_thinned_centroids(spark, sf_smoke)
+    n = emb.count()
+    bound = max((3 * n) // (2 * len(cents)), 1)
+    store = IvfIndexStore(
+        str(tmp_path / "autosplit"), cents, max_cell_rows=bound
+    )
+    store.init_base(emb)
+
+    # skew-concentrated appends: copies of vec 7's embedding, each
+    # jittered slightly on dim 0 so the sub-kmeans CAN separate them —
+    # all still route to vec 7's cell, driving it over the bound
+    v7 = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    m = bound + 1
+    rows = []
+    for i in range(m):
+        e = list(v7)
+        e[0] += (i % 13) * 1e-3
+        rows.append((i + 1, "upsert", 3_000_000 + i, None, e, 7))
+    store.append_batch(_mut_rows(spark, rows))
+
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    before = _full_probe(spark, store, q)
+
+    store.compact(spark)  # consults max_cell_rows
+    assert len(store.centroids) > len(cents), "auto-split did not trigger"
+    after = _full_probe(spark, store, q)
+    assert after == before  # split changed layout, never results
+
+    # the evolved centroid list is DURABLE: a fresh handle opened from
+    # the manifest probes the split layout correctly
+    reopened = IvfIndexStore.open(str(tmp_path / "autosplit"))
+    assert reopened.centroids == store.centroids
+    assert _full_probe(spark, reopened, q) == after
+
+
+def test_compact_without_bound_never_splits(spark, sf_smoke, tmp_path):
+    """No max_cell_rows (constructor or call): compact folds but leaves
+    the centroid list untouched, however skewed the cells are."""
+    emb = _emb(spark, sf_smoke)
+    cents = _ivf_thinned_centroids(spark, sf_smoke)
+    store = IvfIndexStore(str(tmp_path / "nosplit"), cents)
+    store.init_base(emb)
+    v7 = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    store.append_batch(
+        _mut_rows(
+            spark,
+            [(i + 1, "upsert", 4_000_000 + i, None, v7, 7) for i in range(60)],
+        )
+    )
+    store.compact(spark)
+    assert store.centroids == [list(map(float, c)) for c in cents]
+
+
+def test_pinned_view_keeps_its_generations_centroids(spark, sf_smoke, tmp_path):
+    """at(gen) must probe with the PINNED generation's centroid list:
+    after an auto-split the live list has grown, but the old
+    generation's layout only has the old cells."""
+    emb = _emb(spark, sf_smoke)
+    cents = _ivf_thinned_centroids(spark, sf_smoke)
+    n = emb.count()
+    bound = max((3 * n) // (2 * len(cents)), 1)
+    store = IvfIndexStore(str(tmp_path / "pincen"), cents, max_cell_rows=bound)
+    store.init_base(emb)
+    v7 = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    rows = []
+    for i in range(bound + 1):
+        e = list(v7)
+        e[0] += (i % 13) * 1e-3
+        rows.append((i + 1, "upsert", 5_000_000 + i, None, e, 7))
+    store.append_batch(_mut_rows(spark, rows))
+    store.compact(spark)
+    assert len(store.centroids) > len(cents)
+    pinned = store.at("gen-000000")
+    assert len(pinned.centroids) == len(cents)  # the pre-split list
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    # the pinned view serves the PRE-append snapshot with its own list
+    pre = sorted(
+        (r["rank"], r["id"])
+        for r in pinned.search(
+            spark, q, 5, n_probe=len(pinned.centroids)
+        ).collect()
+    )
+    assert len(pre) == 5
