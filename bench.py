@@ -227,10 +227,35 @@ def _measure_recall(sf_dir: str) -> dict:
         binary_knn,
     )
 
+    # depths 4-16 sit at 0.45-0.70 at this geometry (d=64); 32/64 are
+    # the shortlist-sizing depths the docstring rule cites (VERDICT r08
+    # item 7: state what depth reaches >=0.9)
     out["binary_rerank"] = {
         str(rr): recall(binary_knn(emb, q, RECALL_K, dim, rerank=rr))
-        for rr in (4, 8, 16)
+        for rr in (4, 8, 16, 32, 64)
     }
+    # IVF+binary rung (round 9, sources/ivfbin_index.py): the 1-bit
+    # codes composed with cell pruning — recall-vs-rerank next to SQ8's
+    # so the whole ladder reads off one section.  The cell routing adds
+    # the same probe-miss term the other rungs pay, ON TOP of the
+    # Hamming ordering's own depth requirement.
+    from distributed_vector_search_system_spark.sources.ivfbin_index import (
+        search_ivf_binary_index,
+        write_ivf_binary_index,
+    )
+
+    bin_r2 = os.path.join(root, "bin_r2")
+    write_ivf_binary_index(emb, bin_r2, cents, dim, replicas=2)
+    for rr in (16, 64):
+        out[f"trained_ivfbin_r2_rerank{rr}"] = {
+            str(np): recall(
+                search_ivf_binary_index(
+                    spark, bin_r2, q, RECALL_K, cents,
+                    n_probe=np, rerank=rr, replicated=True,
+                )
+            )
+            for np in (4, 8)
+        }
     # residual encoding (round 5): the classic-IVFPQ refinement whose
     # payoff is exactly this ADC-only line — same geometry, residual
     # codebooks + per-cell query LUTs

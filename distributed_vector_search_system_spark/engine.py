@@ -298,7 +298,8 @@ class VectorEngine:
     #: tier through one call — these give the partition-pruned stores
     #: the same front door, behind the same gates, as the scan tiers)
     INDEXED_METHODS = (
-        "ivf", "ivfpq", "sq8", "cosine_ivf", "cosine_ivfpq", "cosine_sq8",
+        "ivf", "ivfpq", "sq8", "binary",
+        "cosine_ivf", "cosine_ivfpq", "cosine_sq8", "cosine_binary",
     )
 
     def attach_index(
@@ -316,14 +317,20 @@ class VectorEngine:
     ) -> None:
         """Declare a persisted-index serving tier rooted at ``root``.
 
-        After this, ``search(method="ivf" | "ivfpq" | "sq8" |
-        "cosine_ivf" | "cosine_ivfpq" | "cosine_sq8")`` serves from a
-        cell-partitioned parquet index (sources/ivf_index.py,
-        sources/ivfpq_index.py, sources/ivfsq_index.py — the sq8 kinds
+        After this, ``search(method="ivf" | "ivfpq" | "sq8" | "binary"
+        | "cosine_ivf" | "cosine_ivfpq" | "cosine_sq8" |
+        "cosine_binary")`` serves from a cell-partitioned parquet index
+        (sources/ivf_index.py, sources/ivfpq_index.py,
+        sources/ivfsq_index.py, sources/ivfbin_index.py — the sq8 kinds
         are the int8 middle rung of the compression ladder: no codebook
         training, ~8x less coarse IO than float cells, shallow exact
-        re-rank) instead of a scan — the 100 TB read path — while
-        keeping the SAME
+        re-rank; the binary kinds are the 1-bit bottom rung: ~64x less
+        coarse IO, integer Hamming coarse rank, and a DEEP re-rank —
+        size ``rerank`` per search_ivf_binary_index's sizing rule — the
+        attach-level default 10 is far below the binary rung's measured
+        rerank≈64 for ≥0.9 recall) instead of a scan — the 100 TB read
+        path —
+        while keeping the SAME
         consistency gates, caches, and invalidation as every other
         method:
 
@@ -458,9 +465,10 @@ class VectorEngine:
             )
             cents = [[float(x) for x in r["_v"]] for r in rows]
         books = None
-        if kind.endswith("ivfpq"):
+        if kind.endswith(("ivfpq", "binary")):
             if self._dim is None:
                 raise ValueError(f"method={kind!r} requires the engine's dim")
+        if kind.endswith("ivfpq"):
             from .operators.pq import pq_sample_codebooks
 
             books = pq_sample_codebooks(
@@ -485,6 +493,18 @@ class VectorEngine:
         elif kind == "cosine_sq8":
             ivfsq_mod.write_cosine_ivf_sq8_index(
                 snap, path, cents, replicas=conf["replicas"]
+            )
+        elif kind == "binary":
+            from .sources import ivfbin_index as ivfbin_mod
+
+            ivfbin_mod.write_ivf_binary_index(
+                snap, path, cents, self._dim, replicas=conf["replicas"]
+            )
+        elif kind == "cosine_binary":
+            from .sources import ivfbin_index as ivfbin_mod
+
+            ivfbin_mod.write_cosine_ivf_binary_index(
+                snap, path, cents, self._dim, replicas=conf["replicas"]
             )
         elif kind == "ivfpq":
             ivfpq_mod.write_ivfpq_index(
@@ -541,6 +561,22 @@ class VectorEngine:
             from .sources import ivfsq_index as ivfsq_mod
 
             return ivfsq_mod.search_cosine_ivf_sq8_index(
+                self._spark, path, queries, k, cents,
+                n_probe=conf["n_probe"], rerank=conf["rerank"],
+                replicated=rep, where=where,
+            )
+        if kind == "binary":
+            from .sources import ivfbin_index as ivfbin_mod
+
+            return ivfbin_mod.search_ivf_binary_index(
+                self._spark, path, queries, k, cents,
+                n_probe=conf["n_probe"], rerank=conf["rerank"],
+                replicated=rep, where=where,
+            )
+        if kind == "cosine_binary":
+            from .sources import ivfbin_index as ivfbin_mod
+
+            return ivfbin_mod.search_cosine_ivf_binary_index(
                 self._spark, path, queries, k, cents,
                 n_probe=conf["n_probe"], rerank=conf["rerank"],
                 replicated=rep, where=where,

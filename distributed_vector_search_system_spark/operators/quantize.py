@@ -406,9 +406,16 @@ def binary_knn(
     If ``bits_col`` already exists on ``vectors`` (the stored binary
     tier, packed once at write time), phase 1 reads ONLY it; otherwise
     bits derive on the fly.  Sign bits carry direction, not magnitude:
-    Hamming approximates ANGULAR closeness, so ``rerank`` should sit
-    deeper than the int8 tier's (default 8 vs 4) — recall tracked in
-    the bench recall section next to the other rungs."""
+    Hamming approximates ANGULAR closeness, so ``rerank`` must sit far
+    deeper than the int8 tier's.  Sizing rule (measured at the bench
+    geometry, d=64, k=5 — BENCH_DETAIL ``recall_vs_nprobe``): recall
+    0.45/0.57/0.70/0.86/0.96 at rerank 4/8/16/32/64 — ≥0.9 needs
+    rerank≈64 at this geometry, so treat binary as a SHORTLIST-ONLY
+    rung (a deep integer cut over a 64×-smaller column feeding the
+    exact re-rank), never a shallow-rerank serving tier like SQ8
+    (VERDICT r08 item 7).  The cell-pruned composition is
+    ``sources.ivfbin_index`` (round 9): same contract, plus partition
+    pruning on the coarse scan."""
     from ..functions.distance import rank_key  # noqa: F401  (doc pointer)
 
     qb = queries.select(

@@ -2105,6 +2105,110 @@ EXTRA_QUERIES["knn_binary"] = q_knn_binary
 EXTRA_ORACLES["knn_binary"] = _knn_binary_oracle()
 
 
+# --- persisted IVF+binary index (round 9, sources/ivfbin_index.py) -----------
+# The 1-bit rung composed with cell pruning (VERDICT r08 item 3): the
+# packed sign bits get the same cell-partitioned layout as the float /
+# SQ8 / PQ tiers, so the ~64x-smaller coarse column is ALSO partition
+# pruned.  Every stage is deterministic (hash-thinned centroids, sign
+# packing, integer Hamming with exact id tie-break), so the oracle
+# replays routing, the sign-disagreement coarse cut (== the packed
+# popcount by construction), and the exact re-rank end-to-end in SQL.
+
+_IVFBIN_RERANK = 16
+_IVFBIN_STATE: dict[str, str] = {}
+
+
+def ivfbin_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the cell-partitioned binary index once per process."""
+    import tempfile
+
+    from ..sources.ivfbin_index import write_ivf_binary_index
+
+    path = _IVFBIN_STATE.get(sf_dir)
+    if path is None:
+        name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        path = os.path.join(
+            tempfile.gettempdir(), f"dvss_spark_ivfbin_{os.getpid()}", name
+        )
+        emb = _emb(spark, sf_dir)
+        dim = len(emb.select("embedding").first()[0])
+        write_ivf_binary_index(
+            emb, path, _ivf_thinned_centroids(spark, sf_dir), dim
+        )
+        _IVFBIN_STATE[sf_dir] = path
+    return path
+
+
+def q_ann_ivfbin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.ivfbin_index import search_ivf_binary_index
+
+    emb = _emb(spark, sf_dir)
+    q = _query_set(emb, F.col("vec_id") % 100 == 43)
+    return _round_result(
+        search_ivf_binary_index(
+            spark, ivfbin_index(spark, sf_dir), q, 5,
+            _ivf_thinned_centroids(spark, sf_dir),
+            n_probe=_IVF_NPROBE, rerank=_IVFBIN_RERANK,
+        )
+    )
+
+
+def _ann_ivfbin_oracle() -> str:
+    from ..functions.hashing import portable_hash64_sql
+    from ..operators.similarity import IVF_THIN_SEED
+
+    h = portable_hash64_sql("CAST(vec_id AS VARCHAR)", seed=IVF_THIN_SEED)
+    l2_vc = _SQL_SQ_L2.format(q="v.embedding", v="c.cvec")
+    l2_qc = _SQL_SQ_L2.format(q="q.qe", v="c.cvec")
+    hd = _BIN_HD.format(q="qp.qe", v="a.embedding")
+    l2_ex = _SQL_SQ_L2.format(q="c.qe", v="v.embedding")
+    return f"""
+WITH nt AS (SELECT GREATEST(COUNT(*) // {_IVF_NUM_CELLS * 4}, 1) AS step FROM embeddings),
+sel AS (
+  SELECT vec_id, embedding FROM embeddings, nt
+  WHERE ({h}) % step = 0
+  ORDER BY vec_id LIMIT {_IVF_NUM_CELLS}
+),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
+         embedding AS cvec
+  FROM sel
+),
+vd AS (SELECT v.vec_id, v.embedding, c.cell_id, {l2_vc} AS d
+       FROM embeddings v CROSS JOIN cents c),
+asg AS (SELECT vec_id, embedding, cell_id FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+         FROM vd)
+        WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 43),
+qd AS (SELECT q.query_id, q.qe, c.cell_id, {l2_qc} AS d FROM q CROSS JOIN cents c),
+qp AS (SELECT query_id, qe, cell_id FROM
+       (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, cell_id) AS rn
+        FROM qd)
+       WHERE rn <= {_IVF_NPROBE}),
+coarse AS (SELECT qp.query_id, a.vec_id AS id, qp.qe, {hd} AS hd
+           FROM qp JOIN asg a ON a.cell_id = qp.cell_id),
+cand AS (
+  SELECT query_id, id, qe FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hd, id) AS crn
+    FROM coarse)
+  WHERE crn <= {5 * _IVFBIN_RERANK}
+),
+exact AS (
+  SELECT c.query_id, c.id, {l2_ex} AS distance
+  FROM cand c JOIN embeddings v ON c.id = v.vec_id
+)
+SELECT query_id, id, ROUND(distance, 6) AS distance, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY round_even((distance) * 1e6, 0) / 1e6, id) AS INT) AS rank
+  FROM exact)
+WHERE rank <= 5
+"""
+
+
+EXTRA_QUERIES["ann_ivfbin_topk"] = q_ann_ivfbin_topk
+EXTRA_ORACLES["ann_ivfbin_topk"] = _ann_ivfbin_oracle()
+
+
 # --- hot-cell splitting (round 8, sources/ivf_index.py) ----------------------
 # Incremental IVF rebalancing as a registry row: build a fresh
 # cell-partitioned layout, split every cell above 1.5x the mean via

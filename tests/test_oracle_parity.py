@@ -29,8 +29,8 @@ def test_registry_row_counts():
 
 
 #: pytest-tier row count / oracled subset — bump when adding operators
-EXPECTED_EXTRA = 69
-EXPECTED_EXTRA_ORACLED = 68  # r09: ivf_cell_rebalance gained an exact oracle
+EXPECTED_EXTRA = 70
+EXPECTED_EXTRA_ORACLED = 69  # r09: ivf_cell_rebalance exact oracle + ann_ivfbin_topk
 
 
 def test_driver_window_holds_all_llm_queries():
