@@ -544,6 +544,11 @@ _SCALE_ROWS = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "bm25_topk",
+    # round 9 (VERDICT r08 item 2): the last dedup granularity —
+    # winnowed 20-token span fingerprints, one first-owner shuffle;
+    # copy-distinct text means cross-copy spans never collide, so the
+    # expected shape is the corpus-linear gram+winnow cost
+    "substring_dedup",
 ]
 
 #: fixed query ids for the vector-tier anchor (all < 2000, so present
@@ -679,6 +684,78 @@ def _measure_scale(sf_dir: str) -> dict:
             f"rrstore_{os.path.basename(os.path.normpath(d))}",
         )
         write_rerank_store(emb, rr_store)
+        # round-9 anchors (VERDICT r08 item 2): the round-8 families'
+        # linearity claims were design arguments — measure them.
+        #
+        # positional phrase index: term pushdown means the fixed copy-0
+        # phrase terms' posting rows do NOT grow with copies (the
+        # up-scaler's copy-distinct tokens), so expect ~flat like
+        # bm25_index_topk.  Build excluded (write path), deterministic
+        # path under .scale_cache, overwritten per run.
+        from distributed_vector_search_system_spark.functions.text import (
+            tokens as _tok,
+        )
+        from distributed_vector_search_system_spark.operators.phrase import (
+            phrase_search_index,
+            write_positional_index,
+        )
+
+        ph_idx = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".scale_cache",
+            f"phraseidx_{os.path.basename(os.path.normpath(d))}",
+        )
+        write_positional_index(docs, ph_idx)
+        phq = (
+            docs.filter(F.col("doc_id").isin(_SCALE_QUERY_IDS))
+            .select(F.col("doc_id").alias("query_id"), _tok("text").alias("_w"))
+            .filter(F.size("_w") >= 4)
+            .select("query_id", F.slice("_w", 2, 3).alias("phrase"))
+        )
+        # two-stage MaxSim: per-token routing over a token-level cosine
+        # IVF index + DPP-bounded token-store gather.  Probed cells grow
+        # with the corpus (cell size ~linear in copies) while the gather
+        # stays candidate-bounded — expect ~linear with a small slope.
+        # Same pseudo-doc construction as the registry row (4 token
+        # vectors per doc), static trained centroids at both scales.
+        from distributed_vector_search_system_spark.operators.late_interaction import (  # noqa: E501
+            maxsim_ivf_topk,
+        )
+        from distributed_vector_search_system_spark.registry.trained_cents import (
+            COSINE_CENTROIDS_SF001,
+        )
+        from distributed_vector_search_system_spark.sources.ivf_index import (
+            write_cosine_ivf_index,
+        )
+
+        dv = emb.select(
+            F.expr("vec_id div 4").alias("doc_id"), "vec_id", "embedding"
+        )
+        ms_idx = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".scale_cache",
+            f"maxsimivf_{os.path.basename(os.path.normpath(d))}",
+        )
+        ms_store = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".scale_cache",
+            f"maxsimstore_{os.path.basename(os.path.normpath(d))}",
+        )
+        write_cosine_ivf_index(dv, ms_idx, COSINE_CENTROIDS_SF001)
+        write_rerank_store(dv, ms_store, id_col="doc_id")
+        mq = (
+            emb.select(F.expr("vec_id div 4").alias("query_id"), "embedding")
+            .filter(F.col("query_id").isin(_SCALE_QUERY_IDS))
+            .groupBy("query_id")
+            .agg(F.collect_list("embedding").alias("qvecs"))
+        )
+        # binary rung: phase 1 is a full scan of the packed sign bits
+        # (~64x smaller than the float column) + bounded exact re-rank —
+        # expect ~linear with the smallest slope of the scan tiers.
+        from distributed_vector_search_system_spark.operators.quantize import (
+            binary_knn,
+        )
+
         return {
             "knn_fixedq_expr": lambda: knn(emb, q, 10),
             "knn_fixedq_numpy": lambda: knn(emb, q, 10, method="numpy"),
@@ -697,6 +774,14 @@ def _measure_scale(sf_dir: str) -> dict:
             "bm25_index_topk": lambda: bm25_search_index(spark, idx, lexq, 10),
             "ivf_fixedq_persisted": lambda: search_ivf_index(
                 spark, ivf_idx, q, 10, cents, n_probe=4
+            ),
+            "knn_fixedq_binary": lambda: binary_knn(emb, q, 10, dim, rerank=16),
+            "phrase_fixedq_index": lambda: phrase_search_index(
+                spark, ph_idx, phq, 5
+            ),
+            "maxsim_fixedq_ivf": lambda: maxsim_ivf_topk(
+                spark, ms_idx, ms_store, mq, 5, COSINE_CENTROIDS_SF001,
+                n_probe=4, gather=8,
             ),
         }
 
