@@ -193,6 +193,32 @@ def maxsim_ivf_topk(
     toks = bounded_gather(
         spark, token_store_path, cands.select(doc_id_col), id_col=doc_id_col
     )
+    return score_pairs(
+        toks, cands, qtok, k,
+        doc_id_col=doc_id_col, vector_col=vector_col,
+        round_scores=round_scores,
+    )
+
+
+def score_pairs(
+    toks: DataFrame,
+    cands: DataFrame,
+    qtok: DataFrame,
+    k: int,
+    *,
+    doc_id_col: str = "doc_id",
+    vector_col: str = "embedding",
+    round_scores: int = 6,
+) -> DataFrame:
+    """Exact MaxSim over explicit (query, doc) candidate pairs — the
+    shared re-scoring stage of every gathered serving path
+    (:func:`maxsim_ivf_topk`; the mutable token store's merge-on-read
+    search).  ``toks``: token rows ``(doc_id_col, vector_col, …)``
+    restricted to candidate docs; ``cands``: the (contractually
+    query-bounded, broadcast) ``(query_id, doc_id_col)`` pairs;
+    ``qtok``: exploded query tokens ``(query_id, _qpos, _qv)``.  Same
+    two map-side-combinable aggregates and rounded ranking as
+    :func:`maxsim_topk`."""
     pair = (
         toks.join(F.broadcast(cands), on=doc_id_col)
         .join(F.broadcast(qtok), on="query_id")

@@ -2481,6 +2481,148 @@ EXTRA_QUERIES["maxsim_ivf_topk"] = q_maxsim_ivf_topk
 EXTRA_ORACLES["maxsim_ivf_topk"] = _maxsim_ivf_oracle()
 
 
+# --- mutable token store (round 9, sources/token_store.py) -------------------
+# MaxSim under the mutation discipline (VERDICT r08 item 5): the
+# late-interaction family gets the same doc-granular LWW merge-on-read
+# store the vector and lexical families already have.  The scenario
+# exercises every fold subtlety across TWO pushes (cross-push total
+# order): doc%40==1 is upserted twice (push-1 negated tokens, push-2
+# REVERSED tokens — direction-changing transforms, so a wrong LWW
+# winner flips cosine rankings, never a cosmetic scale), doc%40==2 is
+# deleted then REVIVED with negated tokens (tombstone must lose to the
+# newer upsert), doc%40==3 is tombstoned (must vanish).  The read is
+# the exact merge-on-read tier on the DIRTY generation — the oracle
+# replays the final fold directly and the maxsim aggregate end-to-end.
+
+_TOKSTORE_STATE: dict[str, str] = {}
+
+
+def _maxsim_pseudo_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, embedding): four consecutive vec_ids = one doc."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        F.expr(f"vec_id div {_MAXSIM_GROUP}").alias("doc_id"),
+        (F.col("vec_id") % _MAXSIM_GROUP).cast("int").alias("pos"),
+        "embedding",
+    )
+
+
+def maxsim_token_store(spark: SparkSession, sf_dir: str):
+    """Build the mutated store once per process: init from the
+    pseudo-doc corpus, then two mutation pushes (monotone seqs)."""
+    import os as _os
+    import tempfile
+
+    from ..sources.token_store import MutableTokenStore
+    from .trained_cents import COSINE_CENTROIDS_SF001
+
+    path = _TOKSTORE_STATE.get(sf_dir)
+    if path is None:
+        name = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+        path = _os.path.join(
+            tempfile.gettempdir(), f"dvss_spark_tokstore_{_os.getpid()}", name
+        )
+        dv = _maxsim_pseudo_tokens(spark, sf_dir)
+        store = MutableTokenStore(path)
+        store.init_base(dv, COSINE_CENTROIDS_SF001)
+        docs = (
+            dv.groupBy("doc_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "embedding"))
+                ).alias("_ts")
+            )
+            .select(
+                "doc_id",
+                F.transform("_ts", lambda s: s["embedding"]).alias("tokens"),
+            )
+        )
+        neg = F.transform(
+            "tokens", lambda v: F.transform(v, lambda x: -x)
+        )
+        rev = F.transform("tokens", F.reverse)
+        nulltoks = F.lit(None).cast("array<array<float>>")
+        log1 = (
+            docs.filter(F.col("doc_id") % 40 == 1)
+            .select(
+                "doc_id", F.lit("upsert").alias("op"), neg.alias("tokens")
+            )
+            .unionByName(
+                docs.filter(F.col("doc_id") % 40 == 2).select(
+                    "doc_id", F.lit("delete").alias("op"),
+                    nulltoks.alias("tokens"),
+                )
+            )
+            .withColumn("seq", (F.lit(1_000_000) + F.col("doc_id")))
+        )
+        log2 = (
+            docs.filter(F.col("doc_id") % 40 == 1)
+            .select(
+                "doc_id", F.lit("upsert").alias("op"), rev.alias("tokens")
+            )
+            .unionByName(
+                docs.filter(F.col("doc_id") % 40 == 2).select(
+                    "doc_id", F.lit("upsert").alias("op"),
+                    neg.alias("tokens"),
+                )
+            )
+            .unionByName(
+                docs.filter(F.col("doc_id") % 40 == 3).select(
+                    "doc_id", F.lit("delete").alias("op"),
+                    nulltoks.alias("tokens"),
+                )
+            )
+            .withColumn("seq", (F.lit(2_000_000) + F.col("doc_id")))
+        )
+        store.apply_log(log1)
+        store.apply_log(log2)
+        _TOKSTORE_STATE[sf_dir] = path
+    from ..sources.token_store import MutableTokenStore as _MTS
+
+    return _MTS(path)
+
+
+def q_maxsim_store_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = maxsim_token_store(spark, sf_dir)
+    dv = _maxsim_pseudo_tokens(spark, sf_dir)
+    q = (
+        dv.filter(F.col("doc_id") % 50 == 3)
+        .groupBy(F.col("doc_id").alias("query_id"))
+        .agg(F.collect_list("embedding").alias("qvecs"))
+    )
+    return store.search(spark, q, _MAXSIM_K)
+
+
+def _maxsim_store_oracle() -> str:
+    cos = _SQL_COSINE.format(x="qt.qv", y="d.embedding")
+    return f"""
+WITH dv0 AS (SELECT vec_id // {_MAXSIM_GROUP} AS doc_key, vec_id, embedding
+             FROM embeddings),
+live AS (
+  SELECT doc_key,
+         CASE WHEN doc_key % 40 = 1 THEN list_reverse(embedding)
+              WHEN doc_key % 40 = 2 THEN list_transform(embedding, x -> -x)
+              ELSE embedding END AS embedding
+  FROM dv0 WHERE doc_key % 40 <> 3
+),
+qt AS (SELECT doc_key AS query_id, vec_id AS qtok, embedding AS qv
+       FROM dv0 WHERE {_MAXSIM_QPRED_SQL}),
+pair AS (SELECT qt.query_id, qt.qtok, d.doc_key AS id, {cos} AS s
+         FROM qt CROSS JOIN live d),
+mx AS (SELECT query_id, qtok, id, MAX(s) AS ms FROM pair GROUP BY 1, 2, 3),
+sc AS (SELECT query_id, id, ROUND(SUM(ms), 6) AS maxsim FROM mx GROUP BY 1, 2)
+SELECT query_id, id, maxsim, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY maxsim DESC, id) AS INT) AS rank
+  FROM sc)
+WHERE rank <= {_MAXSIM_K}
+"""
+
+
+EXTRA_QUERIES["maxsim_store_mutations"] = q_maxsim_store_mutations
+EXTRA_ORACLES["maxsim_store_mutations"] = _maxsim_store_oracle()
+
+
 # --- exact phrase search (round 8, operators/phrase.py) ----------------------
 # The third classic lexical query class (after ranked BM25 and boolean
 # filtered): positional intersection — slot i voting anchor pos−i,

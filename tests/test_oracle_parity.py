@@ -29,8 +29,9 @@ def test_registry_row_counts():
 
 
 #: pytest-tier row count / oracled subset — bump when adding operators
-EXPECTED_EXTRA = 70
-EXPECTED_EXTRA_ORACLED = 69  # r09: ivf_cell_rebalance exact oracle + ann_ivfbin_topk
+EXPECTED_EXTRA = 71
+# r09: ivf_cell_rebalance exact oracle + ann_ivfbin_topk + maxsim_store_mutations
+EXPECTED_EXTRA_ORACLED = 70
 
 
 def test_driver_window_holds_all_llm_queries():
