@@ -102,6 +102,12 @@ FAST_TIERS = [
     "ann_ivfpq_topk",
     "ann_cosine_ivfpq_topk",
     "mutations_compact_bucketed",
+    # round 9: the compression ladder's int8 and 1-bit rungs under cell
+    # pruning (sources/ivfsq_index.py, sources/ivfbin_index.py) — the
+    # remaining fast-tier rows are unchanged for round-over-round
+    # comparability; section totals grow by exactly these two rows
+    "ann_sq8_topk",
+    "ann_ivfbin_topk",
 ]
 
 _WORKER_ENV = "SPARK_GRAFT_BENCH_WORKER"

@@ -2787,3 +2787,16 @@ for _name in (
     EXTRA_QUERIES[_name] = QUERIES.pop(_name)
     EXTRA_ORACLES[_name] = ORACLES.pop(_name)
 del _name
+
+
+# round-9 close rotation (same policy, applied at round end): the
+# mutable token store's two-push LWW fold — the round's retrieval
+# flagship, MaxSim under the mutation discipline — joins the driver
+# window.  The token-stats expression row leaves in exchange: a
+# single-pass map-only plan whose family stays driver-covered
+# (text_quality, curation_pipeline) and whose IDENTICAL DuckDB
+# comparison moves to the pytest tier.
+QUERIES["maxsim_store_mutations"] = EXTRA_QUERIES.pop("maxsim_store_mutations")
+ORACLES["maxsim_store_mutations"] = EXTRA_ORACLES.pop("maxsim_store_mutations")
+EXTRA_QUERIES["text_token_stats"] = QUERIES.pop("text_token_stats")
+EXTRA_ORACLES["text_token_stats"] = ORACLES.pop("text_token_stats")

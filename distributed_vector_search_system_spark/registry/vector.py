@@ -2313,3 +2313,19 @@ for _name in ("knn_store_mutations", "ann_sq8_topk"):
 EXTRA_QUERIES["knn_batch_numpy"] = QUERIES.pop("knn_batch_numpy")
 EXTRA_ORACLES["knn_batch_numpy"] = ORACLES.pop("knn_batch_numpy")
 del _name
+
+
+# round-9 close rotation (same policy, applied at round end so the
+# round's OWN flagship gets its independent driver check immediately):
+# the IVF+binary rung — the compression ladder's new bottom tier, whose
+# packed-popcount == sign-disagreement identity and cell routing most
+# deserve the external replay — joins the driver window.  The
+# kmeans-trained persisted-IVF variant leaves in exchange: its serving
+# path is the SAME search_ivf_index plan the driver still verifies via
+# ivf_persisted_topk (only the centroid source differs — frozen
+# literals whose training is locked by tests/test_clustering.py), and
+# it keeps the IDENTICAL DuckDB comparison in the pytest tier.
+QUERIES["ann_ivfbin_topk"] = EXTRA_QUERIES.pop("ann_ivfbin_topk")
+ORACLES["ann_ivfbin_topk"] = EXTRA_ORACLES.pop("ann_ivfbin_topk")
+EXTRA_QUERIES["ivf_trained_topk"] = QUERIES.pop("ivf_trained_topk")
+EXTRA_ORACLES["ivf_trained_topk"] = ORACLES.pop("ivf_trained_topk")

@@ -156,7 +156,10 @@ class MutableTokenStore:
         def _read_only(*_a, **_kw):
             raise ValueError("generation-pinned view is read-only")
 
-        for name in ("init_base", "apply_log", "compact", "_commit_gen"):
+        for name in (
+            "init_base", "apply_log", "compact", "_commit_gen",
+            "streaming_log_sink",
+        ):
             setattr(view, name, _read_only)
         return view
 
@@ -280,6 +283,35 @@ class MutableTokenStore:
             )
             .write.mode("append")
             .parquet(muts)
+        )
+
+    def streaming_log_sink(
+        self,
+        mutation_stream: DataFrame,
+        *,
+        checkpoint: str,
+        doc_id_col: str = "doc_id",
+        tokens_col: str = "tokens",
+    ):
+        """Consume a STREAM of doc-granular mutation rows ``(seq, op,
+        <doc_id>, <tokens>)`` via ``foreachBatch`` → :meth:`apply_log`
+        — the late-interaction analog of the sibling stores' streaming
+        replay (streaming/mutation_stream.py;
+        ``MutablePostingIndexStore.streaming_log_sink``).
+        at-least-once delivery, exactly-once effect: appended rows are
+        content-keyed by ``(id, seq)`` and reads reduce through
+        aggregates redelivered duplicates cannot perturb."""
+
+        def _apply(batch: DataFrame, _batch_id: int) -> None:
+            self.apply_log(
+                batch, doc_id_col=doc_id_col, tokens_col=tokens_col
+            )
+
+        return (
+            mutation_stream.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
         )
 
     # -- read path ---------------------------------------------------------------

@@ -252,6 +252,59 @@ def test_pinned_generation_is_read_only_time_travel(spark, sf_smoke, built):
         store.at("gen-424242")
 
 
+def test_streaming_log_sink_matches_direct_apply(spark, sf_smoke, tmp_path):
+    """End-to-end through writeStream/foreachBatch: micro-batched
+    delivery of the same doc-granular log yields the same live store."""
+    dv = _tokens(spark, sf_smoke, limit=80)
+    store = MutableTokenStore(str(tmp_path / "s"))
+    store.init_base(dv, _centroids(dv))
+    docs = _docs(dv)
+    neg = F.transform("tokens", lambda v: F.transform(v, lambda x: -x))
+    log = _log(docs.filter(F.col("doc_id") % 5 == 1), "upsert", 100, neg)
+    log = log.unionByName(
+        _log(docs.filter(F.col("doc_id") % 5 == 2), "delete", 100)
+    )
+    src = str(tmp_path / "logsrc")
+    log.write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, op string, tokens array<array<float>>, seq long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = store.streaming_log_sink(stream, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    qdf = _queries(dv)
+    want = maxsim_topk(
+        dv.filter(F.col("doc_id") % 5 != 2).select(
+            "doc_id",
+            "pos",
+            F.when(
+                F.col("doc_id") % 5 == 1,
+                F.transform("embedding", lambda x: -x),
+            ).otherwise(F.col("embedding")).alias("embedding"),
+        ),
+        qdf,
+        _K,
+    )
+    assert _rows(store.search(spark, qdf, _K)) == _rows(want)
+
+
+def test_delete_only_log_is_honored(spark, sf_smoke, tmp_path):
+    """A delete-only log writes NO delta tokens — the clean-generation
+    fast path must not mistake it for an unmutated store (the _DIRTY
+    marker gates the arbiter, not the delta dir)."""
+    dv = _tokens(spark, sf_smoke, limit=80)
+    store = MutableTokenStore(str(tmp_path / "s"))
+    store.init_base(dv, _centroids(dv))
+    docs = _docs(dv).filter(F.col("doc_id") % 5 == 3)
+    store.apply_log(_log(docs, "delete", 100))
+    q = _queries(dv)
+    want = maxsim_topk(dv.filter(F.col("doc_id") % 5 != 3), q, _K)
+    assert _rows(store.search(spark, q, _K)) == _rows(want)
+
+
 def test_uninitialized_store_rejected(spark, tmp_path):
     store = MutableTokenStore(str(tmp_path / "nope"))
     with pytest.raises(ValueError, match="not an initialized"):
