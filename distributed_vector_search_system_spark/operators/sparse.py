@@ -1,0 +1,265 @@
+"""Learned-sparse retrieval: weighted term vectors, impact pruning,
+score-normalized fusion.
+
+The reference serves dense vectors only (`src/index/vector_shard.cc` is
+a flat float matrix); its lexical counterpart in this repo is BM25
+(operators/retrieval.py).  Modern retrieval stacks add a THIRD leg
+between them: *learned-sparse* vectors (SPLADE, uniCOIL, DeepImpact) —
+each document is a high-dimensional sparse vector over the vocabulary,
+each query likewise, and relevance is their dot product.  The shape is
+BM25's (term-posting join) but the WEIGHTS are arbitrary per-(doc,term)
+reals produced upstream, so the operator must be generic in the
+weighting, not hard-coded to tf curves.
+
+This module is that leg, Spark-first:
+
+- ``sparse_topk``     — generic weighted dot-product top-k over
+  exploded ``(id, term, weight)`` doc postings and
+  ``(query_id, term, weight)`` query postings.  The plan is BM25's
+  proven shape: broadcast the query vocabulary, LEFT-SEMI restrict the
+  doc postings BELOW the aggregate (only queried terms' postings ever
+  shuffle), broadcast the query side into the score join, one
+  per-(query, doc) sum, partial top-k.
+- ``sparse_encode`` / ``sparse_encode_queries`` — the deterministic
+  in-container encoder standing in for a learned model: SMART-style
+  sublinear tf–idf for documents (``(1+ln tf) · ln(1+(N−df+0.5)/
+  (df+0.5))``, the same Lucene idf convention as BM25 so the repo has
+  ONE idf), sublinear tf (``1+ln tf``) for queries.  A real SPLADE
+  encoder slots in by producing the same triples; every downstream
+  operator is weighting-agnostic.
+- ``prune_postings``  — static impact pruning (Carmel et al., SIGIR
+  2001): keep only postings whose weight is ≥ ``min_impact_frac`` of
+  their term's maximum weight.  The lexical analog of IVF probing:
+  a deterministic, index-time reduction of the scanned posting mass,
+  trading recall for IO.  Because the rule is a pure function of the
+  weights, the pruned tier is SQL-replayable — the approximate tier
+  still gets an EXACT oracle (unlike sampled/trained tiers).
+- ``fuse_weighted``   — min-max score-normalized convex fusion of
+  scored legs (the standard alternative to RRF when leg scores ARE
+  meaningful): per query, each leg's scores map to [0,1], fused score
+  is ``Σ wᵢ·normᵢ``.  Complements ``rrf_fuse`` (rank-only) for legs
+  with calibrated scores — e.g. sparse dot products vs dense cosine.
+
+Determinism contract: like every retrieval family here, ranks are on
+6-decimal-rounded scores with an id tie-break on both engines
+(functions/distance.rank_key convention); fusion legs rank the same
+way, and min-max normalization divides rounded extremes so both
+engines normalize identical numbers.
+
+Scale notes (100 TB): the only corpus-wide shuffle is the per-(doc,
+term) weight aggregation inside the encoder, and the exploded rows are
+semi-restricted to the query vocabulary BEFORE it (same plan-locked
+shape as bm25_scores — see tests/test_sparse.py plan lock).  Generic
+``sparse_topk`` over pre-encoded postings shuffles nothing corpus-wide:
+the query vocabulary restriction is a broadcast semi join, the score
+aggregation keys on (query_id, id) over postings already reduced to
+queried terms.  The persisted path (sources/sparse_index.py)
+term-clusters postings at build time so a query reads only its terms'
+row groups; per-term ``max_w`` stats make ``prune_postings`` an
+index-time rewrite or a query-time filter without a second scan.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from .retrieval import _score_ranked
+
+
+def sparse_encode(
+    docs: DataFrame,
+    *,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic learned-sparse stand-in: sublinear tf–idf triples.
+
+    Returns ``(id, term, weight)`` with
+    ``weight = (1 + ln tf) · ln(1 + (N − df + 0.5)/(df + 0.5))`` —
+    SMART sublinear tf paired with the repo-standard Lucene idf
+    (operators/retrieval.py BM25 uses the same form, so cross-leg
+    score spaces share one idf convention).
+
+    ``vocab`` (optional one-column ``term`` frame, broadcast): restrict
+    encoding to these terms BEFORE the tf aggregate — the query-time
+    form used by ``sources/sparse_index`` ad-hoc search and the
+    registry oracle rows.  df/N are computed from the RESTRICTED
+    postings / the full docs count respectively; dropping other terms'
+    rows changes neither (same argument as bm25_scores' semi join).
+    """
+    toks = docs.select(
+        F.col(doc_id_col).alias("id"), tokens(text_col).alias("_toks")
+    )
+    n_docs = toks.agg(F.count("*").alias("_n"))
+    exploded = toks.select("id", F.explode("_toks").alias("term"))
+    if vocab is not None:
+        exploded = exploded.join(
+            F.broadcast(vocab.select("term").distinct()), "term", "left_semi"
+        )
+    tf = exploded.groupBy("id", "term").agg(F.count("*").alias("_tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "term",
+            (
+                (F.lit(1.0) + F.log(F.col("_tf").cast("double")))
+                * F.log(
+                    F.lit(1.0)
+                    + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+                )
+            ).alias("weight"),
+        )
+    )
+
+
+def sparse_encode_queries(
+    queries: DataFrame,
+    *,
+    query_id_col: str = "query_id",
+    text_col: str = "qtext",
+) -> DataFrame:
+    """Query-side encoder: ``(query_id, term, weight)`` with sublinear
+    tf ``1 + ln tf`` (idf is applied once, on the document side — the
+    SMART lnn.ltn pairing).  Queries are short, so this is a tiny
+    frame, broadcast by the consumers."""
+    exploded = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(tokens(text_col)).alias("term"),
+    )
+    return exploded.groupBy("query_id", "term").agg(
+        (F.lit(1.0) + F.log(F.count("*").cast("double"))).alias("weight")
+    )
+
+
+def sparse_scores(
+    doc_postings: DataFrame,
+    query_postings: DataFrame,
+) -> DataFrame:
+    """Weighted dot product for every (query, doc sharing ≥1 term).
+
+    Inputs are exploded triples — ``(id, term, weight)`` documents,
+    ``(query_id, term, weight)`` queries, any upstream encoder.
+    Returns ``(query_id, id, score)``; docs sharing no term are absent
+    (score 0), the sparse convention.
+
+    Plan shape: the query side is broadcast (queries are small by
+    contract); doc postings are LEFT-SEMI restricted to the query
+    vocabulary before anything else, so the per-(query, doc) sum only
+    ever sees queried terms' postings.
+    """
+    qp = query_postings.select(
+        "query_id", "term", F.col("weight").alias("_qw")
+    )
+    restricted = doc_postings.select(
+        "id", "term", F.col("weight").alias("_dw")
+    ).join(F.broadcast(qp.select("term").distinct()), "term", "left_semi")
+    return (
+        restricted.join(F.broadcast(qp), "term")
+        .groupBy("query_id", "id")
+        .agg(F.sum(F.col("_qw") * F.col("_dw")).alias("score"))
+    )
+
+
+def sparse_topk(
+    doc_postings: DataFrame,
+    query_postings: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Per-query sparse top-k ``(query_id, id, score, rank)``; rank on
+    the 6-decimal rounded score, id tie-break (repo convention)."""
+    return _score_ranked(sparse_scores(doc_postings, query_postings), k, "score")
+
+
+def prune_postings(
+    doc_postings: DataFrame,
+    *,
+    min_impact_frac: float = 0.5,
+) -> DataFrame:
+    """Static impact pruning: keep postings with
+    ``weight ≥ min_impact_frac · max(weight over the term)``.
+
+    Deterministic in the weights → the pruned ranking is exactly
+    SQL-replayable (the approximate tier keeps an exact oracle).
+    Recall-vs-frac is measured in tests/test_sparse.py and the bench
+    recall section; at ``min_impact_frac=0`` this is the identity.
+
+    Scale: one per-term max aggregate (map-side combinable, one row
+    per distinct term — broadcast back), one map-side filter.  Applied
+    at INDEX BUILD time this shrinks the stored posting mass itself;
+    at query time it reads ``max_w`` from the index's term stats
+    instead (sources/sparse_index.py) and costs no extra scan.
+    """
+    if not 0.0 <= min_impact_frac <= 1.0:
+        raise ValueError("min_impact_frac must be in [0, 1]")
+    mx = doc_postings.groupBy("term").agg(F.max("weight").alias("_max_w"))
+    return (
+        doc_postings.join(F.broadcast(mx), "term")
+        .filter(F.col("weight") >= F.lit(float(min_impact_frac)) * F.col("_max_w"))
+        .select("id", "term", "weight")
+    )
+
+
+def fuse_weighted(
+    legs: Sequence[tuple[DataFrame, float]],
+    k: int,
+    *,
+    score_col: str = "score",
+) -> DataFrame:
+    """Min-max score-normalized convex fusion of scored legs.
+
+    Each leg is ``(df with (query_id, id, <score_col>), leg_weight)``.
+    Per query and leg, scores are normalized ``(s − min)/(max − min)``
+    over THAT LEG'S retrieved candidates (the convention from Lee 1997
+    / hybrid-search practice: normalization is per-query, over the
+    returned list); a single-candidate or constant leg normalizes to
+    1.0 (it expressed maximal preference for everything it returned).
+    A doc absent from a leg contributes 0 for that leg.  Fused score is
+    ``Σ wᵢ·normᵢ``; returns the per-query top-k
+    ``(query_id, id, fused, rank)``.
+
+    Normalization extremes are computed on the 6-decimal ROUNDED leg
+    scores so both engines divide identical numbers (the cross-engine
+    determinism contract; a last-ulp min/max difference would shift
+    every normalized score in the leg).
+
+    Scale: each leg is already a per-query top-N (k-bounded); the
+    min/max window, the union, and the fused aggregate all touch only
+    candidate rows — never a corpus.
+    """
+    if not legs:
+        raise ValueError("fuse_weighted needs at least one leg")
+    parts = []
+    for df, w in legs:
+        rounded = df.select(
+            "query_id", "id", F.round(F.col(score_col), 6).alias("_s")
+        )
+        ext = rounded.groupBy("query_id").agg(
+            F.min("_s").alias("_lo"), F.max("_s").alias("_hi")
+        )
+        parts.append(
+            rounded.join(ext, "query_id")
+            .select(
+                "query_id",
+                "id",
+                (
+                    F.lit(float(w))
+                    * F.when(
+                        F.col("_hi") > F.col("_lo"),
+                        (F.col("_s") - F.col("_lo")) / (F.col("_hi") - F.col("_lo")),
+                    ).otherwise(F.lit(1.0))
+                ).alias("_c"),
+            )
+        )
+    contrib = parts[0]
+    for p in parts[1:]:
+        contrib = contrib.unionByName(p)
+    fused = contrib.groupBy("query_id", "id").agg(F.sum("_c").alias("fused"))
+    return _score_ranked(fused, k, "fused")

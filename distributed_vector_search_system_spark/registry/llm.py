@@ -2800,3 +2800,222 @@ QUERIES["maxsim_store_mutations"] = EXTRA_QUERIES.pop("maxsim_store_mutations")
 ORACLES["maxsim_store_mutations"] = EXTRA_ORACLES.pop("maxsim_store_mutations")
 EXTRA_QUERIES["text_token_stats"] = QUERIES.pop("text_token_stats")
 EXTRA_ORACLES["text_token_stats"] = ORACLES.pop("text_token_stats")
+
+
+# ---------------------------------------------------------------------------
+# Round-9: learned-sparse retrieval (operators/sparse.py,
+# sources/sparse_index.py) — the third retrieval leg between dense
+# vectors and BM25.  Sublinear tf–idf encoding (the deterministic
+# stand-in for a SPLADE-style model; every operator is generic in the
+# weights), weighted dot-product top-k, static impact pruning (the
+# approximate tier is a pure function of the weights, so even IT gets
+# an exact DuckDB replay), the persisted term-clustered index, and
+# min-max score-normalized convex fusion of the sparse + dense legs.
+
+_SPARSE_QPRED = _HYBRID_QPRED
+_SPARSE_QN = 8
+_SPARSE_K = 10
+_SPARSE_LEG_K = 20
+_SPARSE_PRUNE_FRAC = 0.5
+_SPARSE_W_SPARSE = 0.6
+_SPARSE_W_DENSE = 0.4
+
+
+def _sparse_fixture_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse query set: each selected doc's first 8 tokens (duplicates
+    KEPT — query-side tf must be exercisable, unlike the distinct-ed
+    BM25 qterms) re-joined to text; the [a-z0-9]+ tokenizer re-splits
+    a space-joined token list to exactly the same tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.expr(_SPARSE_QPRED)).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(tokens("text"), 1, _SPARSE_QN), " ").alias("qtext"),
+    )
+
+
+def q_sparse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sparse import sparse_encode, sparse_encode_queries, sparse_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    qp = sparse_encode_queries(_sparse_fixture_queries(spark, sf_dir))
+    return sparse_topk(sparse_encode(docs), qp, _SPARSE_K)
+
+
+def q_sparse_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impact-pruned tier: keep postings ≥ frac·term-max, then the same
+    dot-product top-k.  Deterministic in the weights → exact oracle."""
+    from ..operators.sparse import (
+        prune_postings,
+        sparse_encode,
+        sparse_encode_queries,
+        sparse_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    qp = sparse_encode_queries(_sparse_fixture_queries(spark, sf_dir))
+    pruned = prune_postings(
+        sparse_encode(docs), min_impact_frac=_SPARSE_PRUNE_FRAC
+    )
+    return sparse_topk(pruned, qp, _SPARSE_K)
+
+
+_SPARSE_IDX_STATE: dict[str, str] = {}
+
+
+def _sparse_index_path(spark: SparkSession, sf_dir: str) -> str:
+    import os as _os
+    import tempfile
+
+    from ..sources.sparse_index import write_sparse_index
+
+    path = _SPARSE_IDX_STATE.get(sf_dir)
+    if path is None:
+        name = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+        path = _os.path.join(
+            tempfile.gettempdir(), f"dvss_spark_sparse_{_os.getpid()}", name
+        )
+        write_sparse_index(load_table(spark, sf_dir, "documents"), path)
+        _SPARSE_IDX_STATE[sf_dir] = path
+    return path
+
+
+def q_sparse_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Served from the persisted term-clustered index — identical rows
+    to q_sparse_topk by the exactness contract (weights persisted,
+    same score join), so the row reuses the from-scratch oracle."""
+    from ..operators.sparse import sparse_encode_queries
+    from ..sources.sparse_index import sparse_search_index
+
+    qp = sparse_encode_queries(_sparse_fixture_queries(spark, sf_dir))
+    return sparse_search_index(
+        spark, _sparse_index_path(spark, sf_dir), qp, _SPARSE_K
+    )
+
+
+def q_hybrid_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max score-normalized convex fusion (0.6 sparse + 0.4 dense
+    cosine) — the score-aware alternative to RRF, over the two legs
+    whose scores are calibrated per query."""
+    from ..operators.sparse import (
+        fuse_weighted,
+        sparse_encode,
+        sparse_encode_queries,
+        sparse_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _sparse_fixture_queries(spark, sf_dir)
+    sleg = sparse_topk(
+        sparse_encode(docs), sparse_encode_queries(q), _SPARSE_LEG_K
+    )
+    vq = q.join(
+        emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")),
+        "query_id",
+    ).select("query_id", "qvec")
+    vleg = cosine_topk(emb, vq, _SPARSE_LEG_K, round_scores=6).withColumnRenamed(
+        "cosine", "score"
+    )
+    return fuse_weighted(
+        [(sleg, _SPARSE_W_SPARSE), (vleg, _SPARSE_W_DENSE)], _SPARSE_K
+    )
+
+
+def _sparse_ctes(qpred: str = _SPARSE_QPRED, docs_rel: str = "documents") -> str:
+    """Shared sparse CTE chain ending in ``sparse_ranked (query_id, id,
+    score6, srank)`` — the encoder (sublinear tf × Lucene idf), the
+    query-side sublinear tf, the dot product, round-then-rank."""
+    return f"""
+stoks AS (SELECT doc_id, {_TOKS} AS w FROM {docs_rel}),
+sn AS (SELECT COUNT(*) AS n_docs FROM stoks),
+sdt AS (SELECT doc_id AS id, UNNEST(w) AS term FROM stoks),
+sdtf AS (SELECT id, term, COUNT(*) AS tf FROM sdt GROUP BY 1, 2),
+sdf AS (SELECT term, COUNT(*) AS df FROM sdtf GROUP BY 1),
+sw AS (SELECT id, sdtf.term,
+              (1.0 + LN(CAST(tf AS DOUBLE)))
+              * LN(1.0 + (sn.n_docs - sdf.df + 0.5) / (sdf.df + 0.5)) AS weight
+       FROM sdtf JOIN sdf ON sdf.term = sdtf.term CROSS JOIN sn),
+sq AS (SELECT doc_id AS query_id, list_slice(w, 1, {_SPARSE_QN}) AS qts
+       FROM stoks WHERE {qpred}),
+sqt AS (SELECT query_id, UNNEST(qts) AS term FROM sq),
+sqw AS (SELECT query_id, term, 1.0 + LN(CAST(COUNT(*) AS DOUBLE)) AS qweight
+        FROM sqt GROUP BY 1, 2),
+sparse_scored AS (
+  SELECT sqw.query_id, sw.id, SUM(sqw.qweight * sw.weight) AS score
+  FROM sqw JOIN sw ON sw.term = sqw.term GROUP BY 1, 2),
+sparse_ranked AS (
+  SELECT query_id, id, score6,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score6 DESC, id) AS INT) AS srank
+  FROM (SELECT query_id, id, ROUND(score, 6) AS score6 FROM sparse_scored))"""
+
+
+def _sparse_oracle() -> str:
+    return f"""
+WITH {_sparse_ctes()}
+SELECT query_id, id, score6 AS score, srank AS rank
+FROM sparse_ranked WHERE srank <= {_SPARSE_K}
+"""
+
+
+def _sparse_pruned_oracle() -> str:
+    return f"""
+WITH {_sparse_ctes()},
+smax AS (SELECT term, MAX(weight) AS max_w FROM sw GROUP BY 1),
+swp AS (SELECT sw.id, sw.term, sw.weight FROM sw
+        JOIN smax ON smax.term = sw.term
+        WHERE sw.weight >= {_SPARSE_PRUNE_FRAC} * smax.max_w),
+pruned_scored AS (
+  SELECT sqw.query_id, swp.id, SUM(sqw.qweight * swp.weight) AS score
+  FROM sqw JOIN swp ON swp.term = sqw.term GROUP BY 1, 2),
+pruned_ranked AS (
+  SELECT query_id, id, score6,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score6 DESC, id) AS INT) AS prank
+  FROM (SELECT query_id, id, ROUND(score, 6) AS score6 FROM pruned_scored))
+SELECT query_id, id, score6 AS score, prank AS rank
+FROM pruned_ranked WHERE prank <= {_SPARSE_K}
+"""
+
+
+def _hybrid_weighted_oracle() -> str:
+    cos = _SQL_COSINE.format(x="hvq.qv", y="v.embedding")
+    lo = "MIN(s) OVER (PARTITION BY query_id)"
+    hi = "MAX(s) OVER (PARTITION BY query_id)"
+    norm = f"CASE WHEN {hi} > {lo} THEN (s - {lo}) / ({hi} - {lo}) ELSE 1.0 END"
+    return f"""
+WITH {_sparse_ctes()},
+hvq AS (SELECT sq.query_id, e.embedding AS qv FROM sq
+        JOIN embeddings e ON e.vec_id = sq.query_id),
+hvs AS (SELECT hvq.query_id, v.vec_id AS id, ROUND({cos}, 6) AS cs
+        FROM hvq CROSS JOIN embeddings v),
+hvr AS (SELECT query_id, id, cs,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cs DESC, id) AS INT) AS vrank
+        FROM hvs),
+sleg AS (SELECT query_id, id, score6 AS s FROM sparse_ranked
+         WHERE srank <= {_SPARSE_LEG_K}),
+vleg AS (SELECT query_id, id, cs AS s FROM hvr WHERE vrank <= {_SPARSE_LEG_K}),
+snorm AS (SELECT query_id, id, {_SPARSE_W_SPARSE} * ({norm}) AS c FROM sleg),
+vnorm AS (SELECT query_id, id, {_SPARSE_W_DENSE} * ({norm}) AS c FROM vleg),
+fsum AS (SELECT query_id, id, SUM(c) AS fused
+         FROM (SELECT * FROM snorm UNION ALL SELECT * FROM vnorm)
+         GROUP BY 1, 2),
+franked AS (
+  SELECT query_id, id, fused6,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY fused6 DESC, id) AS INT) AS frank
+  FROM (SELECT query_id, id, ROUND(fused, 6) AS fused6 FROM fsum))
+SELECT query_id, id, fused6 AS fused, frank AS rank
+FROM franked WHERE frank <= {_SPARSE_K}
+"""
+
+
+EXTRA_QUERIES["sparse_topk"] = q_sparse_topk
+EXTRA_ORACLES["sparse_topk"] = _sparse_oracle()
+EXTRA_QUERIES["sparse_pruned_topk"] = q_sparse_pruned_topk
+EXTRA_ORACLES["sparse_pruned_topk"] = _sparse_pruned_oracle()
+EXTRA_QUERIES["sparse_index_topk"] = q_sparse_index_topk
+EXTRA_ORACLES["sparse_index_topk"] = _sparse_oracle()
+EXTRA_QUERIES["hybrid_weighted"] = q_hybrid_weighted
+EXTRA_ORACLES["hybrid_weighted"] = _hybrid_weighted_oracle()

@@ -29,9 +29,10 @@ def test_registry_row_counts():
 
 
 #: pytest-tier row count / oracled subset — bump when adding operators
-EXPECTED_EXTRA = 71
-# r09: ivf_cell_rebalance exact oracle + ann_ivfbin_topk + maxsim_store_mutations
-EXPECTED_EXTRA_ORACLED = 70
+# r09: + sparse_topk, sparse_pruned_topk, sparse_index_topk,
+# hybrid_weighted (the learned-sparse family, all exact-oracled)
+EXPECTED_EXTRA = 75
+EXPECTED_EXTRA_ORACLED = 74
 
 
 def test_driver_window_holds_all_llm_queries():

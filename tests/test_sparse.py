@@ -1,0 +1,287 @@
+"""Learned-sparse retrieval (operators/sparse.py, sources/sparse_index.py).
+
+Exactness vs DuckDB of the registry rows is covered by
+tests/test_oracle_parity.py; here: hand-computed tiny-corpus tf-idf
+encoding + dot-product scores vs an independent plain-Python reference,
+pruning semantics, index/from-scratch exactness, weighted-fusion
+arithmetic, pruned-tier recall, and the plan locks (broadcast-only
+score joins; ``term IN`` pushed into the postings scan).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_vector_search_system_spark.operators.sparse import (
+    fuse_weighted,
+    prune_postings,
+    sparse_encode,
+    sparse_encode_queries,
+    sparse_scores,
+    sparse_topk,
+)
+from distributed_vector_search_system_spark.sources.sparse_index import (
+    sparse_search_index,
+    write_sparse_index,
+)
+from distributed_vector_search_system_spark.tables import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def _docs(spark):
+    rows = [
+        (0, "spark shuffle join"),
+        (1, "spark spark spark filter"),
+        (2, "window merge sort"),
+        (3, "spark window window"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _sparse_ref(corpus: list[list[str]]):
+    """Independent plain-Python encoder: (1+ln tf)·ln(1+(n−df+.5)/(df+.5))."""
+    n = len(corpus)
+    out: dict[tuple[int, str], float] = {}
+    for i, doc in enumerate(corpus):
+        for t in set(doc):
+            tf = doc.count(t)
+            df = sum(1 for d in corpus if t in d)
+            out[(i, t)] = (1.0 + math.log(tf)) * math.log(
+                1.0 + (n - df + 0.5) / (df + 0.5)
+            )
+    return out
+
+
+def _score_ref(enc, qterms: list[str]):
+    """Dot product with query-side 1+ln(tf) weights."""
+    qw = {t: 1.0 + math.log(qterms.count(t)) for t in set(qterms)}
+    scores: dict[int, float] = {}
+    for (i, t), w in enc.items():
+        if t in qw:
+            scores[i] = scores.get(i, 0.0) + qw[t] * w
+    return scores
+
+
+def test_encode_matches_hand_computation(spark):
+    enc = {
+        (r["id"], r["term"]): r["weight"]
+        for r in sparse_encode(_docs(spark)).collect()
+    }
+    corpus = [d[1].split() for d in sorted(_docs(spark).collect())]
+    want = _sparse_ref(corpus)
+    assert set(enc) == set(want)
+    for key in want:
+        assert enc[key] == pytest.approx(want[key], rel=1e-12)
+
+
+def test_scores_match_hand_computation(spark):
+    docs = _docs(spark)
+    qterms = ["spark", "spark", "merge"]
+    queries = spark.createDataFrame(
+        [(7, " ".join(qterms))], "query_id long, qtext string"
+    )
+    got = {
+        r["id"]: r["score"]
+        for r in sparse_scores(
+            sparse_encode(docs), sparse_encode_queries(queries)
+        ).collect()
+    }
+    corpus = [d[1].split() for d in sorted(docs.collect())]
+    want = _score_ref(_sparse_ref(corpus), qterms)
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i] == pytest.approx(want[i], rel=1e-12)
+
+
+def test_topk_orders_by_rounded_score_then_id(spark):
+    queries = spark.createDataFrame(
+        [(7, "spark window")], "query_id long, qtext string"
+    )
+    out = sparse_topk(
+        sparse_encode(_docs(spark)), sparse_encode_queries(queries), 10
+    ).collect()
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+    keys = [(-r["score"], r["id"]) for r in out]
+    assert keys == sorted(keys)
+
+
+def test_vocab_restricted_encoding_is_exact_on_kept_terms(spark):
+    """df of a kept term is unchanged by dropping other terms' rows, so
+    the vocab= fast path must produce bit-identical weights."""
+    docs = _docs(spark)
+    vocab = spark.createDataFrame([("spark",), ("window",)], "term string")
+    full = {
+        (r["id"], r["term"]): r["weight"]
+        for r in sparse_encode(docs).collect()
+        if r["term"] in ("spark", "window")
+    }
+    fast = {
+        (r["id"], r["term"]): r["weight"]
+        for r in sparse_encode(docs, vocab=vocab).collect()
+    }
+    assert fast == full
+
+
+def test_prune_identity_at_zero_and_max_only_at_one(spark):
+    enc = sparse_encode(_docs(spark))
+    assert sorted(map(tuple, prune_postings(enc, min_impact_frac=0.0).collect())) == sorted(
+        map(tuple, enc.collect())
+    )
+    only_max = prune_postings(enc, min_impact_frac=1.0)
+    mx = {
+        r["term"]: r["m"]
+        for r in enc.groupBy("term").agg(F.max("weight").alias("m")).collect()
+    }
+    for r in only_max.collect():
+        assert r["weight"] == pytest.approx(mx[r["term"]])
+    with pytest.raises(ValueError):
+        prune_postings(enc, min_impact_frac=1.5)
+
+
+def _fixture_queries(spark, sf_dir, pred="doc_id % 100 = 7", n=8):
+    docs = load_table(spark, sf_dir, "documents")
+    from distributed_vector_search_system_spark.functions.text import tokens
+
+    return docs.filter(F.expr(pred)).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(tokens("text"), 1, n), " ").alias("qtext"),
+    )
+
+
+def test_index_serves_identical_topk(spark, sf_smoke, tmp_path):
+    docs = load_table(spark, sf_smoke, "documents")
+    qp = sparse_encode_queries(_fixture_queries(spark, sf_smoke))
+    path = str(tmp_path / "sparse_idx")
+    write_sparse_index(docs, path)
+    scratch = sparse_topk(sparse_encode(docs), qp, 10)
+    served = sparse_search_index(spark, path, qp, 10)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, scratch.collect())
+    )
+
+
+def test_index_buildtime_prune_equals_from_scratch_prune(spark, sf_smoke, tmp_path):
+    docs = load_table(spark, sf_smoke, "documents")
+    qp = sparse_encode_queries(_fixture_queries(spark, sf_smoke))
+    frac = 0.6
+    path = str(tmp_path / "sparse_idx_pruned")
+    write_sparse_index(docs, path, min_impact_frac=frac)
+    scratch = sparse_topk(
+        prune_postings(sparse_encode(docs), min_impact_frac=frac), qp, 10
+    )
+    served = sparse_search_index(spark, path, qp, 10)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, scratch.collect())
+    )
+    # querytime pruning over an unpruned index is the same rows too
+    path2 = str(tmp_path / "sparse_idx_full")
+    write_sparse_index(docs, path2)
+    served_q = sparse_search_index(spark, path2, qp, 10, min_impact_frac=frac)
+    assert sorted(map(tuple, served_q.collect())) == sorted(
+        map(tuple, scratch.collect())
+    )
+
+
+def test_pruned_recall_measured(spark, sf_smoke, tmp_path):
+    """Impact pruning at 0.5 must keep recall@10 ≥ 0.8 on the fixture
+    geometry (measured; the bench records the curve)."""
+    docs = load_table(spark, sf_smoke, "documents")
+    qp = sparse_encode_queries(_fixture_queries(spark, sf_smoke))
+    enc = sparse_encode(docs)
+    exact = sparse_topk(enc, qp, 10)
+    pruned = sparse_topk(prune_postings(enc, min_impact_frac=0.5), qp, 10)
+    e = {(r["query_id"], r["id"]) for r in exact.collect()}
+    p = {(r["query_id"], r["id"]) for r in pruned.collect()}
+    assert e, "fixture queries must retrieve something"
+    recall = len(e & p) / len(e)
+    assert recall >= 0.8, f"pruned recall@10 {recall:.3f} below floor"
+
+
+def test_empty_query_vocab_returns_empty(spark, tmp_path):
+    docs = _docs(spark)
+    path = str(tmp_path / "sparse_empty")
+    write_sparse_index(docs, path)
+    qp = sparse_encode_queries(
+        docs.sparkSession.createDataFrame([], "query_id long, qtext string")
+    )
+    assert sparse_search_index(spark, path, qp, 5).count() == 0
+
+
+def test_fuse_weighted_exact_arithmetic(spark):
+    """Two legs, hand-computed min-max normalization and convex sum."""
+    a = spark.createDataFrame(
+        [(1, 10, 4.0), (1, 11, 2.0), (1, 12, 0.0)],
+        "query_id long, id long, score double",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 9.0), (1, 13, 3.0)], "query_id long, id long, score double"
+    )
+    out = {
+        r["id"]: r["fused"]
+        for r in fuse_weighted([(a, 0.7), (b, 0.3)], 10).collect()
+    }
+    # leg a: 10→1.0, 11→0.5, 12→0.0 ; leg b: 11→1.0, 13→0.0
+    assert out[10] == pytest.approx(0.7)
+    assert out[11] == pytest.approx(0.7 * 0.5 + 0.3 * 1.0)
+    assert out[12] == pytest.approx(0.0)
+    assert out[13] == pytest.approx(0.0)
+
+
+def test_fuse_weighted_constant_leg_normalizes_to_one(spark):
+    a = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 11, 5.0)], "query_id long, id long, score double"
+    )
+    out = {r["id"]: r["fused"] for r in fuse_weighted([(a, 1.0)], 10).collect()}
+    assert out == {10: pytest.approx(1.0), 11: pytest.approx(1.0)}
+    with pytest.raises(ValueError):
+        fuse_weighted([], 5)
+
+
+def test_fuse_weighted_rounds_before_normalizing(spark):
+    """Extremes are taken on 6-dp-rounded scores (cross-engine contract):
+    a sub-1e-6 perturbation of the max must not change the fusion."""
+    a = spark.createDataFrame(
+        [(1, 10, 4.0000000004), (1, 11, 2.0)], "query_id long, id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(1, 10, 4.0), (1, 11, 2.0)], "query_id long, id long, score double"
+    )
+    fa = sorted(map(tuple, fuse_weighted([(a, 1.0)], 10).collect()))
+    fb = sorted(map(tuple, fuse_weighted([(b, 1.0)], 10).collect()))
+    assert fa == fb
+
+
+def test_score_join_is_broadcast_only(spark, sf_smoke):
+    """The from-scratch sparse pipeline must never shuffle the corpus on
+    the term key: no SortMergeJoin / CartesianProduct, and the query
+    restriction reaches below the tf aggregate as a semi join."""
+    docs = load_table(spark, sf_smoke, "documents")
+    qp = sparse_encode_queries(_fixture_queries(spark, sf_smoke))
+    plan = _plan(sparse_topk(sparse_encode(docs), qp, 10))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_index_scan_pushes_term_filter(spark, sf_smoke, tmp_path):
+    docs = load_table(spark, sf_smoke, "documents")
+    qp = sparse_encode_queries(_fixture_queries(spark, sf_smoke))
+    path = str(tmp_path / "sparse_push")
+    write_sparse_index(docs, path)
+    plan = _plan(sparse_search_index(spark, path, qp, 10))
+    pushed = [
+        l
+        for l in plan.splitlines()
+        if "PushedFilters" in l and "term" in l and "In(term" in l.replace(" ", "")
+    ]
+    assert pushed, "term IN (...) must reach the postings scan as a pushed filter"
