@@ -1,0 +1,139 @@
+"""Faceted search: value-count aggregations beside a ranked result.
+
+Every serving stack pairing ranked retrieval with navigation (search
+UIs, corpus dashboards, curation consoles) needs facets: for the set
+of documents MATCHING a query or filter, the count of each value of
+each chosen attribute — lang, source, bucketed length — computed over
+ALL matches, not just the returned top-k page.  The reference has no
+lexical tier at all; this completes the repo's serving surface the way
+operators/retrieval.py completed ranking.
+
+Spark-first shape: facets are one map-side-combinable aggregate.
+
+- ``facet_counts``      — corpus/filter facets: one scan of the
+  admissible set, one ``explode`` of the (facet, value) pairs built
+  IN the projection (so N facet columns still cost one scan, not N),
+  one hash aggregate.  Output ``(facet, value, count)``.
+- ``topn_facet_counts`` — the UI form: only the ``top_n`` most
+  frequent values per facet (count desc, value asc tie-break — the
+  deterministic-oracle convention), via a per-facet window over the
+  ALREADY-AGGREGATED counts (cardinality = distinct values, never
+  rows).
+- ``facets_for_hits``   — per-query facets: given a retrieval leg's
+  MATCH SET ``(query_id, id)`` (the scored candidates before the
+  top-k cut — what a search UI shows counts for), join the document
+  attributes and count per ``(query_id, facet, value)``.  The join is
+  id-equi (shuffle bounded by the match set, or broadcast when the
+  match set is query-bounded); document attributes come from a
+  column-pruned scan — the text column never moves.
+
+Scale notes (100 TB): ``facet_counts`` is scan + partial agg + one
+exchange keyed on (facet, value) — cardinality is the facet
+vocabulary, thousands at most, so the exchange is trivially small;
+skewed values are absorbed by map-side combine.  ``facets_for_hits``
+never touches the corpus beyond the pruned attribute columns of
+matched ids.  Values are stringified in the projection (facet columns
+of mixed types share one schema); bucket numeric columns BEFORE
+faceting (``F.floor(col/width)*width`` or a CASE ladder) — raw
+high-cardinality numerics as facets are a modeling error, not an
+engine path.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _pairs(facet_cols: Sequence[str]):
+    if not facet_cols:
+        raise ValueError("facet_cols must be non-empty")
+    return F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("facet"),
+                F.col(c).cast("string").alias("value"),
+            )
+            for c in facet_cols
+        ]
+    )
+
+
+def facet_counts(
+    docs: DataFrame,
+    facet_cols: Sequence[str],
+    *,
+    where=None,
+) -> DataFrame:
+    """Value counts per facet column over the admissible set.
+
+    ``where`` (Column or SQL string) restricts the set first — the
+    filter sits under the aggregate, so Catalyst pushes it into the
+    scan.  NULL attribute values are kept as the string "null" bucket
+    (a missing attribute is a real navigation category).
+    Returns ``(facet, value, count)``.
+    """
+    base = docs
+    if where is not None:
+        base = base.filter(F.expr(where) if isinstance(where, str) else where)
+    exploded = base.select(
+        F.explode(_pairs(facet_cols)).alias("_p")
+    ).select(
+        F.col("_p.facet").alias("facet"),
+        F.coalesce(F.col("_p.value"), F.lit("null")).alias("value"),
+    )
+    return exploded.groupBy("facet", "value").agg(F.count("*").alias("count"))
+
+
+def topn_facet_counts(
+    docs: DataFrame,
+    facet_cols: Sequence[str],
+    top_n: int,
+    *,
+    where=None,
+) -> DataFrame:
+    """The ``top_n`` most frequent values per facet (count desc, value
+    asc — deterministic across engines).  The window runs over the
+    aggregated counts, so its input cardinality is the facet
+    vocabulary, not the corpus."""
+    counts = facet_counts(docs, facet_cols, where=where)
+    w = Window.partitionBy("facet").orderBy(
+        F.col("count").desc(), F.col("value").asc()
+    )
+    return (
+        counts.withColumn("frank", F.row_number().over(w))
+        .filter(F.col("frank") <= top_n)
+        .select("facet", "value", "count", "frank")
+    )
+
+
+def facets_for_hits(
+    hits: DataFrame,
+    docs: DataFrame,
+    facet_cols: Sequence[str],
+    *,
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-query facet counts over a retrieval leg's match set.
+
+    ``hits`` carries ``(query_id, id)`` — typically the SCORED
+    candidate set of a lexical/sparse leg (every doc sharing a term),
+    i.e. the set a search UI's facet sidebar describes.  Returns
+    ``(query_id, facet, value, count)``.
+    """
+    attrs = docs.select(
+        F.col(doc_id_col).alias("id"), _pairs(facet_cols).alias("_ps")
+    )
+    joined = hits.select("query_id", "id").join(attrs, "id")
+    exploded = joined.select(
+        "query_id", F.explode("_ps").alias("_p")
+    ).select(
+        "query_id",
+        F.col("_p.facet").alias("facet"),
+        F.coalesce(F.col("_p.value"), F.lit("null")).alias("value"),
+    )
+    return exploded.groupBy("query_id", "facet", "value").agg(
+        F.count("*").alias("count")
+    )

@@ -3019,3 +3019,89 @@ EXTRA_QUERIES["sparse_index_topk"] = q_sparse_index_topk
 EXTRA_ORACLES["sparse_index_topk"] = _sparse_oracle()
 EXTRA_QUERIES["hybrid_weighted"] = q_hybrid_weighted
 EXTRA_ORACLES["hybrid_weighted"] = _hybrid_weighted_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Round-9: faceted search (operators/facets.py) — the navigation half of
+# the serving surface: value counts per attribute over the admissible /
+# matching set, beside (not instead of) the ranked page.
+
+_FACET_WHERE = "n_chars >= 200"
+_FACET_TOPN = 5
+
+
+def q_doc_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus facets over a filtered admissible set: lang, source, and
+    the bucketed-length idiom for numeric attributes (bucket in the
+    projection, facet the bucket)."""
+    from ..operators.facets import topn_facet_counts
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "len_bucket", (F.floor(F.col("n_chars") / 400) * 400).cast("long")
+    )
+    return topn_facet_counts(
+        docs, ["lang", "source", "len_bucket"], _FACET_TOPN, where=_FACET_WHERE
+    )
+
+
+def q_bm25_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query facets over the BM25 MATCH SET (every doc sharing a
+    query term — what a search UI's sidebar counts), not the top-k
+    page."""
+    from ..operators.facets import facets_for_hits
+    from ..operators.retrieval import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    hits = bm25_scores(docs, _retrieval_queries(spark, sf_dir))
+    return facets_for_hits(hits, docs, ["lang", "source"])
+
+
+def _doc_facets_oracle() -> str:
+    return f"""
+WITH base AS (
+  SELECT lang, source, CAST((n_chars // 400) * 400 AS BIGINT) AS len_bucket
+  FROM documents WHERE {_FACET_WHERE}
+),
+c AS (
+  SELECT 'lang' AS facet, COALESCE(CAST(lang AS VARCHAR), 'null') AS value,
+         COUNT(*) AS cnt FROM base GROUP BY 2
+  UNION ALL
+  SELECT 'source', COALESCE(CAST(source AS VARCHAR), 'null'), COUNT(*)
+  FROM base GROUP BY 2
+  UNION ALL
+  SELECT 'len_bucket', COALESCE(CAST(len_bucket AS VARCHAR), 'null'), COUNT(*)
+  FROM base GROUP BY 2
+),
+r AS (
+  SELECT facet, value, CAST(cnt AS BIGINT) AS count,
+         CAST(ROW_NUMBER() OVER (PARTITION BY facet
+                                 ORDER BY cnt DESC, value) AS INT) AS frank
+  FROM c
+)
+SELECT facet, value, count, frank FROM r WHERE frank <= {_FACET_TOPN}
+"""
+
+
+def _bm25_facets_oracle() -> str:
+    return f"""
+WITH {_bm25_scored_ctes()},
+fh AS (
+  SELECT b.query_id, d.lang, d.source
+  FROM bm25_scored b JOIN documents d ON d.doc_id = b.id
+),
+c AS (
+  SELECT query_id, 'lang' AS facet,
+         COALESCE(CAST(lang AS VARCHAR), 'null') AS value, COUNT(*) AS cnt
+  FROM fh GROUP BY 1, 3
+  UNION ALL
+  SELECT query_id, 'source', COALESCE(CAST(source AS VARCHAR), 'null'), COUNT(*)
+  FROM fh GROUP BY 1, 3
+)
+SELECT query_id, facet, value, CAST(cnt AS BIGINT) AS count FROM c
+"""
+
+
+EXTRA_QUERIES["doc_facets"] = q_doc_facets
+EXTRA_ORACLES["doc_facets"] = _doc_facets_oracle()
+EXTRA_QUERIES["bm25_facets"] = q_bm25_facets
+EXTRA_ORACLES["bm25_facets"] = _bm25_facets_oracle()

@@ -2329,3 +2329,81 @@ QUERIES["ann_ivfbin_topk"] = EXTRA_QUERIES.pop("ann_ivfbin_topk")
 ORACLES["ann_ivfbin_topk"] = EXTRA_ORACLES.pop("ann_ivfbin_topk")
 EXTRA_QUERIES["ivf_trained_topk"] = QUERIES.pop("ivf_trained_topk")
 EXTRA_ORACLES["ivf_trained_topk"] = ORACLES.pop("ivf_trained_topk")
+
+
+# ---------------------------------------------------------------------------
+# Round-9: bulk retention deletes on the merge-on-read store.
+# `IvfIndexStore.delete_where` is the missing maintenance verb for a
+# 100 TB corpus under data-governance pressure: retention windows, GDPR
+# erasure, policy removal of a label class — ONE O(matching) tombstone
+# append evaluated against the LIVE folded view (so it sees
+# post-mutation values), physical removal deferred to compaction.  The
+# scenario mixes per-id mutations WITH the sweep: an upsert moves vec 3
+# OUT of the retention class (survives) and vec 5 INTO it (swept) —
+# proving the sweep arbitrates against mutated state, not the base
+# snapshot.  Full-probe search afterward must equal exact kNN over the
+# fold-then-filter corpus, which keeps the oracle centroid-free.
+
+_RET_QPRED = "vec_id % 100 = 0"
+_RET_K = 5
+
+
+def q_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..schemas import MUTATIONS_SCHEMA
+    from ..streaming.ivf_stream import IvfIndexStore
+
+    emb = _emb(spark, sf_dir)
+    root = os.path.join(
+        tempfile.gettempdir(), f"dvss_spark_retention_{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)) or "sf",
+    )
+    shutil.rmtree(root, ignore_errors=True)  # stale store from a prior run
+    store = IvfIndexStore(root, _ivf_thinned_centroids(spark, sf_dir))
+    store.init_base(emb)
+    v7 = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]
+    ]
+    store.append_batch(
+        spark.createDataFrame(
+            [
+                (1, "upsert", 3, None, v7, 1000),  # out of the class
+                (2, "upsert", 5, None, v7, 10),    # into the class
+                (3, "delete", 11, None, None, None),
+            ],
+            MUTATIONS_SCHEMA,
+        )
+    )
+    store.delete_where(spark, "label % 7 = 3")
+    q = _query_set(emb, F.expr(_RET_QPRED))
+    return _round_result(
+        store.search(spark, q, _RET_K, n_probe=len(store.centroids))
+    )
+
+
+def _retention_oracle() -> str:
+    dist = _SQL_SQ_L2.format(q="q.qe", v="v.embedding")
+    return f"""
+WITH mut AS (
+  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id NOT IN (3, 5, 11)
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), (SELECT embedding FROM embeddings WHERE vec_id = 7),
+         CAST(1000 AS INT)
+  UNION ALL
+  SELECT CAST(5 AS BIGINT), (SELECT embedding FROM embeddings WHERE vec_id = 7),
+         CAST(10 AS INT)
+),
+v AS (SELECT vec_id, embedding FROM mut WHERE NOT (label % 7 = 3)),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE {_RET_QPRED}),
+scored AS (SELECT q.query_id, v.vec_id AS id, {dist} AS distance FROM q CROSS JOIN v),
+ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY round_even((distance) * 1e6, 0) / 1e6, id) AS INT) AS rank
+           FROM scored)
+SELECT query_id, id, ROUND(distance, 6) AS distance, rank FROM ranked WHERE rank <= {_RET_K}
+"""
+
+
+EXTRA_QUERIES["retention_delete"] = q_retention_delete
+EXTRA_ORACLES["retention_delete"] = _retention_oracle()

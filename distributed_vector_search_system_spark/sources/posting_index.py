@@ -689,6 +689,54 @@ class MutablePostingIndexStore(PostingIndexStore):
         # superseded stats memo entries can never be read again
         self._stats_memo = {}
 
+    def delete_ids(
+        self, ids: DataFrame, *, id_col: str = "id", seq: int | None = None
+    ) -> int:
+        """Bulk tombstone sweep (retention / GDPR / policy deletes):
+        one ``delete`` arbiter row per LIVE matching id, one O(matching)
+        append — the lexical counterpart of
+        ``IvfIndexStore.delete_where``.  The index stores postings, not
+        documents, so the admissible set arrives as an id frame — the
+        caller evaluates its retention predicate where the documents
+        live (the corpus table / quality pipeline) and hands the ids
+        down.
+
+        Ids whose current LWW state is already deleted (or never
+        existed) are skipped — a sweep is a no-op on them, keeping the
+        append proportional to what it actually changes.  All
+        tombstones share one sweep seq (current max + 1 by default;
+        pass the engine log's next seq when the store is
+        engine-attached).  Returns the number of ids tombstoned.
+        """
+        spark = ids.sparkSession
+        muts = self._all_muts(spark)
+        if seq is None:
+            row = muts.agg(F.max("seq").alias("m")).collect()[0]
+            seq = int(row["m"] or 0) + 1
+        live = self._winners(muts).filter(F.col("op") == "upsert").select("id")
+        matched = live.join(
+            ids.select(F.col(id_col).alias("id")).distinct(), "id", "left_semi"
+        )
+        tomb = matched.select(
+            "id",
+            F.lit(int(seq)).cast("long").alias("seq"),
+            F.lit("delete").alias("op"),
+            F.lit(None).cast("long").alias("dl"),
+        )
+        n = tomb.count()
+        if n:
+            from .fsutil import write_marker
+
+            *_, muts_path = self._paths()
+            write_marker(
+                spark,
+                self._os.path.join(self._os.path.dirname(muts_path), "_DIRTY"),
+                "1\n",
+            )
+            tomb.write.mode("append").parquet(muts_path)
+            self._stats_memo = {}
+        return n
+
     # -- read path ------------------------------------------------------------
 
     def _all_muts(self, spark: SparkSession) -> DataFrame:

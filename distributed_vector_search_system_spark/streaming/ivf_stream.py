@@ -59,7 +59,7 @@ from pyspark.sql import functions as F
 from ..functions.distance import squared_l2
 from ..operators.clustering import nearest_centroid_expr
 from ..operators.knn import merge_topk
-from ..operators.mutations import UPSERT
+from ..operators.mutations import DELETE, UPSERT
 
 
 class IvfIndexStore:
@@ -256,6 +256,50 @@ class IvfIndexStore:
             .write.mode("append")
             .parquet(muts)
         )
+
+    def delete_where(self, spark: SparkSession, predicate, *, seq: int | None = None) -> int:
+        """Bulk tombstone sweep — retention windows, GDPR erasure,
+        policy deletes (``label``-class removal) in ONE O(matching)
+        append, no data rewrite.
+
+        The predicate (Column or SQL string over the live row schema
+        ``vec_id, embedding, label, cell_id``) is evaluated against the
+        CURRENT folded view — exactly what a STRONG read serves — so a
+        sweep deletes precisely the rows a reader would have seen,
+        including delta rows a compaction hasn't folded yet.  Matching
+        ids get one ``delete`` arbiter row each; physical removal
+        happens at the next ``compact()``, identical to per-id deletes.
+
+        All tombstones share one sweep seq (current max + 1 by
+        default): the LWW arbiter compares seqs within an id only, so
+        a shared seq is safe, and it keeps the sweep a single tiny
+        append.  Callers integrating with an engine's leader-ordered
+        log should pass that log's next ``seq`` explicitly so later
+        per-id mutations stay ordered after the sweep.
+
+        Returns the number of ids tombstoned (0 = no match, no write).
+        """
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        if seq is None:
+            arb = self._mutation_arbiter(spark, self._snapshot_paths()[2])
+            if arb is None:
+                seq = 1
+            else:
+                row = arb.agg(F.max("_max_seq").alias("m")).collect()[0]
+                seq = int(row["m"] or 0) + 1
+        matched = self.live_rows(spark).filter(pred).select("vec_id")
+        _, _, muts = self._snapshot_paths()
+        tomb = matched.select(
+            "vec_id",
+            F.lit(int(seq)).cast("long").alias("seq"),
+            F.lit(DELETE).alias("op"),
+        )
+        # one count, one append; the count is also the no-op guard (an
+        # empty append would still create parquet part files)
+        n = tomb.count()
+        if n:
+            tomb.write.mode("append").parquet(muts)
+        return n
 
     def streaming_sink(self, stream: DataFrame, *, checkpoint: str):
         """Attach the appender to a mutation stream via foreachBatch."""

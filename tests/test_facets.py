@@ -1,0 +1,107 @@
+"""Faceted search (operators/facets.py): exact tiny-corpus counts, null
+bucketing, top-n tie-breaks, per-query facets over a retrieval match
+set, and the one-scan plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_vector_search_system_spark.operators.facets import (
+    facet_counts,
+    facets_for_hits,
+    topn_facet_counts,
+)
+from distributed_vector_search_system_spark.tables import load_table
+
+
+def _docs(spark):
+    rows = [
+        (0, "en", "web", 100),
+        (1, "en", "web", 900),
+        (2, "de", "books", 100),
+        (3, None, "web", 100),
+        (4, "en", None, 50),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, n_chars long"
+    )
+
+
+def test_counts_exact_with_null_bucket(spark):
+    got = {
+        (r["facet"], r["value"]): r["count"]
+        for r in facet_counts(_docs(spark), ["lang", "source"]).collect()
+    }
+    assert got == {
+        ("lang", "en"): 3,
+        ("lang", "de"): 1,
+        ("lang", "null"): 1,
+        ("source", "web"): 3,
+        ("source", "books"): 1,
+        ("source", "null"): 1,
+    }
+
+
+def test_where_restricts_before_counting(spark):
+    got = {
+        (r["facet"], r["value"]): r["count"]
+        for r in facet_counts(
+            _docs(spark), ["lang"], where="n_chars >= 100"
+        ).collect()
+    }
+    assert got == {("lang", "en"): 2, ("lang", "de"): 1, ("lang", "null"): 1}
+    with pytest.raises(ValueError):
+        facet_counts(_docs(spark), [])
+
+
+def test_topn_orders_count_desc_value_asc(spark):
+    out = topn_facet_counts(_docs(spark), ["lang"], 2).collect()
+    ranked = sorted((r["frank"], r["value"], r["count"]) for r in out)
+    # en(3) first; de/null tie at 1 → value asc picks 'de'
+    assert ranked == [(1, "en", 3), (2, "de", 1)]
+
+
+def test_facets_for_hits_per_query(spark):
+    hits = spark.createDataFrame(
+        [(10, 0), (10, 1), (10, 2), (11, 3), (11, 4)], "query_id long, id long"
+    )
+    got = {
+        (r["query_id"], r["facet"], r["value"]): r["count"]
+        for r in facets_for_hits(hits, _docs(spark), ["lang"]).collect()
+    }
+    assert got == {
+        (10, "lang", "en"): 2,
+        (10, "lang", "de"): 1,
+        (11, "lang", "null"): 1,
+        (11, "lang", "en"): 1,
+    }
+
+
+def test_bucketed_numeric_facet(spark):
+    """The documented idiom for numeric facets: bucket in the
+    projection, then facet the bucket column."""
+    docs = _docs(spark).withColumn(
+        "len_bucket", (F.floor(F.col("n_chars") / 400) * 400).cast("long")
+    )
+    got = {
+        (r["facet"], r["value"]): r["count"]
+        for r in facet_counts(docs, ["len_bucket"]).collect()
+    }
+    assert got == {("len_bucket", "0"): 4, ("len_bucket", "800"): 1}
+
+
+def test_single_scan_plan(spark, sf_oracle):
+    """N facet columns must cost ONE corpus scan (pairs built in the
+    projection, not one pass per facet)."""
+    docs = load_table(spark, sf_oracle, "documents")
+    plan = (
+        facet_counts(docs, ["lang", "source"], where="n_chars >= 200")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan") == 1
+    # and the text column is pruned out of the scan
+    scan_lines = [l for l in plan.splitlines() if "FileScan" in l]
+    assert all("text" not in l for l in scan_lines)

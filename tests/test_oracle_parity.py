@@ -30,9 +30,11 @@ def test_registry_row_counts():
 
 #: pytest-tier row count / oracled subset — bump when adding operators
 # r09: + sparse_topk, sparse_pruned_topk, sparse_index_topk,
-# hybrid_weighted (the learned-sparse family, all exact-oracled)
-EXPECTED_EXTRA = 75
-EXPECTED_EXTRA_ORACLED = 74
+# hybrid_weighted (the learned-sparse family), doc_facets, bm25_facets
+# (faceted search), retention_delete (bulk store sweep) — all
+# exact-oracled
+EXPECTED_EXTRA = 78
+EXPECTED_EXTRA_ORACLED = 77
 
 
 def test_driver_window_holds_all_llm_queries():
