@@ -186,10 +186,11 @@ def test_ivf_persisted_driver_row_prunes_partitions(spark, sf_smoke):
 
 
 def test_ivf_trained_driver_row_prunes_partitions(spark, sf_smoke):
-    """Same contract for the round-6 trained-centroid driver row — it
-    serves through the identical search path, but the plan lock must
-    hold on the row the driver actually verifies."""
-    plan = _plan(registry.queries()["ivf_trained_topk"](spark, sf_smoke))
+    """Same contract for the round-6 trained-centroid row — it serves
+    through the identical search path; the plan lock follows the row
+    across rotation tiers (r9: rotated to the pytest tier, identical
+    oracle)."""
+    plan = _plan(registry.all_queries()["ivf_trained_topk"](spark, sf_smoke))
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert any("cell_id" in l for l in pf), plan
 
