@@ -139,6 +139,26 @@ def sparse_encode_queries(
     )
 
 
+def collect_doc_vectors(doc_postings: DataFrame) -> DataFrame:
+    """Exploded triples → doc-granular ``(id, terms, weights)`` rows —
+    the atomic-replace unit the mutable store ingests (a sparse
+    vector's terms replace together, like a ColBERT doc's tokens).
+    Term order within a vector is irrelevant to the dot product; the
+    arrays are zipped positionally, built from one struct collect so
+    terms[i] always pairs with its own weight."""
+    return (
+        doc_postings.groupBy("id")
+        .agg(
+            F.collect_list(F.struct("term", "weight")).alias("_tw")
+        )
+        .select(
+            "id",
+            F.col("_tw.term").alias("terms"),
+            F.col("_tw.weight").alias("weights"),
+        )
+    )
+
+
 def sparse_scores(
     doc_postings: DataFrame,
     query_postings: DataFrame,

@@ -3105,3 +3105,171 @@ EXTRA_QUERIES["doc_facets"] = q_doc_facets
 EXTRA_ORACLES["doc_facets"] = _doc_facets_oracle()
 EXTRA_QUERIES["bm25_facets"] = q_bm25_facets
 EXTRA_ORACLES["bm25_facets"] = _bm25_facets_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Round-9: trimodal hybrid — all three retrieval legs (BM25 lexical,
+# learned-sparse, dense cosine) fused by min-max weighted fusion under
+# ONE query id space.  The composition row proving the serving surface
+# closes over every family: each leg keeps its own query representation
+# (qterms / weighted terms / embedding) exactly as a production hybrid
+# does, and fuse_weighted is leg-count-agnostic.
+
+_TRI_W_BM25 = 0.3
+_TRI_W_SPARSE = 0.4
+_TRI_W_DENSE = 0.3
+
+
+def q_hybrid_trimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import bm25_topk
+    from ..operators.sparse import (
+        fuse_weighted,
+        sparse_encode,
+        sparse_encode_queries,
+        sparse_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bleg = bm25_topk(docs, _retrieval_queries(spark, sf_dir), _SPARSE_LEG_K)
+    q = _sparse_fixture_queries(spark, sf_dir)
+    sleg = sparse_topk(
+        sparse_encode(docs), sparse_encode_queries(q), _SPARSE_LEG_K
+    )
+    vq = q.join(
+        emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")),
+        "query_id",
+    ).select("query_id", "qvec")
+    vleg = cosine_topk(emb, vq, _SPARSE_LEG_K, round_scores=6).withColumnRenamed(
+        "cosine", "score"
+    )
+    return fuse_weighted(
+        [(bleg, _TRI_W_BM25), (sleg, _TRI_W_SPARSE), (vleg, _TRI_W_DENSE)],
+        _SPARSE_K,
+    )
+
+
+def _hybrid_trimodal_oracle() -> str:
+    cos = _SQL_COSINE.format(x="hvq.qv", y="v.embedding")
+    lo = "MIN(s) OVER (PARTITION BY query_id)"
+    hi = "MAX(s) OVER (PARTITION BY query_id)"
+    norm = f"CASE WHEN {hi} > {lo} THEN (s - {lo}) / ({hi} - {lo}) ELSE 1.0 END"
+    return f"""
+WITH {_bm25_scored_ctes(leg_k=_SPARSE_LEG_K)},
+{_sparse_ctes()},
+hvq AS (SELECT sq.query_id, e.embedding AS qv FROM sq
+        JOIN embeddings e ON e.vec_id = sq.query_id),
+hvs AS (SELECT hvq.query_id, v.vec_id AS id, ROUND({cos}, 6) AS cs
+        FROM hvq CROSS JOIN embeddings v),
+hvr AS (SELECT query_id, id, cs,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cs DESC, id) AS INT) AS vrank
+        FROM hvs),
+bleg AS (SELECT query_id, id, score6 AS s FROM bm25_ranked
+         WHERE brank <= {_SPARSE_LEG_K}),
+sleg AS (SELECT query_id, id, score6 AS s FROM sparse_ranked
+         WHERE srank <= {_SPARSE_LEG_K}),
+vleg AS (SELECT query_id, id, cs AS s FROM hvr WHERE vrank <= {_SPARSE_LEG_K}),
+bnorm AS (SELECT query_id, id, {_TRI_W_BM25} * ({norm}) AS c FROM bleg),
+snorm AS (SELECT query_id, id, {_TRI_W_SPARSE} * ({norm}) AS c FROM sleg),
+vnorm AS (SELECT query_id, id, {_TRI_W_DENSE} * ({norm}) AS c FROM vleg),
+fsum AS (SELECT query_id, id, SUM(c) AS fused
+         FROM (SELECT * FROM bnorm UNION ALL SELECT * FROM snorm
+               UNION ALL SELECT * FROM vnorm)
+         GROUP BY 1, 2),
+franked AS (
+  SELECT query_id, id, fused6,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY fused6 DESC, id) AS INT) AS frank
+  FROM (SELECT query_id, id, ROUND(fused, 6) AS fused6 FROM fsum))
+SELECT query_id, id, fused6 AS fused, frank AS rank
+FROM franked WHERE frank <= {_SPARSE_K}
+"""
+
+
+EXTRA_QUERIES["hybrid_trimodal"] = q_hybrid_trimodal
+EXTRA_ORACLES["hybrid_trimodal"] = _hybrid_trimodal_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Round-9: the sparse family under the mutation discipline —
+# MutableSparseIndexStore (sources/sparse_index.py).  TWO pushes with
+# cross-batch LWW: doc 7's model re-encoded vector is replaced AGAIN in
+# the second batch (the higher seq must win across batches), doc 107 is
+# deleted then revived with a new vector, and an absent-id delete
+# no-ops.  Weights travel WITH the mutations (the learned-sparse
+# contract: the model, not the store, owns the weights), so the oracle
+# replays the fold as encoder output minus the mutated ids plus the
+# literal vectors.
+
+def q_sparse_store_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..operators.sparse import collect_doc_vectors, sparse_encode
+    from ..operators.sparse import sparse_encode_queries
+    from ..sources.sparse_index import MutableSparseIndexStore
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = _os.path.join(
+        tempfile.gettempdir(), f"dvss_spark_sparsestore_{_os.getpid()}",
+        _os.path.basename(_os.path.normpath(sf_dir)) or "sf",
+    )
+    shutil.rmtree(root, ignore_errors=True)  # stale store from a prior run
+    store = MutableSparseIndexStore(root)
+    store.init_base(collect_doc_vectors(sparse_encode(docs)))
+    schema = (
+        "seq long, op string, id long, terms array<string>, "
+        "weights array<double>"
+    )
+    store.apply_log(
+        spark.createDataFrame(
+            [
+                (1, "upsert", 7, ["alpha", "beta"], [1.0, 2.0]),
+                (2, "delete", 107, None, None),
+            ],
+            schema,
+        )
+    )
+    store.apply_log(
+        spark.createDataFrame(
+            [
+                (3, "upsert", 7, ["gamma"], [3.0]),          # supersedes seq 1
+                (4, "upsert", 107, ["alpha", "delta"], [0.5, 1.5]),  # revive
+                (5, "delete", 999999999, None, None),        # absent-id no-op
+            ],
+            schema,
+        )
+    )
+    qp = sparse_encode_queries(_sparse_fixture_queries(spark, sf_dir))
+    return store.search(spark, qp, _SPARSE_K)
+
+
+def _sparse_store_oracle() -> str:
+    return f"""
+WITH {_sparse_ctes()},
+fold AS (
+  SELECT id, term, weight FROM sw WHERE id NOT IN (7, 107)
+  UNION ALL
+  SELECT * FROM (VALUES
+    (CAST(7 AS BIGINT), 'gamma', CAST(3.0 AS DOUBLE)),
+    (CAST(107 AS BIGINT), 'alpha', CAST(0.5 AS DOUBLE)),
+    (CAST(107 AS BIGINT), 'delta', CAST(1.5 AS DOUBLE))
+  ) t(id, term, weight)
+),
+mut_scored AS (
+  SELECT sqw.query_id, fold.id, SUM(sqw.qweight * fold.weight) AS score
+  FROM sqw JOIN fold ON fold.term = sqw.term GROUP BY 1, 2),
+mut_ranked AS (
+  SELECT query_id, id, score6,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score6 DESC, id) AS INT) AS mrank
+  FROM (SELECT query_id, id, ROUND(score, 6) AS score6 FROM mut_scored))
+SELECT query_id, id, score6 AS score, mrank AS rank
+FROM mut_ranked WHERE mrank <= {_SPARSE_K}
+"""
+
+
+EXTRA_QUERIES["sparse_store_mutations"] = q_sparse_store_mutations
+EXTRA_ORACLES["sparse_store_mutations"] = _sparse_store_oracle()

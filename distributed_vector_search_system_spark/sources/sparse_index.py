@@ -32,12 +32,11 @@ physically drops low-impact postings — the 100 TB trade: the stored
 posting mass shrinks by the pruned fraction and every query gets the
 IO cut, at the recall cost measured in the bench recall section.
 
-Freshness follows the repo's snapshot discipline: a derived tier
-rebuilt at compaction cadence (the write-once contract the other index
-sources started with); the merge-on-read mutable-store treatment the
-BM25 tier got in round 7 (MutablePostingIndexStore) is the natural
-extension and is deliberately NOT duplicated here until a user-shaped
-row needs it.
+Freshness: the write-once index above is rebuilt at compaction
+cadence; ``MutableSparseIndexStore`` below is the O(Δ) merge-on-read
+tier (the treatment the BM25 tier got in round 7), whose mutation
+contract carries model-produced weights WITH the upsert so the store
+stays weighting-agnostic.
 """
 
 from __future__ import annotations
@@ -155,3 +154,338 @@ def sparse_search_index(
             .select("term", "id", "weight")
         )
     return _score_ranked(sparse_scores(postings, qp), k, "score")
+
+
+# ---------------------------------------------------------------------------
+# Mutable store: model-weighted postings under the LWW discipline
+
+
+class MutableSparseIndexStore:
+    """LWW merge-on-read learned-sparse store — the sparse family's
+    O(Δ) maintenance tier, completing the pattern every other
+    retrieval family already has (vector: streaming/ivf_stream.py,
+    lexical: MutablePostingIndexStore, late-interaction:
+    token_store.MutableTokenStore).
+
+    Mutation contract — weights travel WITH the mutation: an upsert
+    carries the document's full model-produced sparse vector
+    ``(id, terms, weights)`` and replaces the doc's postings
+    atomically; a delete tombstones the doc.  This is deliberately
+    NOT re-derived from text inside the store: learned-sparse weights
+    come from a model (corpus-independent), so the store stays
+    weighting-agnostic, and the in-container tf–idf encoder's
+    corpus-dependent weights are simply frozen at whatever stats the
+    CALLER encoded against — the exact analog of the IVF stores
+    serving mutations against attach-time centroids until a retrain.
+
+    Per-generation layout behind the atomic MANIFEST swap (the sibling
+    stores' idiom verbatim):
+
+    - ``postings/`` — ``(term, id, weight, seq)`` term-clustered (the
+      immutable snapshot; every row a winner on clean generations);
+    - ``delta/``    — O(batch) appends of upserted vectors' postings;
+    - ``muts/``     — ``(id, seq, op)`` arbiter rows;
+    - ``_DIRTY``    — marker gating the merge-on-read arbiter; absent
+      on generations written by init/compact, so clean reads skip the
+      dedup + arbiter joins outright (the posting store's measured
+      read-tax discipline).
+
+    Search is exact over the folded state: restricted to the query
+    vocabulary at the scan (``term IN`` pushdown on base AND delta),
+    candidate-bounded arbitration (semi-join probes the pre-dedup
+    scan; winner is one max hash aggregate — never a per-id sort
+    window), deletes drop out because tombstones write no postings.
+    """
+
+    def __init__(self, root: str):
+        import os
+
+        self.root = root
+        self._os = os
+
+    # -- generation machinery (sibling stores' idiom) -------------------------
+
+    @property
+    def _manifest(self) -> str:
+        return self._os.path.join(self.root, "MANIFEST")
+
+    def _current_gen(self) -> str:
+        try:
+            with open(self._manifest, encoding="ascii") as f:
+                return f.read().strip()
+        except FileNotFoundError:
+            return "gen-000000"
+
+    def _commit_gen(self, gen: str) -> None:
+        os = self._os
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._manifest + ".tmp"
+        with open(tmp, "w", encoding="ascii") as f:
+            f.write(gen + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._manifest)
+
+    def _paths(self) -> tuple[str, str, str]:
+        d = self._os.path.join(self.root, self._current_gen())
+        return (
+            self._os.path.join(d, "postings"),
+            self._os.path.join(d, "delta"),
+            self._os.path.join(d, "muts"),
+        )
+
+    def generations(self) -> list[str]:
+        try:
+            names = self._os.listdir(self.root)
+        except FileNotFoundError:
+            return []
+        return sorted(n for n in names if n.startswith("gen-"))
+
+    def at(self, generation: str) -> "MutableSparseIndexStore":
+        """READ-ONLY view pinned to ``generation`` (same keep-one-cycle
+        caveats as the sibling stores)."""
+        import copy
+
+        if generation not in self.generations():
+            raise ValueError(
+                f"unknown generation {generation!r}; on disk: "
+                f"{self.generations()}"
+            )
+        view = copy.copy(self)
+        view._current_gen = lambda: generation
+        def _read_only(*_a, **_kw):
+            raise ValueError("generation-pinned view is read-only")
+        for name in ("init_base", "apply_log", "delete_ids", "compact",
+                     "_commit_gen", "streaming_log_sink"):
+            setattr(view, name, _read_only)
+        return view
+
+    # -- write path ------------------------------------------------------------
+
+    @staticmethod
+    def _explode_log(ups: DataFrame) -> DataFrame:
+        """(id, terms, weights, seq) upserts → (term, id, weight, seq)
+        posting rows (arrays zipped positionally)."""
+        return ups.select(
+            "id",
+            "seq",
+            F.explode(F.arrays_zip("terms", "weights")).alias("_tw"),
+        ).select(
+            F.col("_tw.terms").alias("term"),
+            "id",
+            F.col("_tw.weights").alias("weight"),
+            "seq",
+        )
+
+    def init_base(self, doc_vectors: DataFrame) -> None:
+        """One-time base: doc-granular ``(id, terms, weights)`` rows
+        (``operators.sparse.collect_doc_vectors`` lifts encoder
+        triples) at seq 0."""
+        gen = "gen-000000"
+        base = self._os.path.join(self.root, gen)
+        docs = doc_vectors.select(
+            "id",
+            "terms",
+            "weights",
+            F.lit(0).cast("long").alias("seq"),
+        )
+        (
+            self._explode_log(docs)
+            .repartition(SPARSE_PARTITIONS, "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(self._os.path.join(base, "postings"))
+        )
+        (
+            docs.select("id", "seq", F.lit("upsert").alias("op"))
+            .write.mode("overwrite")
+            .parquet(self._os.path.join(base, "muts"))
+        )
+        self._commit_gen(gen)
+
+    def apply_log(self, log: DataFrame) -> None:
+        """O(batch): fold one mutation log
+        ``(seq, op, id, terms, weights)`` in — upsert postings append
+        to ``delta/``, every entry appends its arbiter row.  Dirty
+        marker first (crash ordering: a marker with no rows behind it
+        only costs the next read the arbiter joins; rows without a
+        marker would let the clean fast path serve superseded
+        postings).  Idempotent under redelivery (content-keyed rows,
+        read-side dedup)."""
+        from .fsutil import write_marker
+
+        postings, delta, muts = self._paths()
+        write_marker(
+            log.sparkSession,
+            self._os.path.join(self._os.path.dirname(muts), "_DIRTY"),
+            "1\n",
+        )
+        ups = log.filter(F.col("op") == "upsert")
+        self._explode_log(ups).write.mode("append").parquet(delta)
+        (
+            log.select("id", F.col("seq").cast("long").alias("seq"), "op")
+            .write.mode("append")
+            .parquet(muts)
+        )
+
+    def delete_ids(
+        self, ids: DataFrame, *, id_col: str = "id", seq: int | None = None
+    ) -> int:
+        """Bulk retention sweep — one ``delete`` arbiter row per LIVE
+        matching id (same contract as the sibling stores; see
+        ``MutablePostingIndexStore.delete_ids``)."""
+        spark = ids.sparkSession
+        muts = self._all_muts(spark)
+        if seq is None:
+            row = muts.agg(F.max("seq").alias("m")).collect()[0]
+            seq = int(row["m"] or 0) + 1
+        live = (
+            muts.groupBy("id")
+            .agg(F.max_by("op", "seq").alias("op"))
+            .filter(F.col("op") == "upsert")
+            .select("id")
+        )
+        matched = live.join(
+            ids.select(F.col(id_col).alias("id")).distinct(), "id", "left_semi"
+        )
+        tomb = matched.select(
+            "id",
+            F.lit(int(seq)).cast("long").alias("seq"),
+            F.lit("delete").alias("op"),
+        )
+        n = tomb.count()
+        if n:
+            from .fsutil import write_marker
+
+            *_, muts_path = self._paths()
+            write_marker(
+                spark,
+                self._os.path.join(self._os.path.dirname(muts_path), "_DIRTY"),
+                "1\n",
+            )
+            tomb.write.mode("append").parquet(muts_path)
+        return n
+
+    def streaming_log_sink(self, stream: DataFrame, *, checkpoint: str):
+        """foreachBatch replay of a mutation stream — at-least-once
+        delivery, exactly-once effect (the sibling stores' streaming
+        symmetry)."""
+
+        def _apply(batch: DataFrame, _batch_id: int) -> None:
+            self.apply_log(batch)
+
+        return (
+            stream.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # -- read path -------------------------------------------------------------
+
+    def _all_muts(self, spark: SparkSession) -> DataFrame:
+        *_, muts_path = self._paths()
+        return spark.read.parquet(muts_path)
+
+    def _is_dirty(self, spark: SparkSession) -> bool:
+        from .fsutil import read_marker
+
+        gen_dir = self._os.path.dirname(self._paths()[0])
+        return read_marker(
+            spark, self._os.path.join(gen_dir, "_DIRTY")
+        ) is not None
+
+    def _live_postings(self, spark: SparkSession, terms: list[str]) -> DataFrame:
+        from pyspark.errors import AnalysisException
+
+        base_path, delta_path, _ = self._paths()
+        rows = spark.read.parquet(base_path).filter(F.col("term").isin(terms))
+        if not self._is_dirty(spark):
+            # clean generation: every stored row is a winner by
+            # construction — no dedup, no arbiter joins
+            return rows.drop("seq")
+        try:
+            rows = rows.unionByName(
+                spark.read.parquet(delta_path).filter(F.col("term").isin(terms))
+            )
+        except AnalysisException:
+            pass  # delete-only generation
+        raw = rows  # pre-dedup: semi-join keys are dup-insensitive
+        rows = rows.dropDuplicates(["term", "id", "seq"])
+        win = (
+            self._all_muts(spark)
+            .join(raw.select("id"), "id", "left_semi")
+            .groupBy("id")
+            .agg(F.max("seq").alias("seq"))
+        )
+        # tombstones write no postings → the inner join IS the delete
+        # filter; candidate-bounded, one max hash aggregate
+        return rows.join(win, ["id", "seq"], "inner").drop("seq")
+
+    def search(
+        self,
+        spark: SparkSession,
+        query_postings: DataFrame,
+        k: int,
+    ) -> DataFrame:
+        """Exact merge-on-read dot-product top-k: identical rows to the
+        from-scratch ``sparse_topk`` over the LWW-folded doc vectors
+        (tested)."""
+        qp = query_postings.select("query_id", "term", "weight")
+        vocab = [r["term"] for r in qp.select("term").distinct().collect()]
+        if not vocab:
+            return spark.createDataFrame(
+                [], "query_id long, id long, score double, rank int"
+            )
+        live = self._live_postings(spark, vocab)
+        return _score_ranked(sparse_scores(live, qp), k, "score")
+
+    # -- maintenance -------------------------------------------------------------
+
+    def compact(self, spark: SparkSession) -> None:
+        """Fold delta+muts into a fresh clean generation: winner
+        postings re-clustered on term, winner upsert rows as the new
+        arbiter floor, tombstoned docs dropped for good (their arbiter
+        rows survive so late redeliveries of older upserts stay dead).
+        Atomic manifest swap; previous generation kept one cycle."""
+        from pyspark.errors import AnalysisException
+
+        base_path, delta_path, muts_path = self._paths()
+        cur = self._current_gen()
+        nxt = f"gen-{int(cur.split('-')[1]) + 1:06d}"
+        nxt_dir = self._os.path.join(self.root, nxt)
+        rows = spark.read.parquet(base_path)
+        try:
+            rows = rows.unionByName(spark.read.parquet(delta_path))
+        except AnalysisException:
+            pass
+        rows = rows.dropDuplicates(["term", "id", "seq"])
+        muts = self._all_muts(spark)
+        winners = muts.groupBy("id").agg(
+            F.max("seq").alias("seq"), F.max_by("op", "seq").alias("op")
+        )
+        live = rows.join(
+            winners.filter(F.col("op") == "upsert").select("id", "seq"),
+            ["id", "seq"],
+            "inner",
+        )
+        (
+            live.select("term", "id", "weight", "seq")
+            .repartition(SPARSE_PARTITIONS, "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(self._os.path.join(nxt_dir, "postings"))
+        )
+        (
+            winners.select("id", "seq", "op")
+            .write.mode("overwrite")
+            .parquet(self._os.path.join(nxt_dir, "muts"))
+        )
+        self._commit_gen(nxt)
+        # GC: keep current + previous generation only
+        import shutil
+
+        for gen in self.generations()[:-2]:
+            shutil.rmtree(
+                self._os.path.join(self.root, gen), ignore_errors=True
+            )

@@ -30,11 +30,12 @@ def test_registry_row_counts():
 
 #: pytest-tier row count / oracled subset — bump when adding operators
 # r09: + sparse_topk, sparse_pruned_topk, sparse_index_topk,
-# hybrid_weighted (the learned-sparse family), doc_facets, bm25_facets
+# hybrid_weighted, sparse_store_mutations (the learned-sparse family),
+# hybrid_trimodal (all three legs fused), doc_facets, bm25_facets
 # (faceted search), retention_delete (bulk store sweep) — all
 # exact-oracled
-EXPECTED_EXTRA = 78
-EXPECTED_EXTRA_ORACLED = 77
+EXPECTED_EXTRA = 80
+EXPECTED_EXTRA_ORACLED = 79
 
 
 def test_driver_window_holds_all_llm_queries():

@@ -285,3 +285,132 @@ def test_index_scan_pushes_term_filter(spark, sf_smoke, tmp_path):
         if "PushedFilters" in l and "term" in l and "In(term" in l.replace(" ", "")
     ]
     assert pushed, "term IN (...) must reach the postings scan as a pushed filter"
+
+
+# -- mutable store (MutableSparseIndexStore) ---------------------------------
+
+from distributed_vector_search_system_spark.operators.sparse import (  # noqa: E402
+    collect_doc_vectors,
+)
+from distributed_vector_search_system_spark.sources.sparse_index import (  # noqa: E402
+    MutableSparseIndexStore,
+)
+
+_LOG_SCHEMA = (
+    "seq long, op string, id long, terms array<string>, weights array<double>"
+)
+
+
+def _qp(spark, pairs):
+    """(query_id, [(term, weight)...]) → query posting triples."""
+    rows = [(q, t, w) for q, tws in pairs for t, w in tws]
+    return spark.createDataFrame(rows, "query_id long, term string, weight double")
+
+
+def _store(spark, tmp_path, docs=None):
+    s = MutableSparseIndexStore(str(tmp_path / "sstore"))
+    enc = sparse_encode(docs if docs is not None else _docs(spark))
+    s.init_base(collect_doc_vectors(enc))
+    return s, enc
+
+
+_SLOG = [
+    # replace doc 1's vector atomically (model re-encoded it)
+    (1, "upsert", 1, ["zebra", "quux"], [2.5, 0.5]),
+    # tombstone doc 2
+    (2, "delete", 2, None, None),
+    # insert a new doc
+    (3, "upsert", 9, ["spark", "zebra"], [1.0, 4.0]),
+]
+
+
+def _folded_triples(spark, enc):
+    """Manual LWW fold of _SLOG over the encoder output."""
+    kept = [
+        (r["id"], r["term"], r["weight"])
+        for r in enc.collect()
+        if r["id"] not in (1, 2)
+    ]
+    kept += [(1, "zebra", 2.5), (1, "quux", 0.5), (9, "spark", 1.0), (9, "zebra", 4.0)]
+    return spark.createDataFrame(kept, "id long, term string, weight double")
+
+
+def test_store_search_equals_from_scratch_fold(spark, tmp_path):
+    s, enc = _store(spark, tmp_path)
+    s.apply_log(spark.createDataFrame(_SLOG, _LOG_SCHEMA))
+    qp = _qp(spark, [(0, [("spark", 1.0), ("zebra", 2.0)])])
+    got = sorted(map(tuple, s.search(spark, qp, 10).collect()))
+    want = sorted(
+        map(tuple, sparse_topk(_folded_triples(spark, enc), qp, 10).collect())
+    )
+    assert got == want
+    # doc 2 is tombstoned, doc 1 serves its NEW vector only
+    ids = {t[1] for t in got}
+    assert 2 not in ids and 1 in ids and 9 in ids
+
+
+def test_store_redelivery_idempotent(spark, tmp_path):
+    s, enc = _store(spark, tmp_path)
+    log = spark.createDataFrame(_SLOG, _LOG_SCHEMA)
+    s.apply_log(log)
+    qp = _qp(spark, [(0, [("spark", 1.0), ("zebra", 2.0)])])
+    before = sorted(map(tuple, s.search(spark, qp, 10).collect()))
+    s.apply_log(log)  # redelivered batch
+    assert sorted(map(tuple, s.search(spark, qp, 10).collect())) == before
+
+
+def test_store_compact_preserves_cleans_and_pins(spark, tmp_path):
+    s, enc = _store(spark, tmp_path)
+    s.apply_log(spark.createDataFrame(_SLOG, _LOG_SCHEMA))
+    qp = _qp(spark, [(0, [("spark", 1.0), ("zebra", 2.0)])])
+    before = sorted(map(tuple, s.search(spark, qp, 10).collect()))
+    assert s._is_dirty(spark)
+    prev_gen = s._current_gen()
+    s.compact(spark)
+    assert not s._is_dirty(spark)
+    assert sorted(map(tuple, s.search(spark, qp, 10).collect())) == before
+    # tombstoned doc physically gone from the compacted postings
+    postings = spark.read.parquet(s._paths()[0])
+    assert postings.filter(F.col("id") == 2).count() == 0
+    # generation-pinned read serves the PRE-compaction snapshot and is
+    # read-only
+    pinned = s.at(prev_gen)
+    assert sorted(map(tuple, pinned.search(spark, qp, 10).collect())) == before
+    with pytest.raises(ValueError):
+        pinned.apply_log(spark.createDataFrame(_SLOG, _LOG_SCHEMA))
+    # post-compact mutations keep working (seq continues past the fold)
+    s.apply_log(
+        spark.createDataFrame(
+            [(4, "delete", 9, None, None)], _LOG_SCHEMA
+        )
+    )
+    ids = {t[1] for t in s.search(spark, qp, 10).collect()}
+    assert 9 not in ids
+
+
+def test_store_delete_ids_sweep(spark, tmp_path):
+    s, enc = _store(spark, tmp_path)
+    ids = spark.createDataFrame([(1,), (99,)], "id long")  # 99 absent
+    assert s.delete_ids(ids) == 1
+    assert s.delete_ids(ids) == 0  # idempotent: 1 no longer live
+    qp = _qp(spark, [(0, [("spark", 1.0)])])
+    hit_ids = {r["id"] for r in s.search(spark, qp, 10).collect()}
+    assert 1 not in hit_ids and hit_ids
+
+
+def test_store_streaming_log_sink(spark, tmp_path):
+    """Mutations streamed through foreachBatch land exactly like
+    apply_log batches."""
+    s, enc = _store(spark, tmp_path)
+    src = str(tmp_path / "slog_src")
+    log = spark.createDataFrame(_SLOG, _LOG_SCHEMA)
+    log.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(log.schema).parquet(src)
+    q = s.streaming_log_sink(stream, checkpoint=str(tmp_path / "sckpt"))
+    q.awaitTermination(120)
+    qp = _qp(spark, [(0, [("spark", 1.0), ("zebra", 2.0)])])
+    got = sorted(map(tuple, s.search(spark, qp, 10).collect()))
+    want = sorted(
+        map(tuple, sparse_topk(_folded_triples(spark, enc), qp, 10).collect())
+    )
+    assert got == want
