@@ -3273,3 +3273,54 @@ FROM mut_ranked WHERE mrank <= {_SPARSE_K}
 
 EXTRA_QUERIES["sparse_store_mutations"] = q_sparse_store_mutations
 EXTRA_ORACLES["sparse_store_mutations"] = _sparse_store_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Round-9: snippet generation (operators/snippets.py) — the length-W
+# token window covering the most distinct query terms per (query,
+# matching doc), earliest window on ties; the highlighting half of the
+# serving surface next to facets.  The exhaustive (un-paged) form is
+# the oracle row; serving composes it with a ranked leg via hits=.
+
+_SNIP_W = 8
+
+
+def q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.snippets import best_window_snippets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return best_window_snippets(
+        docs, _retrieval_queries(spark, sf_dir), _SNIP_W
+    )
+
+
+def _snippets_oracle() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+q AS (SELECT doc_id AS query_id, list_distinct(list_slice(w, 1, 3)) AS qts
+      FROM toks WHERE {_HYBRID_QPRED}),
+qt AS (SELECT query_id, UNNEST(qts) AS term FROM q),
+tp AS (SELECT id, pos, w[pos] AS term FROM
+       (SELECT doc_id AS id, w, UNNEST(range(1, len(w) + 1)) AS pos FROM toks)),
+m AS (SELECT qt.query_id, tp.id, tp.pos, qt.term FROM qt JOIN tp USING (term)),
+st AS (SELECT DISTINCT query_id, id, pos AS s FROM m),
+cov AS (SELECT st.query_id, st.id, st.s, m.term
+        FROM st JOIN m ON m.query_id = st.query_id AND m.id = st.id
+        WHERE m.pos >= st.s AND m.pos < st.s + {_SNIP_W}),
+sc AS (SELECT query_id, id, s, COUNT(DISTINCT term) AS n FROM cov GROUP BY 1, 2, 3),
+win AS (SELECT query_id, id, s, n FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, id
+                                      ORDER BY n DESC, s) AS rn FROM sc)
+        WHERE rn = 1)
+SELECT win.query_id, win.id,
+       CAST(win.s - 1 AS INT) AS win_start,
+       CAST(win.n AS INT) AS n_matched,
+       array_to_string(
+         list_slice(t.w, win.s, LEAST(win.s + {_SNIP_W - 1}, len(t.w))), ' '
+       ) AS snippet
+FROM win JOIN toks t ON t.doc_id = win.id
+"""
+
+
+EXTRA_QUERIES["search_snippets"] = q_search_snippets
+EXTRA_ORACLES["search_snippets"] = _snippets_oracle()

@@ -32,10 +32,10 @@ def test_registry_row_counts():
 # r09: + sparse_topk, sparse_pruned_topk, sparse_index_topk,
 # hybrid_weighted, sparse_store_mutations (the learned-sparse family),
 # hybrid_trimodal (all three legs fused), doc_facets, bm25_facets
-# (faceted search), retention_delete (bulk store sweep) — all
-# exact-oracled
-EXPECTED_EXTRA = 80
-EXPECTED_EXTRA_ORACLED = 79
+# (faceted search), search_snippets (highlighting), retention_delete
+# (bulk store sweep) — all exact-oracled
+EXPECTED_EXTRA = 81
+EXPECTED_EXTRA_ORACLED = 80
 
 
 def test_driver_window_holds_all_llm_queries():
