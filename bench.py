@@ -87,6 +87,11 @@ RETRIEVAL = [
     # late interaction (two-stage token-routed MaxSim)
     "phrase_index_topk",
     "maxsim_ivf_topk",
+    # round 9: the learned-sparse family — from-scratch (encoder +
+    # dot product, the bm25_topk analog) vs served from the persisted
+    # term-clustered index (build excluded via the per-process memo)
+    "sparse_topk",
+    "sparse_index_topk",
 ]
 
 # The 100 TB serving tiers (quantized IO / bucketed ANN / physically
@@ -337,6 +342,40 @@ def _measure_recall(sf_dir: str) -> dict:
     out["sampled_ivf_nprobe4"] = recall(
         search_ivf_index(spark, sampled_idx, q, RECALL_K, sampled, n_probe=4)
     )
+    # round 9: the sparse family's quality knob — impact pruning's
+    # recall@10 vs the exact dot product, per min_impact_frac (the
+    # lexical analog of the rerank-depth curves above; deterministic,
+    # one pass).  The fixture queries are the registry row's.
+    from distributed_vector_search_system_spark.operators.sparse import (
+        prune_postings,
+        sparse_encode,
+        sparse_encode_queries,
+        sparse_topk,
+    )
+    from distributed_vector_search_system_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    sq = sparse_encode_queries(
+        docs.filter(F.expr("doc_id % 100 = 7")).select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(F.slice(tokens("text"), 1, 8), " ").alias("qtext"),
+        )
+    )
+    enc = sparse_encode(docs)
+    sp_exact = {
+        (r["query_id"], r["id"]) for r in sparse_topk(enc, sq, 10).collect()
+    }
+
+    def recall_sp(df) -> float:
+        got = {(r["query_id"], r["id"]) for r in df.collect()}
+        return round(len(got & sp_exact) / len(sp_exact), 4)
+
+    out["sparse_prune_recall10"] = {
+        str(frac): recall_sp(
+            sparse_topk(prune_postings(enc, min_impact_frac=frac), sq, 10)
+        )
+        for frac in (0.3, 0.5, 0.7)
+    }
     spark.stop()
     return out
 
@@ -416,6 +455,11 @@ def _measure_once(sf_dir: str) -> dict:
 
     _build("positional_index", phrase_index)
     _build("maxsim_token_layout", maxsim_ivf_layout)
+    from distributed_vector_search_system_spark.registry.llm import (
+        _sparse_index_path,
+    )
+
+    _build("sparse_index", _sparse_index_path)
     for name in retrieval:
         _time(name)
     spark.stop()
@@ -762,6 +806,35 @@ def _measure_scale(sf_dir: str) -> dict:
             binary_knn,
         )
 
+        # round-9 sparse anchor: the term-clustered weighted-postings
+        # index under fixed copy-0 queries — the up-scaler's
+        # copy-distinct tokens keep the queried terms' posting lists
+        # size-invariant, so expect ~flat like bm25_index_topk (the
+        # from-scratch sparse_topk pays the full encoder at any scale
+        # and is deliberately NOT anchored: its growth class is the
+        # corpus tokenize, already covered by bm25/dedup anchors).
+        # Build excluded (write path), deterministic path, overwritten
+        # per run.
+        from distributed_vector_search_system_spark.operators.sparse import (
+            sparse_encode_queries,
+        )
+        from distributed_vector_search_system_spark.sources.sparse_index import (
+            sparse_search_index,
+            write_sparse_index,
+        )
+
+        sp_idx = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".scale_cache",
+            f"sparseidx_{os.path.basename(os.path.normpath(d))}",
+        )
+        write_sparse_index(docs, sp_idx)
+        spq = sparse_encode_queries(
+            docs.filter(F.col("doc_id").isin(_SCALE_QUERY_IDS)).select(
+                F.col("doc_id").alias("query_id"),
+                F.array_join(F.slice(_tok("text"), 1, 8), " ").alias("qtext"),
+            )
+        )
         return {
             "knn_fixedq_expr": lambda: knn(emb, q, 10),
             "knn_fixedq_numpy": lambda: knn(emb, q, 10, method="numpy"),
@@ -788,6 +861,9 @@ def _measure_scale(sf_dir: str) -> dict:
             "maxsim_fixedq_ivf": lambda: maxsim_ivf_topk(
                 spark, ms_idx, ms_store, mq, 5, COSINE_CENTROIDS_SF001,
                 n_probe=4, gather=8,
+            ),
+            "sparse_fixedq_index": lambda: sparse_search_index(
+                spark, sp_idx, spq, 10
             ),
         }
 

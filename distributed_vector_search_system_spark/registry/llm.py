@@ -3324,3 +3324,39 @@ FROM win JOIN toks t ON t.doc_id = win.id
 
 EXTRA_QUERIES["search_snippets"] = q_search_snippets
 EXTRA_ORACLES["search_snippets"] = _snippets_oracle()
+
+
+# round-9 NEW-capability rotation (applied at round end, the
+# established close policy): this round's flagships — the learned-
+# sparse family's exact foundation and its two-push LWW store fold,
+# the trimodal fusion composing all three retrieval legs, and snippet
+# highlighting — join the driver window for their independent check
+# THIS round.  Four rows leave in exchange (a fifth leaves from the
+# vector module for retention_delete): temperature_sample and
+# corpus_pack were r8 rotations already driver-verified green in
+# CORRECTNESS_r08, text_quality's expression family stays covered by
+# curation_pipeline, and dedup_simhash's family keeps exact/minhash/
+# ngram/resolve/embedding rows in the window.  Every demoted row keeps
+# the IDENTICAL DuckDB comparison in the pytest tier.
+for _name in (
+    "sparse_topk",
+    "sparse_store_mutations",
+    "hybrid_trimodal",
+    "search_snippets",
+):
+    QUERIES[_name] = EXTRA_QUERIES.pop(_name)
+    ORACLES[_name] = EXTRA_ORACLES.pop(_name)
+for _name in (
+    "temperature_sample",
+    "corpus_pack",
+    "text_quality",
+    "dedup_simhash",
+):
+    EXTRA_QUERIES[_name] = QUERIES.pop(_name)
+    EXTRA_ORACLES[_name] = ORACLES.pop(_name)
+del _name
+
+
+# (paired demotion for the vector-side retention_delete promotion)
+EXTRA_QUERIES["ann_lsh_topk"] = QUERIES.pop("ann_lsh_topk")
+EXTRA_ORACLES["ann_lsh_topk"] = ORACLES.pop("ann_lsh_topk")

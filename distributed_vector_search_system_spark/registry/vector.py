@@ -2407,3 +2407,12 @@ SELECT query_id, id, ROUND(distance, 6) AS distance, rank FROM ranked WHERE rank
 
 EXTRA_QUERIES["retention_delete"] = q_retention_delete
 EXTRA_ORACLES["retention_delete"] = _retention_oracle()
+
+
+# round-9 NEW-capability rotation (vector side; see registry/llm.py for
+# the policy note): the retention sweep — this round's governance verb
+# on the merge-on-read store — joins the driver window; the LSH ANN row
+# leaves in exchange (the ANN family keeps IVF/PQ/SQ8/binary/cosine
+# driver rows; LSH keeps its identical oracle in the pytest tier).
+QUERIES["retention_delete"] = EXTRA_QUERIES.pop("retention_delete")
+ORACLES["retention_delete"] = EXTRA_ORACLES.pop("retention_delete")
