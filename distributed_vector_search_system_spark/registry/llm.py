@@ -3360,3 +3360,47 @@ del _name
 # (paired demotion for the vector-side retention_delete promotion)
 EXTRA_QUERIES["ann_lsh_topk"] = QUERIES.pop("ann_lsh_topk")
 EXTRA_ORACLES["ann_lsh_topk"] = ORACLES.pop("ann_lsh_topk")
+
+
+# ---------------------------------------------------------------------------
+# Round-9: the SparseEngine surface — the same TWO-push scenario as
+# sparse_store_mutations, but driven through the ENGINE (leader-ordered
+# engine-lifetime seqs, consistency gates, O(Δ) pushes at the strong
+# read's compaction) and served from the attached store.  Same fold →
+# REUSES the store row's oracle verbatim (the mutations_compact_
+# bucketed pattern: the serving path changes, the values cannot).
+
+def q_sparse_engine_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..operators.sparse import collect_doc_vectors, sparse_encode
+    from ..operators.sparse import sparse_encode_queries
+    from ..sparse_engine import SparseEngine
+
+    docs = load_table(spark, sf_dir, "documents")
+    eng = SparseEngine(
+        spark,
+        collect_doc_vectors(sparse_encode(docs)),
+    )
+    root = _os.path.join(
+        tempfile.gettempdir(), f"dvss_spark_sparseeng_{_os.getpid()}",
+        _os.path.basename(_os.path.normpath(sf_dir)) or "sf",
+    )
+    shutil.rmtree(root, ignore_errors=True)  # stale store from a prior run
+    eng.attach_store(root)
+    qp = sparse_encode_queries(_sparse_fixture_queries(spark, sf_dir))
+    # push 1
+    eng.upsert_doc_vector(7, ["alpha", "beta"], [1.0, 2.0])
+    eng.delete_doc(107)
+    eng.search(qp, _SPARSE_K, consistency="strong", method="store")
+    # push 2: supersede 7 across pushes, revive 107, absent-id no-op
+    eng.upsert_doc_vector(7, ["gamma"], [3.0])
+    eng.upsert_doc_vector(107, ["alpha", "delta"], [0.5, 1.5])
+    eng.delete_doc(999999999)
+    return eng.search(qp, _SPARSE_K, consistency="strong", method="store")
+
+
+EXTRA_QUERIES["sparse_engine_store"] = q_sparse_engine_store
+EXTRA_ORACLES["sparse_engine_store"] = _sparse_store_oracle()

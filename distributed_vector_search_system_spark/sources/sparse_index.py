@@ -156,6 +156,46 @@ def sparse_search_index(
     return _score_ranked(sparse_scores(postings, qp), k, "score")
 
 
+def write_sparse_index_triples(
+    triples: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    num_partitions: int = SPARSE_PARTITIONS,
+) -> None:
+    """Persist PRE-ENCODED ``(id, term, weight)`` triples in the same
+    layout ``write_sparse_index`` produces from text — the
+    weighting-agnostic build path (SparseEngine's per-epoch tier and
+    any model-encoded corpus use this; ``sparse_search_index`` reads
+    both identically).  ``stats/n_docs`` counts distinct posting ids —
+    for model-encoded corpora every doc has ≥1 term by construction."""
+    spark = triples.sparkSession
+    staged = f"{path}/_stage_postings"
+    triples.select("id", "term", "weight").write.mode(mode).parquet(staged)
+    enc = spark.read.parquet(staged)
+    (
+        enc.groupBy("term")
+        .agg(F.count("*").alias("df"), F.max("weight").alias("max_w"))
+        .write.mode(mode)
+        .parquet(f"{path}/terms")
+    )
+    (
+        enc.repartition(num_partitions, "term")
+        .sortWithinPartitions("term")
+        .write.mode(mode)
+        .parquet(f"{path}/postings")
+    )
+    enc.agg(F.count_distinct("id").alias("n_docs")).write.mode(mode).parquet(
+        f"{path}/stats"
+    )
+    try:
+        import shutil
+
+        shutil.rmtree(staged, ignore_errors=True)
+    except Exception:
+        pass
+
+
 # ---------------------------------------------------------------------------
 # Mutable store: model-weighted postings under the LWW discipline
 

@@ -424,9 +424,17 @@ class HybridEngine:
     scan tiers rank raw, matching their own oracles.
     """
 
-    def __init__(self, vector_engine: VectorEngine, text_engine: TextEngine):
+    def __init__(
+        self,
+        vector_engine: VectorEngine,
+        text_engine: TextEngine,
+        sparse_engine=None,
+    ):
         self._vec = vector_engine
         self._text = text_engine
+        #: optional third leg (round 9): a ``sparse_engine.SparseEngine``
+        #: — trimodal serving under the same single consistency level
+        self._sparse = sparse_engine
 
     def search(
         self,
@@ -441,13 +449,21 @@ class HybridEngine:
         where_text=None,
         where_vec=None,
         query_vector_col: str = "qvec",
+        sparse_queries: DataFrame | None = None,
+        sparse_method: str = "scan",
     ) -> DataFrame:
         """Fused per-query top-k ``(query_id, id, rrf, rank)``.
 
         ``where_text`` / ``where_vec``: per-leg FILTERED hybrid — each
         predicate is over its own engine's snapshot schema (the two
         corpora are different tables), applied BEFORE that leg's top-k
-        per the filtered-search contract."""
+        per the filtered-search contract.
+
+        ``sparse_queries`` (exploded ``(query_id, term, weight)``
+        postings; requires a sparse engine at construction): adds the
+        learned-sparse leg — TRIMODAL serving, all three legs gated at
+        the same consistency level (a STRONG read compacts all three
+        logs), fused rank-only."""
         lex = self._text.search(
             queries, leg_k,
             consistency=consistency, method=text_method, where=where_text,
@@ -463,9 +479,22 @@ class HybridEngine:
             consistency=consistency, method=vector_method, where=where_vec,
             **vec_kwargs,
         )
+        legs = [
+            lex.select("query_id", "id", "rank"),
+            vec.select("query_id", "id", "rank"),
+        ]
+        if sparse_queries is not None:
+            if self._sparse is None:
+                raise ValueError(
+                    "sparse_queries requires a sparse_engine at construction"
+                )
+            sp = self._sparse.search(
+                sparse_queries, leg_k,
+                consistency=consistency, method=sparse_method,
+            )
+            legs.append(sp.select("query_id", "id", "rank"))
         return rrf_fuse(
-            [lex.select("query_id", "id", "rank"),
-             vec.select("query_id", "id", "rank")],
+            legs,
             k,
             k_const=k_const,
         )
