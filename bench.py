@@ -376,6 +376,17 @@ def _measure_recall(sf_dir: str) -> dict:
         )
         for frac in (0.3, 0.5, 0.7)
     }
+    # champion-list (rank-capped) curve — the fixture's flat vocabulary
+    # is this tier's adversarial case (see cap_postings docstring);
+    # record it honestly per round
+    from distributed_vector_search_system_spark.operators.sparse import (
+        cap_postings,
+    )
+
+    out["sparse_cap_recall10"] = {
+        str(cap): recall_sp(sparse_topk(cap_postings(enc, cap), sq, 10))
+        for cap in (16, 64, 256)
+    }
     spark.stop()
     return out
 

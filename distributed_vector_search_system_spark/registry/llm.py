@@ -3404,3 +3404,48 @@ def q_sparse_engine_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXTRA_QUERIES["sparse_engine_store"] = q_sparse_engine_store
 EXTRA_ORACLES["sparse_engine_store"] = _sparse_store_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Round-9: the champion-list (rank-capped) sparse tier — cardinality-
+# bounded per-term IO (operators/sparse.cap_postings; served with a
+# pushed-down impact_rank predicate from the index).  Deterministic
+# rank → exact ROW_NUMBER replay, even though the tier is approximate.
+
+_SPARSE_CAP = 64
+
+
+def q_sparse_champion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sparse import sparse_encode_queries
+    from ..sources.sparse_index import sparse_search_index
+
+    qp = sparse_encode_queries(_sparse_fixture_queries(spark, sf_dir))
+    return sparse_search_index(
+        spark, _sparse_index_path(spark, sf_dir), qp, _SPARSE_K,
+        per_term_cap=_SPARSE_CAP,
+    )
+
+
+def _sparse_champion_oracle() -> str:
+    return f"""
+WITH {_sparse_ctes()},
+swr AS (SELECT id, term, weight,
+               ROW_NUMBER() OVER (PARTITION BY term
+                                  ORDER BY weight DESC, id) AS ir
+        FROM sw),
+swc AS (SELECT id, term, weight FROM swr WHERE ir <= {_SPARSE_CAP}),
+champ_scored AS (
+  SELECT sqw.query_id, swc.id, SUM(sqw.qweight * swc.weight) AS score
+  FROM sqw JOIN swc ON swc.term = sqw.term GROUP BY 1, 2),
+champ_ranked AS (
+  SELECT query_id, id, score6,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score6 DESC, id) AS INT) AS crank
+  FROM (SELECT query_id, id, ROUND(score, 6) AS score6 FROM champ_scored))
+SELECT query_id, id, score6 AS score, crank AS rank
+FROM champ_ranked WHERE crank <= {_SPARSE_K}
+"""
+
+
+EXTRA_QUERIES["sparse_champion_topk"] = q_sparse_champion_topk
+EXTRA_ORACLES["sparse_champion_topk"] = _sparse_champion_oracle()

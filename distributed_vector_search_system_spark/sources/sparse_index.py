@@ -41,7 +41,7 @@ stays weighting-agnostic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.sparse import sparse_encode, sparse_scores
@@ -93,9 +93,18 @@ def write_sparse_index(
         ).filter(
             F.col("weight") >= F.lit(float(min_impact_frac)) * F.col("max_w")
         ).select("term", "id", "weight")
+    # materialize the champion-list rank (operators.sparse.cap_postings
+    # order: weight desc, id asc) and cluster by (term, impact_rank):
+    # a query-time ``per_term_cap`` becomes a pushed-down predicate
+    # whose row-group min/max skipping bounds per-term IO at B rows
+    # regardless of corpus size
+    ir = Window.partitionBy("term").orderBy(
+        F.col("weight").desc(), F.col("id").asc()
+    )
     (
-        kept.repartition(num_partitions, "term")
-        .sortWithinPartitions("term")
+        kept.withColumn("impact_rank", F.row_number().over(ir))
+        .repartition(num_partitions, "term")
+        .sortWithinPartitions("term", "impact_rank")
         .write.mode(mode)
         .parquet(f"{path}/postings")
     )
@@ -118,6 +127,7 @@ def sparse_search_index(
     k: int,
     *,
     min_impact_frac: float = 0.0,
+    per_term_cap: int | None = None,
 ) -> DataFrame:
     """Top-k weighted dot product served from the persisted index.
 
@@ -128,6 +138,13 @@ def sparse_search_index(
     which must be a literal to prune row groups), postings are read
     for those terms only, optionally impact-filtered against the
     broadcast ``terms/`` stats, scored and round-then-ranked.
+
+    ``per_term_cap=B`` serves the champion-list tier: the build-time
+    ``impact_rank`` column turns the cap into a second pushed-down
+    predicate, and the (term, impact_rank) clustering makes it skip
+    row groups — per-term IO bounded at B rows at ANY corpus size.
+    Rows equal ``sparse_topk`` over
+    ``operators.sparse.cap_postings(enc, B)`` exactly (tested).
     """
     qp = query_postings.select("query_id", "term", "weight")
     vocab = [r["term"] for r in qp.select("term").distinct().collect()]
@@ -139,6 +156,16 @@ def sparse_search_index(
     postings = spark.read.parquet(f"{path}/postings").filter(
         F.col("term").isin(vocab)
     )
+    if per_term_cap is not None:
+        if per_term_cap < 1:
+            raise ValueError("per_term_cap must be >= 1")
+        if "impact_rank" not in postings.columns:
+            raise ValueError(
+                "per_term_cap requires an index with a materialized "
+                "impact_rank column (rebuild with the current writer)"
+            )
+        postings = postings.filter(F.col("impact_rank") <= per_term_cap)
+    postings = postings.select("term", "id", "weight")
     if min_impact_frac > 0.0:
         stats = (
             spark.read.parquet(f"{path}/terms")
@@ -179,9 +206,13 @@ def write_sparse_index_triples(
         .write.mode(mode)
         .parquet(f"{path}/terms")
     )
+    ir = Window.partitionBy("term").orderBy(
+        F.col("weight").desc(), F.col("id").asc()
+    )
     (
-        enc.repartition(num_partitions, "term")
-        .sortWithinPartitions("term")
+        enc.withColumn("impact_rank", F.row_number().over(ir))
+        .repartition(num_partitions, "term")
+        .sortWithinPartitions("term", "impact_rank")
         .write.mode(mode)
         .parquet(f"{path}/postings")
     )

@@ -31,12 +31,13 @@ def test_registry_row_counts():
 #: pytest-tier row count / oracled subset — bump when adding operators
 # r09: + sparse_topk, sparse_pruned_topk, sparse_index_topk,
 # hybrid_weighted, sparse_store_mutations, sparse_engine_store (the
-# learned-sparse family incl. its engine surface),
+# learned-sparse family incl. its engine surface and the champion
+# rank-capped tier sparse_champion_topk),
 # hybrid_trimodal (all three legs fused), doc_facets, bm25_facets
 # (faceted search), search_snippets (highlighting), retention_delete
 # (bulk store sweep) — all exact-oracled
-EXPECTED_EXTRA = 82
-EXPECTED_EXTRA_ORACLED = 81
+EXPECTED_EXTRA = 83
+EXPECTED_EXTRA_ORACLED = 82
 
 
 def test_driver_window_holds_all_llm_queries():
