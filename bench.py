@@ -997,6 +997,74 @@ def _measure_maintenance(sf_dir: str) -> dict:
         t0 = time.perf_counter()
         store.search(spark, q, 10).write.format("noop").mode("overwrite").save()
         store_cq_steady_s = round(time.perf_counter() - t0, 4)
+        # round 9: the SPARSE store's same write-path decision — a
+        # compacted write either re-encodes + rewrites the whole
+        # term-clustered index (write_sparse_index) or folds the
+        # mutation batch into the merge-on-read store (apply_log,
+        # O(batch); weights travel with the mutations so the apply
+        # does zero encoding).  One dirty + one compacted read each,
+        # mirroring the lexical numbers above.
+        from distributed_vector_search_system_spark.functions.text import (
+            tokens as _tok9,
+        )
+        from distributed_vector_search_system_spark.operators.sparse import (
+            collect_doc_vectors,
+            sparse_encode,
+            sparse_encode_queries,
+        )
+        from distributed_vector_search_system_spark.sources.sparse_index import (
+            MutableSparseIndexStore,
+            write_sparse_index,
+        )
+
+        t0 = time.perf_counter()
+        write_sparse_index(docs, os.path.join(root, "sp_rebuilt"))
+        sp_rebuild_s = round(time.perf_counter() - t0, 4)
+        sstore = MutableSparseIndexStore(os.path.join(root, "sp_store"))
+        t0 = time.perf_counter()
+        sstore.init_base(collect_doc_vectors(sparse_encode(docs)))
+        sp_init_s = round(time.perf_counter() - t0, 4)
+        sp_log = (
+            ups.select(
+                F.col("doc_id").alias("id"),
+                F.lit("upsert").alias("op"),
+                _tok9("text").alias("terms"),
+            )
+            .withColumn(
+                "weights",
+                F.transform("terms", lambda _: F.lit(1.0)),
+            )
+            .unionByName(
+                dels.select(
+                    F.col("doc_id").alias("id"),
+                    F.lit("delete").alias("op"),
+                    F.lit(None).cast("array<string>").alias("terms"),
+                    F.lit(None).cast("array<double>").alias("weights"),
+                )
+            )
+            .withColumn("seq", F.row_number().over(Window.orderBy("id")).cast("long"))
+        )
+        t0 = time.perf_counter()
+        sstore.apply_log(sp_log.select("seq", "op", "id", "terms", "weights"))
+        sp_apply_s = round(time.perf_counter() - t0, 4)
+        sq = sparse_encode_queries(
+            docs.filter(F.col("doc_id") % 100 == 7).select(
+                F.col("doc_id").alias("query_id"),
+                F.array_join(F.slice(_tok9("text"), 1, 8), " ").alias("qtext"),
+            )
+        )
+        t0 = time.perf_counter()
+        sstore.search(spark, sq, 10).write.format("noop").mode("overwrite").save()
+        sp_dirty_q_s = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        sstore.search(spark, sq, 10).write.format("noop").mode("overwrite").save()
+        sp_dirty_q_steady_s = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        sstore.compact(spark)
+        sp_compact_s = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        sstore.search(spark, sq, 10).write.format("noop").mode("overwrite").save()
+        sp_clean_q_s = round(time.perf_counter() - t0, 4)
     finally:
         shutil.rmtree(root, ignore_errors=True)
         spark.stop()
@@ -1011,6 +1079,13 @@ def _measure_maintenance(sf_dir: str) -> dict:
         "store_merge_on_read_query_steady_sec": store_q_steady_s,
         "store_compacted_query_sec": store_cq_s,
         "store_compacted_query_steady_sec": store_cq_steady_s,
+        "sparse_full_rebuild_sec": sp_rebuild_s,
+        "sparse_store_delta_apply_sec": sp_apply_s,
+        "sparse_store_init_once_sec": sp_init_s,
+        "sparse_store_compact_sec": sp_compact_s,
+        "sparse_store_dirty_query_sec": sp_dirty_q_s,
+        "sparse_store_dirty_query_steady_sec": sp_dirty_q_steady_s,
+        "sparse_store_compacted_query_sec": sp_clean_q_s,
     }
 
 
