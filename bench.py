@@ -876,6 +876,15 @@ def _measure_scale(sf_dir: str) -> dict:
             "sparse_fixedq_index": lambda: sparse_search_index(
                 spark, sp_idx, spq, 10
             ),
+            # champion tier: impact_rank <= B pushdown bounds per-term
+            # IO at B rows at ANY corpus size — this row should be the
+            # flattest sparse number (the exact row is already ~flat
+            # here because the up-scaler keeps fixed-query posting
+            # lists size-invariant; at real Zipfian growth the cap is
+            # what holds the bound)
+            "sparse_fixedq_champion": lambda: sparse_search_index(
+                spark, sp_idx, spq, 10, per_term_cap=64
+            ),
         }
 
     out: dict = {

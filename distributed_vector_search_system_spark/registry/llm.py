@@ -3449,3 +3449,51 @@ FROM champ_ranked WHERE crank <= {_SPARSE_K}
 
 EXTRA_QUERIES["sparse_champion_topk"] = q_sparse_champion_topk
 EXTRA_ORACLES["sparse_champion_topk"] = _sparse_champion_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Round-9: boolean term constraints (operators/boolean.py) under BM25 —
+# the AND/OR/NOT admissibility layer composed with ranking through the
+# established filter_ids= contract (restriction BEFORE the rank;
+# corpus-level stats, the filtered-search convention).
+
+_BOOL_ALL = ("a", "the")
+_BOOL_NONE = ("of",)
+
+
+def q_bm25_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.boolean import boolean_matching_ids
+    from ..operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    adm = boolean_matching_ids(
+        docs, all_of=_BOOL_ALL, none_of=_BOOL_NONE
+    )
+    return bm25_topk(
+        docs, _retrieval_queries(spark, sf_dir), _HYBRID_K, filter_ids=adm
+    )
+
+
+def _bm25_boolean_oracle() -> str:
+    all_list = ", ".join(f"'{t}'" for t in _BOOL_ALL)
+    none_list = ", ".join(f"'{t}'" for t in _BOOL_NONE)
+    return f"""
+WITH {_bm25_scored_ctes()},
+bdt AS (SELECT doc_id AS id, UNNEST(list_distinct(w)) AS term FROM toks),
+bpos AS (SELECT id FROM bdt WHERE term IN ({all_list})
+         GROUP BY id HAVING COUNT(DISTINCT term) = {len(_BOOL_ALL)}),
+bneg AS (SELECT DISTINCT id FROM bdt WHERE term IN ({none_list})),
+badm AS (SELECT id FROM bpos WHERE id NOT IN (SELECT id FROM bneg)),
+bool_ranked AS (
+  SELECT query_id, id, score6,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score6 DESC, id) AS INT) AS rank
+  FROM (SELECT s.query_id, s.id, ROUND(s.score, 6) AS score6
+        FROM bm25_scored s JOIN badm USING (id)))
+SELECT query_id, id, score6 AS score, rank
+FROM bool_ranked WHERE rank <= {_HYBRID_K}
+"""
+
+
+EXTRA_QUERIES["bm25_boolean"] = q_bm25_boolean
+EXTRA_ORACLES["bm25_boolean"] = _bm25_boolean_oracle()

@@ -32,12 +32,13 @@ def test_registry_row_counts():
 # r09: + sparse_topk, sparse_pruned_topk, sparse_index_topk,
 # hybrid_weighted, sparse_store_mutations, sparse_engine_store (the
 # learned-sparse family incl. its engine surface and the champion
-# rank-capped tier sparse_champion_topk),
+# rank-capped tier sparse_champion_topk), bm25_boolean (AND/OR/NOT
+# admissibility under ranking),
 # hybrid_trimodal (all three legs fused), doc_facets, bm25_facets
 # (faceted search), search_snippets (highlighting), retention_delete
 # (bulk store sweep) — all exact-oracled
-EXPECTED_EXTRA = 83
-EXPECTED_EXTRA_ORACLED = 82
+EXPECTED_EXTRA = 84
+EXPECTED_EXTRA_ORACLED = 83
 
 
 def test_driver_window_holds_all_llm_queries():
