@@ -11,7 +11,11 @@ same capabilities Spark-first:
                             persisted-index serving per snapshot epoch)
 - ``text_engine``         — TextEngine (BM25 serving + doc mutations
                             under the same discipline) and HybridEngine
-                            (fused lexical+vector front door)
+                            (fused lexical+vector front door; optional
+                            learned-sparse third leg = trimodal serving)
+- ``sparse_engine``       — SparseEngine: the learned-sparse surface
+                            under the same gates/epochs/O(Δ)-store
+                            discipline (model-encoded snapshots)
 - ``operators.knn``       — exact kNN / batch kNN (reference Q1-Q6)
 - ``operators.mutations`` — upsert/delete mutation log + last-writer-wins
                             compaction (reference M1-M4, R11)

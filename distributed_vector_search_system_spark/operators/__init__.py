@@ -6,3 +6,14 @@ from .chunking import chunk_documents  # noqa: F401
 from .paragraphs import paragraph_dedup  # noqa: F401
 from .pq import pq_adc_topk, pq_encode, pq_fit, pq_sample_codebooks  # noqa: F401
 from .sampling import hash_sample, hash_split, stratified_sample  # noqa: F401
+from .sparse import (  # noqa: F401
+    cap_postings,
+    fuse_weighted,
+    prune_postings,
+    sparse_encode,
+    sparse_encode_queries,
+    sparse_topk,
+)
+from .facets import facet_counts, facets_for_hits, topn_facet_counts  # noqa: F401
+from .snippets import best_window_snippets  # noqa: F401
+from .boolean import boolean_matching_ids, boolean_matching_ids_index  # noqa: F401
