@@ -96,7 +96,8 @@ import pytest
     ],
 )
 def test_llm_pipeline_no_allpairs_join(spark, sf_smoke, name):
-    plan = _plan(registry.queries()[name](spark, sf_smoke))
+    # all_queries: the lock follows rows across rotation tiers (r9)
+    plan = _plan(registry.all_queries()[name](spark, sf_smoke))
     assert "CartesianProduct" not in plan, name
     assert "BroadcastNestedLoopJoin" not in plan, name
 
@@ -215,7 +216,7 @@ def test_ann_lsh_single_corpus_scan(spark, sf_smoke):
     ONE pass over the corpus: exactly 2 scans of embeddings total (the
     corpus side + the query-set side) — the per-table join+union shape
     scanned the corpus once per table (a 4x IO multiplier at 100 TB)."""
-    plan = _plan(registry.queries()["ann_lsh_topk"](spark, sf_smoke))
+    plan = _plan(registry.all_queries()["ann_lsh_topk"](spark, sf_smoke))
     assert _count_embedding_scans(plan) == 2, plan
 
 
