@@ -120,13 +120,16 @@ def facets_for_hits(
 
     ``hits`` carries ``(query_id, id)`` — typically the SCORED
     candidate set of a lexical/sparse leg (every doc sharing a term),
-    i.e. the set a search UI's facet sidebar describes.  Returns
+    i.e. the set a search UI's facet sidebar describes.  Duplicate
+    ``(query_id, id)`` rows are deduplicated first so each matched doc
+    counts once (ADVICE r09 — the same contract
+    ``best_window_snippets`` applies to its ``hits``).  Returns
     ``(query_id, facet, value, count)``.
     """
     attrs = docs.select(
         F.col(doc_id_col).alias("id"), _pairs(facet_cols).alias("_ps")
     )
-    joined = hits.select("query_id", "id").join(attrs, "id")
+    joined = hits.select("query_id", "id").distinct().join(attrs, "id")
     exploded = joined.select(
         "query_id", F.explode("_ps").alias("_p")
     ).select(

@@ -91,6 +91,14 @@ def sparse_encode(
     registry oracle rows.  df/N are computed from the RESTRICTED
     postings / the full docs count respectively; dropping other terms'
     rows changes neither (same argument as bm25_scores' semi join).
+
+    COST NOTE (VERDICT r09): this is a MULTI-SCAN encode — tokenize,
+    a per-(id, term) tf shuffle, and a per-term df shuffle — run it
+    once at index build (``sources.sparse_index.write_sparse_index``),
+    not per query.  In production learned-sparse weights arrive
+    pre-computed as triples; composing this encoder into a query path
+    (as ``q_sparse_topk`` deliberately does to carry the oracle) pays
+    the full encode per invocation.
     """
     toks = docs.select(
         F.col(doc_id_col).alias("id"), tokens(text_col).alias("_toks")

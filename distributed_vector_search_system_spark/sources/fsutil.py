@@ -34,6 +34,17 @@ def write_marker(spark: SparkSession, path: str, content: str) -> None:
         out.close()
 
 
+def delete_path(spark: SparkSession, path: str) -> bool:
+    """Recursively delete ``path`` via the Hadoop FS API (ADVICE r09:
+    ``shutil.rmtree`` on a staging directory only works on a local
+    filesystem — on ``hdfs://`` / ``s3a://`` the stage would silently
+    persist forever).  Returns True if something was deleted."""
+    fs, hpath = _fs_and_path(spark, path)
+    if not fs.exists(hpath):
+        return False
+    return bool(fs.delete(hpath, True))
+
+
 def read_marker(spark: SparkSession, path: str) -> str | None:
     """Read ``path`` as ASCII text, or None if it does not exist."""
     fs, hpath = _fs_and_path(spark, path)

@@ -548,6 +548,11 @@ class MutablePostingIndexStore(PostingIndexStore):
         super().__init__(root)
         self._applied = 0
         self._stats_memo: dict[tuple[str, int], tuple[int, float]] = {}
+        #: lowest seq a DEFAULT-seq sweep may not collide with — an
+        #: attached engine's pending driver-side seqs are invisible to
+        #: the store's max(seq) scan, so the engine advances this on
+        #: every mutation (ADVICE r09, same guard as the sparse store)
+        self.seq_floor = 0
 
     def _paths(self) -> tuple[str, str, str]:
         d = self._os.path.join(self.root, self._current_gen())
@@ -704,25 +709,35 @@ class MutablePostingIndexStore(PostingIndexStore):
         Ids whose current LWW state is already deleted (or never
         existed) are skipped — a sweep is a no-op on them, keeping the
         append proportional to what it actually changes.  All
-        tombstones share one sweep seq (current max + 1 by default;
-        pass the engine log's next seq when the store is
-        engine-attached).  Returns the number of ids tombstoned.
+        tombstones share one sweep seq (``max(stored seq, seq_floor)
+        + 1`` by default — the floor covers an attached engine's
+        PENDING driver-side seqs, ADVICE r09; pass the engine log's
+        next seq explicitly to order later per-id mutations after the
+        sweep).  Returns the number of ids tombstoned.
         """
         spark = ids.sparkSession
         muts = self._all_muts(spark)
         if seq is None:
             row = muts.agg(F.max("seq").alias("m")).collect()[0]
-            seq = int(row["m"] or 0) + 1
+            seq = max(int(row["m"] or 0), int(self.seq_floor)) + 1
+        elif seq <= self.seq_floor:
+            raise ValueError(
+                f"sweep seq {seq} <= an attached engine's last assigned "
+                f"seq {self.seq_floor}; same-seq LWW arbitration on one "
+                "id is order-dependent — pass the engine's next seq"
+            )
         live = self._winners(muts).filter(F.col("op") == "upsert").select("id")
         matched = live.join(
             ids.select(F.col(id_col).alias("id")).distinct(), "id", "left_semi"
         )
+        # pin the matched set before count/append — the lineage reads
+        # the muts directory the append below mutates (ADVICE r09)
         tomb = matched.select(
             "id",
             F.lit(int(seq)).cast("long").alias("seq"),
             F.lit("delete").alias("op"),
             F.lit(None).cast("long").alias("dl"),
-        )
+        ).localCheckpoint()
         n = tomb.count()
         if n:
             from .fsutil import write_marker

@@ -73,7 +73,19 @@ def write_sparse_index(
     stable under re-pruning (pruning twice at the same frac is a
     no-op, and a query-time frac composes with the build-time one on
     the same scale).
+
+    ``mode`` must be ``"overwrite"``: the layout's side tables
+    (``terms/`` df+max_w, ``stats/`` n_docs) are full-corpus
+    aggregates — an append would double-count them and corrupt every
+    idf/impact consumer (ADVICE r09).  Incremental maintenance is the
+    ``MutableSparseIndexStore`` tier, not a second build.
     """
+    if mode != "overwrite":
+        raise ValueError(
+            "write_sparse_index is overwrite-only (terms/stats are "
+            "full-corpus aggregates; appending would corrupt df/max_w/"
+            "n_docs) — use MutableSparseIndexStore for increments"
+        )
     postings = sparse_encode(docs, doc_id_col=doc_id_col, text_col=text_col)
     spark = docs.sparkSession
     # stage the encoded postings once (the terms aggregate and the
@@ -111,11 +123,13 @@ def write_sparse_index(
     docs.agg(F.count("*").alias("n_docs")).write.mode(mode).parquet(
         f"{path}/stats"
     )
-    # drop the stage (best-effort; the index is already complete)
+    # drop the stage (best-effort; the index is already complete) —
+    # through the Hadoop FS API so hdfs://-s3a:// stages are cleaned
+    # too, not just local paths (ADVICE r09)
     try:
-        import shutil
+        from .fsutil import delete_path
 
-        shutil.rmtree(staged, ignore_errors=True)
+        delete_path(spark, staged)
     except Exception:
         pass
 
@@ -195,7 +209,14 @@ def write_sparse_index_triples(
     weighting-agnostic build path (SparseEngine's per-epoch tier and
     any model-encoded corpus use this; ``sparse_search_index`` reads
     both identically).  ``stats/n_docs`` counts distinct posting ids —
-    for model-encoded corpora every doc has ≥1 term by construction."""
+    for model-encoded corpora every doc has ≥1 term by construction.
+    Overwrite-only, same reason as ``write_sparse_index``."""
+    if mode != "overwrite":
+        raise ValueError(
+            "write_sparse_index_triples is overwrite-only (terms/stats "
+            "are full-corpus aggregates) — use MutableSparseIndexStore "
+            "for increments"
+        )
     spark = triples.sparkSession
     staged = f"{path}/_stage_postings"
     triples.select("id", "term", "weight").write.mode(mode).parquet(staged)
@@ -220,9 +241,9 @@ def write_sparse_index_triples(
         f"{path}/stats"
     )
     try:
-        import shutil
+        from .fsutil import delete_path
 
-        shutil.rmtree(staged, ignore_errors=True)
+        delete_path(spark, staged)
     except Exception:
         pass
 
@@ -273,6 +294,13 @@ class MutableSparseIndexStore:
 
         self.root = root
         self._os = os
+        #: lowest seq a DEFAULT-seq sweep may not collide with.  An
+        #: attached engine assigns seqs driver-side and holds them
+        #: PENDING until compact — invisible to the store's max(seq)
+        #: scan — so the engine advances this floor on every mutation
+        #: (ADVICE r09: a default sweep seq colliding with a pending
+        #: engine seq makes same-id LWW arbitration order-dependent).
+        self.seq_floor = 0
 
     # -- generation machinery (sibling stores' idiom) -------------------------
 
@@ -404,12 +432,20 @@ class MutableSparseIndexStore:
     ) -> int:
         """Bulk retention sweep — one ``delete`` arbiter row per LIVE
         matching id (same contract as the sibling stores; see
-        ``MutablePostingIndexStore.delete_ids``)."""
+        ``MutablePostingIndexStore.delete_ids``).  The default sweep
+        seq is ``max(stored seq, seq_floor) + 1`` — the floor covers
+        an attached engine's PENDING driver-side seqs (ADVICE r09)."""
         spark = ids.sparkSession
         muts = self._all_muts(spark)
         if seq is None:
             row = muts.agg(F.max("seq").alias("m")).collect()[0]
-            seq = int(row["m"] or 0) + 1
+            seq = max(int(row["m"] or 0), int(self.seq_floor)) + 1
+        elif seq <= self.seq_floor:
+            raise ValueError(
+                f"sweep seq {seq} <= an attached engine's last assigned "
+                f"seq {self.seq_floor}; same-seq LWW arbitration on one "
+                "id is order-dependent — pass the engine's next seq"
+            )
         live = (
             muts.groupBy("id")
             .agg(F.max_by("op", "seq").alias("op"))
@@ -419,11 +455,16 @@ class MutableSparseIndexStore:
         matched = live.join(
             ids.select(F.col(id_col).alias("id")).distinct(), "id", "left_semi"
         )
+        # fix the matched set BEFORE the count/append: the lineage reads
+        # the muts directory this method appends to, so an un-pinned
+        # plan re-executed by a task retry would scan a directory being
+        # mutated, and count vs written rows would come from two
+        # executions (ADVICE r09)
         tomb = matched.select(
             "id",
             F.lit(int(seq)).cast("long").alias("seq"),
             F.lit("delete").alias("op"),
-        )
+        ).localCheckpoint()
         n = tomb.count()
         if n:
             from .fsutil import write_marker

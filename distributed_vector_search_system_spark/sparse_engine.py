@@ -219,6 +219,9 @@ class SparseEngine:
                 F.col(self._id).alias("id"), "terms", "weights"
             )
         )
+        # engine seqs already assigned (now folded) bound any default
+        # sweep seq from below, even before the first post-attach push
+        store.seq_floor = self.version
         self._store = store
         # NOTE on seq discipline: this engine's seq counter is
         # engine-lifetime monotone and never resets at compaction
@@ -250,6 +253,11 @@ class SparseEngine:
     def _on_mutation(self) -> None:
         self.version += 1
         self._pending += 1
+        if self._store is not None:
+            # pending seqs are driver-side until compact — invisible to
+            # the store's max(seq) scan, so advance its sweep floor
+            # (ADVICE r09; see MutableSparseIndexStore.delete_ids)
+            self._store.seq_floor = self._entries[-1][0]
         if self._auto_compact is not None and self._pending >= self._auto_compact:
             self.compact()
 

@@ -289,11 +289,16 @@ class IvfIndexStore:
                 seq = int(row["m"] or 0) + 1
         matched = self.live_rows(spark).filter(pred).select("vec_id")
         _, _, muts = self._snapshot_paths()
+        # pin the matched set BEFORE counting/writing: the lineage reads
+        # the muts directory the append below mutates, so an un-pinned
+        # plan re-executed by a task retry would scan a directory being
+        # written, and count vs written rows would come from two
+        # separate executions (ADVICE r09)
         tomb = matched.select(
             "vec_id",
             F.lit(int(seq)).cast("long").alias("seq"),
             F.lit(DELETE).alias("op"),
-        )
+        ).localCheckpoint()
         # one count, one append; the count is also the no-op guard (an
         # empty append would still create parquet part files)
         n = tomb.count()

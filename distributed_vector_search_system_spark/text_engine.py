@@ -323,6 +323,9 @@ class TextEngine:
         store.init_base(
             self._snapshot, doc_id_col=self._doc_id, text_col=self._text
         )
+        # engine seqs already assigned bound any default sweep seq
+        # (ADVICE r09; see MutablePostingIndexStore.delete_ids)
+        store.seq_floor = self.version
         self._store = store
 
     def size(self) -> int:
@@ -352,6 +355,11 @@ class TextEngine:
     def _on_mutation(self) -> None:
         self.version += 1
         self._pending += 1
+        if self._store is not None:
+            # pending seqs are driver-side until compact — advance the
+            # store's sweep floor so a default-seq delete_ids cannot
+            # collide with them (ADVICE r09)
+            self._store.seq_floor = self._entries[-1][0]
         if self._auto_compact is not None and self._pending >= self._auto_compact:
             self.compact()
 

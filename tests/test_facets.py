@@ -105,3 +105,23 @@ def test_single_scan_plan(spark, sf_oracle):
     # and the text column is pruned out of the scan
     scan_lines = [l for l in plan.splitlines() if "FileScan" in l]
     assert all("text" not in l for l in scan_lines)
+
+
+def test_facets_for_hits_dedups_hit_rows(spark):
+    """ADVICE r09: duplicate (query_id, id) hit rows must not inflate
+    facet counts — same contract as best_window_snippets' hits."""
+    from distributed_vector_search_system_spark.operators.facets import (
+        facets_for_hits,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "fr")], "doc_id long, lang string"
+    )
+    hits = spark.createDataFrame(
+        [(0, 1), (0, 1), (0, 2), (0, 3), (0, 3)], "query_id long, id long"
+    )
+    got = {
+        (r["facet"], r["value"]): r["count"]
+        for r in facets_for_hits(hits, docs, ["lang"]).collect()
+    }
+    assert got == {("lang", "en"): 2, ("lang", "fr"): 1}

@@ -184,3 +184,46 @@ def test_posting_sweep_respects_lww_and_stats(spark, tmp_path):
     assert set(got) == set(want)
     for i in want:
         assert got[i] == pytest.approx(want[i], rel=1e-9)
+
+
+def test_posting_sweep_seq_floor_guard(spark, tmp_path):
+    """ADVICE r09: a default sweep seq must clear an attached engine's
+    PENDING driver-side seqs, and an explicit colliding seq raises."""
+    s = _pstore(spark, tmp_path)
+    s.seq_floor = 50  # as an engine with 50 assigned (pending) seqs sets
+    with pytest.raises(ValueError, match="sweep seq"):
+        s.delete_ids(spark.createDataFrame([(2,)], "id long"), seq=50)
+    # default seq clears the floor: the sweep lands ABOVE seq 50, so a
+    # later engine mutation at seq <= 50 cannot tie with it
+    assert s.delete_ids(spark.createDataFrame([(2,)], "id long")) == 1
+    muts = spark.read.parquet(
+        f"{s.root}/{s._current_gen()}/muts"
+    )
+    swept = muts.filter(F.col("op") == "delete").agg(F.max("seq")).first()[0]
+    assert swept == 51
+
+
+def test_text_engine_advances_store_seq_floor(spark):
+    """The engine pushes its last assigned seq into the attached store
+    on every mutation, so default-seq sweeps cannot collide."""
+    import tempfile
+
+    from distributed_vector_search_system_spark.text_engine import TextEngine
+
+    docs = spark.createDataFrame(_BASE_DOCS, "doc_id long, text string")
+    eng = TextEngine(spark, docs)
+    with tempfile.TemporaryDirectory() as root:
+        eng.attach_store(root)
+        eng.upsert_doc(1, "banana banana")
+        eng.delete_doc(4)
+        # both mutations are pending (driver-side); the store's floor
+        # already covers their seqs
+        assert eng._store.seq_floor == 2
+        ids = spark.createDataFrame([(2,)], "id long")
+        assert eng._store.delete_ids(ids) == 1
+        eng.compact()
+        hit_ids = {
+            r["id"]
+            for r in eng.search(_q(spark), 10, method="store").collect()
+        }
+        assert hit_ids == {1, 3}  # 2 swept, 4 engine-deleted

@@ -489,3 +489,21 @@ def test_capped_recall_measured(spark, sf_smoke):
     r64, r256 = rec(64), rec(256)
     assert r256 >= 0.9, f"deep-cap recall@10 {r256:.3f} below floor"
     assert r256 >= r64, "recall must be monotone in the cap"
+
+
+def test_write_sparse_index_overwrite_only(spark, tmp_path):
+    """ADVICE r09: terms/stats are full-corpus aggregates — an append
+    would corrupt df/max_w/n_docs, so both writers reject it."""
+    import pytest as _pytest
+
+    from distributed_vector_search_system_spark.sources.sparse_index import (
+        write_sparse_index,
+        write_sparse_index_triples,
+    )
+
+    docs = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="overwrite-only"):
+        write_sparse_index(docs, str(tmp_path / "si"), mode="append")
+    tri = spark.createDataFrame([(1, "alpha", 1.0)], "id long, term string, weight double")
+    with _pytest.raises(ValueError, match="overwrite-only"):
+        write_sparse_index_triples(tri, str(tmp_path / "si2"), mode="append")
