@@ -2623,6 +2623,109 @@ EXTRA_QUERIES["maxsim_store_mutations"] = q_maxsim_store_mutations
 EXTRA_ORACLES["maxsim_store_mutations"] = _maxsim_store_oracle()
 
 
+# --- token-store bulk retention (round 10, VERDICT r09 missing #3) -----------
+# The governance verb on the LAST store family that lacked it: a
+# delete_ids sweep lands AFTER a mutation push, so the sweep's verdict
+# is evaluated against the folded state (swept ids that were upserted
+# in the push vanish; swept ids the push already tombstoned are
+# no-ops).  The oracle replays fold-then-filter directly.
+
+_TOKRET_STATE: dict[str, str] = {}
+
+
+def q_maxsim_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep doc%30==7 through a token store that already absorbed one
+    push (doc%40==1 negated, doc%40==2 tombstoned), then exact MaxSim
+    over the dirty generation — equals fold-then-filter."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..sources.token_store import MutableTokenStore
+    from .trained_cents import COSINE_CENTROIDS_SF001
+
+    path = _TOKRET_STATE.get(sf_dir)
+    if path is None:
+        name = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+        path = _os.path.join(
+            tempfile.gettempdir(), f"dvss_spark_tokret_{_os.getpid()}", name
+        )
+        shutil.rmtree(path, ignore_errors=True)
+        dv = _maxsim_pseudo_tokens(spark, sf_dir)
+        store = MutableTokenStore(path)
+        store.init_base(dv, COSINE_CENTROIDS_SF001)
+        docs = (
+            dv.groupBy("doc_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "embedding"))
+                ).alias("_ts")
+            )
+            .select(
+                "doc_id",
+                F.transform("_ts", lambda s: s["embedding"]).alias("tokens"),
+            )
+        )
+        neg = F.transform("tokens", lambda v: F.transform(v, lambda x: -x))
+        nulltoks = F.lit(None).cast("array<array<float>>")
+        log1 = (
+            docs.filter(F.col("doc_id") % 40 == 1)
+            .select("doc_id", F.lit("upsert").alias("op"), neg.alias("tokens"))
+            .unionByName(
+                docs.filter(F.col("doc_id") % 40 == 2).select(
+                    "doc_id", F.lit("delete").alias("op"),
+                    nulltoks.alias("tokens"),
+                )
+            )
+            .withColumn("seq", (F.lit(1_000_000) + F.col("doc_id")))
+        )
+        store.apply_log(log1)
+        swept = dv.select("doc_id").distinct().filter(
+            F.col("doc_id") % 30 == 7
+        )
+        store.delete_ids(swept, id_col="doc_id")
+        _TOKRET_STATE[sf_dir] = path
+    from ..sources.token_store import MutableTokenStore as _MTS
+
+    store = _MTS(path)
+    dv = _maxsim_pseudo_tokens(spark, sf_dir)
+    q = (
+        dv.filter(F.col("doc_id") % 50 == 3)
+        .groupBy(F.col("doc_id").alias("query_id"))
+        .agg(F.collect_list("embedding").alias("qvecs"))
+    )
+    return store.search(spark, q, _MAXSIM_K)
+
+
+def _maxsim_retention_oracle() -> str:
+    cos = _SQL_COSINE.format(x="qt.qv", y="d.embedding")
+    return f"""
+WITH dv0 AS (SELECT vec_id // {_MAXSIM_GROUP} AS doc_key, vec_id, embedding
+             FROM embeddings),
+live AS (
+  SELECT doc_key,
+         CASE WHEN doc_key % 40 = 1 THEN list_transform(embedding, x -> -x)
+              ELSE embedding END AS embedding
+  FROM dv0 WHERE doc_key % 40 <> 2 AND doc_key % 30 <> 7
+),
+qt AS (SELECT doc_key AS query_id, vec_id AS qtok, embedding AS qv
+       FROM dv0 WHERE {_MAXSIM_QPRED_SQL}),
+pair AS (SELECT qt.query_id, qt.qtok, d.doc_key AS id, {cos} AS s
+         FROM qt CROSS JOIN live d),
+mx AS (SELECT query_id, qtok, id, MAX(s) AS ms FROM pair GROUP BY 1, 2, 3),
+sc AS (SELECT query_id, id, ROUND(SUM(ms), 6) AS maxsim FROM mx GROUP BY 1, 2)
+SELECT query_id, id, maxsim, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY maxsim DESC, id) AS INT) AS rank
+  FROM sc)
+WHERE rank <= {_MAXSIM_K}
+"""
+
+
+EXTRA_QUERIES["maxsim_retention_delete"] = q_maxsim_retention_delete
+EXTRA_ORACLES["maxsim_retention_delete"] = _maxsim_retention_oracle()
+
+
 # --- exact phrase search (round 8, operators/phrase.py) ----------------------
 # The third classic lexical query class (after ranked BM25 and boolean
 # filtered): positional intersection — slot i voting anchor pos−i,

@@ -96,6 +96,11 @@ class MutableTokenStore:
 
         self.root = root
         self._os = os
+        #: lowest seq a DEFAULT-seq sweep may not collide with — a
+        #: caller assigning seqs driver-side (an engine log) advances
+        #: this so pending seqs invisible to the max(seq) scan cannot
+        #: tie with a sweep (the sibling stores' ADVICE-r09 guard)
+        self.seq_floor = 0
 
     # -- generation machinery (the sibling stores' idiom) ---------------------
 
@@ -157,8 +162,8 @@ class MutableTokenStore:
             raise ValueError("generation-pinned view is read-only")
 
         for name in (
-            "init_base", "apply_log", "compact", "_commit_gen",
-            "streaming_log_sink",
+            "init_base", "apply_log", "delete_ids", "compact",
+            "_commit_gen", "streaming_log_sink",
         ):
             setattr(view, name, _read_only)
         return view
@@ -284,6 +289,61 @@ class MutableTokenStore:
             .write.mode("append")
             .parquet(muts)
         )
+
+    def delete_ids(
+        self, ids: DataFrame, *, id_col: str = "id", seq: int | None = None
+    ) -> int:
+        """Doc-granular bulk retention sweep (GDPR erasure, policy
+        deletes) — the verb the sibling stores got in round 9
+        (``IvfIndexStore.delete_where``,
+        ``MutablePostingIndexStore.delete_ids``,
+        ``MutableSparseIndexStore.delete_ids``; VERDICT r09 missing #3).
+
+        One ``delete`` arbiter row per LIVE matching doc id, one
+        O(matching) append — a tombstoned doc's ENTIRE token set drops
+        out of the merge-on-read arbitration at once (doc-granular
+        atomicity, the store's replacement unit), and physical removal
+        happens at the next ``compact()``.  Ids already deleted or
+        never present are skipped (idempotent; re-sweeping returns 0).
+        The default sweep seq is ``max(stored seq, seq_floor) + 1``;
+        an explicit seq at or below the floor raises (same-id same-seq
+        LWW arbitration would be order-dependent).  Returns the number
+        of docs tombstoned.
+        """
+        from .fsutil import write_marker
+
+        spark = ids.sparkSession
+        *_, muts = self._paths()
+        all_muts = spark.read.parquet(muts)
+        if seq is None:
+            row = all_muts.agg(F.max("seq").alias("m")).collect()[0]
+            seq = max(int(row["m"] or 0), int(self.seq_floor)) + 1
+        elif seq <= self.seq_floor:
+            raise ValueError(
+                f"sweep seq {seq} <= an attached engine's last assigned "
+                f"seq {self.seq_floor}; pass the engine's next seq"
+            )
+        live = self._winners(spark).filter(F.col("op") == "upsert").select("id")
+        matched = live.join(
+            ids.select(F.col(id_col).cast("long").alias("id")).distinct(),
+            "id",
+            "left_semi",
+        )
+        # pin the matched set before count/append — the lineage reads
+        # the muts directory the append below mutates (ADVICE r09)
+        tomb = matched.select(
+            "id",
+            F.lit(int(seq)).cast("long").alias("seq"),
+            F.lit("delete").alias("op"),
+        ).localCheckpoint()
+        n = tomb.count()
+        if n:
+            gen_dir = self._os.path.dirname(self._paths()[0])
+            write_marker(
+                spark, self._os.path.join(gen_dir, "_DIRTY"), "1\n"
+            )
+            tomb.write.mode("append").parquet(muts)
+        return n
 
     def streaming_log_sink(
         self,

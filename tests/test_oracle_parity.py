@@ -37,8 +37,10 @@ def test_registry_row_counts():
 # hybrid_trimodal (all three legs fused), doc_facets, bm25_facets
 # (faceted search), search_snippets (highlighting), retention_delete
 # (bulk store sweep) — all exact-oracled
-EXPECTED_EXTRA = 84
-EXPECTED_EXTRA_ORACLED = 83
+# r10: + maxsim_retention_delete (token-store bulk retention sweep
+# after a mutation push, fold-then-filter oracle)
+EXPECTED_EXTRA = 85
+EXPECTED_EXTRA_ORACLED = 84
 
 
 def test_driver_window_holds_all_llm_queries():

@@ -324,3 +324,46 @@ def test_registry_row_runs_and_ranks_contiguously(spark, sf_smoke):
         per.setdefault(r["query_id"], []).append(r["rank"])
     for ranks in per.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_delete_ids_bulk_retention_sweep(spark, sf_smoke, tmp_path):
+    """VERDICT r09 missing #4: doc-granular bulk retention on the token
+    store.  A sweep equals fold-then-filter, is idempotent, survives
+    compaction, and respects the seq floor."""
+    root = str(tmp_path / "tokret")
+    dv = _tokens(spark, sf_smoke)
+    store = MutableTokenStore(root)
+    store.init_base(dv, _centroids(dv))
+    q = _queries(dv)
+    swept = [int(r["doc_id"]) for r in
+             dv.select("doc_id").distinct().filter(
+                 F.col("doc_id") % 4 == 2).collect()]
+    ids = spark.createDataFrame([(i,) for i in swept], "id long")
+    n = store.delete_ids(ids)
+    assert n == len(swept)
+    # sweep == fold-then-filter replay
+    want = _rows(
+        maxsim_topk(
+            dv.filter(~F.col("doc_id").isin(swept)), q, _K,
+            doc_id_col="doc_id",
+        )
+    )
+    assert _rows(store.search(spark, q, _K)) == want
+    # idempotent: swept docs are no longer live
+    assert store.delete_ids(ids) == 0
+    # survives compaction (physical removal), and re-sweep still 0
+    store.compact(spark)
+    assert _rows(store.search(spark, q, _K)) == want
+    assert store.delete_ids(ids) == 0
+    # seq-floor guard: explicit colliding seq raises
+    store.seq_floor = 10**9
+    with pytest.raises(ValueError, match="sweep seq"):
+        store.delete_ids(ids, seq=5)
+
+
+def test_delete_ids_read_only_on_pinned_view(spark, sf_smoke, built):
+    store, dv, *_ = built
+    gen = store.generations()[-1]
+    view = store.at(gen)
+    with pytest.raises(ValueError, match="read-only"):
+        view.delete_ids(spark.createDataFrame([(1,)], "id long"))
