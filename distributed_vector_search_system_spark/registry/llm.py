@@ -3610,3 +3610,39 @@ FROM bool_ranked WHERE rank <= {_HYBRID_K}
 
 EXTRA_QUERIES["bm25_boolean"] = q_bm25_boolean
 EXTRA_ORACLES["bm25_boolean"] = _bm25_boolean_oracle()
+
+
+# round-10 opening rotation (VERDICT r09 item 1, the established
+# policy): round 9's late flagships — the SparseEngine surface (the
+# fourth engine, whose engine-lifetime seq discipline most deserves
+# independent checking), the champion-list rank-capped tier, boolean
+# AND/OR/NOT admissibility, corpus facets, and weighted hybrid fusion
+# — join the driver window for their independent check THIS round.
+# Five rows leave in exchange, each family keeping driver coverage:
+# dedup_ngram_jaccard (exact/minhash/resolve/embedding stay),
+# ann_recall (thin measurement row; the ANN ladder keeps nine driver
+# rows), ann_cosine_topk and ann_ivf_topk (the cosine/IVF families
+# keep ann_cosine_ivf_topk / ann_cosine_ivfpq_topk / ivf_persisted_
+# topk / ivf_stream_topk / ann_ivfbin_topk), and hybrid_rrf (the
+# hybrid family keeps indexed/engine/store/trimodal driver rows).
+# Every demoted row keeps the IDENTICAL DuckDB comparison in the
+# pytest tier.
+for _name in (
+    "sparse_engine_store",
+    "sparse_champion_topk",
+    "bm25_boolean",
+    "doc_facets",
+    "hybrid_weighted",
+):
+    QUERIES[_name] = EXTRA_QUERIES.pop(_name)
+    ORACLES[_name] = EXTRA_ORACLES.pop(_name)
+for _name in (
+    "dedup_ngram_jaccard",
+    "ann_recall",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "hybrid_rrf",
+):
+    EXTRA_QUERIES[_name] = QUERIES.pop(_name)
+    EXTRA_ORACLES[_name] = ORACLES.pop(_name)
+del _name
