@@ -387,6 +387,38 @@ def _measure_recall(sf_dir: str) -> dict:
         str(cap): recall_sp(sparse_topk(cap_postings(enc, cap), sq, 10))
         for cap in (16, 64, 256)
     }
+    # round 10 (VERDICT r09 item 2): the FAVORABLE-geometry measurement
+    # — a Zipf vocabulary with heavy-tailed weights, the distribution
+    # champion lists exist for — next to the flat-vocab adversarial
+    # curve above, both truncated-score and candidates+exact-rescore.
+    from distributed_vector_search_system_spark.operators.sparse import (
+        sparse_champion_rescore_topk,
+    )
+    from distributed_vector_search_system_spark.sources.synthetic import (
+        synthetic_zipf_postings,
+        synthetic_zipf_queries,
+    )
+
+    zenc = synthetic_zipf_postings(spark, 20_000, 50_000, 40).cache()
+    zq = synthetic_zipf_queries(spark, 30, 50_000, 6).cache()
+    z_exact = {
+        (r["query_id"], r["id"]) for r in sparse_topk(zenc, zq, 10).collect()
+    }
+
+    def recall_z(df) -> float:
+        got = {(r["query_id"], r["id"]) for r in df.collect()}
+        return round(len(got & z_exact) / len(z_exact), 4)
+
+    out["sparse_cap_recall10_zipf"] = {
+        str(cap): recall_z(sparse_topk(cap_postings(zenc, cap), zq, 10))
+        for cap in (16, 64, 256)
+    }
+    out["sparse_rescore_recall10_zipf"] = {
+        str(cap): recall_z(
+            sparse_champion_rescore_topk(zenc, zq, 10, per_term_cap=cap)
+        )
+        for cap in (16, 64, 256)
+    }
     spark.stop()
     return out
 
@@ -1120,8 +1152,8 @@ def main() -> None:
         return
 
     repeats = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")), 1)
-    runs: list[dict] = []
-    for _ in range(repeats):
+
+    def _one_run() -> dict:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env={**os.environ, _WORKER_ENV: "1"},
@@ -1130,7 +1162,29 @@ def main() -> None:
             check=True,
         )
         line = [l for l in proc.stdout.splitlines() if l.strip().startswith("{")][-1]
-        runs.append(json.loads(line))
+        return json.loads(line)
+
+    runs: list[dict] = [_one_run() for _ in range(repeats)]
+    # adaptive noise gate (VERDICT r09 item 5): two consecutive rounds
+    # committed artifacts from contended hosts (r9 spread 2.262).  When
+    # the cold-total spread across repeats exceeds the gate, escalate
+    # 3→5 repeats so the per-query min has more shots at a calm window,
+    # and RECORD the escalation — a flagged artifact is honest even
+    # when the host never calms down.
+    _NOISE_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_NOISE_GATE", "1.5"))
+    _MAX_REPEATS = max(
+        int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPEATS", "5")), repeats
+    )
+
+    def _spread(rs: list[dict]) -> float:
+        totals = [sum(r["cold"][n] for n in rs[0]["headline"]) for r in rs]
+        return max(totals) / min(totals)
+
+    noise_escalated = False
+    while _spread(runs) > _NOISE_GATE and len(runs) < _MAX_REPEATS:
+        noise_escalated = True
+        runs.append(_one_run())
+    repeats = len(runs)
 
     def _section(mode: str) -> dict:
         proc = subprocess.run(
@@ -1213,6 +1267,7 @@ def main() -> None:
         "retrieval_total_sec": round(sum(retrieval_cold.values()), 4),
         "retrieval_steady_total_sec": round(sum(retrieval_steady.values()), 4),
         "host_noise_spread": round(max(run_totals) / min(run_totals), 3),
+        "noise_escalated": noise_escalated,
         "repeats": repeats,
         "sf": sf,
         "detail_file": "BENCH_DETAIL.json",
