@@ -3646,3 +3646,283 @@ for _name in (
     EXTRA_QUERIES[_name] = QUERIES.pop(_name)
     EXTRA_ORACLES[_name] = ORACLES.pop(_name)
 del _name
+
+
+# ---------------------------------------------------------------------------
+# Round-10: champion-list candidates + EXACT rescoring — the full
+# two-stage plan (operators/sparse.sparse_champion_rescore_topk),
+# served from the persisted index (pushed impact_rank candidates +
+# a second term-IN rescore scan).  Deterministic → exact SQL replay:
+# the oracle proposes from the ROW_NUMBER-capped postings and rescores
+# candidates over the uncapped postings.
+
+def q_sparse_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sparse import sparse_encode_queries
+    from ..sources.sparse_index import sparse_search_index
+
+    qp = sparse_encode_queries(_sparse_fixture_queries(spark, sf_dir))
+    return sparse_search_index(
+        spark, _sparse_index_path(spark, sf_dir), qp, _SPARSE_K,
+        per_term_cap=_SPARSE_CAP, rescore_candidates=True,
+    )
+
+
+def _sparse_rescore_oracle() -> str:
+    return f"""
+WITH {_sparse_ctes()},
+swr AS (SELECT id, term, weight,
+               ROW_NUMBER() OVER (PARTITION BY term
+                                  ORDER BY weight DESC, id) AS ir
+        FROM sw),
+swc AS (SELECT id, term, weight FROM swr WHERE ir <= {_SPARSE_CAP}),
+cand AS (SELECT DISTINCT sqw.query_id, swc.id
+         FROM sqw JOIN swc ON swc.term = sqw.term),
+resc AS (
+  SELECT sqw.query_id, sw.id, SUM(sqw.qweight * sw.weight) AS score
+  FROM sqw JOIN sw ON sw.term = sqw.term
+  JOIN cand ON cand.query_id = sqw.query_id AND cand.id = sw.id
+  GROUP BY 1, 2),
+resc_ranked AS (
+  SELECT query_id, id, score6,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score6 DESC, id) AS INT) AS rrank
+  FROM (SELECT query_id, id, ROUND(score, 6) AS score6 FROM resc))
+SELECT query_id, id, score6 AS score, rrank AS rank
+FROM resc_ranked WHERE rrank <= {_SPARSE_K}
+"""
+
+
+EXTRA_QUERIES["sparse_rescore_topk"] = q_sparse_rescore_topk
+EXTRA_ORACLES["sparse_rescore_topk"] = _sparse_rescore_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Round-10: the query-understanding / serving-UX family — fuzzy term
+# matching, autocomplete, field collapsing, pseudo-relevance feedback
+# (operators/fuzzy.py, complete.py, collapse.py, feedback.py).  Every
+# member is deterministic by construction and carries an exact DuckDB
+# replay, including the two approximate-looking ones (fuzzy expansion
+# caps rank on (df, term); PRF selection ranks on 6-decimal rounded
+# centroid weights).
+
+_FUZZY_EDITS = 1
+_FUZZY_EXPANSIONS = 10
+
+
+def q_bm25_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant BM25: every fixture query term is corrupted with a
+    one-character suffix (edit distance 1 from the real vocabulary
+    term), then recovered through edit-distance expansion."""
+    from ..operators.fuzzy import bm25_fuzzy_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    typod = _retrieval_queries(spark, sf_dir).select(
+        "query_id",
+        F.transform("qterms", lambda t: F.concat(t, F.lit("x"))).alias("qterms"),
+    )
+    return bm25_fuzzy_topk(
+        docs, typod, _HYBRID_K,
+        max_edits=_FUZZY_EDITS, max_expansions=_FUZZY_EXPANSIONS,
+    )
+
+
+def _bm25_fuzzy_oracle() -> str:
+    from ..operators.retrieval import BM25_B, BM25_K1
+
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+q AS (SELECT doc_id AS query_id, list_distinct(list_slice(w, 1, 3)) AS qts
+      FROM toks WHERE {_HYBRID_QPRED}),
+qx AS (SELECT DISTINCT query_id, UNNEST(qts) || 'x' AS qterm FROM q),
+vx AS (SELECT doc_id AS id, UNNEST(w) AS term FROM toks),
+vocab AS (SELECT term, COUNT(DISTINCT id) AS vdf FROM vx GROUP BY 1),
+expd AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT qx.query_id, qx.qterm, v.term,
+           ROW_NUMBER() OVER (PARTITION BY qx.query_id, qx.qterm
+                              ORDER BY v.vdf DESC, v.term) AS xrn
+    FROM qx JOIN vocab v
+      ON abs(length(v.term) - length(qx.qterm)) <= {_FUZZY_EDITS}
+     AND levenshtein(v.term, qx.qterm) <= {_FUZZY_EDITS})
+  WHERE xrn <= {_FUZZY_EXPANSIONS}),
+dl AS (SELECT doc_id AS id, len(w) AS dl FROM toks),
+tfc AS (SELECT id, term, COUNT(*) AS tf FROM vx GROUP BY 1, 2),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+dfq AS (SELECT term, COUNT(DISTINCT id) AS df FROM tfc
+        WHERE term IN (SELECT DISTINCT term FROM expd) GROUP BY 1),
+fz_scored AS (
+  SELECT e.query_id, tfc.id,
+         SUM(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (tfc.tf * ({BM25_K1} + 1.0))
+             / (tfc.tf + {BM25_K1} * (1.0 - {BM25_B}
+                + {BM25_B} * CAST(dl.dl AS DOUBLE) / s.avgdl))) AS score
+  FROM expd e
+  JOIN tfc ON tfc.term = e.term
+  JOIN dfq d ON d.term = e.term
+  JOIN dl ON dl.id = tfc.id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+fz_ranked AS (
+  SELECT query_id, id, score6,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score6 DESC, id) AS INT) AS frank
+  FROM (SELECT query_id, id, ROUND(score, 6) AS score6 FROM fz_scored))
+SELECT query_id, id, score6 AS score, frank AS rank
+FROM fz_ranked WHERE frank <= {_HYBRID_K}
+"""
+
+
+EXTRA_QUERIES["bm25_fuzzy_topk"] = q_bm25_fuzzy_topk
+EXTRA_ORACLES["bm25_fuzzy_topk"] = _bm25_fuzzy_oracle()
+
+
+_COMPLETE_QPRED = "doc_id % 100 = 23"
+_COMPLETE_K = 5
+_COMPLETE_MIN_DF = 2
+
+
+def q_prefix_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete: the first 3 characters of each selected doc's
+    first token, completed from the corpus vocabulary (df desc)."""
+    from ..functions.text import tokens
+    from ..operators.complete import prefix_completions
+    from ..operators.fuzzy import corpus_vocabulary
+
+    docs = load_table(spark, sf_dir, "documents")
+    prefixes = docs.filter(F.expr(_COMPLETE_QPRED)).select(
+        F.col("doc_id").alias("prefix_id"),
+        F.substring(F.element_at(tokens("text"), 1), 1, 3).alias("prefix"),
+    )
+    return prefix_completions(
+        corpus_vocabulary(docs), prefixes, _COMPLETE_K,
+        min_df=_COMPLETE_MIN_DF,
+    )
+
+
+def _prefix_complete_oracle() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+vx AS (SELECT doc_id AS id, UNNEST(w) AS term FROM toks),
+vocab AS (SELECT term, COUNT(DISTINCT id) AS df FROM vx GROUP BY 1),
+px AS (SELECT doc_id AS prefix_id, substr(w[1], 1, 3) AS prefix
+       FROM toks WHERE {_COMPLETE_QPRED}),
+m AS (SELECT px.prefix_id, v.term, v.df
+      FROM px JOIN vocab v ON starts_with(v.term, px.prefix)
+      WHERE v.df >= {_COMPLETE_MIN_DF})
+SELECT prefix_id, term, df, rank FROM (
+  SELECT prefix_id, term, df,
+         CAST(ROW_NUMBER() OVER (PARTITION BY prefix_id
+                                 ORDER BY df DESC, term) AS INT) AS rank
+  FROM m)
+WHERE rank <= {_COMPLETE_K}
+"""
+
+
+EXTRA_QUERIES["prefix_complete"] = q_prefix_complete
+EXTRA_ORACLES["prefix_complete"] = _prefix_complete_oracle()
+
+
+_COLLAPSE_LEG_K = 20
+_COLLAPSE_K = 10
+
+
+def q_bm25_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field collapsing: the BM25 page collapsed to the best hit per
+    ``source`` value, survivors re-ranked."""
+    from ..operators.collapse import collapse_topk
+    from ..operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    hits = bm25_topk(
+        docs, _retrieval_queries(spark, sf_dir), _COLLAPSE_LEG_K
+    )
+    return collapse_topk(hits, docs, "source", _COLLAPSE_K, per_group=1)
+
+
+def _bm25_collapse_oracle() -> str:
+    return f"""
+WITH {_bm25_scored_ctes()},
+page AS (SELECT query_id, id, score6 FROM bm25_ranked
+         WHERE brank <= {_COLLAPSE_LEG_K}),
+attrs AS (SELECT doc_id AS id,
+                 COALESCE(CAST(source AS VARCHAR), 'null') AS grp
+          FROM documents),
+grouped AS (
+  SELECT p.query_id, p.id, a.grp, p.score6,
+         ROW_NUMBER() OVER (PARTITION BY p.query_id, a.grp
+                            ORDER BY p.score6 DESC, p.id) AS grn
+  FROM page p JOIN attrs a USING (id)),
+kept AS (SELECT query_id, id, grp, score6 FROM grouped WHERE grn <= 1)
+SELECT query_id, id, grp AS "group", score6 AS score, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY score6 DESC, id) AS INT) AS rank
+  FROM kept)
+WHERE rank <= {_COLLAPSE_K}
+"""
+
+
+EXTRA_QUERIES["bm25_collapse"] = q_bm25_collapse
+EXTRA_ORACLES["bm25_collapse"] = _bm25_collapse_oracle()
+
+
+_PRF_FB_DOCS = 5
+_PRF_FB_TERMS = 5
+_PRF_ALPHA = 1.0
+_PRF_BETA = 0.5
+
+
+def q_bm25_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback: BM25 first pass → Rocchio centroid
+    expansion in tf–idf space → weighted second pass."""
+    from ..operators.feedback import bm25_prf_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_prf_topk(
+        docs, _retrieval_queries(spark, sf_dir), _HYBRID_K,
+        fb_docs=_PRF_FB_DOCS, fb_terms=_PRF_FB_TERMS,
+        alpha=_PRF_ALPHA, beta=_PRF_BETA,
+    )
+
+
+def _bm25_prf_oracle() -> str:
+    return f"""
+WITH {_bm25_scored_ctes()},
+{_sparse_ctes()},
+fb AS (SELECT query_id, id FROM bm25_ranked WHERE brank <= {_PRF_FB_DOCS}),
+nfb AS (SELECT query_id, COUNT(*) AS n FROM fb GROUP BY 1),
+cent AS (
+  SELECT fb.query_id, sw.term,
+         ROUND(SUM(sw.weight) / ANY_VALUE(nfb.n), 6) AS fb_weight
+  FROM fb JOIN sw ON sw.id = fb.id JOIN nfb ON nfb.query_id = fb.query_id
+  GROUP BY 1, 2),
+orig AS (SELECT query_id, UNNEST(qts) AS term FROM q),
+fresh AS (SELECT c.* FROM cent c LEFT JOIN orig o
+          ON o.query_id = c.query_id AND o.term = c.term
+          WHERE o.term IS NULL),
+sel AS (SELECT query_id, term, fb_weight FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY fb_weight DESC, term) AS frn
+          FROM fresh)
+        WHERE frn <= {_PRF_FB_TERMS}),
+alpha_ch AS (SELECT query_id, term,
+                    {_PRF_ALPHA} * (1.0 + LN(CAST(COUNT(*) AS DOUBLE))) AS wq
+             FROM orig GROUP BY 1, 2),
+beta_ch AS (SELECT query_id, term, {_PRF_BETA} * fb_weight AS wq FROM sel),
+qp AS (SELECT query_id, term, SUM(wq) AS wq FROM (
+         SELECT * FROM alpha_ch UNION ALL SELECT * FROM beta_ch)
+       GROUP BY 1, 2 HAVING SUM(wq) <> 0),
+prf_scored AS (
+  SELECT qp.query_id, sw.id, SUM(qp.wq * sw.weight) AS score
+  FROM qp JOIN sw ON sw.term = qp.term GROUP BY 1, 2),
+prf_ranked AS (
+  SELECT query_id, id, score6,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score6 DESC, id) AS INT) AS prank
+  FROM (SELECT query_id, id, ROUND(score, 6) AS score6 FROM prf_scored))
+SELECT query_id, id, score6 AS score, prank AS rank
+FROM prf_ranked WHERE prank <= {_HYBRID_K}
+"""
+
+
+EXTRA_QUERIES["bm25_prf_topk"] = q_bm25_prf_topk
+EXTRA_ORACLES["bm25_prf_topk"] = _bm25_prf_oracle()

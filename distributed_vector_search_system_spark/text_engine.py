@@ -350,6 +350,76 @@ class TextEngine:
             max_positions_per_term=cap,
         )
 
+    def search_fuzzy(
+        self,
+        queries: DataFrame,
+        k: int,
+        *,
+        consistency: str = EVENTUAL,
+        max_edits: int = 1,
+        max_expansions: int | None = 10,
+        **bm25_kwargs,
+    ) -> DataFrame:
+        """Typo-tolerant BM25 behind the consistency gates (round 10):
+        query terms expand through the GATED snapshot's vocabulary —
+        a STRONG read's expansion sees terms a just-upserted doc
+        introduced — then rank with the unmodified scorer
+        (operators/fuzzy.bm25_fuzzy_topk)."""
+        from .operators.fuzzy import bm25_fuzzy_topk
+
+        snap = self._read_snapshot(consistency)
+        return bm25_fuzzy_topk(
+            snap, queries, k,
+            max_edits=max_edits, max_expansions=max_expansions,
+            doc_id_col=self._doc_id, text_col=self._text,
+            **bm25_kwargs,
+        )
+
+    def suggest(
+        self,
+        prefixes: DataFrame,
+        k: int,
+        *,
+        consistency: str = EVENTUAL,
+        min_df: int = 1,
+    ) -> DataFrame:
+        """Autocomplete from the gated snapshot's vocabulary (round
+        10): ``(prefix_id, term, df, rank)`` per prefix, df desc —
+        operators/complete.prefix_completions behind the same gates
+        as every other read verb."""
+        from .operators.complete import prefix_completions
+        from .operators.fuzzy import corpus_vocabulary
+
+        snap = self._read_snapshot(consistency)
+        vocab = corpus_vocabulary(
+            snap, doc_id_col=self._doc_id, text_col=self._text
+        )
+        return prefix_completions(vocab, prefixes, k, min_df=min_df)
+
+    def search_prf(
+        self,
+        queries: DataFrame,
+        k: int,
+        *,
+        consistency: str = EVENTUAL,
+        fb_docs: int = 5,
+        fb_terms: int = 5,
+        alpha: float = 1.0,
+        beta: float = 0.5,
+    ) -> DataFrame:
+        """Pseudo-relevance-feedback retrieval behind the gates (round
+        10): both passes read the SAME gated snapshot, so a STRONG
+        read's feedback set can never mix pre- and post-mutation
+        corpora (operators/feedback.bm25_prf_topk)."""
+        from .operators.feedback import bm25_prf_topk
+
+        snap = self._read_snapshot(consistency)
+        return bm25_prf_topk(
+            snap, queries, k,
+            fb_docs=fb_docs, fb_terms=fb_terms, alpha=alpha, beta=beta,
+            doc_id_col=self._doc_id, text_col=self._text,
+        )
+
     def _ensure_positional_index(self) -> str:
         import os
 

@@ -38,9 +38,14 @@ def test_registry_row_counts():
 # (faceted search), search_snippets (highlighting), retention_delete
 # (bulk store sweep) — all exact-oracled
 # r10: + maxsim_retention_delete (token-store bulk retention sweep
-# after a mutation push, fold-then-filter oracle)
-EXPECTED_EXTRA = 85
-EXPECTED_EXTRA_ORACLED = 84
+# after a mutation push, fold-then-filter oracle), sparse_rescore_topk
+# (champion candidates + exact rescore, two-stage SQL replay), and the
+# query-understanding family: bm25_fuzzy_topk (edit-distance expansion,
+# levenshtein oracle), prefix_complete (autocomplete, starts_with
+# oracle), bm25_collapse (field collapsing), bm25_prf_topk (pseudo-
+# relevance feedback, full two-pass SQL replay)
+EXPECTED_EXTRA = 90
+EXPECTED_EXTRA_ORACLED = 89
 
 
 def test_driver_window_holds_all_llm_queries():

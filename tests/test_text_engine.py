@@ -392,3 +392,30 @@ def test_snippets_through_gates(spark):
     page = e.search(q, 1)
     one = e.snippets(q, window=2, hits=page).collect()
     assert len(one) == 1
+
+
+def test_fuzzy_and_suggest_and_prf_through_gates(spark):
+    """Round-10 verbs compose with the gates: a STRONG read's
+    vocabulary includes a just-upserted doc's terms."""
+    e = TextEngine(spark, _docs(spark))
+    e.upsert_doc(5, "quixotic quince", lang="en")
+    # EVENTUAL: the new terms are invisible
+    px = spark.createDataFrame([(0, "qui")], "prefix_id long, prefix string")
+    assert e.suggest(px, 5, consistency=EVENTUAL).count() == 0
+    got = [
+        (r["term"], r["df"], r["rank"])
+        for r in e.suggest(px, 5, consistency=STRONG).orderBy("rank").collect()
+    ]
+    assert got == [("quince", 1, 1), ("quixotic", 1, 2)]
+    # fuzzy: a typo of the just-upserted term resolves under STRONG
+    fq = spark.createDataFrame(
+        [(0, ["quincex"])], "query_id long, qterms array<string>"
+    )
+    hit_ids = {
+        r["id"] for r in e.search_fuzzy(fq, 5, consistency=STRONG).collect()
+    }
+    assert hit_ids == {5}
+    # prf runs end-to-end over the gated snapshot
+    q = _q(spark, ("banana",))
+    prf = e.search_prf(q, 5, fb_docs=2, fb_terms=2)
+    assert prf.count() > 0
