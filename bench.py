@@ -866,6 +866,19 @@ def _measure_scale(sf_dir: str) -> dict:
             write_sparse_index,
         )
 
+        from distributed_vector_search_system_spark.operators.collapse import (
+            collapse_topk as _clps,
+        )
+        from distributed_vector_search_system_spark.operators.complete import (
+            prefix_completions as _cmpl,
+        )
+        from distributed_vector_search_system_spark.operators.fuzzy import (
+            bm25_fuzzy_topk as _fz,
+        )
+        from distributed_vector_search_system_spark.operators.fuzzy import (
+            corpus_vocabulary as _cv,
+        )
+
         sp_idx = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
             ".scale_cache",
@@ -916,6 +929,47 @@ def _measure_scale(sf_dir: str) -> dict:
             # what holds the bound)
             "sparse_fixedq_champion": lambda: sparse_search_index(
                 spark, sp_idx, spq, 10, per_term_cap=64
+            ),
+            # round-10 anchors — the query-understanding family.
+            # two-stage champion+rescore: candidates bounded at B rows
+            # per term, rescore bounded by the candidate set — expect
+            # ~flat like the champion row (one extra term-IN scan).
+            "sparse_fixedq_rescore": lambda: sparse_search_index(
+                spark, sp_idx, spq, 10, per_term_cap=64,
+                rescore_candidates=True,
+            ),
+            # fuzzy expansion: the vocabulary aggregate is the one
+            # corpus-growth term (copy-distinct tokens make |V| grow
+            # ~linearly with copies here — worst case; real vocab grows
+            # ~Heaps-sublinearly); levenshtein is map-side over it.
+            # Expect ~linear dominated by the distinct aggregate.
+            "fuzzy_fixedq_bm25": lambda: _fz(
+                docs,
+                lexq.select(
+                    "query_id",
+                    F.transform(
+                        "qterms", lambda t: F.concat(t, F.lit("x"))
+                    ).alias("qterms"),
+                ),
+                10,
+            ),
+            # autocomplete: same vocabulary aggregate + broadcast
+            # startswith — expect the same growth class as fuzzy.
+            "complete_fixedq": lambda: _cmpl(
+                _cv(docs),
+                docs.filter(F.col("doc_id").isin(_SCALE_QUERY_IDS)).select(
+                    F.col("doc_id").alias("prefix_id"),
+                    F.substring(
+                        F.element_at(_tok("text"), 1), 1, 3
+                    ).alias("prefix"),
+                ),
+                5,
+            ),
+            # field collapsing downstream of the INDEXED lexical leg:
+            # the collapse itself touches hits + a 2-column pruned
+            # attribute scan — expect ~flat + the pruned-scan slope.
+            "collapse_fixedq_indexed": lambda: _clps(
+                bm25_search_index(spark, idx, lexq, 20), docs, "source", 10
             ),
         }
 
