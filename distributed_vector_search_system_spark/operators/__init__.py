@@ -17,3 +17,6 @@ from .sparse import (  # noqa: F401
 from .facets import facet_counts, facets_for_hits, topn_facet_counts  # noqa: F401
 from .snippets import best_window_snippets  # noqa: F401
 from .boolean import boolean_matching_ids, boolean_matching_ids_index  # noqa: F401
+from .mlt import bm25_mlt_topk, mlt_select_terms  # noqa: F401
+from .scoring import decay_factor, field_value_factor, function_score  # noqa: F401
+from .matryoshka import matryoshka_topk, prefix_cosine_topk, prefix_vector  # noqa: F401

@@ -3926,3 +3926,218 @@ FROM prf_ranked WHERE prank <= {_HYBRID_K}
 
 EXTRA_QUERIES["bm25_prf_topk"] = q_bm25_prf_topk
 EXTRA_ORACLES["bm25_prf_topk"] = _bm25_prf_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 10: more-like-this, function scoring, Matryoshka adaptive retrieval
+
+_MLT_SEED_PRED = "doc_id % 100 = 7"
+_MLT_TERMS = 8
+_MLT_MIN_DF = 2
+_MLT_K = 10
+
+
+def q_bm25_mlt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this: tf–idf representative-term selection from seed
+    docs (df-gated), BM25 retrieval with the selected terms, seed
+    excluded — operators/mlt.py, exactly SQL-replayed end to end."""
+    from ..operators.mlt import bm25_mlt_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    seeds = docs.filter(F.expr(_MLT_SEED_PRED)).select(
+        F.col("doc_id").alias("seed_id")
+    )
+    return bm25_mlt_topk(
+        docs, seeds, _MLT_K,
+        max_query_terms=_MLT_TERMS, min_df=_MLT_MIN_DF,
+    )
+
+
+def _bm25_mlt_oracle() -> str:
+    from ..operators.retrieval import BM25_B, BM25_K1
+
+    return f"""
+WITH {_sparse_ctes()},
+seeds AS (SELECT doc_id AS query_id FROM documents WHERE {_MLT_SEED_PRED}),
+gated AS (SELECT sw.id AS query_id, sw.term, sw.weight
+          FROM sw
+          JOIN seeds ON seeds.query_id = sw.id
+          JOIN sdf ON sdf.term = sw.term
+          WHERE sdf.df >= {_MLT_MIN_DF}),
+sel AS (SELECT query_id, term FROM (
+          SELECT query_id, term,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY ROUND(weight, 6) DESC, term) AS rn
+          FROM gated) WHERE rn <= {_MLT_TERMS}),
+mstats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(len(w) AS DOUBLE)) AS avgdl
+           FROM stoks),
+mdl AS (SELECT doc_id AS id, len(w) AS dl FROM stoks),
+mscored AS (
+  SELECT sel.query_id, t.id,
+         SUM(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (t.tf * ({BM25_K1} + 1.0))
+             / (t.tf + {BM25_K1} * (1.0 - {BM25_B}
+                + {BM25_B} * CAST(dl.dl AS DOUBLE) / s.avgdl))) AS score
+  FROM sel
+  JOIN sdtf t ON t.term = sel.term
+  JOIN sdf d ON d.term = sel.term
+  JOIN mdl dl ON dl.id = t.id
+  CROSS JOIN mstats s
+  WHERE t.id <> sel.query_id
+  GROUP BY 1, 2),
+mranked AS (
+  SELECT query_id, id, score6,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score6 DESC, id) AS INT) AS mrank
+  FROM (SELECT query_id, id, ROUND(score, 6) AS score6 FROM mscored))
+SELECT query_id, id, score6 AS score, mrank AS rank
+FROM mranked WHERE mrank <= {_MLT_K}
+"""
+
+
+EXTRA_QUERIES["bm25_mlt_topk"] = q_bm25_mlt_topk
+EXTRA_ORACLES["bm25_mlt_topk"] = _bm25_mlt_oracle()
+
+
+_FS_WEIGHT = 0.1
+_FS_K = 5
+_DECAY_ORIGIN = 500.0
+_DECAY_SCALE = 300.0
+_DECAY_RATE = 0.5
+
+
+def q_function_score_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-value-factor boost (log1p length prior) composed onto the
+    BM25 leg's k-bounded hits, re-ranked — operators/scoring.py."""
+    from ..operators.retrieval import bm25_topk
+    from ..operators.scoring import field_value_factor, function_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    hits = bm25_topk(docs, _retrieval_queries(spark, sf_dir), _HYBRID_K).select(
+        "query_id", "id", "score"
+    )
+    fvf = field_value_factor(
+        docs, "n_chars", weight=_FS_WEIGHT, modifier="log1p"
+    )
+    return function_score(hits, fvf, _FS_K)
+
+
+def _function_score_boost_oracle() -> str:
+    return f"""
+WITH {_bm25_scored_ctes()},
+hits AS (SELECT query_id, id, score6 FROM bm25_ranked WHERE brank <= {_HYBRID_K}),
+fac AS (SELECT doc_id AS id,
+               {_FS_WEIGHT} * LN(1.0 + CAST(n_chars AS DOUBLE)) AS factor
+        FROM documents),
+fscored AS (SELECT h.query_id, h.id,
+                   ROUND(h.score6 * COALESCE(f.factor, 1.0), 6) AS score
+            FROM hits h LEFT JOIN fac f ON f.id = h.id),
+franked AS (SELECT query_id, id, score,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, id) AS INT) AS rank
+            FROM fscored)
+SELECT query_id, id, score, rank FROM franked WHERE rank <= {_FS_K}
+"""
+
+
+EXTRA_QUERIES["function_score_boost"] = q_function_score_boost
+EXTRA_ORACLES["function_score_boost"] = _function_score_boost_oracle()
+
+
+def q_function_score_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaussian decay around a length origin composed onto the BM25
+    leg — the recency-decay shape (the operator is unit-agnostic; the
+    fixtures carry no timestamp column, so the decayed field is the
+    length prior)."""
+    from ..operators.retrieval import bm25_topk
+    from ..operators.scoring import decay_factor, function_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    hits = bm25_topk(docs, _retrieval_queries(spark, sf_dir), _HYBRID_K).select(
+        "query_id", "id", "score"
+    )
+    fac = decay_factor(
+        docs, "n_chars",
+        origin=_DECAY_ORIGIN, scale=_DECAY_SCALE, decay=_DECAY_RATE,
+        kind="gauss",
+    )
+    return function_score(hits, fac, _FS_K)
+
+
+def _function_score_decay_oracle() -> str:
+    import math
+
+    return f"""
+WITH {_bm25_scored_ctes()},
+hits AS (SELECT query_id, id, score6 FROM bm25_ranked WHERE brank <= {_HYBRID_K}),
+facd AS (SELECT doc_id AS id,
+                GREATEST(0.0, ABS(CAST(n_chars AS DOUBLE) - {_DECAY_ORIGIN!r})
+                         - 0.0) / {_DECAY_SCALE!r} AS d
+         FROM documents),
+fac AS (SELECT id, EXP({math.log(_DECAY_RATE)!r} * (d * d)) AS factor FROM facd),
+fscored AS (SELECT h.query_id, h.id,
+                   ROUND(h.score6 * COALESCE(f.factor, 1.0), 6) AS score
+            FROM hits h LEFT JOIN fac f ON f.id = h.id),
+franked AS (SELECT query_id, id, score,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, id) AS INT) AS rank
+            FROM fscored)
+SELECT query_id, id, score, rank FROM franked WHERE rank <= {_FS_K}
+"""
+
+
+EXTRA_QUERIES["function_score_decay"] = q_function_score_decay
+EXTRA_ORACLES["function_score_decay"] = _function_score_decay_oracle()
+
+
+_MRL_QPRED = "vec_id % 100 = 7"
+_MRL_DP = 16
+_MRL_SHORTLIST = 50
+_MRL_K = 5
+
+
+def q_ann_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka adaptive retrieval: d′-prefix coarse shortlist →
+    exact full-dim cosine rescore (operators/matryoshka.py) — the
+    approximate rung keeps an exact two-stage SQL replay."""
+    from ..operators.matryoshka import matryoshka_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.expr(_MRL_QPRED)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return matryoshka_topk(
+        emb, q, _MRL_K, d_prime=_MRL_DP, shortlist=_MRL_SHORTLIST
+    ).select("query_id", "id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def _ann_matryoshka_oracle() -> str:
+    coarse = _SQL_COSINE.format(
+        x=f"q.qe[1:{_MRL_DP}]", y=f"v.embedding[1:{_MRL_DP}]"
+    )
+    full = _SQL_COSINE.format(x="q.qe", y="v.embedding")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+           FROM embeddings WHERE {_MRL_QPRED}),
+coarse AS (SELECT q.query_id, v.vec_id AS id, {coarse} AS c
+           FROM q CROSS JOIN embeddings v),
+shortl AS (SELECT query_id, id FROM (
+             SELECT query_id, id,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY c DESC, id) AS rn
+             FROM coarse) WHERE rn <= {_MRL_SHORTLIST}),
+resc AS (SELECT s.query_id, s.id, {full} AS c
+         FROM shortl s
+         JOIN q ON q.query_id = s.query_id
+         JOIN embeddings v ON v.vec_id = s.id),
+ranked AS (SELECT query_id, id, c,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY c DESC, id) AS INT) AS rank
+           FROM resc)
+SELECT query_id, id, ROUND(c, 6) AS cosine, rank
+FROM ranked WHERE rank <= {_MRL_K}
+"""
+
+
+EXTRA_QUERIES["ann_matryoshka_topk"] = q_ann_matryoshka_topk
+EXTRA_ORACLES["ann_matryoshka_topk"] = _ann_matryoshka_oracle()

@@ -44,8 +44,14 @@ def test_registry_row_counts():
 # levenshtein oracle), prefix_complete (autocomplete, starts_with
 # oracle), bm25_collapse (field collapsing), bm25_prf_topk (pseudo-
 # relevance feedback, full two-pass SQL replay)
-EXPECTED_EXTRA = 90
-EXPECTED_EXTRA_ORACLED = 89
+# r10 (cont.): + bm25_mlt_topk (more-like-this: tf-idf term selection
+# from seed docs + BM25 second pass, full two-pass SQL replay),
+# function_score_boost / function_score_decay (field-value-factor and
+# gaussian-decay composition onto the BM25 leg), ann_matryoshka_topk
+# (d'-prefix coarse shortlist + exact full-dim rescore, two-stage
+# replay) — all exact-oracled
+EXPECTED_EXTRA = 94
+EXPECTED_EXTRA_ORACLED = 93
 
 
 def test_driver_window_holds_all_llm_queries():
