@@ -20,3 +20,4 @@ from .boolean import boolean_matching_ids, boolean_matching_ids_index  # noqa: F
 from .mlt import bm25_mlt_topk, mlt_select_terms  # noqa: F401
 from .scoring import decay_factor, field_value_factor, function_score  # noqa: F401
 from .matryoshka import matryoshka_topk, prefix_cosine_topk, prefix_vector  # noqa: F401
+from .contamination import contamination_overlap, decontaminate  # noqa: F401

@@ -40,9 +40,13 @@ partial-top-k shape; nothing corpus-sized shuffles.
 The in-container fixtures are NOT MRL-trained (no model runs here),
 so prefix recall on them is the honest WORST case — components carry
 i.i.d.-ish information and the d′/d recall curve is the floor an MRL
-encoder lifts.  The bench section records that floor; the sizing
-rule (shortlist multiplier per d′) is documented from the measured
-curve, the champion-list precedent.
+encoder lifts.  Measured floor at sf0.1 (bench ``matryoshka_recall5``,
+d=64 fixtures): recall@5 = 0.24/0.36/0.47 at d′=8/16/32 with
+shortlist 20, rising to 0.49/0.72/0.84 at shortlist 200 — i.e. on
+UNTRAINED embeddings even d′=d/2 needs a ~40× shortlist to approach
+0.85, so this rung is strictly for MRL-trained corpora (where the
+paper reports ≥0.98 relative accuracy at d/8); deploy it only with a
+measured per-model curve, the champion-list sizing discipline.
 """
 
 from __future__ import annotations

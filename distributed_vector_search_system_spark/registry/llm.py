@@ -4141,3 +4141,133 @@ FROM ranked WHERE rank <= {_MRL_K}
 
 EXTRA_QUERIES["ann_matryoshka_topk"] = q_ann_matryoshka_topk
 EXTRA_ORACLES["ann_matryoshka_topk"] = _ann_matryoshka_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 10: benchmark decontamination (n-gram overlap audit + the verb)
+
+_CONTAM_BENCH_PRED = "doc_id % 97 = 3"
+_CONTAM_N = 3
+_CONTAM_BENCH_TOKENS = 10
+_CONTAM_MIN_OVERLAP = 2
+
+#: n=3 shingle rendering of functions.text.word_shingles for DuckDB —
+#: shingle i = w[i..i+2] space-joined, first-occurrence distinct
+_SHINGLES3 = (
+    "list_distinct(list_transform(range(1, len({col}) - 1), "
+    "i -> {col}[i] || ' ' || {col}[i+1] || ' ' || {col}[i+2]))"
+)
+
+
+def _contam_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixture 'benchmark': eval items cut from the corpus' own
+    documents (first N tokens of every 97th doc) — guaranteeing real
+    overlap structure without shipping an eval set in-container."""
+    from ..functions.text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.expr(_CONTAM_BENCH_PRED)).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(
+            F.slice(_tokens("text"), 1, _CONTAM_BENCH_TOKENS), " "
+        ).alias("text"),
+    )
+
+
+def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(training doc, benchmark item) shared n-gram audit —
+    operators/contamination.py."""
+    from ..operators.contamination import contamination_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_overlap(
+        docs, _contam_bench(spark, sf_dir), n=_CONTAM_N
+    )
+
+
+_CONTAM_CTES = f"""
+toksc AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+bt AS (SELECT doc_id AS bench_id, list_slice(w, 1, {_CONTAM_BENCH_TOKENS}) AS bw
+       FROM toksc WHERE {_CONTAM_BENCH_PRED}),
+bsh AS (SELECT bench_id, {_SHINGLES3.format(col="bw")} AS s FROM bt),
+bex AS (SELECT bench_id, UNNEST(s) AS shingle FROM bsh),
+bsz AS (SELECT bench_id, len(s) AS bn FROM bsh),
+dsh AS (SELECT doc_id, {_SHINGLES3.format(col="w")} AS s FROM toksc),
+dex AS (SELECT doc_id, UNNEST(s) AS shingle FROM dsh),
+chits AS (SELECT d.doc_id, b.bench_id, COUNT(*) AS overlap
+          FROM dex d JOIN bex b ON b.shingle = d.shingle
+          GROUP BY 1, 2)"""
+
+
+def _contamination_overlap_oracle() -> str:
+    return f"""
+WITH {_CONTAM_CTES}
+SELECT h.doc_id, h.bench_id, h.overlap, z.bn AS bench_shingles,
+       ROUND(CAST(h.overlap AS DOUBLE) / z.bn, 6) AS frac
+FROM chits h JOIN bsz z ON z.bench_id = h.bench_id
+"""
+
+
+EXTRA_QUERIES["contamination_overlap"] = q_contamination_overlap
+EXTRA_ORACLES["contamination_overlap"] = _contamination_overlap_oracle()
+
+
+def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline verb: the corpus minus docs sharing >= min_overlap
+    n-grams with any benchmark item."""
+    from ..operators.contamination import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate(
+        docs, _contam_bench(spark, sf_dir),
+        n=_CONTAM_N, min_overlap=_CONTAM_MIN_OVERLAP,
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+def _decontaminate_oracle() -> str:
+    return f"""
+WITH {_CONTAM_CTES}
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id NOT IN (
+  SELECT DISTINCT doc_id FROM chits WHERE overlap >= {_CONTAM_MIN_OVERLAP})
+"""
+
+
+EXTRA_QUERIES["decontaminate_docs"] = q_decontaminate_docs
+EXTRA_ORACLES["decontaminate_docs"] = _decontaminate_oracle()
+
+
+# round-11 opening rotation (the established per-round policy,
+# VERDICT r09 item 1 precedent): round 10's late flagships join the
+# driver window for their independent check — the query-understanding
+# family's typo and feedback legs (bm25_fuzzy_topk, bm25_prf_topk),
+# more-like-this (bm25_mlt_topk, the fourth query-understanding verb),
+# Matryoshka adaptive retrieval (ann_matryoshka_topk, the
+# adaptive-dimension ANN rung), benchmark decontamination
+# (contamination_overlap, the governance audit), and function scoring
+# (function_score_boost, the ranking-composition layer).  Six rows
+# leave in exchange — three here, three in registry/vector.py — each
+# family keeping driver coverage: dedup_exact (minhash/embedding/
+# resolve stay), bm25_filtered (the filtered-search contract keeps
+# knn_filtered driver-side; bm25 keeps five driver rows), and
+# hybrid_indexed_rrf (hybrid keeps engine/weighted/trimodal/store
+# rows).  Every demoted row keeps the IDENTICAL DuckDB comparison in
+# the pytest tier.
+for _name in (
+    "bm25_fuzzy_topk",
+    "bm25_prf_topk",
+    "bm25_mlt_topk",
+    "ann_matryoshka_topk",
+    "contamination_overlap",
+    "function_score_boost",
+):
+    QUERIES[_name] = EXTRA_QUERIES.pop(_name)
+    ORACLES[_name] = EXTRA_ORACLES.pop(_name)
+for _name in (
+    "dedup_exact",
+    "bm25_filtered",
+    "hybrid_indexed_rrf",
+):
+    EXTRA_QUERIES[_name] = QUERIES.pop(_name)
+    EXTRA_ORACLES[_name] = ORACLES.pop(_name)
+del _name

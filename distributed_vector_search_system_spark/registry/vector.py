@@ -2416,3 +2416,17 @@ EXTRA_ORACLES["retention_delete"] = _retention_oracle()
 # driver rows; LSH keeps its identical oracle in the pytest tier).
 QUERIES["retention_delete"] = EXTRA_QUERIES.pop("retention_delete")
 ORACLES["retention_delete"] = EXTRA_ORACLES.pop("retention_delete")
+
+
+# round-11 opening rotation, vector side (see registry/llm.py for the
+# round-10 flagship promotions these three demotions balance):
+# knn_quantized (the int8 rung; the compression ladder keeps SQ8 /
+# IVF+PQ / cosine-IVF+PQ / IVF+binary driver rows), ann_pq_topk (the
+# flat-PQ rung; ann_ivfpq_topk keeps ADC + rerank driver-side), and
+# cache_persistent_probe (the cache family keeps cache_digest
+# driver-side; TTL/LRU/semantic rows already live in the pytest
+# tier).  Identical DuckDB comparisons retained in the pytest tier.
+for _name in ("knn_quantized", "ann_pq_topk", "cache_persistent_probe"):
+    EXTRA_QUERIES[_name] = QUERIES.pop(_name)
+    EXTRA_ORACLES[_name] = ORACLES.pop(_name)
+del _name

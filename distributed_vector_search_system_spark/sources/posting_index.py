@@ -813,15 +813,22 @@ class MutablePostingIndexStore(PostingIndexStore):
         # the join key and duplicates cannot change it — no ``distinct``
         # pre-aggregate, no dedup exchange on the probe side) and the
         # winner is one ``max`` hash aggregate, never a per-id sort
-        # window.  Measured at sf0.1 (bench ``lexical_maintenance``):
-        # these two changes plus the single-pass df in ``_attach_df``
-        # took a steady dirty read from ~2.3x a compacted read to
-        # 1.48x (2.00 s vs 1.35 s; the FIRST dirty read after a write
-        # additionally pays the one-off stats memo + plan codegen,
-        # 4.4 s vs 2.6 s cold).  The residue is per-stage launch
-        # overhead over query-bounded rows — constant in corpus size,
-        # so the ratio falls toward 1 as the corpus grows.  compact()
-        # still restores the arbiter-free clean plan exactly.
+        # window.  Measured (bench ``lexical_maintenance``, min over
+        # warm repeats on a calm host, round 10): these two changes
+        # plus the single-pass df in ``_attach_df`` leave a steady
+        # dirty read at 1.74 s vs 1.04 s compacted at sf0.1 — a
+        # RATIO of ~1.7x whose residue is per-stage launch overhead
+        # over query-bounded rows, CONSTANT in corpus size (the ratio
+        # swings with the denominator: r08's calmer host read 1.36x,
+        # r10's faster clean scan pushes it up with both absolutes
+        # improved).  The constant-overhead analysis is pinned
+        # empirically at 10x the corpus (the bench section's scaled_*
+        # keys): same query set, 10x documents — 2.02 s dirty vs
+        # 1.51 s clean = 1.34x, and with the query COUNT also scaled
+        # 10x the ratio reads 1.04x — the tax falls toward 1 as real
+        # work grows around the constant, exactly as a constant must.
+        # compact() still restores the arbiter-free clean plan
+        # exactly.
         win = (
             self._all_muts(spark)
             .join(raw.select("id"), "id", "left_semi")

@@ -420,6 +420,35 @@ class TextEngine:
             doc_id_col=self._doc_id, text_col=self._text,
         )
 
+    def search_mlt(
+        self,
+        seeds: DataFrame,
+        k: int,
+        *,
+        consistency: str = EVENTUAL,
+        max_query_terms: int = 10,
+        min_df: int = 1,
+        max_df: int | None = None,
+        include_seed: bool = False,
+        seed_id_col: str = "seed_id",
+    ) -> DataFrame:
+        """More-like-this behind the gates (round 10): both the
+        representative-term selection and the BM25 second pass read
+        the SAME gated snapshot, so a STRONG read's related-items list
+        reflects a just-upserted seed's new text — and a just-deleted
+        doc can neither seed nor appear in results
+        (operators/mlt.bm25_mlt_topk)."""
+        from .operators.mlt import bm25_mlt_topk
+
+        snap = self._read_snapshot(consistency)
+        return bm25_mlt_topk(
+            snap, seeds, k,
+            max_query_terms=max_query_terms, min_df=min_df, max_df=max_df,
+            include_seed=include_seed,
+            doc_id_col=self._doc_id, text_col=self._text,
+            seed_id_col=seed_id_col,
+        )
+
     def _ensure_positional_index(self) -> str:
         import os
 

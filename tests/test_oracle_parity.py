@@ -50,8 +50,11 @@ def test_registry_row_counts():
 # gaussian-decay composition onto the BM25 leg), ann_matryoshka_topk
 # (d'-prefix coarse shortlist + exact full-dim rescore, two-stage
 # replay) — all exact-oracled
-EXPECTED_EXTRA = 94
-EXPECTED_EXTRA_ORACLED = 93
+# r10 (cont.): + contamination_overlap / decontaminate_docs (benchmark
+# n-gram decontamination: per-(doc, item) shared-shingle audit and the
+# drop-contaminated verb) — both exact-oracled
+EXPECTED_EXTRA = 96
+EXPECTED_EXTRA_ORACLED = 95
 
 
 def test_driver_window_holds_all_llm_queries():

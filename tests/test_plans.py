@@ -165,7 +165,7 @@ def test_knn_quantized_phase1_never_scans_float_column(spark, sf_smoke):
     the STORED int8 tier in phase 1 — the scan that feeds the coarse
     ranking reads (vec_id, qcodes, qscale) and must NOT touch the float
     embedding column; only the k·rerank re-rank rows do."""
-    plan = _plan(registry.queries()["knn_quantized"](spark, sf_smoke))
+    plan = _plan(registry.all_queries()["knn_quantized"](spark, sf_smoke))
     read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
     coarse = [l for l in read_schemas if "qcodes" in l]
     assert coarse, read_schemas  # the stored tier really is scanned

@@ -112,7 +112,7 @@ def test_stored_tier_coarse_scan_skips_float_column(spark, sf_oracle):
     """The registered ann_pq_topk plan reads the STORED code column in
     phase 1; the float embedding column enters only the re-rank scan
     (same stored-tier discipline as knn_quantized)."""
-    df = registry.queries()["ann_pq_topk"](spark, sf_oracle)
+    df = registry.all_queries()["ann_pq_topk"](spark, sf_oracle)
     plan = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )

@@ -419,3 +419,33 @@ def test_fuzzy_and_suggest_and_prf_through_gates(spark):
     q = _q(spark, ("banana",))
     prf = e.search_prf(q, 5, fb_docs=2, fb_terms=2)
     assert prf.count() > 0
+
+
+def test_mlt_through_gates(spark):
+    """search_mlt (round 10) composes with the gates: under STRONG a
+    just-upserted seed's related-items reflect its NEW text, and a
+    just-deleted doc disappears from results; under EVENTUAL both
+    reads see the pre-mutation corpus."""
+    e = TextEngine(spark, _docs(spark))
+    seeds = spark.createDataFrame([(1,)], "seed_id long")
+    base = {r["id"] for r in e.search_mlt(seeds, 5, min_df=1).collect()}
+    assert base and 1 not in base  # seed excluded from its own list
+    # replace doc 1's text entirely: like-doc-1 should now key on
+    # 'cherry date' company, not 'apple banana'
+    e.upsert_doc(1, "cherry date cherry", lang="en")
+    eventual = {
+        r["id"] for r in e.search_mlt(seeds, 5, min_df=1).collect()
+    }
+    assert eventual == base  # gate holds: mutation invisible
+    strong = {
+        r["id"]
+        for r in e.search_mlt(seeds, 5, min_df=1, consistency=STRONG).collect()
+    }
+    assert 3 in strong  # 'cherry date' doc is now the nearest
+    # a deleted doc can no longer appear in anyone's results
+    e.delete_doc(3)
+    after = {
+        r["id"]
+        for r in e.search_mlt(seeds, 5, min_df=1, consistency=STRONG).collect()
+    }
+    assert 3 not in after
