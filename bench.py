@@ -565,6 +565,9 @@ def _measure_d768() -> dict:
     from pyspark.sql import functions as F
 
     from distributed_vector_search_system_spark.operators.knn import knn
+    from distributed_vector_search_system_spark.operators.matryoshka import (
+        matryoshka_topk,
+    )
     from distributed_vector_search_system_spark.operators.pq import (
         pq_adc_topk,
         pq_encode,
@@ -614,6 +617,17 @@ def _measure_d768() -> dict:
         ),
         ("pq_adc", lambda: pq_adc_topk(tier, queries, 10, books, rerank=10)),
         ("pq_adc_only", lambda: pq_adc_topk(tier, queries, 10, books, rerank=0)),
+        # round 10: Matryoshka at the width it exists for — a d'=96
+        # coarse pass is 1/8th of knn_expr's flops at d=768, rescore
+        # bounded at shortlist x |queries| full vectors.  The d64
+        # fixtures cannot show this (the slice overhead eats the
+        # saving); here is the honest test of the rung's cost claim.
+        (
+            "matryoshka_d96",
+            lambda: matryoshka_topk(
+                corpus, queries, 10, d_prime=96, shortlist=50
+            ),
+        ),
     ):
         t(fn)
         out[name] = min(t(fn), t(fn))
@@ -906,6 +920,21 @@ def _measure_scale(sf_dir: str) -> dict:
         from distributed_vector_search_system_spark.operators.fuzzy import (
             corpus_vocabulary as _cv,
         )
+        from distributed_vector_search_system_spark.operators.contamination import (  # noqa: E501
+            contamination_overlap as _contam,
+        )
+        from distributed_vector_search_system_spark.operators.matryoshka import (
+            matryoshka_topk as _mrl,
+        )
+        from distributed_vector_search_system_spark.operators.mlt import (
+            bm25_mlt_topk as _mlt,
+        )
+        from distributed_vector_search_system_spark.operators.scoring import (
+            field_value_factor as _fvf,
+        )
+        from distributed_vector_search_system_spark.operators.scoring import (
+            function_score as _fsc,
+        )
 
         sp_idx = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
@@ -998,6 +1027,52 @@ def _measure_scale(sf_dir: str) -> dict:
             # attribute scan — expect ~flat + the pruned-scan slope.
             "collapse_fixedq_indexed": lambda: _clps(
                 bm25_search_index(spark, idx, lexq, 20), docs, "source", 10
+            ),
+            # round-10 anchors (cont.) — MLT / function scoring /
+            # Matryoshka / decontamination.
+            #
+            # more-like-this, from-scratch form: pays the corpus
+            # encode (tokenize + tf + df) like bm25_topk — expect
+            # ~linear in that growth class; the selection window and
+            # second pass are seed/vocabulary-bounded.
+            "mlt_fixedq_bm25": lambda: _mlt(
+                docs,
+                docs.filter(F.col("doc_id").isin(_SCALE_QUERY_IDS)).select(
+                    F.col("doc_id").alias("seed_id")
+                ),
+                10, max_query_terms=8, min_df=2,
+            ),
+            # function scoring downstream of the INDEXED lexical leg:
+            # hits are k-bounded; the factor side is a 2-column pruned
+            # corpus scan semi-restricted by broadcast hit ids —
+            # expect ~flat + the pruned-scan slope (collapse's class).
+            "function_score_fixedq": lambda: _fsc(
+                bm25_search_index(spark, idx, lexq, 20).select(
+                    "query_id", "id", "score"
+                ),
+                _fvf(docs, "n_chars"),
+                10,
+            ),
+            # Matryoshka two-stage: the coarse pass scans the corpus
+            # at d'/d of the flops (no materialized prefix here — the
+            # from-scratch form), rescore candidate-bounded — expect
+            # ~linear with a slope well under knn_fixedq_expr's.
+            "matryoshka_fixedq": lambda: _mrl(
+                emb, q, 10, d_prime=16, shortlist=50
+            ),
+            # decontamination audit against a FIXED benchmark: the
+            # corpus shingle explode is the linear term; the benchmark
+            # side is broadcast and constant — expect ~linear,
+            # map-side dominated (no corpus self-join exists).
+            "contamination_fixedq": lambda: _contam(
+                docs,
+                docs.filter(F.col("doc_id").isin(_SCALE_QUERY_IDS)).select(
+                    F.col("doc_id").alias("bench_id"),
+                    F.array_join(F.slice(_tok("text"), 1, 10), " ").alias(
+                        "text"
+                    ),
+                ),
+                n=3,
             ),
         }
 

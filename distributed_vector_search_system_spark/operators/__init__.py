@@ -21,3 +21,5 @@ from .mlt import bm25_mlt_topk, mlt_select_terms  # noqa: F401
 from .scoring import decay_factor, field_value_factor, function_score  # noqa: F401
 from .matryoshka import matryoshka_topk, prefix_cosine_topk, prefix_vector  # noqa: F401
 from .contamination import contamination_overlap, decontaminate  # noqa: F401
+from .percolate import percolate, percolate_stream  # noqa: F401
+from .synonyms import expand_query_terms, sparse_synonym_topk  # noqa: F401

@@ -46,7 +46,14 @@ shortlist 20, rising to 0.49/0.72/0.84 at shortlist 200 — i.e. on
 UNTRAINED embeddings even d′=d/2 needs a ~40× shortlist to approach
 0.85, so this rung is strictly for MRL-trained corpora (where the
 paper reports ≥0.98 relative accuracy at d/8); deploy it only with a
-measured per-model curve, the champion-list sizing discipline.
+measured per-model curve, the champion-list sizing discipline.  The
+COST side of the claim is measured where it matters — at the
+reference's width d=768 (bench ``d768`` section): the d′=96
+two-stage rung runs 1.23 s vs 2.79 s full-dim expression kNN on the
+same corpus (2.3×, and faster than the GEMM path's 1.38 s), and the
+10× scale anchor (``matryoshka_fixedq``) reads ratio 2.74 —
+sublinear, the coarse pass's d′/d flop discount compounding with
+cache effects.
 """
 
 from __future__ import annotations

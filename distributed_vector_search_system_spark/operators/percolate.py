@@ -1,0 +1,146 @@
+"""Percolation: reverse search — match documents against STORED
+queries, round 10.
+
+Every operator so far answers "given a query, which documents?";
+production search stacks also need the inverse (Elasticsearch's
+percolator, Lucene's Monitor): REGISTER standing queries — alerts,
+saved searches, routing rules, content filters — and for each
+arriving document report which of them it satisfies.  The reference
+has no analog (its only read path is vector top-k,
+`src/rpc/search_service_impl.cc`); this is the operator that makes a
+corpus-scale pipeline push-capable — "tell me when a doc matching
+THIS lands".
+
+Semantics (the boolean subset — the deterministic core of ES's
+percolator): a stored query is a set of positive terms plus an
+optional set of negative terms; a document matches when at least
+``min_match`` DISTINCT positive terms occur in it (``"all"`` =
+conjunctive, the default) and NO negative term does.  Scoring
+percolation composes separately: feed the matched pairs to any
+scorer as a ``(query, doc)`` restriction.
+
+Spark-first shape: stored queries are the SMALL side by contract
+(alert registries are thousands of rows) — their exploded term table
+broadcasts; the corpus tokenize+explode is map-side and LEFT-SEMI
+restricted to the registry's union vocabulary BEFORE the only
+aggregate, which keys on (doc, query) pairs that share ≥1 term.  The
+negative clause is a second broadcast join reduced to a per-(doc,
+query) anti set.  Nothing corpus-sized shuffles; no corpus self-join
+exists — the same asymmetric-pair discipline as
+``operators/contamination.py``.
+
+At streaming cadence the same plan runs per micro-batch over the
+arriving docs (``streaming/`` foreachBatch precedent) — each batch is
+tiny, the broadcast registry is reused, and matches append to an
+alerts sink.  Deterministic set arithmetic → exactly SQL-replayable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def percolate(
+    docs: DataFrame,
+    stored: DataFrame,
+    *,
+    min_match: int | str = "all",
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    terms_col: str = "qterms",
+    none_terms_col: str | None = None,
+) -> DataFrame:
+    """Match documents against the stored-query registry —
+    ``(doc_id, query_id, matched, required)``, one row per satisfied
+    (document, stored query) pair.
+
+    ``stored``: ``(query_id, qterms array<string>[, none_terms])``.
+    ``matched`` counts DISTINCT positive terms present in the doc;
+    ``required`` is the per-query threshold — ``size(distinct
+    qterms)`` when ``min_match="all"``, else ``least(min_match,
+    n_terms)`` (an integer threshold above a query's term count must
+    still be satisfiable by matching every term — ES's
+    minimum_should_match clamp).  A query with no positive terms
+    matches nothing (a pure-negative standing alert would match the
+    whole corpus stream — rejected, like the boolean layer).
+    """
+    if min_match != "all":
+        if not isinstance(min_match, int) or min_match < 1:
+            raise ValueError('min_match must be "all" or an int >= 1')
+    pos = stored.select(
+        F.col(query_id_col).alias("query_id"),
+        F.array_distinct(F.col(terms_col)).alias("_terms"),
+    ).withColumn("_n_terms", F.size("_terms"))
+    required = (
+        F.col("_n_terms")
+        if min_match == "all"
+        else F.least(F.lit(min_match), F.col("_n_terms"))
+    )
+    pos = pos.withColumn("required", required).filter(F.col("_n_terms") >= 1)
+    pterms = pos.select(
+        "query_id", "required", F.explode("_terms").alias("term")
+    )
+    dtoks = docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("term"),
+    ).join(
+        F.broadcast(pterms.select("term").distinct()), "term", "left_semi"
+    )
+    matched = (
+        dtoks.join(F.broadcast(pterms), "term")
+        .groupBy("doc_id", "query_id")
+        .agg(
+            F.count("*").alias("matched"),
+            F.first("required").alias("required"),
+        )
+        .filter(F.col("matched") >= F.col("required"))
+    )
+    if none_terms_col is not None:
+        nterms = stored.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(F.array_distinct(F.col(none_terms_col))).alias("term"),
+        )
+        ndtoks = docs.select(
+            F.col(doc_id_col).alias("doc_id"),
+            F.explode(F.array_distinct(tokens(text_col))).alias("term"),
+        ).join(F.broadcast(nterms.select("term").distinct()), "term", "left_semi")
+        veto = (
+            ndtoks.join(F.broadcast(nterms), "term")
+            .select("doc_id", "query_id")
+            .distinct()
+        )
+        matched = matched.join(
+            F.broadcast(veto), ["doc_id", "query_id"], "left_anti"
+        )
+    return matched.select("doc_id", "query_id", "matched", "required")
+
+
+def percolate_stream(
+    stream_docs: DataFrame,
+    stored: DataFrame,
+    out_path: str,
+    *,
+    checkpoint: str,
+    min_match: int | str = "all",
+    **cols,
+):
+    """Standing-query alerting: percolate each arriving micro-batch
+    against the (static, broadcast) registry and APPEND satisfied
+    pairs to the alerts sink — the push-capable form of the same
+    plan.  Returns the started ``StreamingQuery``."""
+
+    def _apply(batch: DataFrame, _batch_id: int) -> None:
+        percolate(
+            batch, stored, min_match=min_match, **cols
+        ).write.mode("append").parquet(out_path)
+
+    return (
+        stream_docs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -4271,3 +4271,146 @@ for _name in (
     EXTRA_QUERIES[_name] = QUERIES.pop(_name)
     EXTRA_ORACLES[_name] = ORACLES.pop(_name)
 del _name
+
+
+# ---------------------------------------------------------------------------
+# round 10: percolation (reverse search) and synonym expansion
+
+_PERC_PRED = "doc_id % 101 = 5"
+_PERC_MIN_MATCH = 2
+
+
+def q_percolate_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse search: every document matched against a registry of
+    stored boolean queries (min_match=2 of each query's terms, one
+    negative term) — operators/percolate.py."""
+    from ..functions.text import tokens as _tokens
+    from ..operators.percolate import percolate
+
+    docs = load_table(spark, sf_dir, "documents")
+    stored = docs.filter(F.expr(_PERC_PRED)).select(
+        F.col("doc_id").alias("query_id"),
+        F.slice(_tokens("text"), 1, 4).alias("qterms"),
+        F.slice(_tokens("text"), 6, 1).alias("none_terms"),
+    )
+    return percolate(
+        docs, stored,
+        min_match=_PERC_MIN_MATCH, none_terms_col="none_terms",
+    )
+
+
+def _percolate_oracle() -> str:
+    return f"""
+WITH ptoks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+st AS (SELECT doc_id AS query_id,
+              list_distinct(list_slice(w, 1, 4)) AS qt,
+              list_distinct(list_slice(w, 6, 6)) AS nt
+       FROM ptoks WHERE {_PERC_PRED}),
+pq AS (SELECT query_id, UNNEST(qt) AS term,
+              LEAST({_PERC_MIN_MATCH}, len(qt)) AS required
+       FROM st WHERE len(qt) >= 1),
+dex AS (SELECT doc_id, UNNEST(list_distinct(w)) AS term FROM ptoks),
+m AS (SELECT d.doc_id, q.query_id,
+             CAST(COUNT(*) AS BIGINT) AS matched,
+             ANY_VALUE(q.required) AS required
+      FROM dex d JOIN pq q ON q.term = d.term
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= ANY_VALUE(q.required)),
+nq AS (SELECT query_id, UNNEST(nt) AS term FROM st),
+veto AS (SELECT DISTINCT d.doc_id, n.query_id
+         FROM dex d JOIN nq n ON n.term = d.term)
+SELECT m.doc_id, m.query_id, m.matched, m.required
+FROM m LEFT JOIN veto v
+  ON v.doc_id = m.doc_id AND v.query_id = m.query_id
+WHERE v.doc_id IS NULL
+"""
+
+
+EXTRA_QUERIES["percolate_matches"] = q_percolate_matches
+EXTRA_ORACLES["percolate_matches"] = _percolate_oracle()
+
+
+_SYN_WEIGHT = 0.5
+_SYN_K = 10
+
+
+def _syn_thesaurus(spark: SparkSession, sf_dir: str, q: DataFrame) -> DataFrame:
+    """Deterministic fixture thesaurus: each distinct query term maps
+    to the alphabetically-smallest OTHER corpus term sharing its
+    2-char prefix (equi-join on the prefix, broadcast query side, one
+    min aggregate — the construction is itself scale-shaped).  Stands
+    in for a curated synonym file; the operator takes any
+    (term, synonym, weight) frame."""
+    from ..functions.text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(_tokens("text")).alias("_vt"))
+        .distinct()
+        .withColumn("_p2", F.substring("_vt", 1, 2))
+    )
+    qt = (
+        q.select(F.explode("qterms").alias("_qt"))
+        .distinct()
+        .withColumn("_p2", F.substring("_qt", 1, 2))
+    )
+    return (
+        vocab.join(F.broadcast(qt), "_p2")
+        .filter(F.col("_vt") != F.col("_qt"))
+        .groupBy(F.col("_qt").alias("term"))
+        .agg(F.min("_vt").alias("synonym"))
+        .select("term", "synonym", F.lit(1.0).alias("weight"))
+    )
+
+
+def q_sparse_synonym_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synonym-expanded retrieval: two-channel (original + discounted
+    thesaurus expansion) weighted query over the tf-idf postings —
+    operators/synonyms.py."""
+    from ..operators.synonyms import sparse_synonym_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = _retrieval_queries(spark, sf_dir)
+    return sparse_synonym_topk(
+        docs, q, _syn_thesaurus(spark, sf_dir, q), _SYN_K,
+        weight=_SYN_WEIGHT,
+    )
+
+
+def _sparse_synonym_oracle() -> str:
+    return f"""
+WITH {_sparse_ctes()},
+synq AS (SELECT doc_id AS query_id, list_distinct(list_slice(w, 1, 3)) AS qts
+         FROM stoks WHERE {_HYBRID_QPRED}),
+synqt AS (SELECT query_id, UNNEST(qts) AS term FROM synq),
+synvocab AS (SELECT DISTINCT term, substr(term, 1, 2) AS p2 FROM sdt),
+syndqt AS (SELECT DISTINCT term AS qt, substr(term, 1, 2) AS p2 FROM synqt),
+thes AS (SELECT d.qt AS term, MIN(v.term) AS synonym, 1.0 AS tw
+         FROM synvocab v JOIN syndqt d ON d.p2 = v.p2
+         WHERE v.term <> d.qt GROUP BY 1),
+synorig AS (SELECT query_id, term,
+                   1.0 + LN(CAST(COUNT(*) AS DOUBLE)) AS weight
+            FROM synqt GROUP BY 1, 2),
+synexp AS (SELECT o.query_id, t.synonym AS term,
+                  SUM({_SYN_WEIGHT} * t.tw) AS weight
+           FROM (SELECT DISTINCT query_id, term FROM synorig) o
+           JOIN thes t ON t.term = o.term
+           GROUP BY 1, 2),
+synqp AS (SELECT query_id, term, SUM(weight) AS weight FROM (
+            SELECT * FROM synorig UNION ALL SELECT * FROM synexp)
+          GROUP BY 1, 2 HAVING SUM(weight) <> 0),
+synscored AS (
+  SELECT synqp.query_id, sw.id, SUM(synqp.weight * sw.weight) AS score
+  FROM synqp JOIN sw ON sw.term = synqp.term GROUP BY 1, 2),
+synranked AS (
+  SELECT query_id, id, score6,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score6 DESC, id) AS INT) AS srnk
+  FROM (SELECT query_id, id, ROUND(score, 6) AS score6 FROM synscored))
+SELECT query_id, id, score6 AS score, srnk AS rank
+FROM synranked WHERE srnk <= {_SYN_K}
+"""
+
+
+EXTRA_QUERIES["sparse_synonym_topk"] = q_sparse_synonym_topk
+EXTRA_ORACLES["sparse_synonym_topk"] = _sparse_synonym_oracle()

@@ -53,8 +53,12 @@ def test_registry_row_counts():
 # r10 (cont.): + contamination_overlap / decontaminate_docs (benchmark
 # n-gram decontamination: per-(doc, item) shared-shingle audit and the
 # drop-contaminated verb) — both exact-oracled
-EXPECTED_EXTRA = 96
-EXPECTED_EXTRA_ORACLED = 95
+# r10 (cont.): + percolate_matches (reverse search: docs vs stored
+# boolean queries with min_match + negative veto) and
+# sparse_synonym_topk (two-channel thesaurus expansion over the
+# tf-idf postings) — both exact-oracled
+EXPECTED_EXTRA = 98
+EXPECTED_EXTRA_ORACLED = 97
 
 
 def test_driver_window_holds_all_llm_queries():
