@@ -1283,6 +1283,7 @@ def _measure_maintenance(sf_dir: str) -> dict:
         # toward 1 (~1.04x measured).  Reuses the scale section's
         # cached fixture; skipped (empty keys) when it is absent.
         scaled_dirty_steady = scaled_clean_steady = None
+        scaled_sp_dirty_steady = scaled_sp_clean_steady = None
         scale_dir = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
             ".scale_cache",
@@ -1322,6 +1323,55 @@ def _measure_maintenance(sf_dir: str) -> dict:
                 lambda: xstore.search(spark, xq, 10)
                 .write.format("noop").mode("overwrite").save()
             )
+            # sparse sibling at 10x — the same constant-overhead
+            # question for the fourth store family (its sf0.1 ratio
+            # ~2x is the largest of the stores; if it is the same
+            # per-read constant, it must fall at 10x like lexical's)
+            xenc = collect_doc_vectors(sparse_encode(xdocs))
+            xsstore = MutableSparseIndexStore(os.path.join(root, "xsp"))
+            xsstore.init_base(xenc)
+            xsp_log = (
+                xups.select(
+                    F.col("doc_id").alias("id"),
+                    F.lit("upsert").alias("op"),
+                    _tok9("text").alias("terms"),
+                )
+                .withColumn(
+                    "weights", F.transform("terms", lambda _: F.lit(1.0))
+                )
+                .unionByName(
+                    xdels.select(
+                        F.col("doc_id").alias("id"),
+                        F.lit("delete").alias("op"),
+                        F.lit(None).cast("array<string>").alias("terms"),
+                        F.lit(None).cast("array<double>").alias("weights"),
+                    )
+                )
+                .withColumn(
+                    "seq",
+                    F.row_number().over(Window.orderBy("id")).cast("long"),
+                )
+            )
+            xsstore.apply_log(
+                xsp_log.select("seq", "op", "id", "terms", "weights")
+            )
+            xsq = sparse_encode_queries(
+                xdocs.filter(F.col("doc_id") % 1000 == 7).select(
+                    F.col("doc_id").alias("query_id"),
+                    F.array_join(F.slice(_tok9("text"), 1, 8), " ").alias(
+                        "qtext"
+                    ),
+                )
+            )
+            _, scaled_sp_dirty_steady = _qtimes(
+                lambda: xsstore.search(spark, xsq, 10)
+                .write.format("noop").mode("overwrite").save()
+            )
+            xsstore.compact(spark)
+            _, scaled_sp_clean_steady = _qtimes(
+                lambda: xsstore.search(spark, xsq, 10)
+                .write.format("noop").mode("overwrite").save()
+            )
     finally:
         shutil.rmtree(root, ignore_errors=True)
         spark.stop()
@@ -1358,6 +1408,14 @@ def _measure_maintenance(sf_dir: str) -> dict:
             scaled_dirty_steady / scaled_clean_steady, 3
         )
         out["scaled_copies"] = SCALE_COPIES
+    if scaled_sp_dirty_steady is not None:
+        out["scaled_sparse_dirty_query_steady_sec"] = scaled_sp_dirty_steady
+        out["scaled_sparse_compacted_query_steady_sec"] = (
+            scaled_sp_clean_steady
+        )
+        out["scaled_sparse_dirty_over_compacted_steady"] = round(
+            scaled_sp_dirty_steady / scaled_sp_clean_steady, 3
+        )
     return out
 
 

@@ -21,6 +21,16 @@ Operators:
   sharing ≥ ``min_overlap`` shingles (or ≥ ``min_frac`` of some
   item's shingles) with any benchmark item.
 
+This module GENERALIZES ``operators.sampling.decontaminate`` (round
+4), which implements exactly the ``min_overlap=1`` case as a plain
+shingle semi-join — no per-(doc, item) aggregate at all, the
+cheapest possible plan for the any-overlap rule.  ``decontaminate``
+here therefore DELEGATES to it when the gates are trivial and pays
+the pair aggregate only when a threshold actually needs pair counts;
+what is genuinely new is the AUDIT (which item leaked, from where,
+how badly — the artifact a release review wants) and the
+absolute/relative thresholds.
+
 Both are deterministic set arithmetic → exactly SQL-replayable.
 
 Scale (100 TB): the benchmark side is SMALL by contract (eval sets
@@ -139,9 +149,23 @@ def decontaminate(
 ) -> DataFrame:
     """``docs`` minus contaminated rows (all input columns kept) —
     the verb a pipeline composes directly upstream of training-set
-    materialization.  The flagged-id sliver is benchmark-bounded and
-    broadcast into the anti join, so the corpus passes through
-    map-side."""
+    materialization.  With trivial gates (``min_overlap=1``, no
+    ``min_frac``) this IS the any-overlap rule, served by
+    ``sampling.decontaminate``'s cheaper plan (shingle semi-join, no
+    pair aggregate); thresholds engage the pair-counting path.  The
+    flagged-id sliver is match-bounded (rare by construction at real
+    n) and broadcast into the anti join, so the corpus passes
+    through map-side."""
+    if min_overlap == 1 and min_frac is None:
+        from .sampling import decontaminate as _any_overlap
+
+        if bench_text_col != text_col:
+            benchmark = benchmark.withColumnRenamed(
+                bench_text_col, text_col
+            )
+        return _any_overlap(
+            docs, benchmark, n=n, text_col=text_col, id_col=doc_id_col
+        )
     bad = contaminated_ids(
         docs, benchmark,
         n=n, min_overlap=min_overlap, min_frac=min_frac,

@@ -92,7 +92,11 @@ def decontaminate(
     corpus.  The eval side (benchmarks: thousands of docs, not
     billions) broadcasts; the train side is touched by one map-side
     shingle explode + a broadcast semi-join — the train corpus never
-    shuffles."""
+    shuffles.  This is the cheapest form of the any-overlap rule;
+    ``operators.contamination`` generalizes it with the per-(doc,
+    item) AUDIT and absolute/relative thresholds (round 10), and its
+    ``decontaminate`` delegates back here when the gates are
+    trivial."""
     t_sh = train.select(
         F.col(id_col).alias("_tid"),
         F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("_sh"),

@@ -100,7 +100,10 @@ def sparse_synonym_topk(
     """Synonym-expanded retrieval — ``(query_id, id, score, rank)``:
     the expanded weighted query against the corpus' tf–idf postings
     (``sparse_encode`` from-scratch here; the persisted sparse index
-    serves the same triples at scale).  ``weight=0`` degrades exactly
+    serves the same triples at scale, and the gated serving form is
+    pure composition — ``SparseEngine.search(expand_query_terms(q,
+    thesaurus), k, method="indexed")`` — because expansion is
+    query-side and never touches the snapshot).  ``weight=0`` degrades exactly
     to the unexpanded sparse ranking (zero-weight expansion rows are
     dropped before they can admit documents)."""
     enc = sparse_encode(docs, doc_id_col=doc_id_col, text_col=text_col)

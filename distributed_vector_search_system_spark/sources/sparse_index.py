@@ -306,10 +306,15 @@ class MutableSparseIndexStore:
     - ``postings/`` — ``(term, id, weight, seq)`` term-clustered (the
       immutable snapshot; every row a winner on clean generations);
     - ``delta/``    — O(batch) appends of upserted vectors' postings;
-    - ``muts/``     — ``(id, seq, op)`` arbiter rows;
+    - ``muts/``     — ``(id, seq, op)`` arbiter FLOOR (written only by
+      init/compact: the fold's winners);
+    - ``muts_log/`` — post-compact arbiter appends — its ids are
+      exactly the docs TOUCHED since the fold, which is what lets the
+      dirty read keep every corpus-sized subtree below broadcast
+      joins (round 10; see ``_live_postings``);
     - ``_DIRTY``    — marker gating the merge-on-read arbiter; absent
       on generations written by init/compact, so clean reads skip the
-      dedup + arbiter joins outright (the posting store's measured
+      arbiter machinery outright (the posting store's measured
       read-tax discipline).
 
     Search is exact over the folded state: restricted to the query
@@ -362,6 +367,14 @@ class MutableSparseIndexStore:
             self._os.path.join(d, "delta"),
             self._os.path.join(d, "muts"),
         )
+
+    def _muts_log_path(self) -> str:
+        """Post-compact arbiter appends, split from the winner floor
+        (``muts/``) so the dirty read's touched-id set is exact by
+        construction — the posting store's round-10 discipline (see
+        ``MutablePostingIndexStore._muts_log_path``)."""
+        d = self._os.path.join(self.root, self._current_gen())
+        return self._os.path.join(d, "muts_log")
 
     def generations(self) -> list[str]:
         try:
@@ -454,7 +467,7 @@ class MutableSparseIndexStore:
         (
             log.select("id", F.col("seq").cast("long").alias("seq"), "op")
             .write.mode("append")
-            .parquet(muts)
+            .parquet(self._muts_log_path())
         )
 
     def delete_ids(
@@ -505,7 +518,7 @@ class MutableSparseIndexStore:
                 self._os.path.join(self._os.path.dirname(muts_path), "_DIRTY"),
                 "1\n",
             )
-            tomb.write.mode("append").parquet(muts_path)
+            tomb.write.mode("append").parquet(self._muts_log_path())
         return n
 
     def streaming_log_sink(self, stream: DataFrame, *, checkpoint: str):
@@ -526,8 +539,43 @@ class MutableSparseIndexStore:
     # -- read path -------------------------------------------------------------
 
     def _all_muts(self, spark: SparkSession) -> DataFrame:
+        from pyspark.errors import AnalysisException
+
         *_, muts_path = self._paths()
-        return spark.read.parquet(muts_path)
+        floor = spark.read.parquet(muts_path)
+        try:
+            return floor.unionByName(
+                spark.read.parquet(self._muts_log_path())
+            )
+        except AnalysisException:
+            return floor
+
+    def _touched_ids(self, spark: SparkSession) -> DataFrame | None:
+        """Ids mutated since the generation fold (``muts_log/``), or
+        ``None`` when unusable — the posting store's round-10 contract
+        (``MutablePostingIndexStore._touched_ids``), including its
+        local-size fast path for the cap guard."""
+        from pyspark.errors import AnalysisException
+
+        from .posting_index import MutablePostingIndexStore as _P
+
+        try:
+            log = spark.read.parquet(self._muts_log_path())
+        except AnalysisException:
+            return None
+        small = False
+        try:
+            total = sum(
+                e.stat().st_size
+                for e in self._os.scandir(self._muts_log_path())
+                if e.is_file()
+            )
+            small = total < _P._TOUCHED_SIZE_FAST_PATH
+        except OSError:
+            pass  # remote path: fall through to the count
+        if not small and log.count() > _P.TOUCHED_BROADCAST_CAP:
+            return None
+        return log.select("id").distinct()
 
     def _is_dirty(self, spark: SparkSession) -> bool:
         from .fsutil import read_marker
@@ -546,6 +594,45 @@ class MutableSparseIndexStore:
             # clean generation: every stored row is a winner by
             # construction — no dedup, no arbiter joins
             return rows.drop("seq")
+        # touched-id split (round 10, the posting store's discipline —
+        # see MutablePostingIndexStore._live_postings): untouched base
+        # rows are winners by construction and flow through one
+        # map-side broadcast anti-join; the dedup + arbiter run over
+        # the mutation backlog's sliver only.
+        touched = self._touched_ids(spark)
+        if touched is not None:
+            # single-scan form — see MutablePostingIndexStore: delta
+            # dedup is batch-sized, cross-source duplicates anti-join
+            # away against broadcast delta keys, and liveness is one
+            # broadcast left join against the touched ids' winners
+            # (null winner = untouched = live by construction).
+            try:
+                delta_d = (
+                    spark.read.parquet(delta_path)
+                    .filter(F.col("term").isin(terms))
+                    .dropDuplicates(["term", "id", "seq"])
+                )
+                rows = rows.join(
+                    F.broadcast(delta_d.select("term", "id", "seq")),
+                    ["term", "id", "seq"],
+                    "left_anti",
+                ).unionByName(delta_d)
+            except AnalysisException:
+                pass  # delete-only generation
+            win = (
+                self._all_muts(spark)
+                .join(F.broadcast(touched), "id", "left_semi")
+                .groupBy("id")
+                .agg(F.max("seq").alias("_wseq"))
+            )
+            return (
+                rows.join(F.broadcast(win), "id", "left")
+                .filter(
+                    F.col("_wseq").isNull()
+                    | (F.col("seq") == F.col("_wseq"))
+                )
+                .drop("seq", "_wseq")
+            )
         try:
             rows = rows.unionByName(
                 spark.read.parquet(delta_path).filter(F.col("term").isin(terms))

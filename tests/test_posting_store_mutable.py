@@ -286,13 +286,17 @@ def test_clean_generation_skips_arbiter(spark, tmp_path):
     s.apply_log(_log_df(spark))
     dirty = s.search(spark, q, 4)
     # dirty: the arbiter enters as max-aggregates + joins (never a
-    # per-id sort window), and the expensive ARBITERED subtree is
-    # consumed ONCE — df comes from a term-partitioned window instead
-    # of a second pass.  Five scans: postings+delta twice (score path
-    # + the semi-join's bare candidate-id probe) and muts once.
+    # per-id sort window); df comes from a term-partitioned window
+    # instead of a second pass.  Round 10's touched-id split keeps the
+    # restricted base scanned ONCE per pass (7 scans total: base once,
+    # tiny delta twice for the cross-source dedup anti-join, tiny
+    # muts_log twice for the touched set, muts floor + log once for
+    # the winner aggregate) and every corpus-sized subtree sits BELOW
+    # broadcast joins — the only exchanges over restricted mass are
+    # the df window and the score aggregate, same as a clean read.
     assert n_windows(dirty) == 2  # term-df window + rank window
     assert "seq DESC" not in plan(dirty)  # no row_number arbiter
-    assert n_scans(dirty) == 5
+    assert n_scans(dirty) == 7
     before = _result(s.search(spark, q, 5))
     s.compact(spark)
     after = s.search(spark, q, 4)

@@ -196,9 +196,7 @@ def test_posting_sweep_seq_floor_guard(spark, tmp_path):
     # default seq clears the floor: the sweep lands ABOVE seq 50, so a
     # later engine mutation at seq <= 50 cannot tie with it
     assert s.delete_ids(spark.createDataFrame([(2,)], "id long")) == 1
-    muts = spark.read.parquet(
-        f"{s.root}/{s._current_gen()}/muts"
-    )
+    muts = s._all_muts(spark)
     swept = muts.filter(F.col("op") == "delete").agg(F.max("seq")).first()[0]
     assert swept == 51
 

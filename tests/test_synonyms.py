@@ -115,3 +115,27 @@ def test_validation(spark, corpus):
     th = _thesaurus(spark, [("car", "automobile", 1.0)])
     with pytest.raises(ValueError):
         expand_query_terms(q, th, weight=-0.1)
+
+
+def test_composes_with_sparse_engine(spark, corpus):
+    """The gated serving form is pure composition: expansion is
+    query-side, so SparseEngine.search(expanded postings) equals the
+    from-scratch operator over the same snapshot."""
+    from distributed_vector_search_system_spark.operators.sparse import (
+        collect_doc_vectors,
+    )
+    from distributed_vector_search_system_spark.sparse_engine import SparseEngine
+
+    q = _q(spark, ["car"])
+    th = _thesaurus(spark, [("car", "automobile", 1.0)])
+    enc = sparse_encode(corpus)
+    engine = SparseEngine(spark, collect_doc_vectors(enc))
+    got = engine.search(expand_query_terms(q, th, weight=0.5), 10)
+    ref = sparse_synonym_topk(corpus, q, th, 10, weight=0.5)
+    assert [
+        (r["query_id"], r["id"], round(r["score"], 6), r["rank"])
+        for r in got.orderBy("rank").collect()
+    ] == [
+        (r["query_id"], r["id"], round(r["score"], 6), r["rank"])
+        for r in ref.orderBy("rank").collect()
+    ]
