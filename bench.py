@@ -1137,13 +1137,16 @@ def _measure_maintenance(sf_dir: str) -> dict:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     root = tempfile.mkdtemp(prefix="dvss_bench_maint_")
 
-    def _qtimes(fn, repeats: int = 3) -> tuple[float, float]:
+    def _qtimes(fn, repeats: int = 5) -> tuple[float, float]:
         """(cold, steady) for one query: first run is the cold number,
         steady is the MIN of the remaining repeats — the same estimator
         the headline uses.  Single-shot timings put one GC pause or
         steal spike into one load-bearing number (r09's committed
         1.56x/1.86x dirty-read figures were exactly that artifact;
-        VERDICT r09 item 6)."""
+        VERDICT r09 item 6).  Five repeats, not three: the dirty/clean
+        comparisons divide sub-second numbers, and min-of-2 still let
+        the RATIO swing ±40% across otherwise-calm runs (observed
+        1.4-2.0x for the same code in round 10)."""
         out = []
         for _ in range(max(repeats, 2)):
             t1 = time.perf_counter()

@@ -351,13 +351,26 @@ class IvfIndexStore:
             delta = spark.read.parquet(delta_path)
             if cells is not None:
                 delta = delta.filter(F.col("cell_id").isin(cells))
-            rows = base.select("vec_id", "embedding", "label", "seq", "cell_id").unionByName(
-                delta.select("vec_id", "embedding", "label", "seq", "cell_id")
-            )
+            # redelivered-batch duplicates collapse WITHOUT an exchange
+            # over the probed-cell mass (round 10, the posting/sparse
+            # stores' single-scan discipline): in-delta duplicates
+            # dedup at batch size, and a base row whose (vec_id, seq)
+            # was re-appended to delta (a redelivered pre-compact
+            # batch) anti-joins away against the broadcast delta keys
+            # — map-side; base rows themselves are written once and
+            # cannot duplicate.
+            delta_d = delta.select(
+                "vec_id", "embedding", "label", "seq", "cell_id"
+            ).dropDuplicates(["vec_id", "seq"])
+            rows = base.select(
+                "vec_id", "embedding", "label", "seq", "cell_id"
+            ).join(
+                F.broadcast(delta_d.select("vec_id", "seq")),
+                ["vec_id", "seq"],
+                "left_anti",
+            ).unionByName(delta_d)
         except AnalysisException:  # no delta appended yet
             rows = base.select("vec_id", "embedding", "label", "seq", "cell_id")
-        # duplicate appends from redelivered batches collapse here
-        rows = rows.dropDuplicates(["vec_id", "seq"])
         arb = self._mutation_arbiter(spark, muts_path)
         if arb is None:
             return rows.drop("seq")
