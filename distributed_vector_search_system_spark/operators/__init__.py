@@ -14,7 +14,14 @@ from .sparse import (  # noqa: F401
     sparse_encode_queries,
     sparse_topk,
 )
-from .facets import facet_counts, facets_for_hits, topn_facet_counts  # noqa: F401
+from .facets import (  # noqa: F401
+    facet_counts,
+    facets_for_hits,
+    histogram_facet,
+    histogram_for_hits,
+    significant_terms,
+    topn_facet_counts,
+)
 from .snippets import best_window_snippets  # noqa: F401
 from .boolean import boolean_matching_ids, boolean_matching_ids_index  # noqa: F401
 from .mlt import bm25_mlt_topk, mlt_select_terms  # noqa: F401

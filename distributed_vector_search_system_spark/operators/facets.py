@@ -140,3 +140,149 @@ def facets_for_hits(
     return exploded.groupBy("query_id", "facet", "value").agg(
         F.count("*").alias("count")
     )
+
+
+def histogram_facet(
+    docs: DataFrame,
+    value_col: str,
+    *,
+    width: float,
+    origin: float = 0.0,
+) -> DataFrame:
+    """Fixed-interval histogram over a numeric column (round 10 — the
+    ES ``histogram`` / ``date_histogram`` aggregation; timestamps are
+    pre-projected to a numeric epoch column, the repo's unit-agnostic
+    stance).  Bucket key = ``origin + floor((v − origin)/width) ·
+    width``; empty buckets are absent (min_doc_count=1, the default
+    UIs want) and NULL values emit no row.  Returns
+    ``(bucket, count)`` with ``bucket`` the inclusive lower bound.
+
+    Scale: a pure map-side bucket expression + one hash aggregate
+    whose exchange cardinality is the BUCKET COUNT — map-side combine
+    absorbs any value skew, the same shape as ``facet_counts``.
+    """
+    if width <= 0:
+        raise ValueError("width must be > 0")
+    v = F.col(value_col).cast("double")
+    bucket = F.lit(float(origin)) + F.floor(
+        (v - F.lit(float(origin))) / F.lit(float(width))
+    ) * F.lit(float(width))
+    return (
+        docs.filter(v.isNotNull())
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("count"))
+    )
+
+
+def histogram_for_hits(
+    hits: DataFrame,
+    docs: DataFrame,
+    value_col: str,
+    *,
+    width: float,
+    origin: float = 0.0,
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-query histogram over a retrieval leg's match set —
+    ``(query_id, bucket, count)``; the ``facets_for_hits`` contract
+    (dedup on ``(query_id, id)``, column-pruned attribute scan)."""
+    if width <= 0:
+        raise ValueError("width must be > 0")
+    v = F.col(value_col).cast("double")
+    bucket = F.lit(float(origin)) + F.floor(
+        (v - F.lit(float(origin))) / F.lit(float(width))
+    ) * F.lit(float(width))
+    attrs = docs.filter(v.isNotNull()).select(
+        F.col(doc_id_col).alias("id"), bucket.alias("bucket")
+    )
+    return (
+        hits.select("query_id", "id").distinct()
+        .join(attrs, "id")
+        .groupBy("query_id", "bucket")
+        .agg(F.count("*").alias("count"))
+    )
+
+
+def significant_terms(
+    hits: DataFrame,
+    docs: DataFrame,
+    top_n: int,
+    *,
+    min_fg_df: int = 2,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Terms OVERREPRESENTED in each query's match set vs the corpus
+    background (round 10 — the ES ``significant_terms`` aggregation,
+    JLH heuristic): for term t with foreground share ``fg = df_fg /
+    |match set|`` and background share ``bg = df_corpus / N``,
+    ``jlh = (fg − bg) · fg / bg`` — the "what is this result set
+    ABOUT" verb corpus exploration and query-intent dashboards run
+    beside facets.  Terms must appear in ≥ ``min_fg_df`` matched docs
+    (the noise gate); per query the top ``top_n`` by (6-decimal
+    rounded jlh desc, term asc — the determinism convention).
+    Returns ``(query_id, term, fg_df, bg_df, jlh, rank)``.
+
+    Scale: the foreground side is match-set-bounded (hits broadcast
+    into the tokenize of matched docs — the ``facets_for_hits``
+    discipline); the background df aggregate is LEFT-SEMI restricted
+    to the foreground's candidate terms BEFORE it runs (the
+    ``bm25_scores`` plan shape), so its exchange carries only those
+    terms' postings.  At serving scale bg df reads the posting
+    index's per-term stats instead of re-aggregating — this
+    from-scratch form carries the oracle, the ``bm25_topk`` stance.
+    """
+    from ..functions.text import tokens
+
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    if min_fg_df < 1:
+        raise ValueError("min_fg_df must be >= 1")
+    h = hits.select("query_id", "id").distinct()
+    sizes = h.groupBy("query_id").agg(F.count("*").alias("_m"))
+    toks = docs.select(
+        F.col(doc_id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("term"),
+    )
+    n_docs = docs.select(F.count("*").alias("_n"))
+    fg = (
+        toks.join(F.broadcast(h), "id")
+        .groupBy("query_id", "term")
+        .agg(F.count("*").alias("fg_df"))
+        .filter(F.col("fg_df") >= min_fg_df)
+    )
+    bg = (
+        toks.join(
+            F.broadcast(fg.select("term").distinct()), "term", "left_semi"
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("bg_df"))
+    )
+    scored = (
+        fg.join(bg, "term")
+        .join(F.broadcast(sizes), "query_id")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "query_id",
+            "term",
+            "fg_df",
+            "bg_df",
+            F.round(
+                (
+                    F.col("fg_df") / F.col("_m")
+                    - F.col("bg_df") / F.col("_n")
+                )
+                * (F.col("fg_df") / F.col("_m"))
+                / (F.col("bg_df") / F.col("_n")),
+                6,
+            ).alias("jlh"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("jlh").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+    )

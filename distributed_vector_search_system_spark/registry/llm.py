@@ -4414,3 +4414,114 @@ FROM synranked WHERE srnk <= {_SYN_K}
 
 EXTRA_QUERIES["sparse_synonym_topk"] = q_sparse_synonym_topk
 EXTRA_ORACLES["sparse_synonym_topk"] = _sparse_synonym_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 10: histogram facets + significant terms (search analytics)
+
+_HIST_WIDTH = 200.0
+_HIST_HITS_WIDTH = 250.0
+_SIG_TOP = 5
+_SIG_MIN_FG = 2
+
+
+def q_doc_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-interval histogram over the corpus length column —
+    operators/facets.histogram_facet (ES histogram aggregation)."""
+    from ..operators.facets import histogram_facet
+
+    docs = load_table(spark, sf_dir, "documents")
+    return histogram_facet(docs, "n_chars", width=_HIST_WIDTH)
+
+
+_DOC_HISTOGRAM_SQL = f"""
+SELECT 0.0 + FLOOR((CAST(n_chars AS DOUBLE) - 0.0) / {_HIST_WIDTH!r})
+           * {_HIST_WIDTH!r} AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS count
+FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+"""
+
+EXTRA_QUERIES["doc_histogram"] = q_doc_histogram
+EXTRA_ORACLES["doc_histogram"] = _DOC_HISTOGRAM_SQL
+
+
+def q_bm25_hits_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query match-set histogram (the facet-sidebar date/length
+    bars) — operators/facets.histogram_for_hits over the BM25 match
+    set."""
+    from ..operators.facets import histogram_for_hits
+    from ..operators.retrieval import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    hits = bm25_scores(docs, _retrieval_queries(spark, sf_dir)).select(
+        "query_id", "id"
+    )
+    return histogram_for_hits(
+        hits, docs, "n_chars", width=_HIST_HITS_WIDTH
+    )
+
+
+def _bm25_hits_histogram_oracle() -> str:
+    return f"""
+WITH {_bm25_scored_ctes()},
+hset AS (SELECT DISTINCT query_id, id FROM bm25_scored),
+hb AS (SELECT h.query_id,
+              0.0 + FLOOR((CAST(d.n_chars AS DOUBLE) - 0.0)
+                          / {_HIST_HITS_WIDTH!r}) * {_HIST_HITS_WIDTH!r}
+                AS bucket
+       FROM hset h JOIN documents d ON d.doc_id = h.id
+       WHERE d.n_chars IS NOT NULL)
+SELECT query_id, bucket, CAST(COUNT(*) AS BIGINT) AS count
+FROM hb GROUP BY 1, 2
+"""
+
+
+EXTRA_QUERIES["bm25_hits_histogram"] = q_bm25_hits_histogram
+EXTRA_ORACLES["bm25_hits_histogram"] = _bm25_hits_histogram_oracle()
+
+
+def q_bm25_sig_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Significant terms (JLH) of each query's BM25 match set vs the
+    corpus background — operators/facets.significant_terms."""
+    from ..operators.facets import significant_terms
+    from ..operators.retrieval import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    hits = bm25_scores(docs, _retrieval_queries(spark, sf_dir)).select(
+        "query_id", "id"
+    )
+    return significant_terms(
+        hits, docs, _SIG_TOP, min_fg_df=_SIG_MIN_FG
+    )
+
+
+def _bm25_sig_terms_oracle() -> str:
+    return f"""
+WITH {_bm25_scored_ctes()},
+hset AS (SELECT DISTINCT query_id, id FROM bm25_scored),
+msz AS (SELECT query_id, COUNT(*) AS m FROM hset GROUP BY 1),
+dterms AS (SELECT doc_id AS id, UNNEST(list_distinct(w)) AS term FROM toks),
+fg AS (SELECT h.query_id, d.term, CAST(COUNT(*) AS BIGINT) AS fg_df
+       FROM dterms d JOIN hset h ON h.id = d.id
+       GROUP BY 1, 2 HAVING COUNT(*) >= {_SIG_MIN_FG}),
+bg AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS bg_df FROM dterms
+       WHERE term IN (SELECT DISTINCT term FROM fg) GROUP BY 1),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+sc AS (SELECT fg.query_id, fg.term, fg.fg_df, bg.bg_df,
+              ROUND((fg.fg_df / msz.m - bg.bg_df / nn.n)
+                    * (fg.fg_df / msz.m) / (bg.bg_df / nn.n), 6) AS jlh
+       FROM fg
+       JOIN bg ON bg.term = fg.term
+       JOIN msz ON msz.query_id = fg.query_id
+       CROSS JOIN nn),
+rk AS (SELECT query_id, term, fg_df, bg_df, jlh,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY jlh DESC, term) AS INT) AS rank
+       FROM sc)
+SELECT query_id, term, fg_df, bg_df, jlh, rank
+FROM rk WHERE rank <= {_SIG_TOP}
+"""
+
+
+EXTRA_QUERIES["bm25_sig_terms"] = q_bm25_sig_terms
+EXTRA_ORACLES["bm25_sig_terms"] = _bm25_sig_terms_oracle()

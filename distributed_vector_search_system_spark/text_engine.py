@@ -350,6 +350,50 @@ class TextEngine:
             max_positions_per_term=cap,
         )
 
+    def histogram(
+        self,
+        value_col: str,
+        *,
+        width: float,
+        origin: float = 0.0,
+        consistency: str = EVENTUAL,
+        hits: DataFrame | None = None,
+    ) -> DataFrame:
+        """Fixed-interval histogram behind the gates (round 10):
+        corpus ``(bucket, count)`` over the gated snapshot, or with
+        ``hits`` the per-query match-set form ``(query_id, bucket,
+        count)`` — the numeric sibling of :meth:`facets`."""
+        from .operators.facets import histogram_facet, histogram_for_hits
+
+        snap = self._read_snapshot(consistency)
+        if hits is not None:
+            return histogram_for_hits(
+                hits, snap, value_col,
+                width=width, origin=origin, doc_id_col=self._doc_id,
+            )
+        return histogram_facet(snap, value_col, width=width, origin=origin)
+
+    def significant_terms(
+        self,
+        hits: DataFrame,
+        top_n: int,
+        *,
+        min_fg_df: int = 2,
+        consistency: str = EVENTUAL,
+    ) -> DataFrame:
+        """Significant terms of a match set vs the gated snapshot's
+        background (round 10) — foreground AND background read the
+        SAME snapshot, so a STRONG read's JLH scores can never mix
+        pre- and post-mutation corpora."""
+        from .operators.facets import significant_terms
+
+        snap = self._read_snapshot(consistency)
+        return significant_terms(
+            hits, snap, top_n,
+            min_fg_df=min_fg_df,
+            doc_id_col=self._doc_id, text_col=self._text,
+        )
+
     def search_fuzzy(
         self,
         queries: DataFrame,

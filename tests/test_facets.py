@@ -125,3 +125,152 @@ def test_facets_for_hits_dedups_hit_rows(spark):
         for r in facets_for_hits(hits, docs, ["lang"]).collect()
     }
     assert got == {("lang", "en"): 2, ("lang", "fr"): 1}
+
+
+# --- round 10: histogram facets + significant terms ------------------------
+
+
+def test_histogram_buckets_and_nulls(spark):
+    from distributed_vector_search_system_spark.operators.facets import (
+        histogram_facet,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 10.0), (2, 199.0), (3, 200.0), (4, 405.0), (5, None)],
+        "doc_id long, v double",
+    )
+    got = {
+        r["bucket"]: r["count"]
+        for r in histogram_facet(docs, "v", width=200.0).collect()
+    }
+    assert got == {0.0: 2, 200.0: 1, 400.0: 1}  # null emits no row
+
+
+def test_histogram_origin_shifts_bucket_edges(spark):
+    from distributed_vector_search_system_spark.operators.facets import (
+        histogram_facet,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 10.0), (2, 60.0)], "doc_id long, v double"
+    )
+    got = {
+        r["bucket"]: r["count"]
+        for r in histogram_facet(
+            docs, "v", width=100.0, origin=50.0
+        ).collect()
+    }
+    assert got == {-50.0: 1, 50.0: 1}
+
+
+def test_histogram_for_hits_dedups_and_restricts(spark):
+    from distributed_vector_search_system_spark.operators.facets import (
+        histogram_for_hits,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 10.0), (2, 110.0), (3, 120.0)], "doc_id long, v double"
+    )
+    hits = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 2)], "query_id long, id long"
+    )
+    got = {
+        (r["query_id"], r["bucket"]): r["count"]
+        for r in histogram_for_hits(hits, docs, "v", width=100.0).collect()
+    }
+    assert got == {(0, 0.0): 1, (0, 100.0): 1}  # dup hit counts once; 3 absent
+
+
+def test_histogram_validation(spark):
+    import pytest as _pt
+
+    from distributed_vector_search_system_spark.operators.facets import (
+        histogram_facet,
+        histogram_for_hits,
+    )
+
+    docs = spark.createDataFrame([(1, 1.0)], "doc_id long, v double")
+    with _pt.raises(ValueError):
+        histogram_facet(docs, "v", width=0)
+    with _pt.raises(ValueError):
+        histogram_for_hits(docs, docs, "v", width=-1)
+
+
+def test_significant_terms_prefers_overrepresented(spark):
+    from distributed_vector_search_system_spark.operators.facets import (
+        significant_terms,
+    )
+
+    # 'rare' appears in both matched docs but only 2/6 of the corpus;
+    # 'common' appears everywhere (bg share 1.0 -> jlh 0)
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare alpha"),
+            (2, "common rare beta"),
+            (3, "common gamma x"),
+            (4, "common delta y"),
+            (5, "common epsilon z"),
+            (6, "common zeta w"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = spark.createDataFrame([(0, 1), (0, 2)], "query_id long, id long")
+    got = significant_terms(hits, docs, 3, min_fg_df=2).collect()
+    terms = [(r["term"], r["rank"]) for r in got]
+    assert terms[0] == ("rare", 1)
+    by = {r["term"]: r for r in got}
+    assert by["rare"]["fg_df"] == 2 and by["rare"]["bg_df"] == 2
+    # common: fg share 1.0, bg share 1.0 -> jlh exactly 0
+    assert by["common"]["jlh"] == 0.0
+
+
+def test_significant_terms_min_fg_gate(spark):
+    from distributed_vector_search_system_spark.operators.facets import (
+        significant_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha solo"), (2, "alpha"), (3, "beta"), (4, "gamma")],
+        "doc_id long, text string",
+    )
+    hits = spark.createDataFrame([(0, 1), (0, 2)], "query_id long, id long")
+    got = {r["term"] for r in significant_terms(hits, docs, 5).collect()}
+    assert "solo" not in got   # fg_df 1 < min_fg_df 2
+    assert "alpha" in got
+
+
+def test_significant_terms_validation(spark):
+    import pytest as _pt
+
+    from distributed_vector_search_system_spark.operators.facets import (
+        significant_terms,
+    )
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pt.raises(ValueError):
+        significant_terms(docs, docs, 0)
+    with _pt.raises(ValueError):
+        significant_terms(docs, docs, 5, min_fg_df=0)
+
+
+def test_significant_terms_bg_restricted_below_aggregate(spark, sf_smoke):
+    """Plan lock: the background df aggregate must be semi-restricted
+    to foreground terms before it runs (the bm25_scores discipline) —
+    no full-vocabulary exchange."""
+    from distributed_vector_search_system_spark.operators.facets import (
+        significant_terms,
+    )
+    from distributed_vector_search_system_spark.operators.retrieval import (
+        bm25_scores, queries_from_docs,
+    )
+    from distributed_vector_search_system_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_smoke, "documents")
+    q = queries_from_docs(docs, F.col("doc_id") % 100 == 7)
+    hits = bm25_scores(docs, q).select("query_id", "id")
+    out = significant_terms(hits, docs, 5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the bg aggregate's input carries the semi join below it
+    assert "LeftSemi" in plan

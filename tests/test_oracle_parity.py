@@ -57,8 +57,11 @@ def test_registry_row_counts():
 # boolean queries with min_match + negative veto) and
 # sparse_synonym_topk (two-channel thesaurus expansion over the
 # tf-idf postings) — both exact-oracled
-EXPECTED_EXTRA = 98
-EXPECTED_EXTRA_ORACLED = 97
+# r10 (cont.): + doc_histogram / bm25_hits_histogram (fixed-interval
+# histogram aggregations, corpus and per-match-set) and bm25_sig_terms
+# (significant terms, JLH vs corpus background) — all exact-oracled
+EXPECTED_EXTRA = 101
+EXPECTED_EXTRA_ORACLED = 100
 
 
 def test_driver_window_holds_all_llm_queries():

@@ -449,3 +449,40 @@ def test_mlt_through_gates(spark):
         for r in e.search_mlt(seeds, 5, min_df=1, consistency=STRONG).collect()
     }
     assert 3 not in after
+
+
+def test_histogram_and_sig_terms_through_gates(spark):
+    """Round-10 analytics verbs compose with the gates: a STRONG read
+    reflects a just-upserted doc in both the buckets and the JLH
+    background."""
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana", 10),
+            (2, "banana cherry banana", 20),
+            (3, "cherry date", 210),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    e = TextEngine(spark, docs)
+    base = {
+        r["bucket"]: r["count"]
+        for r in e.histogram("n_chars", width=100.0).collect()
+    }
+    assert base == {0.0: 2, 200.0: 1}
+    e.upsert_doc(4, "banana evening", n_chars=110)
+    # EVENTUAL: unchanged; STRONG: the new doc lands in a new bucket
+    assert {
+        r["bucket"]: r["count"]
+        for r in e.histogram("n_chars", width=100.0).collect()
+    } == base
+    strong = {
+        r["bucket"]: r["count"]
+        for r in e.histogram(
+            "n_chars", width=100.0, consistency=STRONG
+        ).collect()
+    }
+    assert strong == {0.0: 2, 100.0: 1, 200.0: 1}
+    # significant terms over this engine's own match set, gated
+    hits = spark.createDataFrame([(0, 1), (0, 2)], "query_id long, id long")
+    sig = e.significant_terms(hits, 3, consistency=STRONG)
+    assert [r["term"] for r in sig.orderBy("rank").collect()][0] == "banana"
