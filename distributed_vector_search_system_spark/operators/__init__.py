@@ -30,3 +30,4 @@ from .matryoshka import matryoshka_topk, prefix_cosine_topk, prefix_vector  # no
 from .contamination import contamination_overlap, decontaminate  # noqa: F401
 from .percolate import percolate, percolate_stream  # noqa: F401
 from .synonyms import expand_query_terms, sparse_synonym_topk  # noqa: F401
+from .pagination import page_cursor, search_after  # noqa: F401

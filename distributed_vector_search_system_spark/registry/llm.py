@@ -4525,3 +4525,46 @@ FROM rk WHERE rank <= {_SIG_TOP}
 
 EXTRA_QUERIES["bm25_sig_terms"] = q_bm25_sig_terms
 EXTRA_ORACLES["bm25_sig_terms"] = _bm25_sig_terms_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 10: stateless deep pagination (search_after)
+
+_PAGE_K = 5
+
+
+def q_bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page 2 via search_after: page 1's last-row cursor resumes the
+    BM25 ranking exactly — operators/pagination.py."""
+    from ..operators.pagination import page_cursor, search_after
+    from ..operators.retrieval import bm25_scores, bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = _retrieval_queries(spark, sf_dir)
+    page1 = bm25_topk(docs, q, _PAGE_K)
+    scored = bm25_scores(docs, q)
+    return search_after(scored, page_cursor(page1), _PAGE_K)
+
+
+def _bm25_page2_oracle() -> str:
+    return f"""
+WITH {_bm25_scored_ctes()},
+lastr AS (SELECT query_id, MAX(brank) AS lb FROM bm25_ranked
+          WHERE brank <= {_PAGE_K} GROUP BY 1),
+cur AS (SELECT b.query_id, b.score6 AS a_s, b.id AS a_i
+        FROM bm25_ranked b
+        JOIN lastr l ON l.query_id = b.query_id AND b.brank = l.lb),
+nxt AS (SELECT b.query_id, b.id, b.score6,
+               CAST(ROW_NUMBER() OVER (PARTITION BY b.query_id
+                    ORDER BY b.score6 DESC, b.id) AS INT) AS rank
+        FROM bm25_ranked b
+        LEFT JOIN cur c ON c.query_id = b.query_id
+        WHERE c.query_id IS NULL
+           OR b.score6 < c.a_s
+           OR (b.score6 = c.a_s AND b.id > c.a_i))
+SELECT query_id, id, score6 AS score, rank FROM nxt WHERE rank <= {_PAGE_K}
+"""
+
+
+EXTRA_QUERIES["bm25_page2"] = q_bm25_page2
+EXTRA_ORACLES["bm25_page2"] = _bm25_page2_oracle()

@@ -60,8 +60,11 @@ def test_registry_row_counts():
 # r10 (cont.): + doc_histogram / bm25_hits_histogram (fixed-interval
 # histogram aggregations, corpus and per-match-set) and bm25_sig_terms
 # (significant terms, JLH vs corpus background) — all exact-oracled
-EXPECTED_EXTRA = 101
-EXPECTED_EXTRA_ORACLED = 100
+# r10 (cont.): + bm25_page2 (stateless search_after pagination: page-1
+# cursor resumes the ranking exactly, max-rank cursor semantics) —
+# exact-oracled
+EXPECTED_EXTRA = 102
+EXPECTED_EXTRA_ORACLED = 101
 
 
 def test_driver_window_holds_all_llm_queries():
