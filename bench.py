@@ -935,6 +935,12 @@ def _measure_scale(sf_dir: str) -> dict:
         from distributed_vector_search_system_spark.operators.scoring import (
             function_score as _fsc,
         )
+        from distributed_vector_search_system_spark.operators.facets import (
+            histogram_for_hits as _histh,
+        )
+        from distributed_vector_search_system_spark.operators.facets import (
+            significant_terms as _sig,
+        )
 
         sp_idx = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
@@ -1073,6 +1079,29 @@ def _measure_scale(sf_dir: str) -> dict:
                     ),
                 ),
                 n=3,
+            ),
+            # significant terms over the INDEXED leg's k-bounded hits:
+            # foreground is match-set-bounded; the one corpus-growth
+            # term is the background df aggregate, semi-restricted to
+            # the (fixed-query, size-invariant) foreground vocabulary
+            # — expect ~linear in the tokenize, like bm25_topk's class.
+            "sig_terms_fixedq": lambda: _sig(
+                bm25_search_index(spark, idx, lexq, 20).select(
+                    "query_id", "id"
+                ),
+                docs,
+                5,
+            ),
+            # per-match-set histogram downstream of the indexed leg:
+            # hits k-bounded + a 1-column pruned attribute scan —
+            # collapse/function_score's ~flat class.
+            "hist_fixedq_hits": lambda: _histh(
+                bm25_search_index(spark, idx, lexq, 20).select(
+                    "query_id", "id"
+                ),
+                docs,
+                "n_chars",
+                width=250.0,
             ),
         }
 
