@@ -31,3 +31,4 @@ from .contamination import contamination_overlap, decontaminate  # noqa: F401
 from .percolate import percolate, percolate_stream  # noqa: F401
 from .synonyms import expand_query_terms, sparse_synonym_topk  # noqa: F401
 from .pagination import page_cursor, search_after  # noqa: F401
+from .rank_eval import mean_rank_eval, rank_eval  # noqa: F401

@@ -4568,3 +4568,78 @@ SELECT query_id, id, score6 AS score, rank FROM nxt WHERE rank <= {_PAGE_K}
 
 EXTRA_QUERIES["bm25_page2"] = q_bm25_page2
 EXTRA_ORACLES["bm25_page2"] = _bm25_page2_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 10: offline ranking evaluation (rank_eval)
+
+_EVAL_K = 10
+
+
+def q_bm25_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank_eval of the BM25 leg against pseudo-qrels cut from the
+    learned-sparse ranking (rel = 11 − sparse rank) — a deterministic
+    cross-leg agreement measurement; real judgments slot in as the
+    same (query_id, id, rel) frame.  operators/rank_eval.py."""
+    from ..operators.rank_eval import rank_eval
+    from ..operators.retrieval import bm25_topk
+    from ..operators.sparse import (
+        sparse_encode,
+        sparse_encode_queries,
+        sparse_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    results = bm25_topk(docs, _retrieval_queries(spark, sf_dir), _EVAL_K)
+    qp = sparse_encode_queries(_sparse_fixture_queries(spark, sf_dir))
+    qrels = sparse_topk(sparse_encode(docs), qp, _EVAL_K).select(
+        "query_id",
+        "id",
+        (F.lit(11) - F.col("rank")).cast("double").alias("rel"),
+    )
+    return rank_eval(results, qrels, _EVAL_K)
+
+
+def _bm25_rank_eval_oracle() -> str:
+    return f"""
+WITH {_bm25_scored_ctes()},
+{_sparse_ctes()},
+eqr AS (SELECT query_id, id, CAST(11 - srank AS DOUBLE) AS rel
+        FROM sparse_ranked WHERE srank <= {_EVAL_K}),
+epage AS (SELECT b.query_id, b.brank AS rnk, COALESCE(q.rel, 0.0) AS rel
+          FROM bm25_ranked b
+          LEFT JOIN eqr q ON q.query_id = b.query_id AND q.id = b.id
+          WHERE b.brank <= {_EVAL_K}),
+egot AS (SELECT query_id,
+                SUM((POW(2.0, rel) - 1.0) / LOG2(rnk + 1.0)) AS dcg,
+                MIN(CASE WHEN rel > 0 THEN rnk END) AS frst,
+                SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS hits
+         FROM epage GROUP BY 1),
+eideal AS (SELECT query_id,
+                  SUM((POW(2.0, rel) - 1.0) / LOG2(irnk + 1.0)) AS idcg
+           FROM (SELECT query_id, id, rel,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rel DESC, id) AS irnk
+                 FROM eqr WHERE rel > 0)
+           WHERE irnk <= {_EVAL_K} GROUP BY 1),
+enrel AS (SELECT query_id, COUNT(*) AS nrel FROM eqr WHERE rel > 0
+          GROUP BY 1),
+ejq AS (SELECT DISTINCT query_id FROM eqr)
+SELECT ejq.query_id,
+  ROUND(CASE WHEN eideal.idcg IS NOT NULL AND eideal.idcg > 0
+             THEN COALESCE(egot.dcg, 0.0) / eideal.idcg ELSE 0.0 END,
+        6) AS ndcg,
+  ROUND(COALESCE(1.0 / egot.frst, 0.0), 6) AS mrr,
+  ROUND(COALESCE(egot.hits, 0) / {float(_EVAL_K)!r}, 6) AS precision,
+  ROUND(CASE WHEN enrel.nrel IS NOT NULL
+             THEN COALESCE(egot.hits, 0) / enrel.nrel ELSE 0.0 END,
+        6) AS recall
+FROM ejq
+LEFT JOIN egot ON egot.query_id = ejq.query_id
+LEFT JOIN eideal ON eideal.query_id = ejq.query_id
+LEFT JOIN enrel ON enrel.query_id = ejq.query_id
+"""
+
+
+EXTRA_QUERIES["bm25_rank_eval"] = q_bm25_rank_eval
+EXTRA_ORACLES["bm25_rank_eval"] = _bm25_rank_eval_oracle()

@@ -63,8 +63,11 @@ def test_registry_row_counts():
 # r10 (cont.): + bm25_page2 (stateless search_after pagination: page-1
 # cursor resumes the ranking exactly, max-rank cursor semantics) —
 # exact-oracled
-EXPECTED_EXTRA = 102
-EXPECTED_EXTRA_ORACLED = 101
+# r10 (cont.): + bm25_rank_eval (offline ranking evaluation: per-query
+# nDCG@k / MRR / P@k / R@k vs sparse-derived pseudo-qrels) —
+# exact-oracled
+EXPECTED_EXTRA = 103
+EXPECTED_EXTRA_ORACLED = 102
 
 
 def test_driver_window_holds_all_llm_queries():
