@@ -28,7 +28,7 @@ from .mlt import bm25_mlt_topk, mlt_select_terms  # noqa: F401
 from .scoring import decay_factor, field_value_factor, function_score  # noqa: F401
 from .matryoshka import matryoshka_topk, prefix_cosine_topk, prefix_vector  # noqa: F401
 from .contamination import contamination_overlap, decontaminate  # noqa: F401
-from .percolate import percolate, percolate_stream  # noqa: F401
+from .percolate import percolate, percolate_scored, percolate_stream  # noqa: F401
 from .synonyms import expand_query_terms, sparse_synonym_topk  # noqa: F401
 from .pagination import page_cursor, search_after  # noqa: F401
 from .rank_eval import mean_rank_eval, rank_eval  # noqa: F401

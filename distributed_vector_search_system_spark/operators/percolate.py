@@ -119,6 +119,56 @@ def percolate(
     return matched.select("doc_id", "query_id", "matched", "required")
 
 
+def percolate_scored(
+    docs: DataFrame,
+    stored: DataFrame,
+    *,
+    min_match: int | str = "all",
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    terms_col: str = "qterms",
+    none_terms_col: str | None = None,
+    k1: float | None = None,
+    b: float | None = None,
+) -> DataFrame:
+    """Scored percolation — the boolean match set with each pair's
+    BM25 relevance attached: ``(doc_id, query_id, matched, required,
+    score)``.  ES's percolator returns matches SCORED so consumers
+    can prioritize alerts (which standing query does this doc satisfy
+    BEST); here the admissible pairs come from :func:`percolate` and
+    the score is the unmodified corpus-stats BM25 of the stored
+    query's terms against the doc — one inner join between two
+    already-restricted frames, no new shuffle shape.  Rank per doc or
+    per query downstream as the alerting policy needs."""
+    from .retrieval import BM25_B, BM25_K1, bm25_scores
+
+    pairs = percolate(
+        docs, stored,
+        min_match=min_match,
+        doc_id_col=doc_id_col, text_col=text_col,
+        query_id_col=query_id_col, terms_col=terms_col,
+        none_terms_col=none_terms_col,
+    )
+    queries = stored.select(
+        F.col(query_id_col).alias("query_id"),
+        F.array_distinct(F.col(terms_col)).alias("qterms"),
+    )
+    scored = bm25_scores(
+        docs, queries,
+        k1=BM25_K1 if k1 is None else k1,
+        b=BM25_B if b is None else b,
+        doc_id_col=doc_id_col, text_col=text_col,
+    ).select("query_id", F.col("id").alias("doc_id"), "score")
+    return pairs.join(scored, ["doc_id", "query_id"], "inner").select(
+        "doc_id",
+        "query_id",
+        "matched",
+        "required",
+        F.round("score", 6).alias("score"),
+    )
+
+
 def percolate_stream(
     stream_docs: DataFrame,
     stored: DataFrame,

@@ -4643,3 +4643,79 @@ LEFT JOIN enrel ON enrel.query_id = ejq.query_id
 
 EXTRA_QUERIES["bm25_rank_eval"] = q_bm25_rank_eval
 EXTRA_ORACLES["bm25_rank_eval"] = _bm25_rank_eval_oracle()
+
+
+def q_percolate_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scored percolation: the boolean match set with per-pair BM25
+    relevance — operators/percolate.percolate_scored (alert
+    prioritization)."""
+    from ..functions.text import tokens as _tokens
+    from ..operators.percolate import percolate_scored
+
+    docs = load_table(spark, sf_dir, "documents")
+    stored = docs.filter(F.expr(_PERC_PRED)).select(
+        F.col("doc_id").alias("query_id"),
+        F.slice(_tokens("text"), 1, 4).alias("qterms"),
+        F.slice(_tokens("text"), 6, 1).alias("none_terms"),
+    )
+    return percolate_scored(
+        docs, stored,
+        min_match=_PERC_MIN_MATCH, none_terms_col="none_terms",
+    )
+
+
+def _percolate_scored_oracle() -> str:
+    from ..operators.retrieval import BM25_B, BM25_K1
+
+    return f"""
+WITH ptoks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+st AS (SELECT doc_id AS query_id,
+              list_distinct(list_slice(w, 1, 4)) AS qt,
+              list_distinct(list_slice(w, 6, 6)) AS nt
+       FROM ptoks WHERE {_PERC_PRED}),
+pq AS (SELECT query_id, UNNEST(qt) AS term,
+              LEAST({_PERC_MIN_MATCH}, len(qt)) AS required
+       FROM st WHERE len(qt) >= 1),
+dex AS (SELECT doc_id, UNNEST(list_distinct(w)) AS term FROM ptoks),
+m AS (SELECT d.doc_id, q.query_id,
+             CAST(COUNT(*) AS BIGINT) AS matched,
+             ANY_VALUE(q.required) AS required
+      FROM dex d JOIN pq q ON q.term = d.term
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= ANY_VALUE(q.required)),
+nq AS (SELECT query_id, UNNEST(nt) AS term FROM st),
+veto AS (SELECT DISTINCT d.doc_id, n.query_id
+         FROM dex d JOIN nq n ON n.term = d.term),
+adm AS (SELECT m.doc_id, m.query_id, m.matched, m.required
+        FROM m LEFT JOIN veto v
+          ON v.doc_id = m.doc_id AND v.query_id = m.query_id
+        WHERE v.doc_id IS NULL),
+pdl AS (SELECT doc_id AS id, len(w) AS dl FROM ptoks),
+ptf AS (SELECT doc_id AS id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, UNNEST(w) AS term FROM ptoks)
+        GROUP BY 1, 2),
+pstats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl
+           FROM pdl),
+pdf AS (SELECT term, COUNT(DISTINCT id) AS df FROM ptf
+        WHERE term IN (SELECT DISTINCT term FROM pq) GROUP BY 1),
+pscored AS (
+  SELECT pq.query_id, t.id AS doc_id,
+         SUM(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (t.tf * ({BM25_K1} + 1.0))
+             / (t.tf + {BM25_K1} * (1.0 - {BM25_B}
+                + {BM25_B} * CAST(dl.dl AS DOUBLE) / s.avgdl))) AS score
+  FROM pq
+  JOIN ptf t ON t.term = pq.term
+  JOIN pdf d ON d.term = pq.term
+  JOIN pdl dl ON dl.id = t.id
+  CROSS JOIN pstats s
+  GROUP BY 1, 2)
+SELECT a.doc_id, a.query_id, a.matched, a.required,
+       ROUND(p.score, 6) AS score
+FROM adm a
+JOIN pscored p ON p.doc_id = a.doc_id AND p.query_id = a.query_id
+"""
+
+
+EXTRA_QUERIES["percolate_scored"] = q_percolate_scored
+EXTRA_ORACLES["percolate_scored"] = _percolate_scored_oracle()

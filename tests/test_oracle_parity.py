@@ -66,8 +66,10 @@ def test_registry_row_counts():
 # r10 (cont.): + bm25_rank_eval (offline ranking evaluation: per-query
 # nDCG@k / MRR / P@k / R@k vs sparse-derived pseudo-qrels) —
 # exact-oracled
-EXPECTED_EXTRA = 103
-EXPECTED_EXTRA_ORACLED = 102
+# r10 (cont.): + percolate_scored (the boolean match set with per-pair
+# BM25 relevance for alert prioritization) — exact-oracled
+EXPECTED_EXTRA = 104
+EXPECTED_EXTRA_ORACLED = 103
 
 
 def test_driver_window_holds_all_llm_queries():

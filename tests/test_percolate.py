@@ -125,3 +125,33 @@ def test_plan_broadcasts_registry_never_self_joins(spark, sf_smoke):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_percolate_scored_attaches_bm25_and_keeps_pairs(spark, corpus):
+    from distributed_vector_search_system_spark.operators.percolate import (
+        percolate_scored,
+    )
+    from distributed_vector_search_system_spark.operators.retrieval import (
+        bm25_scores,
+    )
+    from pyspark.sql import functions as F
+
+    stored = _stored(spark, [(10, ["alpha", "beta"], []), (11, ["zeta"], [])])
+    got = percolate_scored(corpus, stored)
+    pairs = {(r["doc_id"], r["query_id"]) for r in got.collect()}
+    assert pairs == {(1, 10), (2, 10), (4, 11)}
+    # the score equals the unmodified BM25 of the stored query's terms
+    q = stored.select("query_id", "qterms")
+    ref = {
+        (r["id"], r["query_id"]): round(r["score"], 6)
+        for r in bm25_scores(corpus, q).collect()
+    }
+    for r in got.collect():
+        assert r["score"] == ref[(r["doc_id"], r["query_id"])]
+    # vetoed pairs stay out even though BM25 would score them
+    stored_v = _stored(spark, [(12, ["alpha"], ["zeta"])])
+    got_v = percolate_scored(
+        corpus, stored_v, none_terms_col="none_terms"
+    )
+    assert {r["doc_id"] for r in got_v.collect()} == {1, 2}
+    assert got_v.filter(F.col("score").isNull()).count() == 0
