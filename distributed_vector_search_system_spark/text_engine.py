@@ -464,6 +464,38 @@ class TextEngine:
             doc_id_col=self._doc_id, text_col=self._text,
         )
 
+    def search_next_page(
+        self,
+        queries: DataFrame,
+        cursors: DataFrame,
+        k: int,
+        *,
+        consistency: str = EVENTUAL,
+        **bm25_kwargs,
+    ) -> DataFrame:
+        """Stateless deep pagination behind the gates (round 10):
+        the page strictly after each query's ``(query_id,
+        after_score, after_id)`` cursor, over the gated snapshot —
+        ``operators/pagination.search_after`` on this engine's own
+        BM25 scores.  Cursors come from ``page_cursor`` over any
+        previously served page; a query absent from the cursor frame
+        gets its first page.  NOTE the stateless-pagination caveat
+        every engine shares: a cursor captured before a mutation
+        resumes against the NEW corpus under STRONG (rows that moved
+        across the cursor boundary appear/disappear) — that is the
+        search_after contract, not a bug; pin a generation view for
+        frozen pagination."""
+        from .operators.pagination import search_after
+        from .operators.retrieval import bm25_scores
+
+        snap = self._read_snapshot(consistency)
+        scored = bm25_scores(
+            snap, queries,
+            doc_id_col=self._doc_id, text_col=self._text,
+            **bm25_kwargs,
+        )
+        return search_after(scored, cursors, k)
+
     def search_mlt(
         self,
         seeds: DataFrame,

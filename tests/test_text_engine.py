@@ -486,3 +486,24 @@ def test_histogram_and_sig_terms_through_gates(spark):
     hits = spark.createDataFrame([(0, 1), (0, 2)], "query_id long, id long")
     sig = e.significant_terms(hits, 3, consistency=STRONG)
     assert [r["term"] for r in sig.orderBy("rank").collect()][0] == "banana"
+
+
+def test_search_next_page_through_gates(spark):
+    """Gated pagination: page 2 resumes page 1 exactly, covers the
+    rest of the match set once, and composes with the gates."""
+    from distributed_vector_search_system_spark.operators.pagination import (
+        page_cursor,
+    )
+
+    e = TextEngine(spark, _docs(spark))
+    q = _q(spark, ("banana", "cherry"))
+    p1 = e.search(q, 2)
+    p2 = e.search_next_page(q, page_cursor(p1), 2)
+    ids1 = {r["id"] for r in p1.collect()}
+    ids2 = {r["id"] for r in p2.collect()}
+    assert ids1 and ids2 and not (ids1 & ids2)
+    # together they cover every matching doc exactly once (docs 1-4
+    # all contain banana or cherry)
+    assert ids1 | ids2 == {1, 2, 3, 4}
+    # ranks restart within the page
+    assert {r["rank"] for r in p2.collect()} <= {1, 2}
