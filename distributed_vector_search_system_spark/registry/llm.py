@@ -4719,3 +4719,41 @@ JOIN pscored p ON p.doc_id = a.doc_id AND p.query_id = a.query_id
 
 EXTRA_QUERIES["percolate_scored"] = q_percolate_scored
 EXTRA_ORACLES["percolate_scored"] = _percolate_scored_oracle()
+
+
+# round-11 opening rotation (VERDICT r10 item 1, the established
+# per-round policy): round 10's late flagships — none of them ever
+# independently driver-verified — join the driver window:
+# percolate_matches (reverse search, the round's most novel verb;
+# min_match + negative-veto semantics), sparse_synonym_topk (thesaurus
+# expansion over the learned-sparse leg), bm25_sig_terms (significant
+# terms, JLH vs corpus background), bm25_rank_eval (offline ranking
+# evaluation: nDCG/MRR/P@k/R@k), bm25_page2 (stateless search_after
+# pagination), and sparse_rescore_topk (champion candidates + exact
+# rescore, the measured Zipf-recall tier).  Six long-green rows leave
+# in exchange — three here, three in registry/vector.py — each family
+# keeping driver coverage: bm25_stream_topk (BM25 keeps topk / index /
+# doc_mutations / store_mutations / boolean driver rows), dedup_resolve
+# (dedup keeps minhash_lsh + embedding_cosine), hybrid_store_mutations
+# (hybrid keeps engine_rrf / weighted / trimodal; the merge-on-read
+# store family keeps knn/bm25/sparse/maxsim _store_mutations rows).
+# Every demoted row keeps the IDENTICAL DuckDB comparison in the
+# pytest tier.
+for _name in (
+    "percolate_matches",
+    "sparse_synonym_topk",
+    "bm25_sig_terms",
+    "bm25_rank_eval",
+    "bm25_page2",
+    "sparse_rescore_topk",
+):
+    QUERIES[_name] = EXTRA_QUERIES.pop(_name)
+    ORACLES[_name] = EXTRA_ORACLES.pop(_name)
+for _name in (
+    "bm25_stream_topk",
+    "dedup_resolve",
+    "hybrid_store_mutations",
+):
+    EXTRA_QUERIES[_name] = QUERIES.pop(_name)
+    EXTRA_ORACLES[_name] = ORACLES.pop(_name)
+del _name

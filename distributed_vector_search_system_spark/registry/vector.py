@@ -2430,3 +2430,18 @@ for _name in ("knn_quantized", "ann_pq_topk", "cache_persistent_probe"):
     EXTRA_QUERIES[_name] = QUERIES.pop(_name)
     EXTRA_ORACLES[_name] = ORACLES.pop(_name)
 del _name
+
+
+# round-11 opening rotation, vector side (see registry/llm.py for the
+# six round-10 flagship promotions these three demotions balance):
+# ivf_persisted_topk (the IVF family keeps ivf_stream_topk and
+# ann_cosine_ivf_topk driver-side), ann_cosine_ivfpq_topk (cosine
+# keeps ann_cosine_ivf_topk; the PQ rung keeps ann_ivfpq_topk), and
+# mutations_delete (the mutation family keeps mutations_compact,
+# knn_after_mutations, retention_delete, and all four _store_mutations
+# rows driver-side).  Identical DuckDB comparisons retained in the
+# pytest tier.
+for _name in ("ivf_persisted_topk", "ann_cosine_ivfpq_topk", "mutations_delete"):
+    EXTRA_QUERIES[_name] = QUERIES.pop(_name)
+    EXTRA_ORACLES[_name] = ORACLES.pop(_name)
+del _name
