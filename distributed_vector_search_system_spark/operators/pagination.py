@@ -34,13 +34,28 @@ from pyspark.sql import functions as F
 from .retrieval import _score_ranked
 
 
-def page_cursor(page: DataFrame, *, score_col: str = "score") -> DataFrame:
+def page_cursor(
+    page: DataFrame,
+    *,
+    score_col: str = "score",
+    prev: DataFrame | None = None,
+) -> DataFrame:
     """The cursor for the NEXT page: each query's last-ranked row's
     ``(query_id, after_score, after_id)`` — feed to
     :func:`search_after`.  ``page`` is any ranked page in the repo
-    convention (``rank`` present, score already rounded)."""
+    convention (``rank`` present, score already rounded).
+
+    ``prev``: the cursor frame this page was fetched with.  A query
+    whose page came back EMPTY has no last row, so without carrying
+    its previous cursor forward the next :func:`search_after` would
+    treat it as cursor-absent and re-serve its FIRST page — an
+    infinite loop for a naive walk (ADVICE r10).  Pass the previous
+    cursors and exhausted queries keep yielding empty pages instead;
+    page-1 callers (no previous cursor) may omit it, and then MUST
+    drop a query after its first empty page.
+    """
     mx = page.groupBy("query_id").agg(F.max("rank").alias("_last"))
-    return (
+    nxt = (
         page.join(F.broadcast(mx), "query_id")
         .filter(F.col("rank") == F.col("_last"))
         .select(
@@ -49,6 +64,12 @@ def page_cursor(page: DataFrame, *, score_col: str = "score") -> DataFrame:
             F.col("id").alias("after_id"),
         )
     )
+    if prev is None:
+        return nxt
+    carried = prev.select(
+        "query_id", "after_score", "after_id"
+    ).join(F.broadcast(nxt.select("query_id")), "query_id", "left_anti")
+    return nxt.unionByName(carried)
 
 
 def search_after(

@@ -67,8 +67,11 @@ def field_value_factor(
 
     ``log1p`` is the Lucene default for unbounded counters (a doc 10×
     more popular is boosted by a constant, not 10×); ``none`` is the
-    raw value, ``sqrt`` the square root.  NULL fields yield no row
-    (the doc keeps its relevance score under either boost mode).
+    raw value, ``sqrt`` the square root.  NULL fields — and fields the
+    modifier maps to NaN (``sqrt`` of a negative value), which would
+    otherwise sort ABOVE every double in the descending rank window
+    and pin the doc at rank 1 (ADVICE r10) — yield no row (the doc
+    keeps its relevance score under either boost mode).
     """
     if modifier not in _MODIFIERS:
         raise ValueError(f"modifier must be one of {_MODIFIERS}")
@@ -81,7 +84,7 @@ def field_value_factor(
     return docs.select(
         F.col(doc_id_col).alias("id"),
         (F.lit(float(weight)) * expr).alias("factor"),
-    ).filter(F.col("factor").isNotNull())
+    ).filter(F.col("factor").isNotNull() & ~F.isnan("factor"))
 
 
 def decay_factor(
@@ -123,7 +126,7 @@ def decay_factor(
     return docs.select(
         F.col(doc_id_col).alias("id"),
         F.exp(F.lit(math.log(decay)) * d).alias("factor"),
-    ).filter(F.col("factor").isNotNull())
+    ).filter(F.col("factor").isNotNull() & ~F.isnan("factor"))
 
 
 def function_score(

@@ -653,6 +653,9 @@ class MutablePostingIndexStore(PostingIndexStore):
             .write.mode("overwrite")
             .parquet(self._os.path.join(base, "muts"))
         )
+        # certify the muts/ winner-floor layout BEFORE the commit (see
+        # _FLOOR_MARKER): post-fold appends go to muts_log/ only
+        self._write_floor_marker(docs.sparkSession, base)
         self._commit_gen(gen)
         self._applied = 0
         self._stats_memo = {}
@@ -798,14 +801,48 @@ class MutablePostingIndexStore(PostingIndexStore):
     #: 64 MB cannot hold TOUCHED_BROADCAST_CAP rows
     _TOUCHED_SIZE_FAST_PATH = 64 * 1024 * 1024
 
+    #: layout marker, written by init_base/compact next to ``muts/``:
+    #: present iff ``muts/`` holds ONLY the generation's fold-time
+    #: winner floor, i.e. every post-fold arbiter append went to
+    #: ``muts_log/``.  Generations written by the pre-split layout
+    #: appended post-fold rows into ``muts/`` directly — on such a
+    #: generation, a ``muts_log/`` created by NEW code's first
+    #: apply_log does NOT name every doc touched since the fold, so
+    #: treating its ids as the touched set would serve the legacy
+    #: mutations' superseded base postings as "untouched winners"
+    #: (ADVICE r10, medium).  Without the marker, _touched_ids
+    #: declines and dirty reads take the full arbiter until the next
+    #: compact rewrites the layout (and writes the marker).
+    _FLOOR_MARKER = "_MUTS_FLOOR"
+
+    def _write_floor_marker(self, spark: SparkSession, gen_dir: str) -> None:
+        from .fsutil import write_marker
+
+        write_marker(
+            spark, self._os.path.join(gen_dir, self._FLOOR_MARKER), "v1\n"
+        )
+
     def _touched_ids(self, spark: SparkSession) -> DataFrame | None:
         """Distinct doc ids mutated since this generation was folded —
         the ``muts_log/`` ids, exact by construction.  ``None`` when
-        the set is unusable (legacy generation with no log dir but a
-        dirty marker, or a backlog past ``TOUCHED_BROADCAST_CAP``) —
+        the set is unusable (mixed-layout generation without the
+        ``_MUTS_FLOOR`` marker, legacy generation with no log dir but
+        a dirty marker, or a backlog past ``TOUCHED_BROADCAST_CAP``) —
         callers then run the full arbiter."""
         from pyspark.errors import AnalysisException
 
+        from .fsutil import read_marker
+
+        gen_dir = self._os.path.dirname(self._muts_log_path())
+        if read_marker(
+            spark, self._os.path.join(gen_dir, self._FLOOR_MARKER)
+        ) is None:
+            # pre-split layout: muts/ may hold post-fold appends the
+            # log dir does not name — the touched set would be a
+            # SUBSET of the truly touched ids, which resurrects
+            # superseded postings.  Full arbiter until the next
+            # compact certifies the floor.
+            return None
         try:
             log = spark.read.parquet(self._muts_log_path())
         except AnalysisException:
@@ -1056,6 +1093,10 @@ class MutablePostingIndexStore(PostingIndexStore):
             winners.write.mode("overwrite")
             .parquet(os.path.join(self.root, nxt, "muts"))
         )
+        # the fresh fold's muts/ is a pure winner floor — certify the
+        # layout so the touched-id split may run once this generation
+        # goes dirty (mixed-layout guard, ADVICE r10)
+        self._write_floor_marker(spark, os.path.join(self.root, nxt))
         self._commit_gen(nxt)
         self._stats_memo = {}
         import shutil

@@ -443,6 +443,9 @@ class MutableSparseIndexStore:
             .write.mode("overwrite")
             .parquet(self._os.path.join(base, "muts"))
         )
+        # certify the winner-floor layout before the commit (the
+        # posting store's mixed-layout guard, ADVICE r10)
+        self._write_floor_marker(doc_vectors.sparkSession, base)
         self._commit_gen(gen)
 
     def apply_log(self, log: DataFrame) -> None:
@@ -550,15 +553,38 @@ class MutableSparseIndexStore:
         except AnalysisException:
             return floor
 
+    def _write_floor_marker(self, spark: SparkSession, gen_dir: str) -> None:
+        """Certify that ``gen_dir/muts/`` is a pure fold-time winner
+        floor (every post-fold append goes to ``muts_log/``) — the
+        posting store's ``_MUTS_FLOOR`` layout contract (ADVICE r10:
+        without it a pre-split generation mutated by new code would
+        hand ``_touched_ids`` a SUBSET of the truly touched ids and
+        resurrect superseded postings)."""
+        from .fsutil import write_marker
+
+        from .posting_index import MutablePostingIndexStore as _P
+
+        write_marker(
+            spark, self._os.path.join(gen_dir, _P._FLOOR_MARKER), "v1\n"
+        )
+
     def _touched_ids(self, spark: SparkSession) -> DataFrame | None:
         """Ids mutated since the generation fold (``muts_log/``), or
         ``None`` when unusable — the posting store's round-10 contract
         (``MutablePostingIndexStore._touched_ids``), including its
-        local-size fast path for the cap guard."""
+        local-size fast path for the cap guard and the mixed-layout
+        ``_MUTS_FLOOR`` gate (ADVICE r10)."""
         from pyspark.errors import AnalysisException
+
+        from .fsutil import read_marker
 
         from .posting_index import MutablePostingIndexStore as _P
 
+        gen_dir = self._os.path.dirname(self._muts_log_path())
+        if read_marker(
+            spark, self._os.path.join(gen_dir, _P._FLOOR_MARKER)
+        ) is None:
+            return None  # pre-split layout: full arbiter until compact
         try:
             log = spark.read.parquet(self._muts_log_path())
         except AnalysisException:
@@ -710,6 +736,8 @@ class MutableSparseIndexStore:
             .write.mode("overwrite")
             .parquet(self._os.path.join(nxt_dir, "muts"))
         )
+        # fresh fold = pure winner floor; certify the layout (ADVICE r10)
+        self._write_floor_marker(spark, nxt_dir)
         self._commit_gen(nxt)
         # GC: keep current + previous generation only
         import shutil

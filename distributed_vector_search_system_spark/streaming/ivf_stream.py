@@ -333,6 +333,33 @@ class IvfIndexStore:
             return None
         return muts.groupBy("vec_id").agg(F.max("seq").alias("_max_seq"))
 
+    def _delta_backlog_small(self, spark: SparkSession, delta_path: str) -> bool:
+        """Cap guard for the delta-key broadcast in :meth:`live_rows`
+        (ADVICE r10): with ``cells=None`` and a long-uncompacted
+        streaming delta the (vec_id, seq) broadcast is unbounded, so
+        the anti-join shape is only taken while the backlog is small.
+        Same discipline as the posting store's touched-id guard
+        (``MutablePostingIndexStore.TOUCHED_BROADCAST_CAP``): a local
+        size probe first — delta rows carry the full embedding, so
+        64 MB of parquet cannot hold anywhere near the row cap and
+        the probe costs no Spark job — then a metadata count only when
+        the directory is big or remote."""
+        from ..sources.posting_index import MutablePostingIndexStore as _P
+
+        try:
+            total = 0
+            # delta/ is partitioned by cell_id — walk the subdirs
+            for dirpath, _dirs, files in os.walk(delta_path):
+                for fname in files:
+                    total += os.path.getsize(os.path.join(dirpath, fname))
+            if total < _P._TOUCHED_SIZE_FAST_PATH:
+                return True
+        except OSError:
+            pass  # remote path: fall through to the count
+        return (
+            spark.read.parquet(delta_path).count() <= _P.TOUCHED_BROADCAST_CAP
+        )
+
     def live_rows(
         self, spark: SparkSession, *, cells: list[int] | None = None
     ) -> DataFrame:
@@ -362,13 +389,23 @@ class IvfIndexStore:
             delta_d = delta.select(
                 "vec_id", "embedding", "label", "seq", "cell_id"
             ).dropDuplicates(["vec_id", "seq"])
-            rows = base.select(
+            base_sel = base.select(
                 "vec_id", "embedding", "label", "seq", "cell_id"
-            ).join(
-                F.broadcast(delta_d.select("vec_id", "seq")),
-                ["vec_id", "seq"],
-                "left_anti",
-            ).unionByName(delta_d)
+            )
+            if self._delta_backlog_small(spark, delta_path):
+                rows = base_sel.join(
+                    F.broadcast(delta_d.select("vec_id", "seq")),
+                    ["vec_id", "seq"],
+                    "left_anti",
+                ).unionByName(delta_d)
+            else:
+                # oversized backlog (compaction cadence has failed):
+                # fall back to the shuffle dedup over the union, which
+                # degrades gracefully instead of building an unbounded
+                # driver broadcast (ADVICE r10)
+                rows = base_sel.unionByName(delta_d).dropDuplicates(
+                    ["vec_id", "seq"]
+                )
         except AnalysisException:  # no delta appended yet
             rows = base.select("vec_id", "embedding", "label", "seq", "cell_id")
         arb = self._mutation_arbiter(spark, muts_path)

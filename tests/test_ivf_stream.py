@@ -453,3 +453,31 @@ def test_pinned_view_keeps_its_generations_centroids(spark, sf_smoke, tmp_path):
         ).collect()
     )
     assert len(pre) == 5
+
+
+def test_oversized_delta_backlog_falls_back_to_shuffle_dedup(
+    spark, sf_smoke, store, monkeypatch
+):
+    """ADVICE r10: live_rows broadcasts the delta's (vec_id, seq) keys
+    for the redelivery anti-join — unbounded when the streaming delta
+    goes long-uncompacted.  Past the cap the read must degrade to the
+    shuffle dedup with identical results."""
+    from distributed_vector_search_system_spark.sources.posting_index import (
+        MutablePostingIndexStore as _P,
+    )
+
+    emb = _emb(spark, sf_smoke)
+    for b in _batches(spark, emb):
+        store.append_batch(b)
+    baseline = sorted(
+        (r["vec_id"], r["label"]) for r in store.live_rows(spark).collect()
+    )
+    # force the guard to declare the backlog oversized: size fast path
+    # off, row cap below any real count
+    monkeypatch.setattr(_P, "_TOUCHED_SIZE_FAST_PATH", 0)
+    monkeypatch.setattr(_P, "TOUCHED_BROADCAST_CAP", 0)
+    assert not store._delta_backlog_small(spark, store.delta)
+    fallback = sorted(
+        (r["vec_id"], r["label"]) for r in store.live_rows(spark).collect()
+    )
+    assert fallback == baseline and fallback

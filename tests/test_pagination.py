@@ -97,3 +97,38 @@ def test_cursor_portable_across_legs(spark, sf_smoke):
     both = p1.select("query_id", "id").intersect(p2.select("query_id", "id"))
     assert both.count() == 0
     assert p2.count() > 0
+
+
+def test_empty_page_carries_cursor_forward(spark, scored):
+    """ADVICE r10: an exhausted query's empty page yields no cursor
+    row, and a cursor-absent query gets its FIRST page — so a naive
+    walk loop would re-serve page 1 forever.  Passing the previous
+    cursors to page_cursor carries exhausted queries' cursors forward
+    and their pages stay empty."""
+    short = scored.filter((F.col("query_id") == 0) & (F.col("id") <= 3))
+    p1 = _score_ranked(short, 5, "score")
+    c1 = page_cursor(p1)
+    p2 = search_after(short, c1, 5)
+    assert p2.count() == 0
+    c2 = page_cursor(p2, prev=c1)
+    # the carried cursor is the previous one, verbatim
+    assert sorted(map(tuple, c2.collect())) == sorted(map(tuple, c1.collect()))
+    p3 = search_after(short, c2, 5)
+    assert p3.count() == 0              # stays exhausted, no wraparound
+
+
+def test_carried_cursor_only_fills_empty_queries(spark, scored):
+    """Queries that DID get rows advance their cursor; only empty ones
+    carry the old cursor."""
+    p1 = _score_ranked(scored, 5, "score")
+    c1 = page_cursor(p1)
+    p2 = search_after(scored, c1, 5)            # q0: rows 6-10, q1: 6-7
+    c2 = page_cursor(p2, prev=c1)
+    by_q = {r["query_id"]: r["after_id"] for r in c2.collect()}
+    assert by_q[0] == 10 and by_q[1] == 7       # both advanced
+    p3 = search_after(scored, c2, 5)            # q0: 11-12, q1 exhausted
+    c3 = page_cursor(p3, prev=c2)
+    by_q3 = {r["query_id"]: r["after_id"] for r in c3.collect()}
+    assert by_q3[0] == 12                        # advanced
+    assert by_q3[1] == 7                         # carried forward
+    assert search_after(scored, c3, 5).count() == 0

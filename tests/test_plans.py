@@ -178,10 +178,12 @@ def test_knn_quantized_phase1_never_scans_float_column(spark, sf_smoke):
 
 
 def test_ivf_persisted_driver_row_prunes_partitions(spark, sf_smoke):
-    """The driver-verified persisted-IVF row must read only probed cell
-    directories: the cell_id probe predicate shows up as a partition
-    filter on the index scan, not a post-scan filter."""
-    plan = _plan(registry.queries()["ivf_persisted_topk"](spark, sf_smoke))
+    """The persisted-IVF row must read only probed cell directories:
+    the cell_id probe predicate shows up as a partition filter on the
+    index scan, not a post-scan filter.  Resolved via all_queries() so
+    the lock follows the row across rotation tiers (r11: rotated to
+    the pytest tier, identical oracle)."""
+    plan = _plan(registry.all_queries()["ivf_persisted_topk"](spark, sf_smoke))
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert any("cell_id" in l for l in pf), plan
 

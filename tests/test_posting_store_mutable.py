@@ -332,3 +332,66 @@ def test_generation_pinned_reads(spark, tmp_path):
         s.at("gen-999999")
     # the live handle is untouched by the view
     assert _result(s.search(spark, q, 5)) == live
+
+
+def test_mixed_layout_generation_takes_full_arbiter(spark, tmp_path):
+    """ADVICE r10 (medium): a generation written by the PRE-split
+    layout appended post-fold arbiter rows into muts/ directly.  When
+    new code then mutates it, the freshly created muts_log/ names only
+    the NEW ids — a subset of the truly touched set — so the touched-id
+    split would serve the legacy mutations' superseded base postings
+    as "untouched winners".  The _MUTS_FLOOR layout marker gates the
+    split: absent marker => full arbiter, correct results."""
+    s = _store(spark, tmp_path)
+    gen_dir = os.path.join(s.root, "gen-000000")
+    # simulate a pre-marker generation: strip the layout certificate
+    os.remove(os.path.join(gen_dir, "_MUTS_FLOOR"))
+    # legacy-layout mutation: replace doc 2 (seq 1) with postings in
+    # delta/ and the arbiter row appended INTO muts/ (the old layout)
+    legacy = spark.createDataFrame(
+        [(1, "upsert", 2, "zebra quux")],
+        "seq long, op string, doc_id long, text string",
+    )
+    s._derive_seq(
+        legacy, "doc_id", "text", seq_col="seq"
+    ).write.mode("append").parquet(os.path.join(gen_dir, "delta"))
+    spark.createDataFrame(
+        [(2, 1, "upsert", 2)], "id long, seq long, op string, dl long"
+    ).write.mode("append").parquet(os.path.join(gen_dir, "muts"))
+    from distributed_vector_search_system_spark.sources.fsutil import write_marker
+
+    write_marker(spark, os.path.join(gen_dir, "_DIRTY"), "1\n")
+    # new-code mutation touching a DIFFERENT doc creates muts_log/
+    s.apply_log(_log_df(spark, [(2, "upsert", 9, "banana banana banana banana")]))
+    # the split must decline on the uncertified layout...
+    assert s._touched_ids(spark) is None
+    # ...and the read must not resurrect doc 2's old banana/cherry rows
+    mutated = [
+        (1, "apple banana"),
+        (2, "zebra quux"),
+        (3, "cherry date"),
+        (4, "apple date cherry"),
+        (9, "banana banana banana banana"),
+    ]
+    q = _q(spark, ("banana", "cherry"))
+    got = _result(s.search(spark, q, 5))
+    want = _result(bm25_topk(_docs(spark, mutated), q, 5))
+    assert got == want and got
+    # compact rewrites the layout, certifies the floor, and the split
+    # resumes on the next dirty generation
+    s.compact(spark)
+    assert os.path.exists(
+        os.path.join(s.root, s._current_gen(), "_MUTS_FLOOR")
+    )
+    s.apply_log(_log_df(spark, [(3, "delete", 9, None)]))
+    assert s._touched_ids(spark) is not None
+    got2 = _result(s.search(spark, q, 5))
+    want2 = _result(bm25_topk(_docs(spark, mutated[:-1]), q, 5))
+    assert got2 == want2 and got2
+
+
+def test_floor_marker_written_at_init_and_split_active(spark, tmp_path):
+    s = _store(spark, tmp_path, "marked")
+    assert os.path.exists(os.path.join(s.root, "gen-000000", "_MUTS_FLOOR"))
+    s.apply_log(_log_df(spark))
+    assert s._touched_ids(spark) is not None

@@ -182,3 +182,34 @@ def test_plan_broadcasts_never_sort_merges(spark, sf_smoke):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_nan_factor_emits_no_row(spark):
+    """ADVICE r10: sqrt of a negative field yields NaN (not NULL),
+    which survives an isNotNull filter and sorts ABOVE every double in
+    the descending rank window — one bad field value would pin that
+    doc at rank 1 for every query.  The builders must drop NaN rows."""
+    bad = spark.createDataFrame(
+        [(1, 4.0), (2, -9.0), (3, None)], "doc_id long, pop double"
+    )
+    fv = field_value_factor(bad, "pop", modifier="sqrt")
+    assert {r["id"] for r in fv.collect()} == {1}
+    nan_field = spark.createDataFrame(
+        [(1, 1.0), (2, float("nan"))], "doc_id long, ts double"
+    )
+    dc = decay_factor(nan_field, "ts", origin=0.0, scale=1.0)
+    assert {r["id"] for r in dc.collect()} == {1}
+
+
+def test_nan_field_never_pins_rank_one(spark, hits):
+    """End-to-end: the NaN doc keeps its relevance score (neutral
+    factor) instead of winning every query."""
+    bad = spark.createDataFrame(
+        [(1, -1.0), (2, 4.0)], "doc_id long, pop double"
+    )
+    out = function_score(
+        hits, field_value_factor(bad, "pop", modifier="sqrt"), 5
+    )
+    rows = {r["id"]: (r["rank"], r["score"]) for r in out.collect()}
+    assert rows[1] == (2, 2.0)          # kept its relevance score
+    assert rows[2][0] == 1              # the valid factor re-ranked

@@ -601,3 +601,55 @@ def test_index_rescore_equals_operator(spark, sf_smoke, tmp_path):
             spark, path, qp, 10, per_term_cap=4,
             rescore_candidates=True, min_impact_frac=0.5,
         )
+
+
+def test_sparse_mixed_layout_generation_takes_full_arbiter(spark, tmp_path):
+    """ADVICE r10 (medium), sparse side: without the _MUTS_FLOOR layout
+    certificate the touched-id split must decline (a pre-split
+    generation's muts/ may hold post-fold appends muts_log/ does not
+    name) and the full arbiter must keep legacy-superseded postings
+    dead."""
+    import os
+
+    from distributed_vector_search_system_spark.sources.fsutil import (
+        write_marker,
+    )
+
+    s, enc = _store(spark, tmp_path)
+    gen_dir = os.path.join(s.root, "gen-000000")
+    os.remove(os.path.join(gen_dir, "_MUTS_FLOOR"))
+    # legacy-layout replace of doc 1: delta postings + arbiter row in muts/
+    legacy_up = spark.createDataFrame(
+        [(1, "upsert", 1, ["zebra", "quux"], [2.5, 0.5])], _LOG_SCHEMA
+    )
+    s._explode_log(
+        legacy_up.filter("op = 'upsert'")
+    ).write.mode("append").parquet(os.path.join(gen_dir, "delta"))
+    spark.createDataFrame(
+        [(1, 1, "upsert")], "id long, seq long, op string"
+    ).write.mode("append").parquet(os.path.join(gen_dir, "muts"))
+    write_marker(spark, os.path.join(gen_dir, "_DIRTY"), "1\n")
+    # new-code mutation touching a different doc creates muts_log/
+    s.apply_log(
+        spark.createDataFrame(
+            [(2, "upsert", 9, ["spark", "zebra"], [1.0, 4.0])], _LOG_SCHEMA
+        )
+    )
+    assert s._touched_ids(spark) is None
+    qp = _qp(spark, [(0, [("spark", 1.0), ("zebra", 2.0)])])
+    got = sorted(map(tuple, s.search(spark, qp, 10).collect()))
+    kept = [
+        (r["id"], r["term"], r["weight"])
+        for r in enc.collect()
+        if r["id"] != 1
+    ] + [(1, "zebra", 2.5), (1, "quux", 0.5), (9, "spark", 1.0), (9, "zebra", 4.0)]
+    folded = spark.createDataFrame(kept, "id long, term string, weight double")
+    want = sorted(map(tuple, sparse_topk(folded, qp, 10).collect()))
+    assert got == want and got
+    # compact certifies the floor; the split resumes
+    s.compact(spark)
+    assert os.path.exists(os.path.join(s.root, s._current_gen(), "_MUTS_FLOOR"))
+    s.apply_log(spark.createDataFrame([(3, "delete", 9, None, None)], _LOG_SCHEMA))
+    assert s._touched_ids(spark) is not None
+    got2 = {t[1] for t in s.search(spark, qp, 10).collect()}
+    assert 9 not in got2 and 1 in got2
