@@ -4757,3 +4757,124 @@ for _name in (
     EXTRA_QUERIES[_name] = QUERIES.pop(_name)
     EXTRA_ORACLES[_name] = ORACLES.pop(_name)
 del _name
+
+
+# ---------------------------------------------------------------------------
+# round 11: mutable standing-query registry (sources/percolator_store.py)
+# — percolation after register + update + unregister equals the
+# fold-then-match replay (VERDICT r10 item 2, the *_store_mutations
+# pattern on the fifth mutable surface)
+
+
+def q_percolate_store_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolation against a MUTATED standing-query registry: init the
+    LWW store from the percolate_matches registry, then (seq 1) update
+    every odd-id standing query to a 1-of-3 disjunctive form, (seq 2)
+    unregister every id divisible by 3, (seq 3) register new
+    2-of-3 alerts — and match the corpus against the folded view.
+    Exercises per-query min_match (NULL = conjunctive) end-to-end."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..functions.text import tokens as _tokens
+    from ..operators.percolate import percolate
+    from ..sources.percolator_store import PercolatorStore
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = _os.path.join(
+        tempfile.gettempdir(), f"dvss_spark_percstore_{_os.getpid()}",
+        _os.path.basename(_os.path.normpath(sf_dir)) or "sf",
+    )
+    shutil.rmtree(root, ignore_errors=True)  # stale store from a prior run
+    store = PercolatorStore(root)
+    store.init_base(
+        docs.filter(F.expr(_PERC_PRED)).select(
+            F.col("doc_id").alias("query_id"),
+            F.slice(_tokens("text"), 1, 4).alias("qterms"),
+            F.slice(_tokens("text"), 6, 1).alias("none_terms"),
+        )
+    )
+    upd = docs.filter(F.expr(_PERC_PRED)).filter("doc_id % 2 = 1").select(
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("upsert").alias("op"),
+        F.col("doc_id").alias("query_id"),
+        F.slice(_tokens("text"), 2, 3).alias("qterms"),
+        F.lit(None).cast("array<string>").alias("none_terms"),
+        F.lit(1).cast("int").alias("min_match"),
+    )
+    dels = docs.filter(F.expr(_PERC_PRED)).filter("doc_id % 3 = 0").select(
+        F.lit(2).cast("long").alias("seq"),
+        F.lit("delete").alias("op"),
+        F.col("doc_id").alias("query_id"),
+        F.lit(None).cast("array<string>").alias("qterms"),
+        F.lit(None).cast("array<string>").alias("none_terms"),
+        F.lit(None).cast("int").alias("min_match"),
+    )
+    news = docs.filter("doc_id % 211 = 3").select(
+        F.lit(3).cast("long").alias("seq"),
+        F.lit("upsert").alias("op"),
+        (F.col("doc_id") + F.lit(1000000)).alias("query_id"),
+        F.slice(_tokens("text"), 1, 3).alias("qterms"),
+        F.lit(None).cast("array<string>").alias("none_terms"),
+        F.lit(2).cast("int").alias("min_match"),
+    )
+    store.apply_log(upd)
+    store.apply_log(dels.unionByName(news))
+    return percolate(
+        docs, store.registry_view(spark),
+        none_terms_col="none_terms", min_match_col="min_match",
+    )
+
+
+def _percolate_store_oracle() -> str:
+    return f"""
+WITH ptoks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+st0 AS (SELECT doc_id AS query_id,
+               list_distinct(list_slice(w, 1, 4)) AS qt,
+               list_distinct(list_slice(w, 6, 6)) AS nt,
+               CAST(NULL AS INT) AS mm
+        FROM ptoks WHERE {_PERC_PRED}),
+upd AS (SELECT doc_id AS query_id,
+               list_distinct(list_slice(w, 2, 4)) AS qt,
+               CAST(NULL AS VARCHAR[]) AS nt,
+               1 AS mm
+        FROM ptoks WHERE {_PERC_PRED} AND doc_id % 2 = 1),
+newq AS (SELECT doc_id + 1000000 AS query_id,
+                list_distinct(list_slice(w, 1, 3)) AS qt,
+                CAST(NULL AS VARCHAR[]) AS nt,
+                2 AS mm
+         FROM ptoks WHERE doc_id % 211 = 3),
+delq AS (SELECT doc_id AS query_id FROM ptoks
+         WHERE {_PERC_PRED} AND doc_id % 3 = 0),
+folded AS (
+  SELECT * FROM st0
+  WHERE query_id NOT IN (SELECT query_id FROM upd)
+    AND query_id NOT IN (SELECT query_id FROM delq)
+  UNION ALL
+  SELECT * FROM upd WHERE query_id NOT IN (SELECT query_id FROM delq)
+  UNION ALL
+  SELECT * FROM newq),
+pq AS (SELECT query_id, UNNEST(qt) AS term,
+              CASE WHEN mm IS NULL THEN len(qt)
+                   ELSE LEAST(GREATEST(1, mm), len(qt)) END AS required
+       FROM folded WHERE len(qt) >= 1),
+dex AS (SELECT doc_id, UNNEST(list_distinct(w)) AS term FROM ptoks),
+m AS (SELECT d.doc_id, q.query_id,
+             CAST(COUNT(*) AS BIGINT) AS matched,
+             ANY_VALUE(q.required) AS required
+      FROM dex d JOIN pq q ON q.term = d.term
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= ANY_VALUE(q.required)),
+nq AS (SELECT query_id, UNNEST(nt) AS term FROM folded),
+veto AS (SELECT DISTINCT d.doc_id, n.query_id
+         FROM dex d JOIN nq n ON n.term = d.term)
+SELECT m.doc_id, m.query_id, m.matched, m.required
+FROM m LEFT JOIN veto v
+  ON v.doc_id = m.doc_id AND v.query_id = m.query_id
+WHERE v.doc_id IS NULL
+"""
+
+
+EXTRA_QUERIES["percolate_store_matches"] = q_percolate_store_matches
+EXTRA_ORACLES["percolate_store_matches"] = _percolate_store_oracle()

@@ -92,3 +92,20 @@ def test_no_match_query_stays_empty(spark):
     docs = _docs(spark)
     out = bm25_prf_topk(docs, _q(spark, ["zzzz"]), 5)
     assert out.count() == 0
+
+
+def test_plan_broadcasts_never_sort_merges(spark, sf_smoke):
+    """VERDICT r10 item 3: the feedback join must broadcast the
+    fb_docs-by-queries hit frame into the corpus-sized posting scan —
+    never a sort-merge join or cartesian product."""
+    from distributed_vector_search_system_spark.operators.retrieval import (
+        queries_from_docs,
+    )
+    from distributed_vector_search_system_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    q = queries_from_docs(docs, F.col("doc_id") % 100 == 7)
+    out = bm25_prf_topk(docs, q, 10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

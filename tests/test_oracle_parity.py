@@ -68,8 +68,14 @@ def test_registry_row_counts():
 # exact-oracled
 # r10 (cont.): + percolate_scored (the boolean match set with per-pair
 # BM25 relevance for alert prioritization) — exact-oracled
-EXPECTED_EXTRA = 104
-EXPECTED_EXTRA_ORACLED = 103
+# r11: + percolate_store_matches (mutable standing-query registry:
+# percolation after register + update + unregister equals the
+# fold-then-match replay, per-query min_match incl. NULL="all") —
+# exact-oracled.  The r11 opening rotation also moved six r10
+# flagships into the driver window and six long-green rows out (counts
+# unchanged).
+EXPECTED_EXTRA = 105
+EXPECTED_EXTRA_ORACLED = 104
 
 
 def test_driver_window_holds_all_llm_queries():
