@@ -398,3 +398,93 @@ def fuse_weighted(
         contrib = contrib.unionByName(p)
     fused = contrib.groupBy("query_id", "id").agg(F.sum("_c").alias("fused"))
     return _score_ranked(fused, k, "fused")
+
+
+def champion_impact_concentration(
+    doc_postings: DataFrame, *, cap: int = 64
+) -> float:
+    """Measured vocabulary skew for champion-list sizing: the fraction
+    of the corpus' TOTAL posting weight mass a per-term rank cap of
+    ``cap`` keeps (terms with df ≤ cap contribute all their mass —
+    they are lossless under any champion list, which is exactly why a
+    Zipf tail makes caps safe).  ``1 − concentration`` is the score
+    mass a truncated champion scan can destroy, the one number that
+    decides whether a rank cap is deployable (VERDICT r10 item 8 —
+    turning round 9/10's two measured recall curves into an
+    operator-level rule; see :func:`recommend_champion_B`).
+
+    Measured on this repo's calibration geometries at cap=64
+    (2026-08, this host): bench Zipf (20k docs × 40 terms, 50k vocab —
+    the geometry whose rescored recall@10 was 0.91/0.98/1.00 at
+    B=16/64/256) keeps **0.564**; a denser Zipf (2k × 20, 3k vocab)
+    keeps **0.734**; the FLAT fixture vocabulary (recall@10
+    0.28/0.46/0.92 — the adversarial case) keeps **0.25-0.26** at
+    both sf0.001 and sf0.01.
+
+    Cost: one pass over the postings — a per-term window over the
+    SAME (term → weight desc) order the index build already
+    materializes as ``impact_rank``, so on a persisted sparse index
+    this statistic is a two-aggregate scan of the ``impact_rank``
+    column, no window.  Run it at build/retrain time, not per query.
+    """
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    w = Window.partitionBy("term").orderBy(
+        F.col("weight").desc(), F.col("id").asc()
+    )
+    row = (
+        doc_postings.withColumn("_ir", F.row_number().over(w))
+        .agg(
+            (
+                F.sum(F.when(F.col("_ir") <= cap, F.col("weight")))
+                / F.sum("weight")
+            ).alias("c")
+        )
+        .collect()[0]
+    )
+    return 1.0 if row["c"] is None else float(row["c"])
+
+
+def recommend_champion_B(
+    concentration: float, *, rescore: bool = True
+) -> int | None:
+    """Champion-list budget from the measured impact concentration
+    (:func:`champion_impact_concentration`) — the sizing rule VERDICT
+    r10 item 8 asked for, calibrated on this repo's measured
+    geometries (bench ``sparse_cap_recall10`` / ``..._zipf``; the
+    concentration of each geometry measured at cap=64 and quoted in
+    :func:`champion_impact_concentration`):
+
+    ========================  ==========================  =============
+    concentration @ cap=64    geometry it matched         rule
+    ========================  ==========================  =============
+    ≥ 0.50                    Zipf geometries (measured   B=64 + rescore
+                              0.56 and 0.73): rescored    (0.98); B=16
+                              recall@10 0.91/0.98/1.00    if shortlist
+                              at B=16/64/256              only (0.81)
+    0.35 – 0.50               between the measured        B=256 + rescore
+                              points — interpolated, NOT  (1.00 on Zipf)
+                              measured: re-measure per
+                              corpus before trusting it
+    < 0.35                    flat fixture (measured      None — rank
+                              0.25-0.26; recall@10        caps can't
+                              0.28/0.46/0.92 — B must     bound IO here;
+                              reach corpus/2)             use
+                                                          prune_postings
+                                                          or exact
+    ========================  ==========================  =============
+
+    ``None`` means "do not deploy a champion list on this vocabulary"
+    (the flat-geometry verdict).  ``rescore=False`` returns the
+    truncated-score tier's budget (4× the rescored one, per the
+    measured crossover: B=64+rescore beats B=256 truncated) and never
+    recommends interpolated-zone deployment — truncated champion
+    lists are a shortlist rung only (see :func:`cap_postings`).
+    """
+    if not 0.0 <= concentration <= 1.0:
+        raise ValueError("concentration must be in [0, 1]")
+    if concentration >= 0.5:
+        return 64 if rescore else 256
+    if concentration >= 0.35:
+        return 256 if rescore else None
+    return None

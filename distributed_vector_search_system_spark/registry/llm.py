@@ -4878,3 +4878,77 @@ WHERE v.doc_id IS NULL
 
 EXTRA_QUERIES["percolate_store_matches"] = q_percolate_store_matches
 EXTRA_ORACLES["percolate_store_matches"] = _percolate_store_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 11: recency decay scoring over the events fixture (VERDICT r10
+# item 5 — the fixtures' only timestamps exercise the ES date-decay
+# contract end-to-end: origin "now", scale in days, offset plateau)
+
+#: fixed "now" for determinism: 2024-01-31 00:00:00 UTC in epoch ms
+#: (the day after the events fixture's last timestamp)
+_REC_ORIGIN_MS = 1706659200000
+_REC_SCALE_D = 7.0    # half-boost at 1 + 7 days of staleness
+_REC_OFFSET_D = 1.0   # ≤ 1 day old counts as fresh (flat plateau)
+
+
+def q_function_score_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-decay recency boost: each doc's freshness is its user's
+    last event timestamp (fixture convention doc_id = user_id; docs
+    without events keep their relevance score — the neutral-factor
+    path), turned into an age-in-days column and composed onto the
+    BM25 leg with the ES ``exp`` decay (origin "now", offset plateau,
+    half-life at offset+scale) — operators/scoring.py over a
+    ``unix_millis`` projection, so the timestamp path is exercised
+    end-to-end, not just the unit-agnostic core."""
+    from ..operators.retrieval import bm25_topk
+    from ..operators.scoring import decay_factor, function_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = load_table(spark, sf_dir, "events")
+    hits = bm25_topk(docs, _retrieval_queries(spark, sf_dir), _HYBRID_K).select(
+        "query_id", "id", "score"
+    )
+    # the fixture ts is TIMESTAMP_NTZ; the UTC-session cast makes
+    # unix_millis read the same wall clock DuckDB's epoch_ms reads
+    age = ev.groupBy(F.col("user_id").alias("doc_id")).agg(
+        (
+            (F.lit(_REC_ORIGIN_MS) - F.unix_millis(F.max("ts").cast("timestamp")))
+            / F.lit(86400000.0)
+        ).alias("age_days")
+    )
+    fac = decay_factor(
+        age, "age_days",
+        origin=0.0, scale=_REC_SCALE_D, offset=_REC_OFFSET_D,
+        decay=_DECAY_RATE, kind="exp",
+    )
+    return function_score(hits, fac, _FS_K)
+
+
+def _function_score_recency_oracle() -> str:
+    import math
+
+    return f"""
+WITH {_bm25_scored_ctes()},
+hits AS (SELECT query_id, id, score6 FROM bm25_ranked WHERE brank <= {_HYBRID_K}),
+recage AS (SELECT user_id AS id,
+                  ({_REC_ORIGIN_MS} - epoch_ms(MAX(ts))) / 86400000.0 AS age
+           FROM events GROUP BY 1),
+facd AS (SELECT id,
+                GREATEST(0.0, ABS(age - 0.0) - {_REC_OFFSET_D!r})
+                  / {_REC_SCALE_D!r} AS d
+         FROM recage),
+fac AS (SELECT id, EXP({math.log(_DECAY_RATE)!r} * d) AS factor FROM facd),
+fscored AS (SELECT h.query_id, h.id,
+                   ROUND(h.score6 * COALESCE(f.factor, 1.0), 6) AS score
+            FROM hits h LEFT JOIN fac f ON f.id = h.id),
+franked AS (SELECT query_id, id, score,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, id) AS INT) AS rank
+            FROM fscored)
+SELECT query_id, id, score, rank FROM franked WHERE rank <= {_FS_K}
+"""
+
+
+EXTRA_QUERIES["function_score_recency"] = q_function_score_recency
+EXTRA_ORACLES["function_score_recency"] = _function_score_recency_oracle()

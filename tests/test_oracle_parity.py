@@ -74,8 +74,12 @@ def test_registry_row_counts():
 # exact-oracled.  The r11 opening rotation also moved six r10
 # flagships into the driver window and six long-green rows out (counts
 # unchanged).
-EXPECTED_EXTRA = 105
-EXPECTED_EXTRA_ORACLED = 104
+# r11 (cont.): + function_score_recency (ES date-decay over the events
+# fixture's timestamps: per-user last-event age in days composed onto
+# the BM25 leg — origin "now", offset plateau, exp decay) —
+# exact-oracled
+EXPECTED_EXTRA = 106
+EXPECTED_EXTRA_ORACLED = 105
 
 
 def test_driver_window_holds_all_llm_queries():
