@@ -1,0 +1,166 @@
+"""Search-analytics metric aggregations, round 11: extended stats,
+percentiles, cardinality, top-hits — the ES metric-aggregation family
+(``extended_stats`` / ``percentiles`` / ``cardinality`` / ``top_hits``)
+next to round 9/10's bucket aggregations (facets, histogram,
+significant terms).
+
+The reference has no aggregation surface (its one read is vector
+top-k, ``src/rpc/search_service_impl.cc``); a corpus-scale deployment
+of the same engine answers "what does this slice of the data look
+like" constantly — latency percentiles over events, distinct-user
+cardinality, per-bucket exemplar rows for a dashboard.  Each operator
+below groups by an optional bucket column list, so they compose with
+any upstream restriction (a filter, a match set's semi-join) the way
+the facet verbs do.
+
+Exact vs approximate, the repo's two-tier convention:
+
+- the EXACT forms carry the DuckDB oracles (``percentile`` /
+  ``count_distinct`` are deterministic and SQL-replayable);
+- the APPROXIMATE forms are the 100 TB path — ``percentile_approx``
+  (GK sketch: bounded memory per group, mergeable map-side, accuracy
+  knob) and ``approx_count_distinct`` (HyperLogLog++: O(1) memory,
+  rsd knob).  Exact percentiles BUFFER every value of a group on one
+  executor and exact count_distinct shuffles every distinct value —
+  both are oracle-carriers here, not serving plans (the same stance
+  as ``bm25_topk`` vs ``bm25_index_topk``).  The approximate tiers'
+  error is property-tested against the exact tiers in
+  tests/test_aggregations.py.
+
+Everything is one hash aggregate with map-side partial combine; the
+only window is ``top_hits``' per-bucket rank over bucket-restricted
+rows.  Deterministic output → exact SQL replay (doubles rounded to 6,
+the repo convention).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _grouped(df: DataFrame, by: Sequence[str] | None):
+    return df.groupBy(*by) if by else df.groupBy()
+
+
+def extended_stats(
+    df: DataFrame,
+    value_col: str,
+    *,
+    by: Sequence[str] | None = None,
+) -> DataFrame:
+    """ES ``extended_stats``: count / min / max / sum / avg /
+    sum_of_squares / variance / std_deviation per bucket (POPULATION
+    variance, the ES default).  NULL values are ignored (count counts
+    non-null values, the SQL and ES convention); doubles rounded to 6.
+    """
+    v = F.col(value_col).cast("double")
+    return _grouped(df, by).agg(
+        F.count(v).alias("n"),
+        F.round(F.min(v), 6).alias("min_v"),
+        F.round(F.max(v), 6).alias("max_v"),
+        F.round(F.sum(v), 6).alias("sum_v"),
+        F.round(F.avg(v), 6).alias("avg_v"),
+        F.round(F.sum(v * v), 6).alias("sum_sq"),
+        F.round(F.var_pop(v), 6).alias("variance"),
+        F.round(F.stddev_pop(v), 6).alias("std_dev"),
+    )
+
+
+def percentiles(
+    df: DataFrame,
+    value_col: str,
+    percents: Sequence[float] = (50.0, 90.0, 99.0),
+    *,
+    by: Sequence[str] | None = None,
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """ES ``percentiles``: one ``p<N>`` column per requested percent.
+
+    ``exact=True`` uses the exact aggregate with linear interpolation
+    (DuckDB ``quantile_cont`` semantics — the oracle tier; it buffers
+    the group's values, so it is NOT the 100 TB plan).  ``exact=False``
+    is ``percentile_approx`` (Greenwald-Khanna): bounded memory,
+    mergeable partials, error ≤ 1/``accuracy`` of the rank — the
+    serving tier, tested against the exact one.
+    """
+    if not percents:
+        raise ValueError("percents must be non-empty")
+    for p in percents:
+        if not 0.0 <= p <= 100.0:
+            raise ValueError(f"percent {p} outside [0, 100]")
+    v = F.col(value_col).cast("double")
+    aggs = []
+    for p in percents:
+        frac = F.lit(float(p) / 100.0)
+        expr = (
+            F.percentile(v, frac)
+            if exact
+            else F.percentile_approx(v, frac, F.lit(int(accuracy)))
+        )
+        name = ("p%g" % p).replace(".", "_")
+        aggs.append(F.round(expr, 6).alias(name))
+    return _grouped(df, by).agg(*aggs)
+
+
+def cardinality(
+    df: DataFrame,
+    value_col: str,
+    *,
+    by: Sequence[str] | None = None,
+    exact: bool = True,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """ES ``cardinality``: distinct count of ``value_col`` per bucket.
+
+    ``exact=True`` is ``count_distinct`` (the oracle tier — shuffles
+    the distinct values); ``exact=False`` is HyperLogLog++
+    (``approx_count_distinct``, relative standard deviation ``rsd``):
+    O(1) memory per group, one pass, mergeable — the only cardinality
+    plan that survives 100 TB of high-cardinality keys.
+    """
+    v = F.col(value_col)
+    expr = (
+        F.count_distinct(v)
+        if exact
+        else F.approx_count_distinct(v, rsd)
+    )
+    return _grouped(df, by).agg(expr.alias("n_distinct"))
+
+
+def top_hits(
+    df: DataFrame,
+    k: int,
+    sort_col: str,
+    *,
+    by: Sequence[str],
+    tie_col: str,
+    ascending: bool = False,
+) -> DataFrame:
+    """ES ``top_hits``: the per-bucket top-``k`` rows by ``sort_col``
+    (``ascending=False`` = largest first), ties broken on ``tie_col``
+    ascending (the repo's determinism convention — without a total
+    order the "top" rows are not SQL-replayable).  Output keeps every
+    input column plus a per-bucket ``rank``.
+
+    Scale: the window partitions on the bucket columns — the same
+    shuffle a groupBy on them pays — and the partial top-k
+    (WindowGroupLimit) truncates each partition to ``k`` rows before
+    the exchange, the ``merge_topk`` discipline.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not by:
+        raise ValueError(
+            "top_hits requires bucket columns; for a global top-k use "
+            "the ranked-leg operators"
+        )
+    key = F.col(sort_col).asc() if ascending else F.col(sort_col).desc()
+    w = Window.partitionBy(*by).orderBy(key, F.col(tie_col).asc())
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

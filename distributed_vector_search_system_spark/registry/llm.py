@@ -4952,3 +4952,117 @@ SELECT query_id, id, score, rank FROM franked WHERE rank <= {_FS_K}
 
 EXTRA_QUERIES["function_score_recency"] = q_function_score_recency
 EXTRA_ORACLES["function_score_recency"] = _function_score_recency_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 11: metric aggregations (operators/aggregations.py) — the ES
+# extended_stats / percentiles / cardinality / top_hits family next to
+# the round-10 bucket aggregations.  Exact tiers carry the oracles;
+# the approximate tiers (GK percentile sketch, HLL++) are the 100 TB
+# path, property-tested in tests/test_aggregations.py.
+
+_TOPHITS_K = 3
+
+
+def q_events_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type extended stats of the value metric — one hash
+    aggregate with map-side partial combine."""
+    from ..operators.aggregations import extended_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return extended_stats(ev, "value", by=("event_type",))
+
+
+def _events_extended_stats_oracle() -> str:
+    return """
+SELECT event_type,
+       COUNT(value) AS n,
+       ROUND(MIN(value), 6) AS min_v,
+       ROUND(MAX(value), 6) AS max_v,
+       ROUND(SUM(value), 6) AS sum_v,
+       ROUND(AVG(value), 6) AS avg_v,
+       ROUND(SUM(value * value), 6) AS sum_sq,
+       ROUND(VAR_POP(value), 6) AS variance,
+       ROUND(STDDEV_POP(value), 6) AS std_dev
+FROM events GROUP BY 1
+"""
+
+
+EXTRA_QUERIES["events_extended_stats"] = q_events_extended_stats
+EXTRA_ORACLES["events_extended_stats"] = _events_extended_stats_oracle()
+
+
+def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type exact p50/p90/p99 of the value metric (linear
+    interpolation, the quantile_cont contract) — the oracle tier; the
+    GK-sketch tier serves at scale."""
+    from ..operators.aggregations import percentiles
+
+    ev = load_table(spark, sf_dir, "events")
+    return percentiles(ev, "value", (50.0, 90.0, 99.0), by=("event_type",))
+
+
+def _events_percentiles_oracle() -> str:
+    return """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.50), 6) AS p50,
+       ROUND(quantile_cont(value, 0.90), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY 1
+"""
+
+
+EXTRA_QUERIES["events_percentiles"] = q_events_percentiles
+EXTRA_ORACLES["events_percentiles"] = _events_percentiles_oracle()
+
+
+def q_events_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type top-3 events by (value desc, event_id asc) —
+    the per-bucket exemplar verb; partial top-k truncates each
+    partition before the exchange."""
+    from ..operators.aggregations import top_hits
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    return top_hits(
+        ev, _TOPHITS_K, "value", by=("event_type",), tie_col="event_id"
+    ).select(
+        "event_type", "event_id", F.round("value", 6).alias("value"), "rank"
+    )
+
+
+def _events_top_hits_oracle() -> str:
+    return f"""
+SELECT event_type, event_id, ROUND(value, 6) AS value, rank FROM (
+  SELECT event_type, event_id, value,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY value DESC, event_id) AS INT) AS rank
+  FROM events)
+WHERE rank <= {_TOPHITS_K}
+"""
+
+
+EXTRA_QUERIES["events_top_hits"] = q_events_top_hits
+EXTRA_ORACLES["events_top_hits"] = _events_top_hits_oracle()
+
+
+def q_docs_source_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct sources per language over the documents table — the
+    exact cardinality tier (HLL++ serves at scale, tested within its
+    rsd against this)."""
+    from ..operators.aggregations import cardinality
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cardinality(docs, "source", by=("lang",))
+
+
+def _docs_source_cardinality_oracle() -> str:
+    return """
+SELECT lang, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_distinct
+FROM documents GROUP BY 1
+"""
+
+
+EXTRA_QUERIES["docs_source_cardinality"] = q_docs_source_cardinality
+EXTRA_ORACLES["docs_source_cardinality"] = _docs_source_cardinality_oracle()

@@ -399,6 +399,36 @@ class TextEngine:
             doc_id_col=self._doc_id, text_col=self._text,
         )
 
+    def value_stats(
+        self,
+        value_col: str,
+        *,
+        by: tuple[str, ...] | None = None,
+        consistency: str = EVENTUAL,
+        hits: DataFrame | None = None,
+    ) -> DataFrame:
+        """ES ``extended_stats`` behind the gates (round 11): per-
+        bucket count/min/max/sum/avg/sum_sq/variance/std of a metadata
+        column over the gated snapshot — or, with ``hits``, over the
+        per-query MATCH SET (hit ids broadcast-semi-restrict the
+        snapshot first, the ``facets_for_hits`` discipline), grouped by
+        ``("query_id",) + by``.  The stats sibling of :meth:`histogram`
+        — one gated read, one hash aggregate."""
+        from .operators.aggregations import extended_stats
+
+        snap = self._read_snapshot(consistency)
+        if hits is None:
+            return extended_stats(snap, value_col, by=by)
+        h = hits.select("query_id", F.col("id").alias(self._doc_id))
+        restricted = snap.join(
+            F.broadcast(h.select(self._doc_id).distinct()),
+            self._doc_id,
+            "left_semi",
+        ).join(F.broadcast(h), self._doc_id)
+        return extended_stats(
+            restricted, value_col, by=("query_id", *(by or ())),
+        )
+
     def search_fuzzy(
         self,
         queries: DataFrame,

@@ -1,0 +1,157 @@
+"""Metric aggregations (operators/aggregations.py): extended stats,
+exact-vs-approx percentiles, exact-vs-HLL cardinality, per-bucket top
+hits, the gated engine verb, and plan shape.  Exactness vs DuckDB is
+the events_extended_stats / events_percentiles / events_top_hits /
+docs_source_cardinality rows in test_oracle_parity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_vector_search_system_spark.operators.aggregations import (
+    cardinality,
+    extended_stats,
+    percentiles,
+    top_hits,
+)
+
+
+@pytest.fixture(scope="module")
+def vals(spark):
+    rows = [("a", i, float(i)) for i in range(1, 11)] + [
+        ("b", 100 + i, 5.0) for i in range(4)
+    ] + [("b", 200, None)]
+    return spark.createDataFrame(rows, "g string, id long, v double")
+
+
+def test_extended_stats_population_semantics(spark, vals):
+    got = {r["g"]: r for r in extended_stats(vals, "v", by=("g",)).collect()}
+    a = got["a"]
+    assert a["n"] == 10 and a["min_v"] == 1.0 and a["max_v"] == 10.0
+    assert a["sum_v"] == 55.0 and a["avg_v"] == 5.5
+    assert a["sum_sq"] == sum(i * i for i in range(1, 11))
+    assert a["variance"] == pytest.approx(8.25)       # POPULATION variance
+    b = got["b"]
+    assert b["n"] == 4                                 # NULL ignored
+    assert b["variance"] == 0.0 and b["std_dev"] == 0.0
+
+
+def test_extended_stats_global_bucket(spark, vals):
+    got = extended_stats(vals, "v").collect()
+    assert len(got) == 1 and got[0]["n"] == 14
+
+
+def test_percentiles_exact_interpolation(spark, vals):
+    got = {
+        r["g"]: r
+        for r in percentiles(vals, "v", (50.0, 90.0), by=("g",)).collect()
+    }
+    # 1..10: p50 linear-interpolates to 5.5, p90 to 9.1
+    assert got["a"]["p50"] == pytest.approx(5.5)
+    assert got["a"]["p90"] == pytest.approx(9.1)
+    assert got["b"]["p50"] == 5.0
+
+
+def test_percentiles_approx_within_accuracy(spark, sf_oracle):
+    from distributed_vector_search_system_spark.tables import load_table
+
+    ev = load_table(spark, sf_oracle, "events")
+    ex = {
+        r["event_type"]: (r["p50"], r["p99"])
+        for r in percentiles(ev, "value", (50.0, 99.0), by=("event_type",)).collect()
+    }
+    ap = {
+        r["event_type"]: (r["p50"], r["p99"])
+        for r in percentiles(
+            ev, "value", (50.0, 99.0), by=("event_type",), exact=False
+        ).collect()
+    }
+    # GK guarantees rank error <= n/accuracy; translate to a loose
+    # value tolerance by comparing against the exact neighbourhood
+    for et, (p50, p99) in ex.items():
+        a50, a99 = ap[et]
+        assert abs(a50 - p50) <= max(0.05 * abs(p50), 1e-6) or a50 <= p50 * 1.1
+        assert a99 <= p99 * 1.05 + 1e-6 and a99 >= p50
+
+
+def test_cardinality_exact_and_hll(spark, sf_oracle):
+    from distributed_vector_search_system_spark.tables import load_table
+
+    ev = load_table(spark, sf_oracle, "events")
+    exact = {
+        r["event_type"]: r["n_distinct"]
+        for r in cardinality(ev, "user_id", by=("event_type",)).collect()
+    }
+    approx = {
+        r["event_type"]: r["n_distinct"]
+        for r in cardinality(
+            ev, "user_id", by=("event_type",), exact=False, rsd=0.02
+        ).collect()
+    }
+    for et, n in exact.items():
+        # HLL++ at rsd=0.02: allow 3 sigma
+        assert abs(approx[et] - n) <= max(3, 0.06 * n)
+
+
+def test_top_hits_determinism_and_ties(spark, vals):
+    got = [
+        (r["g"], r["id"], r["rank"])
+        for r in top_hits(
+            vals.filter("v is not null"), 2, "v", by=("g",), tie_col="id"
+        ).orderBy("g", "rank").collect()
+    ]
+    # bucket b is all-ties at 5.0: id ascending breaks them
+    assert got == [("a", 10, 1), ("a", 9, 2), ("b", 100, 1), ("b", 101, 2)]
+    asc = top_hits(
+        vals.filter("g = 'a'"), 1, "v", by=("g",), tie_col="id", ascending=True
+    ).collect()
+    assert asc[0]["id"] == 1
+
+
+def test_top_hits_plan_partial_topk(spark, vals):
+    """The per-bucket window must carry a partial top-k
+    (WindowGroupLimit) so each partition truncates to k rows before
+    the exchange — the merge_topk discipline."""
+    plan = (
+        top_hits(vals, 2, "v", by=("g",), tie_col="id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
+
+
+def test_validation(spark, vals):
+    with pytest.raises(ValueError):
+        percentiles(vals, "v", ())
+    with pytest.raises(ValueError):
+        percentiles(vals, "v", (101.0,))
+    with pytest.raises(ValueError):
+        top_hits(vals, 0, "v", by=("g",), tie_col="id")
+    with pytest.raises(ValueError):
+        top_hits(vals, 2, "v", by=(), tie_col="id")
+
+
+def test_engine_value_stats_gates_and_hits(spark):
+    """The gated verb: STRONG folds pending doc mutations before the
+    aggregate; hits= restricts to the per-query match set."""
+    from distributed_vector_search_system_spark.text_engine import TextEngine
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", 10.0), (2, "alpha", 20.0), (3, "beta", 30.0)],
+        "doc_id long, text string, score_prior double",
+    )
+    e = TextEngine(spark, docs)
+    base = extended_stats(docs, "score_prior").collect()[0]
+    got = e.value_stats("score_prior").collect()[0]
+    assert got["n"] == base["n"] and got["avg_v"] == base["avg_v"]
+    e.upsert_doc(4, "alpha", score_prior=40.0)
+    assert e.value_stats("score_prior", consistency="eventual").collect()[0]["n"] == 3
+    assert e.value_stats("score_prior", consistency="strong").collect()[0]["n"] == 4
+    hits = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 4)], "query_id long, id long"
+    )
+    per_q = {
+        r["query_id"]: r["sum_v"]
+        for r in e.value_stats("score_prior", hits=hits).collect()
+    }
+    assert per_q == {0: 30.0, 1: 40.0}

@@ -78,8 +78,14 @@ def test_registry_row_counts():
 # fixture's timestamps: per-user last-event age in days composed onto
 # the BM25 leg — origin "now", offset plateau, exp decay) —
 # exact-oracled
-EXPECTED_EXTRA = 106
-EXPECTED_EXTRA_ORACLED = 105
+# r11 (cont.): + events_extended_stats / events_percentiles /
+# events_top_hits / docs_source_cardinality (the ES metric-aggregation
+# family: population extended stats, exact interpolated percentiles,
+# per-bucket top hits, exact cardinality — approximate GK/HLL tiers
+# are property-tested in tests/test_aggregations.py) — all
+# exact-oracled
+EXPECTED_EXTRA = 110
+EXPECTED_EXTRA_ORACLED = 109
 
 
 def test_driver_window_holds_all_llm_queries():
