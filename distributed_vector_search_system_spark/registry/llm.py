@@ -5066,3 +5066,248 @@ FROM documents GROUP BY 1
 
 EXTRA_QUERIES["docs_source_cardinality"] = q_docs_source_cardinality
 EXTRA_ORACLES["docs_source_cardinality"] = _docs_source_cardinality_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 11: spell suggestion ("did you mean") — the sixth
+# query-understanding verb (operators/spell.py)
+
+_SPELL_QPRED = "doc_id % 100 = 41"
+_SPELL_EDITS = 2
+_SPELL_TOPN = 3
+_SPELL_MIN_DF = 2
+
+
+def _spell_typod_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture queries with every term corrupted by a one-character
+    suffix — distance 1 from its real vocabulary term."""
+    from ..functions.text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.expr(_SPELL_QPRED)).select(
+        F.col("doc_id").alias("query_id"),
+        F.transform(
+            F.array_distinct(F.slice(_tokens("text"), 1, 3)),
+            lambda t: F.concat(t, F.lit("x")),
+        ).alias("qterms"),
+    )
+
+
+def q_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES term-suggester (missing mode): per misspelled query term the
+    top corrections by (edit distance, df desc, term) from the corpus
+    vocabulary — operators/spell.py."""
+    from ..operators.fuzzy import corpus_vocabulary
+    from ..operators.spell import spell_suggestions
+
+    docs = load_table(spark, sf_dir, "documents")
+    return spell_suggestions(
+        corpus_vocabulary(docs),
+        _spell_typod_queries(spark, sf_dir),
+        max_edits=_SPELL_EDITS, top_n=_SPELL_TOPN, min_df=_SPELL_MIN_DF,
+    )
+
+
+def _spell_suggest_oracle() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+q AS (SELECT doc_id AS query_id, list_distinct(list_slice(w, 1, 3)) AS qts
+      FROM toks WHERE {_SPELL_QPRED}),
+qx AS (SELECT DISTINCT query_id, UNNEST(qts) || 'x' AS source_term FROM q),
+vx AS (SELECT doc_id AS id, UNNEST(w) AS term FROM toks),
+vocab AS (SELECT term, CAST(COUNT(DISTINCT id) AS BIGINT) AS df FROM vx
+          GROUP BY 1 HAVING COUNT(DISTINCT id) >= {_SPELL_MIN_DF}),
+missing AS (SELECT query_id, source_term FROM qx
+            WHERE source_term NOT IN (SELECT term FROM vocab)),
+cand AS (SELECT m.query_id, m.source_term, v.term AS suggestion,
+                CAST(levenshtein(v.term, m.source_term) AS INT) AS distance,
+                v.df
+         FROM missing m JOIN vocab v
+           ON levenshtein(v.term, m.source_term) BETWEEN 1 AND {_SPELL_EDITS}),
+ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (
+                 PARTITION BY query_id, source_term
+                 ORDER BY distance, df DESC, suggestion) AS INT) AS srank
+           FROM cand)
+SELECT query_id, source_term, suggestion, distance, df, srank
+FROM ranked WHERE srank <= {_SPELL_TOPN}
+"""
+
+
+EXTRA_QUERIES["spell_suggest"] = q_spell_suggest
+EXTRA_ORACLES["spell_suggest"] = _spell_suggest_oracle()
+
+
+def q_bm25_spell_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """did-you-mean composition: misspelled queries are rewritten to
+    their top corrections and ranked with the unmodified BM25 — the
+    single-best-correction sibling of bm25_fuzzy_topk's expansion."""
+    from ..operators.fuzzy import corpus_vocabulary
+    from ..operators.retrieval import bm25_topk
+    from ..operators.spell import did_you_mean
+
+    docs = load_table(spark, sf_dir, "documents")
+    corrected = did_you_mean(
+        corpus_vocabulary(docs),
+        _spell_typod_queries(spark, sf_dir),
+        max_edits=_SPELL_EDITS, min_df=_SPELL_MIN_DF,
+    )
+    return bm25_topk(docs, corrected, _HYBRID_K)
+
+
+def _bm25_spell_oracle() -> str:
+    from ..operators.retrieval import BM25_B, BM25_K1
+
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+q AS (SELECT doc_id AS query_id, list_distinct(list_slice(w, 1, 3)) AS qts
+      FROM toks WHERE {_SPELL_QPRED}),
+qx AS (SELECT DISTINCT query_id, UNNEST(qts) || 'x' AS source_term FROM q),
+vx AS (SELECT doc_id AS id, UNNEST(w) AS term FROM toks),
+vocab AS (SELECT term, COUNT(DISTINCT id) AS df FROM vx
+          GROUP BY 1 HAVING COUNT(DISTINCT id) >= {_SPELL_MIN_DF}),
+missing AS (SELECT query_id, source_term FROM qx
+            WHERE source_term NOT IN (SELECT term FROM vocab)),
+best AS (SELECT query_id, source_term, suggestion FROM (
+           SELECT m.query_id, m.source_term, v.term AS suggestion,
+                  ROW_NUMBER() OVER (PARTITION BY m.query_id, m.source_term
+                       ORDER BY levenshtein(v.term, m.source_term),
+                                v.df DESC, v.term) AS srn
+           FROM missing m JOIN vocab v
+             ON levenshtein(v.term, m.source_term)
+                BETWEEN 1 AND {_SPELL_EDITS})
+         WHERE srn = 1),
+cq AS (SELECT DISTINCT qx.query_id,
+              COALESCE(b.suggestion, qx.source_term) AS term
+       FROM qx LEFT JOIN best b
+         ON b.query_id = qx.query_id AND b.source_term = qx.source_term),
+dl AS (SELECT doc_id AS id, len(w) AS dl FROM toks),
+tfc AS (SELECT id, term, COUNT(*) AS tf FROM vx GROUP BY 1, 2),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+dfq AS (SELECT term, COUNT(DISTINCT id) AS df FROM tfc
+        WHERE term IN (SELECT DISTINCT term FROM cq) GROUP BY 1),
+sp_scored AS (
+  SELECT c.query_id, tfc.id,
+         SUM(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (tfc.tf * ({BM25_K1} + 1.0))
+             / (tfc.tf + {BM25_K1} * (1.0 - {BM25_B}
+                + {BM25_B} * CAST(dl.dl AS DOUBLE) / s.avgdl))) AS score
+  FROM cq c
+  JOIN tfc ON tfc.term = c.term
+  JOIN dfq d ON d.term = c.term
+  JOIN dl ON dl.id = tfc.id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+sp_ranked AS (
+  SELECT query_id, id, score6,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score6 DESC, id) AS INT) AS srnk
+  FROM (SELECT query_id, id, ROUND(score, 6) AS score6 FROM sp_scored))
+SELECT query_id, id, score6 AS score, srnk AS rank
+FROM sp_ranked WHERE srnk <= {_HYBRID_K}
+"""
+
+
+EXTRA_QUERIES["bm25_spell_topk"] = q_bm25_spell_topk
+EXTRA_ORACLES["bm25_spell_topk"] = _bm25_spell_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 11: index-time analysis chain (functions/analysis.py) —
+# stopword removal + S-stemming rewriting the indexed text, every
+# downstream operator unchanged
+
+_STEM_QPRED = "doc_id % 100 = 59"
+
+_SQL_STOPLIST = ", ".join(f"'{s}'" for s in (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
+    "if", "in", "into", "is", "it", "no", "not", "of", "on", "or",
+    "such", "that", "the", "their", "then", "there", "these", "they",
+    "this", "to", "was", "will", "with",
+))
+
+
+def _sql_s_stem(t: str) -> str:
+    """The Harman S-stemmer as a DuckDB CASE expression — rule-for-rule
+    the suffix-dispatch Column form in functions/analysis.s_stem
+    (exception suffixes short-circuit to the unchanged word)."""
+    return f"""CASE
+  WHEN length({t}) < 3 THEN {t}
+  WHEN {t} LIKE '%eies' OR {t} LIKE '%aies' THEN {t}
+  WHEN {t} LIKE '%ies' THEN substr({t}, 1, length({t}) - 3) || 'y'
+  WHEN {t} LIKE '%aes' OR {t} LIKE '%ees' OR {t} LIKE '%oes' THEN {t}
+  WHEN {t} LIKE '%es' THEN substr({t}, 1, length({t}) - 1)
+  WHEN {t} LIKE '%us' OR {t} LIKE '%ss' THEN {t}
+  WHEN {t} LIKE '%s' THEN substr({t}, 1, length({t}) - 1)
+  ELSE {t} END"""
+
+
+def q_bm25_stemmed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analyzed retrieval: the corpus is re-indexed through the
+    stop+stem analysis chain (one withColumn — the whole index-time
+    integration), queries arrive PLURALIZED and are analyzed query-side
+    with the same chain, and the unmodified BM25 ranks: "tables"
+    matches "table", stopwords cost nothing."""
+    from ..functions.analysis import STOPWORDS_EN, analyze_text, s_stem
+    from ..functions.text import tokens as _tokens
+    from ..operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    analyzed = docs.withColumn(
+        "text", analyze_text("text", stopwords=STOPWORDS_EN, stem=True)
+    )
+    q = docs.filter(F.expr(_STEM_QPRED)).select(
+        F.col("doc_id").alias("query_id"),
+        F.transform(
+            F.array_distinct(F.slice(_tokens("text"), 1, 3)),
+            lambda t: s_stem(F.concat(t, F.lit("s"))),
+        ).alias("qterms"),
+    )
+    return bm25_topk(analyzed, q, _HYBRID_K)
+
+
+def _bm25_stemmed_oracle() -> str:
+    from ..operators.retrieval import BM25_B, BM25_K1
+
+    stem_x = _sql_s_stem("x")
+    stem_q = _sql_s_stem("(qt0 || 's')")
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+atoks AS (SELECT doc_id,
+                 list_transform(
+                   list_filter(w, x -> x NOT IN ({_SQL_STOPLIST})),
+                   x -> {stem_x}) AS w
+          FROM toks),
+q AS (SELECT doc_id AS query_id, list_distinct(list_slice(w, 1, 3)) AS qts
+      FROM toks WHERE {_STEM_QPRED}),
+qs AS (SELECT DISTINCT query_id, {stem_q} AS term
+       FROM (SELECT query_id, UNNEST(qts) AS qt0 FROM q)),
+vx AS (SELECT doc_id AS id, UNNEST(w) AS term FROM atoks),
+dl AS (SELECT doc_id AS id, len(w) AS dl FROM atoks),
+tfc AS (SELECT id, term, COUNT(*) AS tf FROM vx GROUP BY 1, 2),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+dfq AS (SELECT term, COUNT(DISTINCT id) AS df FROM tfc
+        WHERE term IN (SELECT DISTINCT term FROM qs) GROUP BY 1),
+st_scored AS (
+  SELECT qs.query_id, tfc.id,
+         SUM(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (tfc.tf * ({BM25_K1} + 1.0))
+             / (tfc.tf + {BM25_K1} * (1.0 - {BM25_B}
+                + {BM25_B} * CAST(dl.dl AS DOUBLE) / s.avgdl))) AS score
+  FROM qs
+  JOIN tfc ON tfc.term = qs.term
+  JOIN dfq d ON d.term = qs.term
+  JOIN dl ON dl.id = tfc.id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+st_ranked AS (
+  SELECT query_id, id, score6,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score6 DESC, id) AS INT) AS strk
+  FROM (SELECT query_id, id, ROUND(score, 6) AS score6 FROM st_scored))
+SELECT query_id, id, score6 AS score, strk AS rank
+FROM st_ranked WHERE strk <= {_HYBRID_K}
+"""
+
+
+EXTRA_QUERIES["bm25_stemmed_topk"] = q_bm25_stemmed_topk
+EXTRA_ORACLES["bm25_stemmed_topk"] = _bm25_stemmed_oracle()

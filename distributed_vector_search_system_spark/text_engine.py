@@ -475,6 +475,35 @@ class TextEngine:
         )
         return prefix_completions(vocab, prefixes, k, min_df=min_df)
 
+    def suggest_spell(
+        self,
+        queries: DataFrame,
+        *,
+        consistency: str = EVENTUAL,
+        max_edits: int = 2,
+        top_n: int = 3,
+        min_df: int = 1,
+        suggest_mode: str = "missing",
+    ) -> DataFrame:
+        """Spell suggestions ("did you mean") from the gated snapshot's
+        vocabulary (round 11): per misspelled query term the top
+        corrections by (edit distance, df desc, term) —
+        operators/spell.spell_suggestions behind the same gates as
+        every other read verb (a STRONG suggest reflects a
+        just-upserted doc's new vocabulary)."""
+        from .operators.fuzzy import corpus_vocabulary
+        from .operators.spell import spell_suggestions
+
+        snap = self._read_snapshot(consistency)
+        vocab = corpus_vocabulary(
+            snap, doc_id_col=self._doc_id, text_col=self._text
+        )
+        return spell_suggestions(
+            vocab, queries,
+            max_edits=max_edits, top_n=top_n, min_df=min_df,
+            suggest_mode=suggest_mode,
+        )
+
     def search_prf(
         self,
         queries: DataFrame,

@@ -84,8 +84,14 @@ def test_registry_row_counts():
 # per-bucket top hits, exact cardinality — approximate GK/HLL tiers
 # are property-tested in tests/test_aggregations.py) — all
 # exact-oracled
-EXPECTED_EXTRA = 110
-EXPECTED_EXTRA_ORACLED = 109
+# r11 (cont.): + spell_suggest / bm25_spell_topk (the term suggester —
+# "did you mean" — and its single-best-correction retrieval
+# composition; sixth query-understanding verb) and bm25_stemmed_topk
+# (index-time analysis chain: stopword removal + S-stemming rewriting
+# the indexed text, plural queries matching singular docs through the
+# unmodified BM25) — all exact-oracled
+EXPECTED_EXTRA = 113
+EXPECTED_EXTRA_ORACLED = 112
 
 
 def test_driver_window_holds_all_llm_queries():
