@@ -203,7 +203,7 @@ def percolate_scored(
 
 def percolate_stream(
     stream_docs: DataFrame,
-    stored: DataFrame,
+    stored,
     out_path: str,
     *,
     checkpoint: str,
@@ -211,13 +211,29 @@ def percolate_stream(
     **cols,
 ):
     """Standing-query alerting: percolate each arriving micro-batch
-    against the (static, broadcast) registry and APPEND satisfied
-    pairs to the alerts sink — the push-capable form of the same
-    plan.  Returns the started ``StreamingQuery``."""
+    against the registry and APPEND satisfied pairs to the alerts
+    sink — the push-capable form of the same plan.  Returns the
+    started ``StreamingQuery``.
+
+    ``stored`` is either a plain registry DataFrame (static for the
+    stream's lifetime — the round-10 form) or a
+    ``sources.percolator_store.PercolatorStore`` (round 11): with a
+    store, each micro-batch re-resolves the FOLDED registry view, so
+    queries registered/updated/unregistered between batches take
+    effect on the next batch and a restart from the checkpoint
+    percolates only new docs — against the registry as it stands.
+    A store-backed stream should pass the store's ``min_match``
+    column through ``min_match_col="min_match"``.
+    """
 
     def _apply(batch: DataFrame, _batch_id: int) -> None:
+        registry = (
+            stored.registry_view(batch.sparkSession)
+            if hasattr(stored, "registry_view")
+            else stored
+        )
         percolate(
-            batch, stored, min_match=min_match, **cols
+            batch, registry, min_match=min_match, **cols
         ).write.mode("append").parquet(out_path)
 
     return (

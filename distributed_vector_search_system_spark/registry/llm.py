@@ -5311,3 +5311,42 @@ FROM st_ranked WHERE strk <= {_HYBRID_K}
 
 EXTRA_QUERIES["bm25_stemmed_topk"] = q_bm25_stemmed_topk
 EXTRA_ORACLES["bm25_stemmed_topk"] = _bm25_stemmed_oracle()
+
+
+# round-11 CLOSE rotation (the established per-round policy): this
+# round's flagships join the driver window for their independent
+# check — percolate_store_matches (the mutable standing-query
+# registry: register + update + unregister vs the fold-then-match
+# replay), function_score_recency (ES date-decay on real timestamps),
+# spell_suggest (the sixth query-understanding verb),
+# bm25_stemmed_topk (the index-time analysis chain end-to-end),
+# events_percentiles and events_top_hits (the metric-aggregation
+# family's exact tiers).  Six long-green rows leave in exchange —
+# five here, one (ann_knn_join) in registry/vector.py — each family
+# keeping driver coverage: sparse_topk (sparse keeps champion /
+# rescore / synonym / engine_store / store_mutations driver rows),
+# hybrid_trimodal (hybrid keeps engine_rrf + weighted), search_snippets
+# (the serving surface keeps doc_facets / bm25_sig_terms / bm25_page2),
+# curation_pipeline (the text tier keeps multimodal_features), and
+# maxsim_topk (MaxSim keeps maxsim_store_mutations).  Every demoted
+# row keeps the IDENTICAL DuckDB comparison in the pytest tier.
+for _name in (
+    "percolate_store_matches",
+    "function_score_recency",
+    "spell_suggest",
+    "bm25_stemmed_topk",
+    "events_percentiles",
+    "events_top_hits",
+):
+    QUERIES[_name] = EXTRA_QUERIES.pop(_name)
+    ORACLES[_name] = EXTRA_ORACLES.pop(_name)
+for _name in (
+    "sparse_topk",
+    "hybrid_trimodal",
+    "search_snippets",
+    "curation_pipeline",
+    "maxsim_topk",
+):
+    EXTRA_QUERIES[_name] = QUERIES.pop(_name)
+    EXTRA_ORACLES[_name] = ORACLES.pop(_name)
+del _name

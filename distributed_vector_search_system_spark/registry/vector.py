@@ -2445,3 +2445,13 @@ for _name in ("ivf_persisted_topk", "ann_cosine_ivfpq_topk", "mutations_delete")
     EXTRA_QUERIES[_name] = QUERIES.pop(_name)
     EXTRA_ORACLES[_name] = ORACLES.pop(_name)
 del _name
+
+
+# round-11 CLOSE rotation, vector side (see registry/llm.py for the
+# six round-11 flagship promotions this demotion balances):
+# ann_knn_join leaves — the kNN family keeps knn_single / knn_batch /
+# knn_filtered / knn_shard_routed / knn_after_mutations /
+# knn_store_mutations driver rows; identical DuckDB comparison
+# retained in the pytest tier.
+EXTRA_QUERIES["ann_knn_join"] = QUERIES.pop("ann_knn_join")
+EXTRA_ORACLES["ann_knn_join"] = ORACLES.pop("ann_knn_join")

