@@ -142,24 +142,56 @@ def quality_score(text) -> Column:
 
 
 #: PII / noise patterns for training-data scrubbing.  Kept to character
-#: classes + bounded quantifiers that mean the same thing in Java regex
-#: (Spark) and RE2 (DuckDB) so an oracle can reproduce the scrub.
+#: classes + bounded quantifiers + non-capturing groups that mean the
+#: same thing in Java regex (Spark) and RE2 (DuckDB) so an oracle can
+#: reproduce the scrub — no lookaround (RE2 has none).
 URL_PATTERN = r"https?://[^\s]+"
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+#: NANP-ish phone shapes: optional +1 / parenthesized area code,
+#: -, ., or space separators (round 11)
+PHONE_PATTERN = (
+    r"(?:\+1[-. ]?)?(?:\(\d{3}\)[-. ]?|\d{3}[-. ])\d{3}[-. ]\d{4}\b"
+)
+#: dotted-quad IPv4 (octet range unchecked — scrubbing favors recall)
+IPV4_PATTERN = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+#: scrub order matters (URLs may embed the other shapes): url first,
+#: then email, then the numeric classes
+PII_PATTERNS = (
+    ("url", URL_PATTERN),
+    ("email", EMAIL_PATTERN),
+    ("phone", PHONE_PATTERN),
+    ("ipv4", IPV4_PATTERN),
+)
 
 
-def scrub_pii(text, replacement: str = "[REDACTED]") -> Column:
-    """Remove URLs and email addresses — the minimum scrub every
-    LLM training-data pipeline applies before tokenization.  Pure
-    regexp_replace chain: map-side, codegen, no Python."""
-    t = F.col(text) if isinstance(text, str) else text
-    out = F.regexp_replace(t, URL_PATTERN, replacement)
-    return F.regexp_replace(out, EMAIL_PATTERN, replacement)
+def scrub_pii(
+    text,
+    replacement: str = "[REDACTED]",
+    *,
+    classes: tuple[str, ...] = ("url", "email", "phone", "ipv4"),
+) -> Column:
+    """Remove URL / email / phone / IPv4 shapes — the minimum scrub
+    every LLM training-data pipeline applies before tokenization
+    (``classes`` narrows the chain; round 11 extended the original
+    url+email pair with the numeric classes).  Pure regexp_replace
+    chain in :data:`PII_PATTERNS` order: map-side, codegen, no
+    Python."""
+    known = {name for name, _ in PII_PATTERNS}
+    unknown = set(classes) - known
+    if unknown:
+        raise ValueError(f"unknown PII classes: {sorted(unknown)}")
+    out = F.col(text) if isinstance(text, str) else text
+    for name, pat in PII_PATTERNS:
+        if name in classes:
+            out = F.regexp_replace(out, pat, replacement)
+    return out
 
 
 def pii_counts(text) -> Column:
     """Struct(n_urls, n_emails) found in the text — the audit metric
-    logged alongside the scrub."""
+    logged alongside the scrub (the original two classes; the round-11
+    four-class audit is :func:`pii_class_counts`)."""
     t = F.col(text) if isinstance(text, str) else text
     return F.struct(
         F.regexp_count(t, F.lit(URL_PATTERN)).alias("n_urls"),
@@ -167,6 +199,20 @@ def pii_counts(text) -> Column:
             "n_emails"
         ),
     )
+
+
+def pii_class_counts(text) -> Column:
+    """Struct(n_urls, n_emails, n_phones, n_ipv4s) — the four-class
+    audit (round 11).  Each class counts on the text with the EARLIER
+    classes already removed (the scrub-order convention: an email
+    inside a URL is the URL's finding, digits inside a phone are not
+    also an IPv4)."""
+    t = F.col(text) if isinstance(text, str) else text
+    counts = []
+    for name, pat in PII_PATTERNS:
+        counts.append(F.regexp_count(t, F.lit(pat)).alias(f"n_{name}s"))
+        t = F.regexp_replace(t, pat, "")
+    return F.struct(*counts)
 
 
 def fingerprint(text) -> Column:

@@ -164,3 +164,83 @@ def top_hits(
         df.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+_INTERVALS = ("hour", "day", "week", "month", "quarter", "year")
+
+
+def date_histogram(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    interval: str = "day",
+    by: Sequence[str] | None = None,
+    value_col: str | None = None,
+) -> DataFrame:
+    """ES ``date_histogram`` with CALENDAR intervals — per-bucket
+    ``(bucket, n[, sum_v])`` where ``bucket`` is the interval start
+    (``date_trunc`` semantics: weeks start Monday, the ES/ISO
+    convention — identical in DuckDB, which is what keeps the oracle
+    exact).  Buckets with no rows are absent (min_doc_count=1, the
+    same convention as ``facets.histogram_facet``; the fixed-interval
+    numeric form lives there).  ``value_col`` adds the classic sum
+    sub-aggregation.
+
+    Scale: one hash aggregate keyed on (bucket, by) — map-side
+    partial combine, exchange carries bucket cardinality only.
+    """
+    if interval not in _INTERVALS:
+        raise ValueError(f"interval must be one of {_INTERVALS}")
+    b = F.date_trunc(interval, F.col(ts_col)).alias("bucket")
+    keys = [*(by or ()), b]
+    aggs = [F.count("*").alias("n")]
+    if value_col is not None:
+        aggs.append(
+            F.round(F.sum(F.col(value_col).cast("double")), 6).alias("sum_v")
+        )
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def pipeline_aggs(
+    series: DataFrame,
+    value_col: str,
+    *,
+    order_col: str,
+    by: Sequence[str] | None = None,
+    window: int = 3,
+) -> DataFrame:
+    """ES pipeline aggregations over an already-bucketed series:
+    ``cumulative_sum``, ``derivative`` (bucket-over-bucket delta;
+    NULL for each partition's first bucket, the ES contract), and a
+    trailing ``moving_avg`` over the last ``window`` buckets
+    (including the current one).  Output keeps every input column
+    plus ``cum_sum`` / ``deriv`` / ``moving_avg`` (rounded to 6).
+
+    The input is a BUCKETED series (e.g. :func:`date_histogram`'s
+    output) — buckets-per-partition is bounded by the time range, not
+    the corpus, so the unavoidable ordered windows run over tiny
+    partitions.  ``by`` partitions the windows (the repo's
+    no-unpartitioned-windows lock applies: omit ``by`` only for a
+    single global series, which is one partition by construction —
+    pass at least one bucket key when the series is per-entity).
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    v = F.col(value_col).cast("double")
+    base = Window.partitionBy(*(by or ())).orderBy(F.col(order_col).asc())
+    return (
+        series.withColumn(
+            "cum_sum",
+            F.round(
+                F.sum(v).over(base.rowsBetween(Window.unboundedPreceding, 0)),
+                6,
+            ),
+        )
+        .withColumn("deriv", F.round(v - F.lag(v, 1).over(base), 6))
+        .withColumn(
+            "moving_avg",
+            F.round(
+                F.avg(v).over(base.rowsBetween(-(window - 1), 0)), 6
+            ),
+        )
+    )

@@ -170,3 +170,56 @@ def function_score(
         "query_id", "id", combined.alias(score_col)
     )
     return _score_ranked(scored, k, score_col)
+
+
+def boosting_score(
+    hits: DataFrame,
+    negative: DataFrame,
+    k: int,
+    *,
+    negative_boost: float = 0.5,
+    score_col: str = "score",
+) -> DataFrame:
+    """ES ``boosting`` query: DEMOTE (don't exclude) hits matching the
+    negative clause — ``score · negative_boost`` for matches, the
+    relevance score verbatim otherwise, then re-rank.  The soft
+    complement of boolean NOT: "prefer docs not from this source /
+    not matching these terms", with matches still served when nothing
+    better exists.
+
+    ``negative`` is the negative clause's match set — a one-column
+    ``id`` frame (doc-level demotion: a blocklisted source, a
+    near-dup cluster, a stale partition) or per-query ``(query_id,
+    id)`` pairs (the boolean layer's admissibility shape, so any
+    term/phrase/fuzzy clause composes directly).  Semantics follow
+    ES: ``negative_boost`` in [0, 1); 0 floors matches to score 0 but
+    never removes the row.
+
+    Scale: hits are k-bounded by contract — the negative set is
+    semi-restricted to hit ids with the ids BROADCAST, and the
+    surviving sliver joins back broadcast (the ``function_score``
+    discipline: nothing corpus-sized ever shuffles, plan-locked in
+    tests/test_scoring.py).
+    """
+    if not 0.0 <= negative_boost < 1.0:
+        raise ValueError("negative_boost must be in [0, 1)")
+    per_query = "query_id" in negative.columns
+    keys = ["query_id", "id"] if per_query else ["id"]
+    h = hits.select("query_id", "id", F.col(score_col).alias("_rel"))
+    neg = negative.select(*keys).distinct().join(
+        F.broadcast(h.select("id").distinct()), "id", "left_semi"
+    )
+    joined = h.join(
+        F.broadcast(neg.withColumn("_neg", F.lit(True))), keys, "left"
+    )
+    scored = joined.select(
+        "query_id",
+        "id",
+        F.when(
+            F.col("_neg").isNotNull(),
+            F.col("_rel") * F.lit(float(negative_boost)),
+        )
+        .otherwise(F.col("_rel"))
+        .alias(score_col),
+    )
+    return _score_ranked(scored, k, score_col)

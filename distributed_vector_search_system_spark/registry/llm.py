@@ -5350,3 +5350,210 @@ for _name in (
     EXTRA_QUERIES[_name] = QUERIES.pop(_name)
     EXTRA_ORACLES[_name] = ORACLES.pop(_name)
 del _name
+
+
+# ---------------------------------------------------------------------------
+# round 11 (post-close): calendar date_histogram + pipeline
+# aggregations (operators/aggregations.py) — the time-series half of
+# the metric-aggregation family
+
+_PIPE_WINDOW = 3
+
+
+def q_events_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type DAILY buckets (calendar date_trunc, ISO weeks'
+    sibling) with count + sum(value) — one hash aggregate whose
+    exchange carries bucket cardinality only."""
+    from ..operators.aggregations import date_histogram
+
+    ev = load_table(spark, sf_dir, "events")
+    return date_histogram(
+        ev, "ts", interval="day", by=("event_type",), value_col="value"
+    )
+
+
+def _events_date_histogram_oracle() -> str:
+    return """
+SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 6) AS sum_v
+FROM events GROUP BY 1, 2
+"""
+
+
+EXTRA_QUERIES["events_date_histogram"] = q_events_date_histogram
+EXTRA_ORACLES["events_date_histogram"] = _events_date_histogram_oracle()
+
+
+def q_events_pipeline_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pipeline aggregations over the daily series: cumulative
+    count, bucket-over-bucket derivative (NULL on each type's first
+    day, the ES contract), trailing 3-day moving average — ordered
+    windows over buckets-per-type partitions (bounded by the time
+    range, not the corpus)."""
+    from ..operators.aggregations import date_histogram, pipeline_aggs
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = date_histogram(ev, "ts", interval="day", by=("event_type",))
+    return pipeline_aggs(
+        daily, "n", order_col="bucket", by=("event_type",),
+        window=_PIPE_WINDOW,
+    )
+
+
+def _events_pipeline_oracle() -> str:
+    return f"""
+WITH dh AS (SELECT event_type,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2)
+SELECT event_type, bucket, n,
+       ROUND(SUM(CAST(n AS DOUBLE)) OVER (
+         PARTITION BY event_type ORDER BY bucket
+         ROWS UNBOUNDED PRECEDING), 6) AS cum_sum,
+       ROUND(CAST(n AS DOUBLE) - LAG(CAST(n AS DOUBLE)) OVER (
+         PARTITION BY event_type ORDER BY bucket), 6) AS deriv,
+       ROUND(AVG(CAST(n AS DOUBLE)) OVER (
+         PARTITION BY event_type ORDER BY bucket
+         ROWS {_PIPE_WINDOW - 1} PRECEDING), 6) AS moving_avg
+FROM dh
+"""
+
+
+EXTRA_QUERIES["events_pipeline_daily"] = q_events_pipeline_daily
+EXTRA_ORACLES["events_pipeline_daily"] = _events_pipeline_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 11 (post-close): ES boosting query — soft negative demotion
+# composed onto the BM25 leg (operators/scoring.py)
+
+_BOOSTING_NEG_TERM = "data"
+_BOOSTING_NB = 0.3
+
+
+def q_bm25_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boosting query: BM25 hits whose doc contains the negative term
+    are demoted by negative_boost (never excluded) and re-ranked —
+    the soft complement of boolean NOT."""
+    from ..functions.text import tokens as _tokens
+    from ..operators.retrieval import bm25_topk
+    from ..operators.scoring import boosting_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    hits = bm25_topk(docs, _retrieval_queries(spark, sf_dir), _HYBRID_K).select(
+        "query_id", "id", "score"
+    )
+    neg = docs.filter(
+        F.array_contains(_tokens("text"), _BOOSTING_NEG_TERM)
+    ).select(F.col("doc_id").alias("id"))
+    return boosting_score(hits, neg, _FS_K, negative_boost=_BOOSTING_NB)
+
+
+def _bm25_boosting_oracle() -> str:
+    return f"""
+WITH {_bm25_scored_ctes()},
+hits AS (SELECT query_id, id, score6 FROM bm25_ranked WHERE brank <= {_HYBRID_K}),
+neg AS (SELECT doc_id AS id FROM
+        (SELECT doc_id, {_TOKS} AS w FROM documents)
+        WHERE list_contains(w, '{_BOOSTING_NEG_TERM}')),
+bscored AS (SELECT h.query_id, h.id,
+                   ROUND(CASE WHEN n.id IS NOT NULL
+                              THEN h.score6 * {_BOOSTING_NB}
+                              ELSE h.score6 END, 6) AS score
+            FROM hits h LEFT JOIN neg n ON n.id = h.id),
+branked AS (SELECT query_id, id, score,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, id) AS INT) AS rank
+            FROM bscored)
+SELECT query_id, id, score, rank FROM branked WHERE rank <= {_FS_K}
+"""
+
+
+EXTRA_QUERIES["bm25_boosting"] = q_bm25_boosting
+EXTRA_ORACLES["bm25_boosting"] = _bm25_boosting_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 11 (post-close): four-class PII audit + scrub (phones and IPv4
+# join the url/email pair — functions/text.py PII_PATTERNS).  The
+# fixture corpus is clean, so both engines splice the SAME
+# deterministic findings before scrubbing (the text_pii_scrub idiom).
+
+
+def q_pii_audit_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import pii_class_counts, scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" contact bob@example.com now"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" see https://example.com/data?id=1 too"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" call 555-123-4567 first"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(" host 10.0.0.12 up"))
+        .otherwise(F.lit("")),
+    )
+    d = docs.select("doc_id", dirty.alias("dirty"))
+    c = pii_class_counts("dirty")
+    return d.select(
+        "doc_id",
+        c.getField("n_urls").alias("n_urls"),
+        c.getField("n_emails").alias("n_emails"),
+        c.getField("n_phones").alias("n_phones"),
+        c.getField("n_ipv4s").alias("n_ipv4s"),
+        F.length(scrub_pii("dirty")).cast("int").alias("scrubbed_len"),
+        F.md5(F.encode(scrub_pii("dirty"), "UTF-8")).alias("scrubbed_md5"),
+    )
+
+
+_PII_EXT_URL = r"https?://[^\s]+"
+_PII_EXT_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_EXT_PHONE = r"(?:\+1[-. ]?)?(?:\(\d{3}\)[-. ]?|\d{3}[-. ])\d{3}[-. ]\d{4}\b"
+_PII_EXT_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+_PII_EXT_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0 THEN ' contact bob@example.com now' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' see https://example.com/data?id=1 too' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567 first' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' host 10.0.0.12 up' ELSE '' END
+         AS dirty
+  FROM documents
+),
+c AS (
+  SELECT doc_id, dirty,
+         regexp_replace(dirty, '{_PII_EXT_URL}', '', 'g') AS no_url,
+         regexp_replace(regexp_replace(dirty, '{_PII_EXT_URL}', '[REDACTED]', 'g'),
+                        '{_PII_EXT_EMAIL}', '[REDACTED]', 'g') AS s2
+  FROM d
+),
+c2 AS (
+  SELECT doc_id, dirty, no_url,
+         regexp_replace(no_url, '{_PII_EXT_EMAIL}', '', 'g') AS no_email,
+         regexp_replace(s2, '{_PII_EXT_PHONE}', '[REDACTED]', 'g') AS s3
+  FROM c
+),
+c3 AS (
+  SELECT doc_id, dirty, no_url, no_email,
+         regexp_replace(no_email, '{_PII_EXT_PHONE}', '', 'g') AS no_phone,
+         regexp_replace(s3, '{_PII_EXT_IPV4}', '[REDACTED]', 'g') AS scrubbed
+  FROM c2
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(dirty, '{_PII_EXT_URL}')) AS INT) AS n_urls,
+  CAST(len(regexp_extract_all(no_url, '{_PII_EXT_EMAIL}')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(no_email, '{_PII_EXT_PHONE}')) AS INT) AS n_phones,
+  CAST(len(regexp_extract_all(no_phone, '{_PII_EXT_IPV4}')) AS INT) AS n_ipv4s,
+  CAST(length(scrubbed) AS INT) AS scrubbed_len,
+  md5(scrubbed) AS scrubbed_md5
+FROM c3
+"""
+
+
+EXTRA_QUERIES["pii_audit_extended"] = q_pii_audit_extended
+EXTRA_ORACLES["pii_audit_extended"] = _PII_EXT_SQL

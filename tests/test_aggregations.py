@@ -155,3 +155,64 @@ def test_engine_value_stats_gates_and_hits(spark):
         for r in e.value_stats("score_prior", hits=hits).collect()
     }
     assert per_q == {0: 30.0, 1: 40.0}
+
+
+def test_date_histogram_calendar_buckets(spark):
+    from datetime import datetime
+
+    from distributed_vector_search_system_spark.operators.aggregations import (
+        date_histogram,
+    )
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 5), 1.0),
+        ("a", datetime(2024, 1, 1, 23), 2.0),
+        ("a", datetime(2024, 2, 3, 1), 4.0),
+        ("b", datetime(2024, 1, 8, 0), 8.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    daily = {
+        (r["g"], r["bucket"].strftime("%Y-%m-%d"), r["n"], r["sum_v"])
+        for r in date_histogram(
+            df, "ts", interval="day", by=("g",), value_col="v"
+        ).collect()
+    }
+    assert daily == {
+        ("a", "2024-01-01", 2, 3.0),
+        ("a", "2024-02-03", 1, 4.0),
+        ("b", "2024-01-08", 1, 8.0),
+    }
+    monthly = {
+        (r["bucket"].strftime("%Y-%m"), r["n"])
+        for r in date_histogram(df, "ts", interval="month").collect()
+    }
+    assert monthly == {("2024-01", 3), ("2024-02", 1)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        date_histogram(df, "ts", interval="fortnight")
+
+
+def test_pipeline_aggs_es_contracts(spark):
+    from distributed_vector_search_system_spark.operators.aggregations import (
+        pipeline_aggs,
+    )
+
+    rows = [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0), ("b", 1, 5.0)]
+    series = spark.createDataFrame(rows, "g string, b int, v double")
+    got = {
+        (r["g"], r["b"]): (r["cum_sum"], r["deriv"], r["moving_avg"])
+        for r in pipeline_aggs(
+            series, "v", order_col="b", by=("g",), window=2
+        ).collect()
+    }
+    # cumulative sum runs, derivative NULL on each partition's first
+    # bucket, moving window trails (current + previous)
+    assert got[("a", 1)] == (10.0, None, 10.0)
+    assert got[("a", 2)] == (40.0, 20.0, 20.0)
+    assert got[("a", 3)] == (60.0, -10.0, 25.0)
+    assert got[("b", 1)] == (5.0, None, 5.0)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pipeline_aggs(series, "v", order_col="b", by=("g",), window=0)

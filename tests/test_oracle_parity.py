@@ -90,8 +90,16 @@ def test_registry_row_counts():
 # (index-time analysis chain: stopword removal + S-stemming rewriting
 # the indexed text, plural queries matching singular docs through the
 # unmodified BM25) — all exact-oracled
-EXPECTED_EXTRA = 113
-EXPECTED_EXTRA_ORACLED = 112
+# r11 (post-close): + events_date_histogram / events_pipeline_daily
+# (calendar date_trunc buckets; cumulative_sum / derivative /
+# moving_avg pipeline aggregations over the bucketed series),
+# bm25_boosting (ES boosting query: soft negative demotion composed
+# onto the BM25 leg), pii_audit_extended (four-class PII audit +
+# scrub: url/email/phone/IPv4 in scrub order) — all exact-oracled.
+# The r11 close rotation moved six r11 flagships into the driver
+# window and six long-green rows out (counts unchanged).
+EXPECTED_EXTRA = 117
+EXPECTED_EXTRA_ORACLED = 116
 
 
 def test_driver_window_holds_all_llm_queries():

@@ -213,3 +213,68 @@ def test_nan_field_never_pins_rank_one(spark, hits):
     rows = {r["id"]: (r["rank"], r["score"]) for r in out.collect()}
     assert rows[1] == (2, 2.0)          # kept its relevance score
     assert rows[2][0] == 1              # the valid factor re-ranked
+
+
+def test_boosting_demotes_but_never_excludes(spark, hits):
+    from distributed_vector_search_system_spark.operators.scoring import (
+        boosting_score,
+    )
+
+    neg = spark.createDataFrame([(1,), (99,)], "id long")
+    out = {r["id"]: (r["score"], r["rank"]) for r in
+           boosting_score(hits, neg, 5, negative_boost=0.5).collect()}
+    # demoted 2.0 -> 1.0, still served; ties with id 3 at 1.0 and the
+    # id tie-break puts it at rank 2
+    assert out[1] == (1.0, 2) and out[3] == (1.0, 3)
+    assert out[2][1] == 1              # un-matched hits re-rank above it
+    assert len(out) == 5               # nothing excluded
+    # negative_boost=0 floors to 0 but keeps the row
+    z = {r["id"]: r["score"] for r in
+         boosting_score(hits, neg, 5, negative_boost=0.0).collect()}
+    assert z[1] == 0.0 and len(z) == 5
+
+
+def test_boosting_per_query_pairs(spark, hits):
+    from distributed_vector_search_system_spark.operators.scoring import (
+        boosting_score,
+    )
+
+    more = hits.unionByName(
+        spark.createDataFrame(
+            [(11, 1, 3.0), (11, 2, 1.0)],
+            "query_id long, id long, score double",
+        )
+    )
+    neg = spark.createDataFrame([(10, 1)], "query_id long, id long")
+    out = {
+        (r["query_id"], r["id"]): r["score"]
+        for r in boosting_score(more, neg, 5).collect()
+    }
+    assert out[(10, 1)] == 1.0         # demoted for query 10 only
+    assert out[(11, 1)] == 3.0         # untouched for query 11
+
+
+def test_boosting_validation_and_plan(spark, sf_smoke, hits):
+    import pytest as _pytest
+
+    from distributed_vector_search_system_spark.operators.scoring import (
+        boosting_score,
+    )
+
+    with _pytest.raises(ValueError):
+        boosting_score(hits, hits.select("id"), 5, negative_boost=1.0)
+    from distributed_vector_search_system_spark.operators.retrieval import (
+        bm25_topk, queries_from_docs,
+    )
+    from distributed_vector_search_system_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    q = queries_from_docs(docs, F.col("doc_id") % 100 == 7)
+    h = bm25_topk(docs, q, 10).select("query_id", "id", "score")
+    neg = docs.filter("source = 'web'").select(F.col("doc_id").alias("id"))
+    plan = (
+        boosting_score(h, neg, 5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -124,3 +124,44 @@ def test_ws_tokens_vertical_tab_parity_with_duckdb(spark):
     want = ["alpha", "beta", "gamma", "delta", "epsilon"]
     assert got_spark == want
     assert got_duck == want
+
+
+def test_pii_extended_classes(spark):
+    """Round 11: phone + IPv4 classes, scrub-order counting (an email
+    inside a URL is the URL's finding), class narrowing."""
+    from distributed_vector_search_system_spark.functions.text import (
+        pii_class_counts,
+        scrub_pii,
+    )
+
+    rows = [
+        (1, "call 555-123-4567 or (800) 555 1234 now"),
+        (2, "host 10.0.0.12 and 192.168.1.1 up"),
+        (3, "see https://a.io/u@b.com x@y.org 1.2.3.4"),
+        (4, "clean words only"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: (r["c"]["n_urls"], r["c"]["n_emails"],
+                  r["c"]["n_phones"], r["c"]["n_ipv4s"], r["s"])
+        for r in df.select(
+            "id",
+            pii_class_counts("text").alias("c"),
+            scrub_pii("text").alias("s"),
+        ).collect()
+    }
+    assert got[1][2] == 2 and got[1][:2] == (0, 0)
+    assert got[1][4] == "call [REDACTED] or [REDACTED] now"
+    assert got[2][3] == 2
+    # the URL swallows the embedded email; the bare email and IP count
+    assert got[3][:4] == (1, 1, 0, 1)
+    assert got[4] == (0, 0, 0, 0, "clean words only")
+    # class narrowing: phones kept when only urls scrubbed
+    kept = df.filter("id = 1").select(
+        scrub_pii("text", classes=("url",)).alias("s")
+    ).collect()[0]["s"]
+    assert "555-123-4567" in kept
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        df.select(scrub_pii("text", classes=("ssn",)))
