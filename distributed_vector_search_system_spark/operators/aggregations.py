@@ -244,3 +244,81 @@ def pipeline_aggs(
             ),
         )
     )
+
+
+def composite_buckets(
+    df: DataFrame,
+    keys: Sequence[str],
+    size: int,
+    *,
+    after: Sequence | None = None,
+    value_col: str | None = None,
+) -> DataFrame:
+    """ES ``composite`` aggregation: the first ``size`` group-by
+    buckets in ascending key order, resuming STRICTLY AFTER the
+    ``after`` key tuple — stateless bucket pagination, the aggregation
+    analog of ``search_after`` (ES built composite precisely because
+    ``terms`` aggs cannot page deterministically).  Output is the key
+    columns + ``n`` (+ ``sum_v`` with ``value_col``); feed the last
+    row's key tuple back as ``after`` for the next page.  Rows with a
+    NULL key are skipped (``missing_bucket: false``, the ES default).
+
+    Scale: the cursor predicate is applied to the RAW rows BELOW the
+    aggregate (a map-side lexicographic filter Catalyst can push into
+    the scan), so page N aggregates only the keys past the cursor —
+    the same page-N-costs-page-1 property ``search_after`` gives
+    hits.  The final ascending sort + limit runs over bucket
+    cardinality, not rows.
+    """
+    if size < 1:
+        raise ValueError("size must be >= 1")
+    if not keys:
+        raise ValueError("composite requires at least one key column")
+    if after is not None and len(after) != len(keys):
+        raise ValueError("after must have one value per key")
+    out = df
+    for c in keys:
+        out = out.filter(F.col(c).isNotNull())
+    if after is not None:
+        # lexicographic strictly-greater: (k1 > a1) OR (k1 = a1 AND
+        # (k2 > a2 OR ...)) — composed innermost-first
+        pred = F.lit(False)
+        for c, a in reversed(list(zip(keys, after))):
+            pred = (F.col(c) > F.lit(a)) | (
+                (F.col(c) == F.lit(a)) & pred
+            )
+        out = out.filter(pred)
+    aggs = [F.count("*").alias("n")]
+    if value_col is not None:
+        aggs.append(
+            F.round(F.sum(F.col(value_col).cast("double")), 6).alias("sum_v")
+        )
+    return (
+        out.groupBy(*keys)
+        .agg(*aggs)
+        .orderBy(*[F.col(c).asc() for c in keys])
+        .limit(size)
+    )
+
+
+def matrix_stats(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    *,
+    by: Sequence[str] | None = None,
+) -> DataFrame:
+    """ES ``matrix_stats`` for a field pair: per bucket the pairwise
+    row count (rows where BOTH fields are non-null — the SQL
+    covariance convention), means, population covariance, and Pearson
+    correlation.  One hash aggregate; doubles rounded to 6."""
+    a = F.col(col_a).cast("double")
+    b = F.col(col_b).cast("double")
+    both = df.filter(a.isNotNull() & b.isNotNull())
+    return _grouped(both, by).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(a), 6).alias("mean_a"),
+        F.round(F.avg(b), 6).alias("mean_b"),
+        F.round(F.covar_pop(a, b), 6).alias("covariance"),
+        F.round(F.corr(a, b), 6).alias("correlation"),
+    )

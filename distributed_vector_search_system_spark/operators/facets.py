@@ -286,3 +286,37 @@ def significant_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_n)
     )
+
+
+def rare_terms(
+    docs: DataFrame,
+    max_doc_count: int,
+    *,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``rare_terms``: vocabulary terms whose document frequency is
+    at most ``max_doc_count`` — the long-tail complement of the terms
+    facet (typo mining, contamination canaries, PII-ish token audit).
+    Returns ``(term, df)``.
+
+    Scale: one distinct-count aggregate over the exploded tokens with
+    the HAVING filter applied post-aggregate — the output is the
+    vocabulary's long tail, which is most of a Zipfian vocabulary by
+    TYPE count but tiny by mass; at serving scale read it off the
+    posting index's term stats (df is a stored column there) instead
+    of re-tokenizing (the ``corpus_vocabulary`` note applies).
+    """
+    if max_doc_count < 1:
+        raise ValueError("max_doc_count must be >= 1")
+    from ..functions.text import tokens
+
+    return (
+        docs.select(
+            F.col(doc_id_col).alias("id"),
+            F.explode(tokens(text_col)).alias("term"),
+        )
+        .groupBy("term")
+        .agg(F.count_distinct("id").alias("df"))
+        .filter(F.col("df") <= max_doc_count)
+    )

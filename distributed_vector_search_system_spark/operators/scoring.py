@@ -48,6 +48,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import portable_hash64
 from .retrieval import _score_ranked
 
 _MODIFIERS = ("none", "log1p", "sqrt")
@@ -223,3 +224,28 @@ def boosting_score(
         .alias(score_col),
     )
     return _score_ranked(scored, k, score_col)
+
+
+def random_score_factor(
+    docs: DataFrame,
+    seed: int | str,
+    *,
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``random_score`` with a seed+field: a DETERMINISTIC pseudo-
+    random per-doc factor in [0, 1) derived from the portable content
+    hash of (seed, id) — reproducible across runs, engines, and the
+    DuckDB oracle (``functions.hashing.portable_hash64``), which is
+    exactly what ES's seeded form promises (stable jitter for A/B
+    bucketing, sampled ranking, tie-spreading).  Composes through
+    :func:`function_score` like any factor frame; map-side expression
+    only."""
+    h = portable_hash64(
+        F.col(doc_id_col).cast("string"), seed=seed
+    )
+    return docs.select(
+        F.col(doc_id_col).alias("id"),
+        (F.pmod(h, F.lit(1_000_000)).cast("double") / F.lit(1e6)).alias(
+            "factor"
+        ),
+    )

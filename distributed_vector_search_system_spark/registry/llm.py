@@ -5557,3 +5557,166 @@ FROM c3
 
 EXTRA_QUERIES["pii_audit_extended"] = q_pii_audit_extended
 EXTRA_ORACLES["pii_audit_extended"] = _PII_EXT_SQL
+
+
+# ---------------------------------------------------------------------------
+# round 11 (post-close): composite bucket pagination, matrix stats,
+# rare terms, seeded random scoring
+
+_COMPOSITE_SIZE = 10
+
+
+def q_docs_composite_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES composite aggregation, page 2: the (lang, source) buckets
+    strictly after page 1's last key — the cursor predicate sits BELOW
+    the aggregate, so page N aggregates only keys past the cursor."""
+    from ..operators.aggregations import composite_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    page1 = composite_buckets(
+        docs, ("lang", "source"), _COMPOSITE_SIZE, value_col="n_chars"
+    ).collect()
+    last = page1[-1]
+    return composite_buckets(
+        docs, ("lang", "source"), _COMPOSITE_SIZE,
+        after=(last["lang"], last["source"]), value_col="n_chars",
+    )
+
+
+def _docs_composite_oracle() -> str:
+    return f"""
+WITH b AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(SUM(CAST(n_chars AS DOUBLE)), 6) AS sum_v,
+         ROW_NUMBER() OVER (ORDER BY lang, source) AS brn
+  FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY 1, 2)
+SELECT lang, source, n, sum_v FROM b
+WHERE brn > {_COMPOSITE_SIZE} AND brn <= {2 * _COMPOSITE_SIZE}
+"""
+
+
+EXTRA_QUERIES["docs_composite_page2"] = q_docs_composite_page2
+EXTRA_ORACLES["docs_composite_page2"] = _docs_composite_oracle()
+
+
+def q_events_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES matrix_stats: per-event-type covariance/correlation between
+    the value metric and the event's age in days — does the metric
+    drift over the fixture's 30-day window."""
+    from ..operators.aggregations import matrix_stats
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "age_days",
+        (
+            F.lit(_REC_ORIGIN_MS)
+            - F.unix_millis(F.col("ts").cast("timestamp"))
+        )
+        / F.lit(86400000.0),
+    )
+    return matrix_stats(ev, "value", "age_days", by=("event_type",))
+
+
+def _events_matrix_oracle() -> str:
+    return f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(value), 6) AS mean_a,
+       ROUND(AVG(age), 6) AS mean_b,
+       ROUND(COVAR_POP(value, age), 6) AS covariance,
+       ROUND(CORR(value, age), 6) AS correlation
+FROM (SELECT event_type, value,
+             ({_REC_ORIGIN_MS} - epoch_ms(ts)) / 86400000.0 AS age
+      FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL)
+GROUP BY 1
+"""
+
+
+EXTRA_QUERIES["events_matrix_stats"] = q_events_matrix_stats
+EXTRA_ORACLES["events_matrix_stats"] = _events_matrix_oracle()
+
+
+def q_docs_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rare_terms over a corpus with SPLICED singletons (the flat
+    fixture vocabulary has no natural long tail, so both engines
+    append one unique canary token to every 97th doc — the PII-splice
+    idiom): max_doc_count=1 recovers exactly the canaries plus any
+    natural singletons."""
+    from ..operators.facets import rare_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    spiked = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 97 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" canarytok"),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return rare_terms(spiked, 1)
+
+
+def _docs_rare_terms_oracle() -> str:
+    return f"""
+WITH d AS (SELECT doc_id,
+                  text || CASE WHEN doc_id % 97 = 0
+                               THEN ' canarytok' || CAST(doc_id AS VARCHAR)
+                               ELSE '' END AS text
+           FROM documents),
+vx AS (SELECT doc_id, UNNEST({_TOKS}) AS term FROM d)
+SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+FROM vx GROUP BY 1 HAVING COUNT(DISTINCT doc_id) <= 1
+"""
+
+
+EXTRA_QUERIES["docs_rare_terms"] = q_docs_rare_terms
+EXTRA_ORACLES["docs_rare_terms"] = _docs_rare_terms_oracle()
+
+
+_RND_SEED = 42
+
+
+def q_function_score_random(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded random_score jitter summed onto the BM25 leg — the
+    deterministic A/B-bucketing form (portable content hash of
+    (seed, id), identical in the oracle)."""
+    from ..operators.retrieval import bm25_topk
+    from ..operators.scoring import function_score, random_score_factor
+
+    docs = load_table(spark, sf_dir, "documents")
+    hits = bm25_topk(docs, _retrieval_queries(spark, sf_dir), _HYBRID_K).select(
+        "query_id", "id", "score"
+    )
+    return function_score(
+        hits, random_score_factor(docs, _RND_SEED), _FS_K, mode="sum"
+    )
+
+
+def _function_score_random_oracle() -> str:
+    from ..functions.hashing import portable_hash64_sql
+
+    h = portable_hash64_sql("CAST(doc_id AS VARCHAR)", seed=_RND_SEED)
+    return f"""
+WITH {_bm25_scored_ctes()},
+hits AS (SELECT query_id, id, score6 FROM bm25_ranked WHERE brank <= {_HYBRID_K}),
+fac AS (SELECT doc_id AS id,
+               CAST(({h}) % 1000000 AS DOUBLE) / 1e6 AS factor
+        FROM documents),
+fscored AS (SELECT h.query_id, h.id,
+                   ROUND(h.score6 + COALESCE(f.factor, 0.0), 6) AS score
+            FROM hits h LEFT JOIN fac f ON f.id = h.id),
+franked AS (SELECT query_id, id, score,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, id) AS INT) AS rank
+            FROM fscored)
+SELECT query_id, id, score, rank FROM franked WHERE rank <= {_FS_K}
+"""
+
+
+EXTRA_QUERIES["function_score_random"] = q_function_score_random
+EXTRA_ORACLES["function_score_random"] = _function_score_random_oracle()

@@ -216,3 +216,68 @@ def test_pipeline_aggs_es_contracts(spark):
 
     with _pytest.raises(ValueError):
         pipeline_aggs(series, "v", order_col="b", by=("g",), window=0)
+
+
+def test_composite_buckets_pagination(spark):
+    from distributed_vector_search_system_spark.operators.aggregations import (
+        composite_buckets,
+    )
+
+    rows = [("a", "x", 1.0), ("a", "x", 2.0), ("a", "y", 3.0),
+            ("b", "x", 4.0), ("b", "z", 5.0), (None, "q", 9.0)]
+    df = spark.createDataFrame(rows, "k1 string, k2 string, v double")
+    p1 = [
+        (r["k1"], r["k2"], r["n"], r["sum_v"])
+        for r in composite_buckets(df, ("k1", "k2"), 2, value_col="v").collect()
+    ]
+    # null keys skipped (missing_bucket: false), ascending key order
+    assert p1 == [("a", "x", 2, 3.0), ("a", "y", 1, 3.0)]
+    p2 = [
+        (r["k1"], r["k2"])
+        for r in composite_buckets(
+            df, ("k1", "k2"), 2, after=("a", "y")
+        ).collect()
+    ]
+    assert p2 == [("b", "x"), ("b", "z")]
+    # walking past the end yields nothing (no wraparound)
+    assert composite_buckets(df, ("k1", "k2"), 2, after=("b", "z")).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        composite_buckets(df, ("k1",), 0)
+    with _pytest.raises(ValueError):
+        composite_buckets(df, ("k1", "k2"), 2, after=("a",))
+
+
+def test_composite_cursor_filters_below_aggregate(spark):
+    """The page-N property: the cursor predicate must appear as a
+    Filter below the aggregate in the optimized plan (raw-row filter,
+    not a post-agg HAVING)."""
+    from distributed_vector_search_system_spark.operators.aggregations import (
+        composite_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0)], "k1 string, v double"
+    )
+    plan = (
+        composite_buckets(df, ("k1",), 2, after=("a",))
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    agg_pos = plan.index("Aggregate")
+    filt_pos = plan.index("Filter")
+    assert filt_pos > agg_pos  # child plans print BELOW parents
+
+
+def test_matrix_stats_pairwise(spark):
+    from distributed_vector_search_system_spark.operators.aggregations import (
+        matrix_stats,
+    )
+
+    rows = [("g", 1.0, 2.0), ("g", 2.0, 4.0), ("g", 3.0, 6.0),
+            ("g", None, 9.0), ("g", 9.0, None)]
+    df = spark.createDataFrame(rows, "g string, a double, b double")
+    r = matrix_stats(df, "a", "b", by=("g",)).collect()[0]
+    assert r["n"] == 3                       # pairwise-complete only
+    assert r["correlation"] == pytest.approx(1.0)
+    assert r["covariance"] == pytest.approx(4.0 / 3, abs=1e-6)

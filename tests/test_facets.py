@@ -274,3 +274,23 @@ def test_significant_terms_bg_restricted_below_aggregate(spark, sf_smoke):
     assert "CartesianProduct" not in plan
     # the bg aggregate's input carries the semi join below it
     assert "LeftSemi" in plan
+
+
+def test_rare_terms_long_tail(spark):
+    from distributed_vector_search_system_spark.operators.facets import (
+        rare_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "common unique1"), (2, "common unique2"), (3, "common twice"),
+         (4, "twice")],
+        "doc_id long, text string",
+    )
+    got = {(r["term"], r["df"]) for r in rare_terms(docs, 1).collect()}
+    assert got == {("unique1", 1), ("unique2", 1)}
+    got2 = {r["term"] for r in rare_terms(docs, 2).collect()}
+    assert got2 == {"unique1", "unique2", "twice"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rare_terms(docs, 0)

@@ -98,8 +98,14 @@ def test_registry_row_counts():
 # scrub: url/email/phone/IPv4 in scrub order) — all exact-oracled.
 # The r11 close rotation moved six r11 flagships into the driver
 # window and six long-green rows out (counts unchanged).
-EXPECTED_EXTRA = 117
-EXPECTED_EXTRA_ORACLED = 116
+# r11 (post-close, cont.): + docs_composite_page2 (ES composite
+# aggregation: stateless bucket pagination, cursor predicate below the
+# aggregate), events_matrix_stats (pairwise covariance/correlation),
+# docs_rare_terms (long-tail vocabulary with spliced canaries),
+# function_score_random (seeded deterministic random_score via the
+# portable content hash) — all exact-oracled
+EXPECTED_EXTRA = 121
+EXPECTED_EXTRA_ORACLED = 120
 
 
 def test_driver_window_holds_all_llm_queries():

@@ -278,3 +278,22 @@ def test_boosting_validation_and_plan(spark, sf_smoke, hits):
     )
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_random_score_deterministic_and_bounded(spark):
+    from distributed_vector_search_system_spark.operators.scoring import (
+        random_score_factor,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    a = {r["id"]: r["factor"] for r in random_score_factor(docs, 42).collect()}
+    b = {r["id"]: r["factor"] for r in random_score_factor(docs, 42).collect()}
+    c = {r["id"]: r["factor"] for r in random_score_factor(docs, 7).collect()}
+    assert a == b                            # seed-stable across runs
+    assert a != c                            # seed actually matters
+    assert all(0.0 <= v < 1.0 for v in a.values())
+    # spreads: not all equal, roughly centered
+    vals = sorted(a.values())
+    assert vals[0] < 0.2 and vals[-1] > 0.8
