@@ -448,3 +448,57 @@ def mmr_rerank(
         .groupBy("query_id")
         .applyInPandas(greedy, schema=out_schema)
     )
+
+
+def multi_index_topk(
+    legs: list[tuple[str, DataFrame, float]],
+    k: int,
+) -> DataFrame:
+    """Cross-index search with per-index boost (ES multi-index
+    querying: ``GET idx_a,idx_b/_search`` with ``indices_boost``),
+    round 11 — one ranked page over SEVERAL corpora, each searched by
+    its own leg with its OWN corpus statistics (the real cross-index
+    subtlety: idf/avgdl are per-index, so scores are only comparable
+    after the caller's chosen boosts — exactly ES's stance).
+
+    ``legs``: ``(index_name, hits, boost)`` where ``hits`` is that
+    index's k-bounded ``(query_id, id, score)``.  A document id may
+    appear under several indexes and stays DISTINCT per index (the ES
+    result identity is (index, id)).  Returns ``(query_id, index, id,
+    score, rank)`` ranked by boosted rounded score, ties broken on
+    (index asc, id asc) — the repo determinism convention widened by
+    the index dimension.
+
+    Scale: input legs are k-bounded by contract, so this is a union
+    of |queries|·k·|legs| rows and one partitioned window — the
+    fan-out to each index's plan is where the real work lives, and
+    those plans are unchanged.
+    """
+    if not legs:
+        raise ValueError("multi_index_topk requires at least one leg")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    names = [n for n, _, _ in legs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate index names: {names}")
+    parts = []
+    for name, hits, boost in legs:
+        parts.append(
+            hits.select(
+                "query_id",
+                F.lit(name).alias("index"),
+                "id",
+                (F.col("score") * F.lit(float(boost))).alias("score"),
+            )
+        )
+    allhits = parts[0]
+    for p in parts[1:]:
+        allhits = allhits.unionByName(p)
+    rounded = allhits.withColumn("score", F.round("score", 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("index").asc(), F.col("id").asc()
+    )
+    return (
+        rounded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -5720,3 +5720,125 @@ SELECT query_id, id, score, rank FROM franked WHERE rank <= {_FS_K}
 
 EXTRA_QUERIES["function_score_random"] = q_function_score_random
 EXTRA_ORACLES["function_score_random"] = _function_score_random_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 11 (post-close): term vectors (ES _termvectors) — per-doc
+# term stats for a requested id set (operators/termvectors.py)
+
+_TV_PRED = "doc_id % 100 = 31"
+
+
+def q_doc_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.termvectors import term_vectors
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.expr(_TV_PRED)).select(F.col("doc_id").alias("id"))
+    return term_vectors(docs, ids)
+
+
+def _term_vectors_oracle() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+req AS (SELECT doc_id FROM documents WHERE {_TV_PRED}),
+tp AS (SELECT t.doc_id, p - 1 AS pos, t.w[p] AS term
+       FROM toks t JOIN req USING (doc_id),
+            LATERAL UNNEST(range(1, len(t.w) + 1)) u(p)),
+tv AS (SELECT doc_id, term,
+              CAST(COUNT(*) AS BIGINT) AS tf,
+              array_to_string(list_sort(list(pos)), ',') AS positions
+       FROM tp GROUP BY 1, 2),
+dfq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM (SELECT doc_id, UNNEST(w) AS term FROM toks)
+        WHERE term IN (SELECT DISTINCT term FROM tv)
+        GROUP BY 1)
+SELECT tv.doc_id, tv.term, tv.tf, tv.positions, dfq.df
+FROM tv LEFT JOIN dfq USING (term)
+"""
+
+
+EXTRA_QUERIES["doc_term_vectors"] = q_doc_term_vectors
+EXTRA_ORACLES["doc_term_vectors"] = _term_vectors_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 11 (post-close): cross-index search with per-index boost
+# (operators/retrieval.multi_index_topk) — each language partition is
+# its own "index" with its OWN corpus statistics
+
+_MIDX_BOOST_FR = 1.5
+
+
+def q_multi_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import bm25_topk, multi_index_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = _retrieval_queries(spark, sf_dir)
+    en = bm25_topk(docs.filter("lang = 'en'"), q, _HYBRID_K).select(
+        "query_id", "id", "score"
+    )
+    fr = bm25_topk(docs.filter("lang = 'fr'"), q, _HYBRID_K).select(
+        "query_id", "id", "score"
+    )
+    return multi_index_topk(
+        [("en", en, 1.0), ("fr", fr, _MIDX_BOOST_FR)], _HYBRID_K
+    )
+
+
+def _multi_index_oracle() -> str:
+    from ..operators.retrieval import BM25_B, BM25_K1
+
+    def leg(p: str, lang: str) -> str:
+        return f"""
+{p}toks AS (SELECT doc_id, w FROM alltoks WHERE lang = '{lang}'),
+{p}dl AS (SELECT doc_id AS id, len(w) AS dl FROM {p}toks),
+{p}tfc AS (SELECT id, term, COUNT(*) AS tf FROM
+           (SELECT doc_id AS id, UNNEST(w) AS term FROM {p}toks)
+           GROUP BY 1, 2),
+{p}stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl
+             FROM {p}dl),
+{p}dfq AS (SELECT term, COUNT(DISTINCT id) AS df FROM {p}tfc
+           WHERE term IN (SELECT DISTINCT term FROM mqt) GROUP BY 1),
+{p}scored AS (
+  SELECT mqt.query_id, t.id,
+         SUM(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (t.tf * ({BM25_K1} + 1.0))
+             / (t.tf + {BM25_K1} * (1.0 - {BM25_B}
+                + {BM25_B} * CAST(dl.dl AS DOUBLE) / s.avgdl))) AS score
+  FROM mqt
+  JOIN {p}tfc t ON t.term = mqt.term
+  JOIN {p}dfq d ON d.term = mqt.term
+  JOIN {p}dl dl ON dl.id = t.id
+  CROSS JOIN {p}stats s
+  GROUP BY 1, 2),
+{p}ranked AS (
+  SELECT query_id, id, score6,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score6 DESC, id) AS r
+  FROM (SELECT query_id, id, ROUND(score, 6) AS score6 FROM {p}scored))"""
+
+    return f"""
+WITH alltoks AS (SELECT doc_id, lang, {_TOKS} AS w FROM documents),
+mq AS (SELECT doc_id AS query_id, list_distinct(list_slice(w, 1, 3)) AS qts
+       FROM alltoks WHERE {_HYBRID_QPRED}),
+mqt AS (SELECT query_id, UNNEST(qts) AS term FROM mq),
+{leg("mien", "en")},
+{leg("mifr", "fr")},
+fused AS (
+  SELECT query_id, 'en' AS index, id, ROUND(score6 * 1.0, 6) AS score
+  FROM mienranked WHERE r <= {_HYBRID_K}
+  UNION ALL
+  SELECT query_id, 'fr' AS index, id, ROUND(score6 * {_MIDX_BOOST_FR}, 6)
+  FROM mifrranked WHERE r <= {_HYBRID_K}),
+mranked AS (
+  SELECT query_id, index, id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score DESC, index, id) AS INT) AS rank
+  FROM fused)
+SELECT query_id, index, id, score, rank
+FROM mranked WHERE rank <= {_HYBRID_K}
+"""
+
+
+EXTRA_QUERIES["multi_index_topk"] = q_multi_index_topk
+EXTRA_ORACLES["multi_index_topk"] = _multi_index_oracle()

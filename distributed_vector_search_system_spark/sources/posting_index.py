@@ -1108,3 +1108,70 @@ class MutablePostingIndexStore(PostingIndexStore):
         for name in os.listdir(self.root):
             if name.startswith("gen-") and name not in {cur, nxt}:
                 shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+
+
+def _dir_bytes(os_mod, path: str) -> int | None:
+    """Recursive local directory size; None for remote/missing paths
+    (driver-side observability only — never on the data path)."""
+    try:
+        total = 0
+        for dirpath, _dirs, files in os_mod.walk(path):
+            for fname in files:
+                total += os_mod.path.getsize(os_mod.path.join(dirpath, fname))
+        return total
+    except OSError:
+        return None
+
+
+def describe_posting_store(
+    store: "MutablePostingIndexStore", spark: SparkSession
+) -> dict:
+    """ES ``_stats``-shaped observability for a mutable posting store
+    (round 11): generation, dirty flag, live/tombstoned doc counts,
+    distinct live terms, post-fold mutation backlog, and local byte
+    sizes per directory — the numbers a compaction-cadence policy
+    reads.  Cost: two aggregates over the arbiter rows (4-column, one
+    row per doc version) + one distinct-count over the posting KEYS of
+    the live winners; byte sizes are driver-side stat calls.  Run it
+    at maintenance cadence, not per query."""
+    from pyspark.errors import AnalysisException
+
+    from .fsutil import read_marker
+
+    base_path, delta_path, muts_path = store._paths()
+    gen_dir = store._os.path.dirname(base_path)
+    winners = store._winners(store._all_muts(spark))
+    counts = winners.groupBy("op").count().collect()
+    by_op = {r["op"]: r["count"] for r in counts}
+    try:
+        backlog = spark.read.parquet(store._muts_log_path()).count()
+    except AnalysisException:
+        backlog = 0
+    live = winners.filter(F.col("op") == "upsert").select("id")
+    rows = spark.read.parquet(base_path)
+    try:
+        rows = rows.unionByName(spark.read.parquet(delta_path))
+    except AnalysisException:
+        pass
+    n_terms = (
+        rows.join(F.broadcast(live), "id", "left_semi")
+        .select("term")
+        .distinct()
+        .count()
+    )
+    return {
+        "generation": store._current_gen(),
+        "dirty": read_marker(
+            spark, store._os.path.join(gen_dir, "_DIRTY")
+        ) is not None,
+        "live_docs": int(by_op.get("upsert", 0)),
+        "tombstones": int(by_op.get("delete", 0)),
+        "live_terms": int(n_terms),
+        "mutation_backlog_rows": int(backlog),
+        "bytes": {
+            "postings": _dir_bytes(store._os, base_path),
+            "delta": _dir_bytes(store._os, delta_path),
+            "muts": _dir_bytes(store._os, muts_path),
+            "muts_log": _dir_bytes(store._os, store._muts_log_path()),
+        },
+    }

@@ -104,8 +104,13 @@ def test_registry_row_counts():
 # docs_rare_terms (long-tail vocabulary with spliced canaries),
 # function_score_random (seeded deterministic random_score via the
 # portable content hash) — all exact-oracled
-EXPECTED_EXTRA = 121
-EXPECTED_EXTRA_ORACLED = 120
+# r11 (post-close, cont.): + doc_term_vectors (ES _termvectors:
+# per-doc tf / 0-based positions / corpus df for a requested id set)
+# and multi_index_topk (cross-index search with per-index boost —
+# per-language corpora each scored with their OWN BM25 statistics,
+# (index, id) result identity) — both exact-oracled
+EXPECTED_EXTRA = 123
+EXPECTED_EXTRA_ORACLED = 122
 
 
 def test_driver_window_holds_all_llm_queries():

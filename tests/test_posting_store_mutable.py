@@ -395,3 +395,24 @@ def test_floor_marker_written_at_init_and_split_active(spark, tmp_path):
     assert os.path.exists(os.path.join(s.root, "gen-000000", "_MUTS_FLOOR"))
     s.apply_log(_log_df(spark))
     assert s._touched_ids(spark) is not None
+
+
+def test_describe_posting_store(spark, tmp_path):
+    from distributed_vector_search_system_spark.sources.posting_index import (
+        describe_posting_store,
+    )
+
+    s = _store(spark, tmp_path, "described")
+    d0 = describe_posting_store(s, spark)
+    assert d0["live_docs"] == 4 and d0["tombstones"] == 0
+    assert not d0["dirty"] and d0["mutation_backlog_rows"] == 0
+    assert d0["bytes"]["postings"] and d0["generation"] == "gen-000000"
+    s.apply_log(_log_df(spark))
+    d1 = describe_posting_store(s, spark)
+    # replace(2) + insert(9) + delete(4) + zero-token insert(11)
+    assert d1["dirty"] and d1["mutation_backlog_rows"] == 4
+    assert d1["live_docs"] == 5 and d1["tombstones"] == 1
+    s.compact(spark)
+    d2 = describe_posting_store(s, spark)
+    assert not d2["dirty"] and d2["mutation_backlog_rows"] == 0
+    assert d2["live_docs"] == 5 and d2["generation"] == "gen-000001"
