@@ -146,3 +146,91 @@ def bm25_fuzzy_topk(
         doc_id_col=doc_id_col, text_col=text_col,
         **bm25_kwargs,
     )
+
+
+def wildcard_expand_terms(
+    vocab: DataFrame,
+    queries: DataFrame,
+    *,
+    max_expansions: int | None = 10,
+    query_id_col: str = "query_id",
+    query_patterns_col: str = "qpatterns",
+) -> DataFrame:
+    """Expand per-query WILDCARD patterns against the vocabulary —
+    Lucene/ES ``wildcard`` query semantics: ``*`` matches any run,
+    ``?`` exactly one character, anchored to the whole term (round
+    11, the fourth term-level query type next to exact/fuzzy/prefix).
+
+    Patterns live in the analysis alphabet ``[a-z0-9*?]`` (terms are
+    lowercase alphanumeric runs by the tokenizer contract), so the
+    regex translation is two literal replacements — no escaping, and
+    the SAME translation renders in the oracle.  Like the fuzzy
+    expansion: the vocabulary is the only scanned side (corpus-
+    sublinear), patterns broadcast, the match predicate runs map-side
+    over the vocabulary scan, and ``max_expansions`` caps each
+    pattern's neighborhood deterministically (df desc, term asc —
+    prefer common terms, the Lucene default).  Returns the distinct
+    ``(query_id, term)`` expansion set.
+    """
+    qp = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(F.col(query_patterns_col))).alias("_pat"),
+    ).withColumn(
+        "_rx",
+        F.concat(
+            F.lit("^"),
+            F.regexp_replace(
+                F.regexp_replace("_pat", r"\*", ".*"), r"\?", "."
+            ),
+            F.lit("$"),
+        ),
+    )
+    cand = vocab.select("term", "df").join(
+        F.broadcast(qp), F.rlike(F.col("term"), F.col("_rx")), "inner"
+    )
+    if max_expansions is not None:
+        if max_expansions < 1:
+            raise ValueError("max_expansions must be >= 1 (or None)")
+        w = Window.partitionBy("query_id", "_pat").orderBy(
+            F.col("df").desc(), F.col("term").asc()
+        )
+        cand = (
+            cand.withColumn("_wrn", F.row_number().over(w))
+            .filter(F.col("_wrn") <= max_expansions)
+        )
+    return cand.select("query_id", "term").distinct()
+
+
+def bm25_wildcard_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    max_expansions: int | None = 10,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_patterns_col: str = "qpatterns",
+    **bm25_kwargs,
+) -> DataFrame:
+    """Wildcard retrieval: expand patterns through the vocabulary,
+    rank with the unmodified BM25 over the expanded term sets — the
+    :func:`bm25_fuzzy_topk` composition with wildcard expansion."""
+    from .retrieval import bm25_topk
+
+    vocab = corpus_vocabulary(
+        docs, doc_id_col=doc_id_col, text_col=text_col
+    )
+    expanded = wildcard_expand_terms(
+        vocab, queries,
+        max_expansions=max_expansions,
+        query_id_col=query_id_col, query_patterns_col=query_patterns_col,
+    )
+    eq = expanded.groupBy("query_id").agg(
+        F.sort_array(F.collect_set("term")).alias("qterms")
+    )
+    return bm25_topk(
+        docs, eq, k,
+        doc_id_col=doc_id_col, text_col=text_col,
+        **bm25_kwargs,
+    )

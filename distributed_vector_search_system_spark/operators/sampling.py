@@ -280,3 +280,55 @@ def temperature_sample(
         )
         .select(*cols)
     )
+
+
+def cluster_balanced_sample(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    per_cluster_cap: int,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    seed: int | str = 11,
+) -> DataFrame:
+    """Topic-balanced corpus subsampling (round 11): assign every
+    vector to its nearest centroid and keep at most
+    ``per_cluster_cap`` rows per cluster, chosen by (portable content
+    hash asc, id asc) — deterministic, order-free, replayable.
+
+    The LLM-data motivation: near-duplicate REMOVAL (the dedup
+    ladder) still leaves topical over-representation — a thousand
+    distinct-but-same-subject pages dominate the mixture.  Capping
+    per embedding-cluster is the standard fix (cluster-balanced
+    selection, the per-topic quota shape used in modern corpus
+    curation); the hash order makes the kept subset a uniform draw
+    WITHIN each cluster rather than whatever ordering the scan
+    produced.  Returns ``(id, cluster_id)`` of the kept rows — join
+    it back to the corpus as the admissible set.
+
+    Scale: assignment is map-only against driver-held centroids (the
+    IVF discipline); the per-cluster cut is one window partitioned on
+    cluster_id whose partial top-k (WindowGroupLimit) truncates each
+    partition map-side, so a hot cluster never materializes past the
+    cap per task.  Cluster count is the knob: at 100 TB use enough
+    centroids that per-cluster mass fits a partition — the same
+    sizing rule the IVF index already imposes.
+    """
+    if per_cluster_cap < 1:
+        raise ValueError("per_cluster_cap must be >= 1")
+    from pyspark.sql import Window
+
+    from .clustering import assign_clusters
+
+    assigned = assign_clusters(
+        vectors, centroids, vector_col=vector_col, out_col="cluster_id"
+    ).select(F.col(id_col).alias("id"), "cluster_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        portable_hash64(F.col("id").cast("string"), seed=seed).asc(),
+        F.col("id").asc(),
+    )
+    return (
+        assigned.withColumn("_crn", F.row_number().over(w))
+        .filter(F.col("_crn") <= per_cluster_cap)
+        .select("id", "cluster_id")
+    )

@@ -5842,3 +5842,82 @@ FROM mranked WHERE rank <= {_HYBRID_K}
 
 EXTRA_QUERIES["multi_index_topk"] = q_multi_index_topk
 EXTRA_ORACLES["multi_index_topk"] = _multi_index_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 11 (post-close): wildcard term queries (operators/fuzzy.py) —
+# the fourth term-level query type (exact / fuzzy / prefix / wildcard)
+
+_WILD_EXPANSIONS = 10
+
+
+def q_bm25_wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard retrieval: each fixture query term becomes a 2-char
+    prefix-star pattern, expanded df-ranked against the vocabulary and
+    ranked with the unmodified BM25."""
+    from ..functions.text import tokens as _tokens
+    from ..operators.fuzzy import bm25_wildcard_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    pats = docs.filter(F.expr(_HYBRID_QPRED)).select(
+        F.col("doc_id").alias("query_id"),
+        F.transform(
+            F.array_distinct(F.slice(_tokens("text"), 1, 3)),
+            lambda t: F.concat(F.substring(t, 1, 2), F.lit("*")),
+        ).alias("qpatterns"),
+    )
+    return bm25_wildcard_topk(
+        docs, pats, _HYBRID_K, max_expansions=_WILD_EXPANSIONS
+    )
+
+
+def _bm25_wildcard_oracle() -> str:
+    from ..operators.retrieval import BM25_B, BM25_K1
+
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+q AS (SELECT doc_id AS query_id, list_distinct(list_slice(w, 1, 3)) AS qts
+      FROM toks WHERE {_HYBRID_QPRED}),
+wpat AS (SELECT DISTINCT query_id, substr(qt, 1, 2) || '*' AS pat
+         FROM (SELECT query_id, UNNEST(qts) AS qt FROM q)),
+wrx AS (SELECT query_id, pat,
+               '^' || replace(replace(pat, '*', '.*'), '?', '.') || '$' AS rx
+        FROM wpat),
+vx AS (SELECT doc_id AS id, UNNEST(w) AS term FROM toks),
+vocab AS (SELECT term, COUNT(DISTINCT id) AS vdf FROM vx GROUP BY 1),
+wexp AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT r.query_id, r.pat, v.term,
+           ROW_NUMBER() OVER (PARTITION BY r.query_id, r.pat
+                              ORDER BY v.vdf DESC, v.term) AS xrn
+    FROM wrx r JOIN vocab v ON regexp_matches(v.term, r.rx))
+  WHERE xrn <= {_WILD_EXPANSIONS}),
+dl AS (SELECT doc_id AS id, len(w) AS dl FROM toks),
+tfc AS (SELECT id, term, COUNT(*) AS tf FROM vx GROUP BY 1, 2),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+dfq AS (SELECT term, COUNT(DISTINCT id) AS df FROM tfc
+        WHERE term IN (SELECT DISTINCT term FROM wexp) GROUP BY 1),
+wc_scored AS (
+  SELECT e.query_id, tfc.id,
+         SUM(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (tfc.tf * ({BM25_K1} + 1.0))
+             / (tfc.tf + {BM25_K1} * (1.0 - {BM25_B}
+                + {BM25_B} * CAST(dl.dl AS DOUBLE) / s.avgdl))) AS score
+  FROM wexp e
+  JOIN tfc ON tfc.term = e.term
+  JOIN dfq d ON d.term = e.term
+  JOIN dl ON dl.id = tfc.id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+wc_ranked AS (
+  SELECT query_id, id, score6,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score6 DESC, id) AS INT) AS wrk
+  FROM (SELECT query_id, id, ROUND(score, 6) AS score6 FROM wc_scored))
+SELECT query_id, id, score6 AS score, wrk AS rank
+FROM wc_ranked WHERE wrk <= {_HYBRID_K}
+"""
+
+
+EXTRA_QUERIES["bm25_wildcard_topk"] = q_bm25_wildcard_topk
+EXTRA_ORACLES["bm25_wildcard_topk"] = _bm25_wildcard_oracle()

@@ -2455,3 +2455,61 @@ del _name
 # retained in the pytest tier.
 EXTRA_QUERIES["ann_knn_join"] = QUERIES.pop("ann_knn_join")
 EXTRA_ORACLES["ann_knn_join"] = ORACLES.pop("ann_knn_join")
+
+
+# ---------------------------------------------------------------------------
+# round 11 (post-close): cluster-balanced corpus subsampling
+# (operators/sampling.cluster_balanced_sample) — the topic-quota verb
+# after dedup: cap each embedding-cluster's representation
+
+_CBS_CAP = 40
+_CBS_SEED = 11
+
+
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import cluster_balanced_sample
+
+    emb = _emb(spark, sf_dir)
+    return cluster_balanced_sample(
+        emb, _ivf_thinned_centroids(spark, sf_dir), _CBS_CAP,
+        seed=_CBS_SEED,
+    )
+
+
+def _cluster_balanced_oracle() -> str:
+    from ..functions.hashing import portable_hash64_sql
+    from ..operators.similarity import IVF_THIN_SEED
+
+    h = portable_hash64_sql("CAST(vec_id AS VARCHAR)", seed=IVF_THIN_SEED)
+    hk = portable_hash64_sql("CAST(id AS VARCHAR)", seed=_CBS_SEED)
+    l2_vc = _SQL_SQ_L2.format(q="v.embedding", v="c.cvec")
+    return f"""
+WITH nt AS (SELECT GREATEST(COUNT(*) // {_IVF_NUM_CELLS * 4}, 1) AS step FROM embeddings),
+sel AS (
+  SELECT vec_id, embedding FROM embeddings, nt
+  WHERE ({h}) % step = 0
+  ORDER BY vec_id LIMIT {_IVF_NUM_CELLS}
+),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
+         embedding AS cvec
+  FROM sel
+),
+vd AS (SELECT v.vec_id AS id, c.cell_id, {l2_vc} AS d
+       FROM embeddings v CROSS JOIN cents c),
+asg AS (SELECT id, cell_id AS cluster_id FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cell_id) AS rn
+         FROM vd)
+        WHERE rn = 1),
+capped AS (SELECT id, cluster_id FROM
+           (SELECT id, cluster_id,
+                   ROW_NUMBER() OVER (PARTITION BY cluster_id
+                        ORDER BY {hk}, id) AS crn
+            FROM asg)
+           WHERE crn <= {_CBS_CAP})
+SELECT id, cluster_id FROM capped
+"""
+
+
+EXTRA_QUERIES["cluster_balanced_sample"] = q_cluster_balanced_sample
+EXTRA_ORACLES["cluster_balanced_sample"] = _cluster_balanced_oracle()

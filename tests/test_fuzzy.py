@@ -103,3 +103,56 @@ def test_expansion_plan_is_broadcast(spark):
     exp = fuzzy_expand_terms(vocab, _q(spark, ["spork"]))
     plan = exp._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_wildcard_expansion_semantics(spark):
+    from distributed_vector_search_system_spark.operators.fuzzy import (
+        wildcard_expand_terms,
+    )
+
+    vocab = spark.createDataFrame(
+        [("table", 9), ("tablet", 5), ("tale", 3), ("cable", 7), ("tab", 2)],
+        "term string, df long",
+    )
+    q = spark.createDataFrame(
+        [(0, ["ta*"]), (1, ["t?ble"]), (2, ["zz*"])],
+        "query_id long, qpatterns array<string>",
+    )
+    got = {
+        (r["query_id"], r["term"])
+        for r in wildcard_expand_terms(vocab, q).collect()
+    }
+    # * = any run (incl. empty beyond the prefix), anchored whole-term
+    assert {t for (qid, t) in got if qid == 0} == {
+        "table", "tablet", "tale", "tab",
+    }
+    # ? = exactly one char
+    assert {t for (qid, t) in got if qid == 1} == {"table"}
+    assert not {t for (qid, t) in got if qid == 2}   # no match, no rows
+    # the cap keeps the df-ranked head
+    capped = {
+        r["term"]
+        for r in wildcard_expand_terms(vocab, q, max_expansions=2).collect()
+        if r["query_id"] == 0
+    }
+    assert capped == {"table", "tablet"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        wildcard_expand_terms(vocab, q, max_expansions=0)
+
+
+def test_wildcard_bm25_composes(spark):
+    from distributed_vector_search_system_spark.operators.fuzzy import (
+        bm25_wildcard_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "table tablet"), (2, "cable"), (3, "tale tale")],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(0, ["ta*"])], "query_id long, qpatterns array<string>"
+    )
+    got = {r["id"] for r in bm25_wildcard_topk(docs, q, 5).collect()}
+    assert got == {1, 3}                     # cable never admitted

@@ -109,8 +109,13 @@ def test_registry_row_counts():
 # and multi_index_topk (cross-index search with per-index boost —
 # per-language corpora each scored with their OWN BM25 statistics,
 # (index, id) result identity) — both exact-oracled
-EXPECTED_EXTRA = 123
-EXPECTED_EXTRA_ORACLED = 122
+# r11 (post-close, cont.): + bm25_wildcard_topk (wildcard term
+# queries: */? anchored whole-term expansion over the vocabulary, the
+# fourth term-level query type) and cluster_balanced_sample (topic-
+# quota subsampling: per-embedding-cluster cap chosen by portable hash
+# — the post-dedup representation balancer) — both exact-oracled
+EXPECTED_EXTRA = 125
+EXPECTED_EXTRA_ORACLED = 124
 
 
 def test_driver_window_holds_all_llm_queries():

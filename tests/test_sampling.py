@@ -187,3 +187,40 @@ def test_temperature_sample_rejects_nonpositive_tau(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
     with pytest.raises(ValueError, match="temperature"):
         temperature_sample(df, 0.0)
+
+
+def test_cluster_balanced_sample(spark):
+    from distributed_vector_search_system_spark.operators.sampling import (
+        cluster_balanced_sample,
+    )
+
+    # two tight clusters around (0,0) and (10,10)
+    rows = [(i, [0.0 + i * 0.01, 0.0]) for i in range(20)] + [
+        (100 + i, [10.0, 10.0 + i * 0.01]) for i in range(3)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    kept = cluster_balanced_sample(vecs, cents, 5)
+    by_c = {}
+    for r in kept.collect():
+        by_c.setdefault(r["cluster_id"], set()).add(r["id"])
+    assert len(by_c[0]) == 5                  # hot cluster capped
+    assert len(by_c[1]) == 3                  # small cluster untouched
+    # deterministic: same call, same kept set
+    again = {
+        (r["id"], r["cluster_id"]) for r in
+        cluster_balanced_sample(vecs, cents, 5).collect()
+    }
+    assert again == {
+        (i, c) for c, ids in by_c.items() for i in ids
+    }
+    # the cut is a partial top-k (map-side truncation before exchange)
+    plan = (
+        cluster_balanced_sample(vecs, cents, 5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cluster_balanced_sample(vecs, cents, 0)
