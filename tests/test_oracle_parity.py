@@ -114,8 +114,12 @@ def test_registry_row_counts():
 # fourth term-level query type) and cluster_balanced_sample (topic-
 # quota subsampling: per-embedding-cluster cap chosen by portable hash
 # — the post-dedup representation balancer) — both exact-oracled
-EXPECTED_EXTRA = 125
-EXPECTED_EXTRA_ORACLED = 124
+# r11 (post-close, cont.): + dsl_bool_topk (the query-DSL front door's
+# bool path, full SQL replay — every other DSL node type is
+# equivalence-tested against its already-oracled operator in
+# tests/test_querydsl.py) — exact-oracled
+EXPECTED_EXTRA = 126
+EXPECTED_EXTRA_ORACLED = 125
 
 
 def test_driver_window_holds_all_llm_queries():
