@@ -12,6 +12,7 @@ query (the ES request shape); the result is the repo's ranked page
 Supported nodes::
 
     {"match":     {"terms": [...]}}                      # BM25
+    {"match_phrase": {"terms": [...]}}                   # exact phrase
     {"bool":      {"must": [...], "should": [...],
                    "must_not": [...]}}                   # admissibility
                                                          # + BM25 rank
@@ -47,7 +48,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_LEAVES = ("match", "bool", "fuzzy", "wildcard", "prefix")
+_LEAVES = ("match", "match_phrase", "bool", "fuzzy", "wildcard", "prefix")
 _NODES = _LEAVES + ("function_score", "boosting")
 
 
@@ -114,6 +115,17 @@ def search_dsl(
         return bm25_topk(
             docs, _one_query(spark, body["terms"]), k,
             doc_id_col=doc_id_col, text_col=text_col,
+        )
+
+    if kind == "match_phrase":
+        from .phrase import phrase_topk
+
+        q = spark.createDataFrame(
+            [(0, [str(t) for t in body["terms"]])],
+            "query_id long, phrase array<string>",
+        )
+        return phrase_topk(
+            docs, q, k, doc_id_col=doc_id_col, text_col=text_col
         )
 
     if kind == "bool":

@@ -84,3 +84,93 @@ def term_vectors(
     return tv.join(
         F.broadcast(df_source.select("term", "df")), "term", "left"
     ).select("doc_id", "term", "tf", "positions", "df")
+
+
+def bm25_explain(
+    docs: DataFrame,
+    queries: DataFrame,
+    pairs: DataFrame,
+    *,
+    k1: float | None = None,
+    b: float | None = None,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_terms_col: str = "qterms",
+) -> DataFrame:
+    """ES ``_explain`` for BM25: the per-TERM score decomposition of
+    requested (query, doc) pairs —
+    ``(query_id, id, term, tf, df, dl, idf, weight)`` where ``weight``
+    is the term's additive contribution: a pair's weights sum to its
+    ranked score up to the per-term 6-decimal rounding (≤ 1e-6 per
+    term — asserted in tests).  This is
+    the relevance-debugging verb next to :func:`term_vectors`: "WHY
+    does this doc score what it scores for this query".
+
+    ``pairs``: the requested ``(query_id, id)`` frame — RPC-sized by
+    contract (typically one row: the hit a user clicked "explain"
+    on), broadcast into a semi-restriction of the scorer's plan.  The
+    corpus-level stats (df / N / avgdl) are computed exactly as
+    ``bm25_scores`` computes them, so the decomposition reproduces
+    the ranked score exactly before rounding.
+    """
+    from .retrieval import BM25_B, BM25_K1
+
+    k1 = BM25_K1 if k1 is None else k1
+    b = BM25_B if b is None else b
+    req = pairs.select(
+        F.col(query_id_col).alias("query_id"), F.col("id")
+    ).distinct()
+    toks = docs.select(
+        F.col(doc_id_col).alias("id"), tokens(text_col).alias("_toks")
+    )
+    stats = toks.agg(
+        F.count("*").alias("_n_docs"),
+        F.avg(F.size("_toks").cast("double")).alias("_avgdl"),
+    )
+    qt = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(F.col(query_terms_col))).alias("term"),
+    ).join(F.broadcast(req.select("query_id").distinct()), "query_id", "left_semi")
+    posting = (
+        toks.join(F.broadcast(req.select("id").distinct()), "id", "left_semi")
+        .select(
+            "id", F.size("_toks").alias("dl"),
+            F.explode("_toks").alias("term"),
+        )
+        .join(F.broadcast(qt.select("term").distinct()), "term", "left_semi")
+        .groupBy("id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    # df is CORPUS-level (restricted to the explained terms first —
+    # the bm25_scores discipline), not requested-doc-level
+    dfreq = (
+        toks.select("id", F.explode("_toks").alias("term"))
+        .join(F.broadcast(qt.select("term").distinct()), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count_distinct("id").alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf")
+        + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("_avgdl"))
+    )
+    return (
+        posting.join(F.broadcast(qt), "term")
+        .join(F.broadcast(req), ["query_id", "id"], "left_semi")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "id",
+            "term",
+            "tf",
+            "df",
+            "dl",
+            F.round(idf, 6).alias("idf"),
+            F.round(idf * tf_part, 6).alias("weight"),
+        )
+    )

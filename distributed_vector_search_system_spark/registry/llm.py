@@ -5982,3 +5982,53 @@ FROM ds_ranked WHERE drk <= {_DSL_K}
 
 EXTRA_QUERIES["dsl_bool_topk"] = q_dsl_bool_topk
 EXTRA_ORACLES["dsl_bool_topk"] = _dsl_bool_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 11 (post-close): ES _explain — the per-term BM25 score
+# decomposition of a ranked page's pairs (operators/termvectors.py)
+
+
+def q_bm25_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explain the top-5 BM25 hits of the fixture queries: per-term
+    tf/df/dl/idf/weight whose per-pair SUM is the ranked score —
+    relevance debugging as a first-class verb."""
+    from ..operators.retrieval import bm25_topk
+    from ..operators.termvectors import bm25_explain
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = _retrieval_queries(spark, sf_dir)
+    pairs = bm25_topk(docs, q, _FS_K).select("query_id", "id")
+    return bm25_explain(docs, q, pairs)
+
+
+def _bm25_explain_oracle() -> str:
+    from ..operators.retrieval import BM25_B, BM25_K1
+
+    return f"""
+WITH {_bm25_scored_ctes()},
+req AS (SELECT query_id, id FROM bm25_ranked WHERE brank <= {_FS_K}),
+xdl AS (SELECT doc_id AS id, len(w) AS dl FROM toks),
+xtf AS (SELECT t.id, t.term, t.tf, xdl.dl FROM tfc t JOIN xdl ON xdl.id = t.id
+        WHERE t.term IN (SELECT DISTINCT term FROM qt)),
+expl AS (
+  SELECT qt.query_id, x.id, x.term,
+         CAST(x.tf AS BIGINT) AS tf,
+         CAST(d.df AS BIGINT) AS df,
+         CAST(x.dl AS BIGINT) AS dl,
+         ROUND(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)), 6) AS idf,
+         ROUND(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (x.tf * ({BM25_K1} + 1.0))
+               / (x.tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * CAST(x.dl AS DOUBLE) / s.avgdl)), 6) AS weight
+  FROM qt
+  JOIN xtf x ON x.term = qt.term
+  JOIN dfq d ON d.term = qt.term
+  CROSS JOIN stats s)
+SELECT e.query_id, e.id, e.term, e.tf, e.df, e.dl, e.idf, e.weight
+FROM expl e JOIN req r ON r.query_id = e.query_id AND r.id = e.id
+"""
+
+
+EXTRA_QUERIES["bm25_explain"] = q_bm25_explain
+EXTRA_ORACLES["bm25_explain"] = _bm25_explain_oracle()

@@ -475,6 +475,44 @@ class TextEngine:
         )
         return prefix_completions(vocab, prefixes, k, min_df=min_df)
 
+    def search_dsl(
+        self,
+        dsl: dict,
+        k: int,
+        *,
+        consistency: str = EVENTUAL,
+    ) -> DataFrame:
+        """Execute one JSON query-DSL request against the gated
+        snapshot (round 11 — operators/querydsl.search_dsl behind the
+        same consistency contract as every other read verb): a STRONG
+        DSL query sees pending doc mutations folded first, whatever
+        node types it composes."""
+        from .operators.querydsl import search_dsl as _search_dsl
+
+        snap = self._read_snapshot(consistency)
+        return _search_dsl(
+            snap, dsl, k,
+            doc_id_col=self._doc_id, text_col=self._text,
+        )
+
+    def explain(
+        self,
+        queries: DataFrame,
+        pairs: DataFrame,
+        *,
+        consistency: str = EVENTUAL,
+    ) -> DataFrame:
+        """ES ``_explain`` behind the gates (round 11): the per-term
+        BM25 decomposition of requested (query, doc) pairs over the
+        gated snapshot — operators/termvectors.bm25_explain."""
+        from .operators.termvectors import bm25_explain
+
+        snap = self._read_snapshot(consistency)
+        return bm25_explain(
+            snap, queries, pairs,
+            doc_id_col=self._doc_id, text_col=self._text,
+        )
+
     def suggest_spell(
         self,
         queries: DataFrame,

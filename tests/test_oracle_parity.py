@@ -118,8 +118,13 @@ def test_registry_row_counts():
 # bool path, full SQL replay — every other DSL node type is
 # equivalence-tested against its already-oracled operator in
 # tests/test_querydsl.py) — exact-oracled
-EXPECTED_EXTRA = 126
-EXPECTED_EXTRA_ORACLED = 125
+# r11 (post-close, cont.): + bm25_explain (ES _explain: per-term BM25
+# score decomposition of requested (query, doc) pairs; pair weights
+# sum to the ranked score; corpus-level df) — exact-oracled.  The DSL
+# also gained a match_phrase node and the gated TextEngine.search_dsl
+# / explain verbs.
+EXPECTED_EXTRA = 127
+EXPECTED_EXTRA_ORACLED = 126
 
 
 def test_driver_window_holds_all_llm_queries():

@@ -146,3 +146,20 @@ def test_validation(spark, docs):
             }},
             3,
         )
+
+
+def test_match_phrase_delegates(spark, docs):
+    from distributed_vector_search_system_spark.operators.phrase import (
+        phrase_topk,
+    )
+
+    got = search_dsl(
+        docs, {"match_phrase": {"terms": ["spark", "table"]}}, 3
+    )
+    q = spark.createDataFrame(
+        [(0, ["spark", "table"])], "query_id long, phrase array<string>"
+    )
+    want = phrase_topk(docs, q, 3)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
