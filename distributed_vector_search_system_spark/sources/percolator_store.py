@@ -333,3 +333,37 @@ class PercolatorStore:
             shutil.rmtree(
                 self._os.path.join(self.root, gen), ignore_errors=True
             )
+
+
+def describe_percolator_store(
+    store: PercolatorStore, spark: SparkSession
+) -> dict:
+    """Observability for the standing-query registry — the store
+    family's ``describe`` contract: generation, dirty flag, live
+    standing queries, tombstones, post-fold backlog, local bytes."""
+    from pyspark.errors import AnalysisException
+
+    from .posting_index import _dir_bytes
+
+    base, log_path = store._paths()
+    winners = store._all_rows(spark).groupBy("query_id").agg(
+        F.max_by("op", "seq").alias("op")
+    )
+    by_op = {
+        r["op"]: r["count"] for r in winners.groupBy("op").count().collect()
+    }
+    try:
+        backlog = spark.read.parquet(log_path).count()
+    except AnalysisException:
+        backlog = 0
+    return {
+        "generation": store._current_gen(),
+        "dirty": store._is_dirty(spark),
+        "live_queries": int(by_op.get("upsert", 0)),
+        "tombstones": int(by_op.get("delete", 0)),
+        "mutation_backlog_rows": int(backlog),
+        "bytes": {
+            "base": _dir_bytes(store._os, base),
+            "log": _dir_bytes(store._os, log_path),
+        },
+    }

@@ -746,3 +746,59 @@ class MutableSparseIndexStore:
             shutil.rmtree(
                 self._os.path.join(self.root, gen), ignore_errors=True
             )
+
+
+def describe_sparse_store(
+    store: "MutableSparseIndexStore", spark: SparkSession
+) -> dict:
+    """ES ``_stats``-shaped observability for the mutable sparse store
+    — the posting store's ``describe_posting_store`` contract on this
+    family: generation, dirty flag, live/tombstone counts, distinct
+    live terms, post-fold mutation backlog, per-directory local bytes.
+    Two arbiter aggregates + one distinct-count over the live winners'
+    posting keys; run at maintenance cadence, not per query."""
+    from pyspark.errors import AnalysisException
+
+    from .fsutil import read_marker
+    from .posting_index import _dir_bytes
+
+    base_path, delta_path, muts_path = store._paths()
+    gen_dir = store._os.path.dirname(base_path)
+    winners = store._all_muts(spark).groupBy("id").agg(
+        F.max_by("op", "seq").alias("op")
+    )
+    by_op = {
+        r["op"]: r["count"] for r in winners.groupBy("op").count().collect()
+    }
+    try:
+        backlog = spark.read.parquet(store._muts_log_path()).count()
+    except AnalysisException:
+        backlog = 0
+    live = winners.filter(F.col("op") == "upsert").select("id")
+    rows = spark.read.parquet(base_path)
+    try:
+        rows = rows.unionByName(spark.read.parquet(delta_path))
+    except AnalysisException:
+        pass
+    n_terms = (
+        rows.join(F.broadcast(live), "id", "left_semi")
+        .select("term")
+        .distinct()
+        .count()
+    )
+    return {
+        "generation": store._current_gen(),
+        "dirty": read_marker(
+            spark, store._os.path.join(gen_dir, "_DIRTY")
+        ) is not None,
+        "live_docs": int(by_op.get("upsert", 0)),
+        "tombstones": int(by_op.get("delete", 0)),
+        "live_terms": int(n_terms),
+        "mutation_backlog_rows": int(backlog),
+        "bytes": {
+            "postings": _dir_bytes(store._os, base_path),
+            "delta": _dir_bytes(store._os, delta_path),
+            "muts": _dir_bytes(store._os, muts_path),
+            "muts_log": _dir_bytes(store._os, store._muts_log_path()),
+        },
+    }

@@ -332,3 +332,24 @@ def test_percolate_stream_survives_registry_mutations(spark, tmp_path):
     # doc 3 matches NOTHING (query 10 is gone), doc 4 matches the new
     # alert; the first batch's alert is not recomputed (checkpointed)
     assert got2 == {(1, 10), (4, 11)}
+
+
+def test_describe_percolator_store(spark, tmp_path):
+    from distributed_vector_search_system_spark.sources.percolator_store import (
+        describe_percolator_store,
+    )
+
+    s = PercolatorStore(str(tmp_path / "perc"))
+    s.init_base(_stored(spark, _INIT))
+    d0 = describe_percolator_store(s, spark)
+    assert d0["live_queries"] == 3 and not d0["dirty"]
+    s.apply_log(_log(spark, _MUTS))
+    d1 = describe_percolator_store(s, spark)
+    assert d1["dirty"] and d1["mutation_backlog_rows"] == 4
+    # tombstones count per-id delete WINNERS — including the absent-id
+    # unregister (999), which is a read-path no-op but folds to a
+    # tombstone row like any logged delete
+    assert d1["live_queries"] == 3 and d1["tombstones"] == 2
+    s.compact(spark)
+    d2 = describe_percolator_store(s, spark)
+    assert not d2["dirty"] and d2["mutation_backlog_rows"] == 0

@@ -692,3 +692,22 @@ def test_champion_sizing_rule(spark):
         recommend_champion_B(1.5)
     with _pytest.raises(ValueError):
         champion_impact_concentration(tiny, cap=0)
+
+
+def test_describe_sparse_store(spark, tmp_path):
+    from distributed_vector_search_system_spark.sources.sparse_index import (
+        describe_sparse_store,
+    )
+
+    s, enc = _store(spark, tmp_path)
+    d0 = describe_sparse_store(s, spark)
+    assert not d0["dirty"] and d0["tombstones"] == 0
+    assert d0["live_docs"] == enc.select("id").distinct().count()
+    s.apply_log(spark.createDataFrame(_SLOG, _LOG_SCHEMA))
+    d1 = describe_sparse_store(s, spark)
+    assert d1["dirty"] and d1["mutation_backlog_rows"] == 3
+    assert d1["tombstones"] == 1            # doc 2
+    assert d1["live_docs"] == d0["live_docs"]  # -1 delete +1 insert
+    s.compact(spark)
+    d2 = describe_sparse_store(s, spark)
+    assert not d2["dirty"] and d2["mutation_backlog_rows"] == 0
