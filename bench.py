@@ -1202,6 +1202,13 @@ def _measure_scale(sf_dir: str) -> dict:
             # sublinearity claim (VERDICT r10) — flag it so readers
             # don't quote the ratio
             row["noise_caveat"] = "sub-second base; ratio unreliable"
+        elif ratio < 0.8:
+            # a 10x-data run measured meaningfully FASTER than base on
+            # a multi-second denominator is cache/JIT state, never
+            # scaling (VERDICT r11 item 7: knn_fixedq_numpy's 0.42 on a
+            # 1.9-2.8 s base escaped the sub-second rule) — stamp any
+            # sub-0.8 speedup regardless of base
+            row["noise_caveat"] = "speedup at 10x data; host/JIT state, ratio unreliable"
         out["queries"][name] = row
 
     for name in rows:

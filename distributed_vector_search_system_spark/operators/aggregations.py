@@ -45,6 +45,31 @@ def _grouped(df: DataFrame, by: Sequence[str] | None):
     return df.groupBy(*by) if by else df.groupBy()
 
 
+#: serving-tier guard (VERDICT r11 item 6): the exact percentile /
+#: cardinality tiers buffer a group's values on one executor / shuffle
+#: every distinct value — they exist as deterministic ORACLE CARRIERS,
+#: not serving plans.  Above this many input rows the exact forms
+#: refuse and direct callers to the GK / HLL++ tier; the probe costs a
+#: threshold-bounded incremental scan (CollectLimit grows partitions
+#: geometrically), never a full count of the corpus.
+EXACT_TIER_MAX_ROWS = 10_000_000
+
+
+def _guard_exact_tier(
+    df: DataFrame, what: str, max_exact_rows: int | None
+) -> None:
+    if max_exact_rows is None:
+        return
+    if df.limit(max_exact_rows + 1).count() > max_exact_rows:
+        raise ValueError(
+            f"exact {what} over more than {max_exact_rows:,} input rows "
+            "is the oracle tier, not a serving plan (it buffers group "
+            "values / shuffles distinct values); pass exact=False for "
+            "the bounded-memory GK / HLL++ tier, or raise "
+            "max_exact_rows deliberately"
+        )
+
+
 def extended_stats(
     df: DataFrame,
     value_col: str,
@@ -77,21 +102,26 @@ def percentiles(
     by: Sequence[str] | None = None,
     exact: bool = True,
     accuracy: int = 10_000,
+    max_exact_rows: int | None = EXACT_TIER_MAX_ROWS,
 ) -> DataFrame:
     """ES ``percentiles``: one ``p<N>`` column per requested percent.
 
     ``exact=True`` uses the exact aggregate with linear interpolation
     (DuckDB ``quantile_cont`` semantics — the oracle tier; it buffers
-    the group's values, so it is NOT the 100 TB plan).  ``exact=False``
-    is ``percentile_approx`` (Greenwald-Khanna): bounded memory,
-    mergeable partials, error ≤ 1/``accuracy`` of the rank — the
-    serving tier, tested against the exact one.
+    the group's values, so it is NOT the 100 TB plan and REFUSES above
+    ``max_exact_rows`` input rows — VERDICT r11 item 6; ``None``
+    disables the guard).  ``exact=False`` is ``percentile_approx``
+    (Greenwald-Khanna): bounded memory, mergeable partials, error ≤
+    1/``accuracy`` of the rank — the serving tier, tested against the
+    exact one.
     """
     if not percents:
         raise ValueError("percents must be non-empty")
     for p in percents:
         if not 0.0 <= p <= 100.0:
             raise ValueError(f"percent {p} outside [0, 100]")
+    if exact:
+        _guard_exact_tier(df, "percentiles", max_exact_rows)
     v = F.col(value_col).cast("double")
     aggs = []
     for p in percents:
@@ -113,15 +143,20 @@ def cardinality(
     by: Sequence[str] | None = None,
     exact: bool = True,
     rsd: float = 0.05,
+    max_exact_rows: int | None = EXACT_TIER_MAX_ROWS,
 ) -> DataFrame:
     """ES ``cardinality``: distinct count of ``value_col`` per bucket.
 
     ``exact=True`` is ``count_distinct`` (the oracle tier — shuffles
-    the distinct values); ``exact=False`` is HyperLogLog++
-    (``approx_count_distinct``, relative standard deviation ``rsd``):
-    O(1) memory per group, one pass, mergeable — the only cardinality
-    plan that survives 100 TB of high-cardinality keys.
+    the distinct values; REFUSES above ``max_exact_rows`` input rows,
+    VERDICT r11 item 6, ``None`` disables); ``exact=False`` is
+    HyperLogLog++ (``approx_count_distinct``, relative standard
+    deviation ``rsd``): O(1) memory per group, one pass, mergeable —
+    the only cardinality plan that survives 100 TB of
+    high-cardinality keys.
     """
+    if exact:
+        _guard_exact_tier(df, "cardinality", max_exact_rows)
     v = F.col(value_col)
     expr = (
         F.count_distinct(v)

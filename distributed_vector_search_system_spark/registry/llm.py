@@ -6032,3 +6032,43 @@ FROM expl e JOIN req r ON r.query_id = e.query_id AND r.id = e.id
 
 EXTRA_QUERIES["bm25_explain"] = q_bm25_explain
 EXTRA_ORACLES["bm25_explain"] = _bm25_explain_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 12 (opening rotation, VERDICT r11 item 1): promote the six
+# round-11 addendum flagships — none of which has ever been
+# driver-verified — into the 50-row driver window: dsl_bool_topk (the
+# query-DSL front door's translation layer most deserves independent
+# checking), bm25_explain (score decomposition), multi_index_topk
+# (per-corpus BM25 statistics), bm25_wildcard_topk (fourth term-level
+# query type), events_date_histogram (calendar buckets), and
+# docs_composite_page2 (stateless bucket pagination).  Demote six
+# long-green rows whose families keep driver coverage: bm25_topk
+# (nine BM25 rows remain incl. bm25_index_topk / bm25_stemmed_topk),
+# hybrid_weighted (hybrid keeps hybrid_engine_rrf), percolate_matches
+# (keeps percolate_store_matches), bm25_boolean (boolean semantics
+# keep dsl_bool_topk's bool node), bm25_fuzzy_topk (term expansion
+# keeps bm25_wildcard_topk + spell_suggest), and function_score_boost
+# (keeps function_score_recency).  Every demoted row keeps the
+# IDENTICAL DuckDB comparison in the pytest tier.
+for _name in (
+    "dsl_bool_topk",
+    "bm25_explain",
+    "multi_index_topk",
+    "bm25_wildcard_topk",
+    "events_date_histogram",
+    "docs_composite_page2",
+):
+    QUERIES[_name] = EXTRA_QUERIES.pop(_name)
+    ORACLES[_name] = EXTRA_ORACLES.pop(_name)
+for _name in (
+    "bm25_topk",
+    "hybrid_weighted",
+    "percolate_matches",
+    "bm25_boolean",
+    "bm25_fuzzy_topk",
+    "function_score_boost",
+):
+    EXTRA_QUERIES[_name] = QUERIES.pop(_name)
+    EXTRA_ORACLES[_name] = ORACLES.pop(_name)
+del _name

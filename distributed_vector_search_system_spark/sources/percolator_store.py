@@ -8,7 +8,7 @@ REGISTER and UNREGISTER alerts continuously, so the registry is the
 fifth mutable surface here and gets the same LWW store discipline as
 the four document/vector stores (reference parity: the reference's
 only mutable state is the vector log it replays,
-``src/raft/log_manager.cc`` — the store-family contract generalizes
+``src/raft/raft_log.cc`` — the store-family contract generalizes
 it; this store is cited against ``sources/sparse_index.py``'s shape,
 not the reference, which has no percolator).
 

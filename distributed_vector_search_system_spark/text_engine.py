@@ -429,6 +429,81 @@ class TextEngine:
             restricted, value_col, by=("query_id", *(by or ())),
         )
 
+    def date_histogram(
+        self,
+        ts_col: str,
+        *,
+        interval: str = "day",
+        by: tuple[str, ...] | None = None,
+        value_col: str | None = None,
+        consistency: str = EVENTUAL,
+    ) -> DataFrame:
+        """ES ``date_histogram`` behind the gates (VERDICT r11 item 4):
+        calendar buckets over the GATED snapshot, so a STRONG histogram
+        can never read a different corpus than a concurrent
+        :meth:`search` — the same one-snapshot discipline as
+        :meth:`histogram` / :meth:`value_stats`."""
+        from .operators.aggregations import date_histogram
+
+        snap = self._read_snapshot(consistency)
+        return date_histogram(
+            snap, ts_col, interval=interval, by=by, value_col=value_col
+        )
+
+    def composite_buckets(
+        self,
+        keys: tuple[str, ...],
+        size: int,
+        *,
+        after=None,
+        value_col: str | None = None,
+        consistency: str = EVENTUAL,
+    ) -> DataFrame:
+        """ES ``composite`` bucket pagination behind the gates (VERDICT
+        r11 item 4).  Page-to-page consistency caveat is the same as
+        ES's: under EVENTUAL, successive pages may observe different
+        generations (use STRONG — or hold the cursor loop inside one
+        compacted epoch) when exactness across pages matters."""
+        from .operators.aggregations import composite_buckets
+
+        snap = self._read_snapshot(consistency)
+        return composite_buckets(
+            snap, keys, size, after=after, value_col=value_col
+        )
+
+    def matrix_stats(
+        self,
+        col_a: str,
+        col_b: str,
+        *,
+        by: tuple[str, ...] | None = None,
+        consistency: str = EVENTUAL,
+    ) -> DataFrame:
+        """ES ``matrix_stats`` behind the gates (VERDICT r11 item 4):
+        pairwise covariance/correlation of two metadata columns over
+        the gated snapshot."""
+        from .operators.aggregations import matrix_stats
+
+        snap = self._read_snapshot(consistency)
+        return matrix_stats(snap, col_a, col_b, by=by)
+
+    def rare_terms(
+        self,
+        max_doc_count: int,
+        *,
+        consistency: str = EVENTUAL,
+    ) -> DataFrame:
+        """ES ``rare_terms`` behind the gates (VERDICT r11 item 4):
+        the long-tail vocabulary ``(term, df)`` of the gated snapshot —
+        a STRONG read reflects a just-upserted doc's tokens."""
+        from .operators.facets import rare_terms
+
+        snap = self._read_snapshot(consistency)
+        return rare_terms(
+            snap, max_doc_count,
+            doc_id_col=self._doc_id, text_col=self._text,
+        )
+
     def search_fuzzy(
         self,
         queries: DataFrame,

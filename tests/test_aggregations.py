@@ -281,3 +281,93 @@ def test_matrix_stats_pairwise(spark):
     assert r["n"] == 3                       # pairwise-complete only
     assert r["correlation"] == pytest.approx(1.0)
     assert r["covariance"] == pytest.approx(4.0 / 3, abs=1e-6)
+
+
+def test_exact_tier_guard_trips(spark, vals):
+    """VERDICT r11 item 6: the exact percentile/cardinality tiers are
+    oracle carriers, not serving plans — above max_exact_rows they
+    refuse and direct callers to the GK/HLL++ tier."""
+    with pytest.raises(ValueError, match="oracle tier"):
+        percentiles(vals, "v", (50.0,), max_exact_rows=5)
+    with pytest.raises(ValueError, match="oracle tier"):
+        cardinality(vals, "id", max_exact_rows=5)
+    # the approximate tier never trips the guard ...
+    assert percentiles(
+        vals, "v", (50.0,), exact=False, max_exact_rows=5
+    ).count() == 1
+    assert cardinality(
+        vals, "id", exact=False, max_exact_rows=5
+    ).count() == 1
+    # ... and None disables it for deliberate oracle runs
+    assert percentiles(vals, "v", (50.0,), max_exact_rows=None).count() == 1
+    assert cardinality(vals, "id", max_exact_rows=None).count() == 1
+
+
+def test_engine_gated_agg_verbs_strong_parity(spark):
+    """VERDICT r11 item 4: date_histogram / composite_buckets /
+    matrix_stats / rare_terms served through the SAME gated snapshot as
+    search — a STRONG read reflects a just-upserted doc, EVENTUAL does
+    not until compaction."""
+    from datetime import datetime
+
+    from distributed_vector_search_system_spark.text_engine import TextEngine
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta", "web", datetime(2024, 1, 1, 5), 1.0, 2.0),
+            (2, "alpha gamma", "web", datetime(2024, 1, 2, 6), 2.0, 4.0),
+            (3, "beta delta", "book", datetime(2024, 1, 2, 7), 3.0, 6.0),
+        ],
+        "doc_id long, text string, source string, ts timestamp, "
+        "a double, b double",
+    )
+    e = TextEngine(spark, docs)
+    e.upsert_doc(
+        4, "omega zulu", source="book", ts=datetime(2024, 1, 3, 8),
+        a=4.0, b=8.0,
+    )
+
+    # date_histogram: the new doc's day-3 bucket appears only STRONG
+    ev = {r["bucket"].day: r["n"] for r in e.date_histogram("ts").collect()}
+    assert ev == {1: 1, 2: 2}
+    st = {
+        r["bucket"].day: r["n"]
+        for r in e.date_histogram("ts", consistency="strong").collect()
+    }
+    assert st == {1: 1, 2: 2, 3: 1}
+
+    # the STRONG read compacted — mutate again to re-arm the gate for
+    # the remaining verbs
+    e.upsert_doc(
+        5, "omega omega", source="zine", ts=datetime(2024, 1, 4, 9),
+        a=5.0, b=10.0,
+    )
+    assert {r["source"] for r in e.composite_buckets(("source",), 10).collect()} \
+        == {"web", "book"}
+    strong_pages = e.composite_buckets(
+        ("source",), 10, consistency="strong"
+    ).collect()
+    assert {r["source"] for r in strong_pages} == {"web", "book", "zine"}
+    # cursor still pages the gated snapshot
+    after = e.composite_buckets(("source",), 10, after=("book",)).collect()
+    assert [r["source"] for r in after] == ["web", "zine"]
+
+    e.upsert_doc(
+        6, "qux qux", source="zine", ts=datetime(2024, 1, 5, 9),
+        a=100.0, b=-100.0,
+    )
+    assert e.matrix_stats("a", "b").collect()[0]["n"] == 5
+    strong_ms = e.matrix_stats("a", "b", consistency="strong").collect()[0]
+    assert strong_ms["n"] == 6
+    assert strong_ms["correlation"] < 1.0  # the outlier broke the line
+
+    e.upsert_doc(
+        7, "singletonian text", source="web", ts=datetime(2024, 1, 6),
+        a=1.0, b=1.0,
+    )
+    ev_rare = {r["term"] for r in e.rare_terms(1).collect()}
+    assert "singletonian" not in ev_rare
+    st_rare = {
+        r["term"] for r in e.rare_terms(1, consistency="strong").collect()
+    }
+    assert "singletonian" in st_rare

@@ -123,6 +123,13 @@ def test_registry_row_counts():
 # sum to the ranked score; corpus-level df) — exact-oracled.  The DSL
 # also gained a match_phrase node and the gated TextEngine.search_dsl
 # / explain verbs.
+# r12 (opening rotation, VERDICT r11 item 1): six never-driver-verified
+# r11 addendum flagships promoted into the driver window
+# (dsl_bool_topk, bm25_explain, multi_index_topk, bm25_wildcard_topk,
+# events_date_histogram, docs_composite_page2); six long-green rows
+# demoted with identical oracles (bm25_topk, hybrid_weighted,
+# percolate_matches, bm25_boolean, bm25_fuzzy_topk,
+# function_score_boost) — counts unchanged.
 EXPECTED_EXTRA = 127
 EXPECTED_EXTRA_ORACLED = 126
 
