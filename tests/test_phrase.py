@@ -255,3 +255,152 @@ def test_phrase_and_proximity_randomized_batch(spark):
         gotp.setdefault(r["query_id"], {})[r["id"]] = r["window_count"]
     for qid, ts in terms:
         assert gotp.get(qid, {}) == naive_prox(ts), (qid, ts)
+
+
+# -- sloppy phrase (round 12, VERDICT r11 item 3) ----------------------------
+
+
+def _naive_slop(phrase, qid, k, slop):
+    """Reference: anchors per slot; tf = covering window starts s where
+    every slot has an anchor in [s, s+slop]."""
+    hits = []
+    for did, text in _DOCS:
+        w = [t for t in text.lower().split() if t]
+        slot_anchors = [
+            {p - i for p, t in enumerate(w) if t == term}
+            for i, term in enumerate(phrase)
+        ]
+        if any(not s for s in slot_anchors):
+            continue
+        lo = min(min(s) for s in slot_anchors) - slop
+        hi = max(max(s) for s in slot_anchors)
+        tf = sum(
+            1
+            for s in range(lo, hi + 1)
+            if all(
+                any(s <= a <= s + slop for a in anchors)
+                for anchors in slot_anchors
+            )
+        )
+        if tf > 0:
+            hits.append((tf, did))
+    hits.sort(key=lambda t: (-t[0], t[1]))
+    return sorted(
+        (qid, did, n, rank + 1) for rank, (n, did) in enumerate(hits[:k])
+    )
+
+
+def test_slop_zero_equals_exact(spark):
+    from distributed_vector_search_system_spark.operators.phrase import (
+        phrase_slop_topk,
+    )
+
+    docs = _docs(spark)
+    q = _q(spark, ("quick", "brown"), ("aa", "aa"), ("aa", "bb", "aa"))
+    exact = _result(phrase_topk(docs, q, 5))
+    sloppy = _result(phrase_slop_topk(docs, q, 5, slop=0))
+    assert sloppy == exact
+
+
+def test_slop_semantics_gap_and_transposition(spark):
+    """slop=1 admits one intervening token; an adjacent transposition
+    costs 2 (the Lucene adjusted-position contract)."""
+    from distributed_vector_search_system_spark.operators.phrase import (
+        phrase_slop_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "quick brown fox"), (2, "fox quick")],
+        "doc_id long, text string",
+    )
+    q = _q(spark, ("quick", "fox"))
+    assert phrase_slop_topk(docs, q, 5, slop=0).count() == 0
+    got1 = {
+        (r["id"], r["phrase_tf"])
+        for r in phrase_slop_topk(docs, q, 5, slop=1).collect()
+    }
+    assert got1 == {(1, 1)}          # gap of one bridged; transposition not
+    got2 = {
+        r["id"] for r in phrase_slop_topk(docs, q, 5, slop=2).collect()
+    }
+    assert got2 == {1, 2}            # transposition admitted at slop=2
+
+
+def test_slop_tighter_matches_score_higher(spark):
+    """A spread-0 (exact) match is covered by slop+1 starts, a
+    spread-slop match by one — the monotone sloppy-weight stand-in."""
+    from distributed_vector_search_system_spark.operators.phrase import (
+        phrase_slop_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "quick fox runs"), (2, "quick brown fox")],
+        "doc_id long, text string",
+    )
+    q = _q(spark, ("quick", "fox"))
+    got = {
+        r["id"]: (r["phrase_tf"], r["rank"])
+        for r in phrase_slop_topk(docs, q, 5, slop=1).collect()
+    }
+    assert got[1] == (2, 1)          # exact: starts 0 and 1 both cover
+    assert got[2] == (1, 2)          # spread 1: only start 1 covers
+
+
+def test_slop_randomized_vs_naive(spark):
+    import itertools
+
+    from distributed_vector_search_system_spark.operators.phrase import (
+        phrase_slop_topk,
+    )
+
+    docs = _docs(spark)
+    phrases = [
+        ("quick", "brown"), ("brown", "fox"), ("aa", "aa"),
+        ("aa", "bb"), ("the", "dog"), ("quick", "brown", "fox"),
+    ]
+    for slop in (0, 1, 2, 3):
+        q = _q(spark, *phrases)
+        got = _result(phrase_slop_topk(docs, q, 4, slop=slop))
+        want = sorted(
+            itertools.chain.from_iterable(
+                _naive_slop(p, qid, 4, slop) for qid, p in enumerate(phrases)
+            )
+        )
+        assert got == want, f"slop={slop}"
+
+
+def test_slop_index_equals_scratch(spark, tmp_path):
+    from distributed_vector_search_system_spark.operators.phrase import (
+        phrase_slop_search_index,
+        phrase_slop_topk,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "posidx")
+    write_positional_index(docs, path)
+    q = _q(spark, ("quick", "fox"), ("aa", "bb"))
+    scratch = _result(phrase_slop_topk(docs, q, 5, slop=2))
+    served = _result(phrase_slop_search_index(spark, path, q, 5, slop=2))
+    assert scratch == served
+
+
+def test_slop_plan_join_below_topk_window(spark):
+    """The position join (broadcast of the RPC-bounded slot frame) and
+    both hash aggregates must sit BELOW the single top-k window — the
+    window ranks (query, doc) phrase frequencies, never raw
+    positions."""
+    from distributed_vector_search_system_spark.operators.phrase import (
+        phrase_slop_topk,
+    )
+
+    docs = _docs(spark)
+    q = _q(spark, ("quick", "brown"))
+    plan = (
+        phrase_slop_topk(docs, q, 5, slop=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan            # partial top-k
+    assert plan.count("Window [") == 1
+    # plan trees print children BELOW parents: the broadcast position
+    # join must appear after (= below) the window operator
+    assert plan.index("BroadcastHashJoin") > plan.index("Window [")

@@ -163,3 +163,196 @@ def test_match_phrase_delegates(spark, docs):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+# -- full request composition (round 12, VERDICT r11 item 2) ----------------
+
+
+def test_request_aggs_over_full_match_set(spark, docs):
+    """Aggregations cover the query's ENTIRE match set, not the top-k
+    page: size=1 returns one hit, but the terms agg still counts all
+    three admissible docs."""
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    out = search_request(
+        docs,
+        {
+            "query": {"match": {"terms": ["spark"]}},
+            "size": 1,
+            "aggs": {
+                "by_pop": {"extended_stats": {"field": "pop"}},
+                "n_docs": {"cardinality": {"field": "doc_id"}},
+            },
+        },
+    )
+    assert out["hits"].count() == 1
+    stats = out["aggregations"]["by_pop"].collect()[0]
+    assert stats["n"] == 3                       # docs 1, 2, 4 match
+    assert stats["sum_v"] == 100.0 + 400.0 + 250.0
+    assert out["aggregations"]["n_docs"].collect()[0]["n_distinct"] == 3
+
+
+def test_request_terms_agg_order_and_size(spark, docs):
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    docs2 = docs.withColumn(
+        "cat", F.when(F.col("doc_id") <= 2, "a").otherwise("b")
+    )
+    out = search_request(
+        docs2,
+        {
+            "query": {"match": {"terms": ["spark", "table", "filter"]}},
+            "aggs": {"cats": {"terms": {"field": "cat", "size": 1}}},
+        },
+    )
+    rows = out["aggregations"]["cats"].collect()
+    assert len(rows) == 1
+    assert rows[0]["value"] == "b" and rows[0]["n"] == 3
+
+
+def test_request_post_filter_hits_only(spark, docs):
+    """post_filter restricts HITS but never the aggregations, and the
+    surviving hits keep their unfiltered scores (corpus-level
+    statistics) — the ES faceted-navigation contract."""
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    out = search_request(
+        docs,
+        {
+            "query": {"match": {"terms": ["spark"]}},
+            "size": 5,
+            "aggs": {"all": {"cardinality": {"field": "doc_id"}}},
+            "post_filter": {"match": {"terms": ["join"]}},
+        },
+    )
+    hits = {r["id"]: r["score"] for r in out["hits"].collect()}
+    assert set(hits) == {2}                       # only doc 2 has join
+    # aggs ignore the post_filter
+    assert out["aggregations"]["all"].collect()[0]["n_distinct"] == 3
+    # score unchanged vs the unfiltered query
+    plain = {
+        r["id"]: r["score"]
+        for r in search_dsl(docs, {"match": {"terms": ["spark"]}}, 5).collect()
+    }
+    assert hits[2] == plain[2]
+
+
+def test_request_field_sort_replaces_scoring(spark, docs):
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    out = search_request(
+        docs,
+        {
+            "query": {"bool": {"should": ["spark", "filter"]}},
+            "size": 2,
+            "sort": [{"pop": "desc"}],
+        },
+    )
+    rows = out["hits"].collect()
+    assert [r["id"] for r in rows] == [3, 2]      # pop 900, 400
+    assert [r["rank"] for r in rows] == [1, 2]
+    assert "score" not in out["hits"].columns
+    assert [r["pop"] for r in rows] == [900, 400]
+
+
+def test_request_sort_plan_partial_topk(spark, docs):
+    """The field-sort page must keep the partial top-k discipline:
+    either WindowGroupLimit (per-partition truncation to k before the
+    exchange) or — what Catalyst actually picks for the single-query
+    constant partition key — TakeOrderedAndProject, the global
+    partial top-k (map-side k-row heaps, driver merge of k)."""
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    out = search_request(
+        docs,
+        {
+            "query": {"match": {"terms": ["spark"]}},
+            "size": 2,
+            "sort": [{"pop": "asc"}],
+        },
+    )
+    plan = out["hits"]._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan or "TakeOrderedAndProject" in plan
+
+
+def test_request_validation(spark, docs):
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    with pytest.raises(ValueError, match="query"):
+        search_request(docs, {"aggs": {}})
+    with pytest.raises(ValueError, match="unknown request keys"):
+        search_request(
+            docs, {"query": {"match": {"terms": ["a"]}}, "from": 3}
+        )
+    with pytest.raises(ValueError, match="match-set"):
+        search_request(
+            docs,
+            {"query": {"fuzzy": {"terms": ["sparkk"]}},
+             "aggs": {"x": {"cardinality": {"field": "doc_id"}}}},
+        )
+    with pytest.raises(ValueError, match="agg node"):
+        search_request(
+            docs,
+            {"query": {"match": {"terms": ["spark"]}},
+             "aggs": {"x": {"min": {"field": "pop"}}}},
+        )
+    with pytest.raises(ValueError, match="sort"):
+        search_request(
+            docs,
+            {"query": {"match": {"terms": ["spark"]}},
+             "sort": [{"pop": "down"}]},
+        )
+
+
+def test_engine_search_request_gated(spark):
+    """The gated verb: hits and aggregations read ONE snapshot —
+    STRONG folds the pending upsert into both halves."""
+    from distributed_vector_search_system_spark.text_engine import TextEngine
+
+    base = spark.createDataFrame(
+        [(1, "spark merge", 10.0), (2, "spark join", 20.0)],
+        "doc_id long, text string, pop double",
+    )
+    e = TextEngine(spark, base)
+    e.upsert_doc(3, "spark spark", pop=30.0)
+    req = {
+        "query": {"match": {"terms": ["spark"]}},
+        "size": 5,
+        "aggs": {"n": {"cardinality": {"field": "doc_id"}}},
+    }
+    ev = e.search_request(req)
+    assert ev["hits"].count() == 2
+    assert ev["aggregations"]["n"].collect()[0]["n_distinct"] == 2
+    st = e.search_request(req, consistency="strong")
+    assert st["hits"].count() == 3
+    assert st["aggregations"]["n"].collect()[0]["n_distinct"] == 3
+
+
+def test_match_phrase_slop_delegates(spark, docs):
+    from distributed_vector_search_system_spark.operators.phrase import (
+        phrase_slop_topk,
+    )
+
+    got = search_dsl(
+        docs, {"match_phrase": {"terms": ["spark", "merge"], "slop": 2}}, 3
+    )
+    q = spark.createDataFrame(
+        [(0, ["spark", "merge"])], "query_id long, phrase array<string>"
+    )
+    want = phrase_slop_topk(docs, q, 3, slop=2)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert got.count() > 0
