@@ -6248,3 +6248,113 @@ WHERE rank <= {_PHRASE_K}
 
 EXTRA_QUERIES["phrase_slop_topk"] = q_phrase_slop_topk
 EXTRA_ORACLES["phrase_slop_topk"] = _phrase_slop_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 12: percolator-store STREAMING round trip (VERDICT r11 item 9)
+# — the push pipeline end-to-end: the registry mutations of
+# percolate_store_matches arrive via streaming_log_sink in TWO runs
+# over one checkpoint (sink restart), then the corpus arrives as a doc
+# stream percolated by percolate_stream(store) in TWO runs over one
+# checkpoint (alert restart — the second run percolates ONLY the newly
+# arrived docs, so a double-percolated pair would duplicate a row and
+# fail the oracle's exact row count).  End state must land exactly
+# where the batch path does, so the row SHARES
+# percolate_store_matches' fold-then-match oracle verbatim (the
+# ivf_stream_topk / phrase_index_topk precedent).
+
+
+def q_percolate_stream_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..functions.text import tokens as _tokens
+    from ..operators.percolate import percolate_stream
+    from ..sources.percolator_store import PercolatorStore
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = _os.path.join(
+        tempfile.gettempdir(), f"dvss_spark_percstream_{_os.getpid()}",
+        _os.path.basename(_os.path.normpath(sf_dir)) or "sf",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    store = PercolatorStore(_os.path.join(root, "store"))
+    store.init_base(
+        docs.filter(F.expr(_PERC_PRED)).select(
+            F.col("doc_id").alias("query_id"),
+            F.slice(_tokens("text"), 1, 4).alias("qterms"),
+            F.slice(_tokens("text"), 6, 1).alias("none_terms"),
+        )
+    )
+
+    # -- registry mutations arrive BY STREAM (two sink runs, one ckpt)
+    upd = docs.filter(F.expr(_PERC_PRED)).filter("doc_id % 2 = 1").select(
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("upsert").alias("op"),
+        F.col("doc_id").alias("query_id"),
+        F.slice(_tokens("text"), 2, 3).alias("qterms"),
+        F.lit(None).cast("array<string>").alias("none_terms"),
+        F.lit(1).cast("int").alias("min_match"),
+    )
+    dels = docs.filter(F.expr(_PERC_PRED)).filter("doc_id % 3 = 0").select(
+        F.lit(2).cast("long").alias("seq"),
+        F.lit("delete").alias("op"),
+        F.col("doc_id").alias("query_id"),
+        F.lit(None).cast("array<string>").alias("qterms"),
+        F.lit(None).cast("array<string>").alias("none_terms"),
+        F.lit(None).cast("int").alias("min_match"),
+    )
+    news = docs.filter("doc_id % 211 = 3").select(
+        F.lit(3).cast("long").alias("seq"),
+        F.lit("upsert").alias("op"),
+        (F.col("doc_id") + F.lit(1000000)).alias("query_id"),
+        F.slice(_tokens("text"), 1, 3).alias("qterms"),
+        F.lit(None).cast("array<string>").alias("none_terms"),
+        F.lit(2).cast("int").alias("min_match"),
+    )
+    log_src = _os.path.join(root, "log_src")
+    log_ckpt = _os.path.join(root, "log_ckpt")
+    log_schema = (
+        "seq long, op string, query_id long, qterms array<string>, "
+        "none_terms array<string>, min_match int"
+    )
+    upd.write.mode("append").parquet(log_src)
+    sink = store.streaming_log_sink(
+        spark.readStream.schema(log_schema).parquet(log_src),
+        checkpoint=log_ckpt,
+    )
+    sink.awaitTermination(300)
+    dels.unionByName(news).write.mode("append").parquet(log_src)
+    sink = store.streaming_log_sink(          # sink RESTART, same ckpt
+        spark.readStream.schema(log_schema).parquet(log_src),
+        checkpoint=log_ckpt,
+    )
+    sink.awaitTermination(300)
+
+    # -- the corpus arrives as a DOC STREAM across a checkpoint restart
+    doc_src = _os.path.join(root, "doc_src")
+    doc_ckpt = _os.path.join(root, "doc_ckpt")
+    alerts = _os.path.join(root, "alerts")
+    doc_schema = "doc_id long, text string"
+    half = docs.select("doc_id", "text")
+    half.filter("doc_id % 2 = 0").write.mode("append").parquet(doc_src)
+    q = percolate_stream(
+        spark.readStream.schema(doc_schema).parquet(doc_src), store, alerts,
+        checkpoint=doc_ckpt,
+        none_terms_col="none_terms", min_match_col="min_match",
+    )
+    q.awaitTermination(300)
+    half.filter("doc_id % 2 = 1").write.mode("append").parquet(doc_src)
+    q = percolate_stream(                     # alert RESTART, same ckpt
+        spark.readStream.schema(doc_schema).parquet(doc_src), store, alerts,
+        checkpoint=doc_ckpt,
+        none_terms_col="none_terms", min_match_col="min_match",
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(alerts)
+
+
+EXTRA_QUERIES["percolate_stream_store"] = q_percolate_stream_store
+# end state must equal the batch path's — oracle shared verbatim
+EXTRA_ORACLES["percolate_stream_store"] = _percolate_store_oracle()

@@ -137,8 +137,12 @@ def test_registry_row_counts():
 # r12: + phrase_slop_topk (ES match_phrase with slop: adjusted-anchor
 # window acceptance, transposition costs 2, covering-start counts;
 # full SQL replay; DSL match_phrase node takes slop) — exact-oracled
-EXPECTED_EXTRA = 129
-EXPECTED_EXTRA_ORACLED = 128
+# r12: + percolate_stream_store (push pipeline end-to-end: registry
+# mutations by streaming_log_sink across a sink restart, then the
+# corpus as a doc stream percolated across a checkpoint restart —
+# shares percolate_store_matches' fold-then-match oracle verbatim)
+EXPECTED_EXTRA = 130
+EXPECTED_EXTRA_ORACLED = 129
 
 
 def test_driver_window_holds_all_llm_queries():
