@@ -340,7 +340,9 @@ def search_request(
          "size":        10,                      # hit-page size
          "aggs":        {name: <agg node>, ...}, # over the MATCH SET
          "post_filter": <match | bool node>,     # hits only, not aggs
-         "sort":        [{"field": "asc"|"desc"}, ...]}  # field sort
+         "sort":        [{"field": "asc"|"desc"}, ...],  # field sort
+         "rescore":     {"window_size": N,       # second-pass re-rank
+                         "query": {...}}}        # (_apply_rescore)
 
     Returns ``{"hits": DataFrame, "aggregations": {name: DataFrame}}``.
 
@@ -376,7 +378,9 @@ def search_request(
     """
     if "query" not in request:
         raise ValueError("a search request requires a 'query' node")
-    unknown = set(request) - {"query", "size", "aggs", "post_filter", "sort"}
+    unknown = set(request) - {
+        "query", "size", "aggs", "post_filter", "sort", "rescore",
+    }
     if unknown:
         raise ValueError(f"unknown request keys {sorted(unknown)}")
     query = request["query"]
@@ -384,6 +388,14 @@ def search_request(
     aggs = request.get("aggs") or {}
     post_filter = request.get("post_filter")
     sort = request.get("sort")
+    rescore = request.get("rescore")
+    if rescore is not None and sort is not None:
+        # the ES contract: rescoring re-ranks by relevance; a field
+        # sort discards relevance, so the combination is an error
+        raise ValueError("rescore cannot be combined with a field sort")
+    # the first relevance pass fetches the rescore window, the second
+    # pass cuts it back to the page size
+    page_k = max(k, int(rescore.get("window_size", k))) if rescore else k
 
     needs_set = bool(aggs) or post_filter is not None or sort is not None
     if needs_set and _node_type(query) not in _MATCH_SET_KINDS:
@@ -468,11 +480,157 @@ def search_request(
             filter_ids=hit_ids,
         )
         hits = _score_ranked(
-            scored.withColumn("score", F.round("score", 6)), k, "score"
+            scored.withColumn("score", F.round("score", 6)), page_k, "score"
         )
     else:
         hits = search_dsl(
-            docs, query, k, doc_id_col=doc_id_col, text_col=text_col
+            docs, query, page_k, doc_id_col=doc_id_col, text_col=text_col
+        )
+
+    if rescore is not None:
+        hits = _apply_rescore(
+            docs, hits, rescore, k,
+            doc_id_col=doc_id_col, text_col=text_col,
         )
 
     return {"hits": hits, "aggregations": aggregations}
+
+
+_RESCORE_MODES = ("total", "multiply", "avg", "max", "min")
+
+
+def _apply_rescore(
+    docs: DataFrame,
+    window_hits: DataFrame,
+    rescore: dict,
+    k: int,
+    *,
+    doc_id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """ES ``rescore`` (round 12): re-rank the top ``window_size`` hits
+    of the relevance pass by a secondary query, then cut to the page::
+
+        {"window_size": 50,
+         "query": {"rescore_query": <match | match_phrase node>,
+                   "query_weight": 1.0,
+                   "rescore_query_weight": 1.0,
+                   "score_mode": "total"}}       # | multiply|avg|max|min
+
+    Combined score per the ES contract: with ``p = query_weight ·
+    original`` and ``s = rescore_query_weight · secondary``, a window
+    doc the rescore query MATCHES scores ``total: p+s / multiply: p·s /
+    avg: (p+s)/2 / max / min``; a window doc it does NOT match keeps
+    ``p`` unchanged (never zeroed).  The secondary score is BM25 for a
+    ``match`` rescore query and the sloppy/exact phrase frequency for
+    ``match_phrase`` (the classic phrase-rescore pattern: cheap bag-of-
+    words window, exact proximity only over the window).
+
+    Only the top ``window_size`` hits are re-ranked (among themselves);
+    first-pass hits beyond the window follow in their ORIGINAL order
+    with their original scores — rescoring never promotes a doc into
+    the window (the ES contract, and what makes the second pass's cost
+    independent of the corpus).
+
+    Scale: the window is k-bounded by construction, so the window ids
+    BROADCAST into the secondary scorer's restriction (the
+    ``function_score`` hits discipline) — a phrase rescore tokenizes
+    only the window's documents, and a match rescore's posting rows
+    semi-restrict to window ids before the tf aggregate.  Corpus
+    statistics (idf / N / avgdl) stay corpus-level, the repo's
+    filtered-search contract."""
+    from .retrieval import _score_ranked
+
+    spec = rescore.get("query")
+    if not isinstance(spec, dict) or "rescore_query" not in spec:
+        raise ValueError(
+            "rescore takes {'window_size': N, 'query': "
+            "{'rescore_query': <node>, ...}}"
+        )
+    mode = spec.get("score_mode", "total")
+    if mode not in _RESCORE_MODES:
+        raise ValueError(f"score_mode must be one of {_RESCORE_MODES}")
+    qw = float(spec.get("query_weight", 1.0))
+    rw = float(spec.get("rescore_query_weight", 1.0))
+    rq = spec["rescore_query"]
+    kind = _node_type(rq)
+    spark = docs.sparkSession
+    window_size = int(rescore.get("window_size", k))
+    win = window_hits.filter(F.col("rank") <= window_size)
+    tail = window_hits.filter(F.col("rank") > window_size)
+    ids = win.select("id").distinct()
+
+    if kind == "match":
+        from .retrieval import bm25_scores
+
+        sec = bm25_scores(
+            docs, _one_query(spark, rq["match"]["terms"]),
+            doc_id_col=doc_id_col, text_col=text_col,
+            filter_ids=F.broadcast(ids),
+        ).select("id", F.col("score").alias("_sec"))
+    elif kind == "match_phrase":
+        from .phrase import phrase_slop_topk
+
+        # phrase_tf is per-document (independent of the rest of the
+        # corpus), so restricting the tokenize to the window is exact
+        window_docs = docs.join(
+            F.broadcast(ids),
+            docs[doc_id_col] == ids["id"],
+            "left_semi",
+        )
+        q = spark.createDataFrame(
+            [(0, [str(t) for t in rq["match_phrase"]["terms"]])],
+            "query_id long, phrase array<string>",
+        )
+        sec = phrase_slop_topk(
+            window_docs, q, 2_147_483_647,
+            slop=int(rq["match_phrase"].get("slop", 0)),
+            doc_id_col=doc_id_col, text_col=text_col,
+        ).select("id", F.col("phrase_tf").cast("double").alias("_sec"))
+    else:
+        raise ValueError(
+            "rescore_query must be a match or match_phrase node; "
+            f"got {kind!r}"
+        )
+
+    joined = win.select(
+        "query_id", "id", (F.col("score") * qw).alias("_p")
+    ).join(F.broadcast(sec), "id", "left")
+    s = F.col("_sec") * rw
+    if mode == "total":
+        combined = F.col("_p") + F.coalesce(s, F.lit(0.0))
+    elif mode == "multiply":
+        combined = F.col("_p") * F.coalesce(s, F.lit(1.0))
+    elif mode == "avg":
+        combined = F.when(
+            F.col("_sec").isNotNull(), (F.col("_p") + s) / 2.0
+        ).otherwise(F.col("_p"))
+    elif mode == "max":
+        combined = F.greatest(F.col("_p"), F.coalesce(s, F.col("_p")))
+    else:
+        combined = F.least(F.col("_p"), F.coalesce(s, F.col("_p")))
+    scored = joined.select(
+        "query_id", "id", F.round(combined, 6).alias("score")
+    )
+    rescored = _score_ranked(scored, window_size, "score")
+    # rescored window first (its own order), then the tail in original
+    # order with original scores — one per-query rank over the union
+    from pyspark.sql import Window
+
+    merged = rescored.select(
+        "query_id", "id", "score",
+        F.lit(0).alias("_k1"), F.col("rank").alias("_k2"),
+    ).unionByName(
+        tail.select(
+            "query_id", "id", "score",
+            F.lit(1).alias("_k1"), F.col("rank").alias("_k2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_k1").asc(), F.col("_k2").asc()
+    )
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "score", "rank")
+    )

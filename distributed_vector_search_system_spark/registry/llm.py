@@ -6358,3 +6358,97 @@ def q_percolate_stream_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXTRA_QUERIES["percolate_stream_store"] = q_percolate_stream_store
 # end state must equal the batch path's — oracle shared verbatim
 EXTRA_ORACLES["percolate_stream_store"] = _percolate_store_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 12: ES rescore (operators/querydsl._apply_rescore) — the
+# classic phrase-rescore pattern: cheap bag-of-words first pass over
+# the corpus, exact proximity only over the k-bounded window.  The
+# oracle replays BOTH passes: the BM25 chain ranked to the window,
+# then the sloppy-phrase covering-start counts computed ONLY for
+# window docs, combined per score_mode=total and re-ranked.
+
+_RES_PHRASE = ("table", "hash")
+_RES_WINDOW = 30
+_RES_RW = 0.5
+
+
+def q_dsl_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.querydsl import search_request
+
+    docs = load_table(spark, sf_dir, "documents")
+    return search_request(
+        docs,
+        {
+            "query": {"match": {"terms": [_DSL_MUST]}},
+            "size": _DSL_K,
+            "rescore": {
+                "window_size": _RES_WINDOW,
+                "query": {
+                    "rescore_query": {
+                        "match_phrase": {
+                            "terms": list(_RES_PHRASE), "slop": 1,
+                        }
+                    },
+                    "query_weight": 1.0,
+                    "rescore_query_weight": _RES_RW,
+                    "score_mode": "total",
+                },
+            },
+        },
+    )["hits"]
+
+
+def _dsl_rescore_oracle() -> str:
+    from ..operators.retrieval import BM25_B, BM25_K1
+
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+dl AS (SELECT doc_id AS id, len(w) AS dl FROM toks),
+vx AS (SELECT doc_id AS id, UNNEST(w) AS term FROM toks),
+tfc AS (SELECT id, term, COUNT(*) AS tf FROM vx
+        WHERE term = '{_DSL_MUST}' GROUP BY 1, 2),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+dfq AS (SELECT term, COUNT(DISTINCT id) AS df FROM tfc GROUP BY 1),
+fp AS (
+  SELECT tfc.id,
+         SUM(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (tfc.tf * ({BM25_K1} + 1.0))
+             / (tfc.tf + {BM25_K1} * (1.0 - {BM25_B}
+                + {BM25_B} * CAST(dl.dl AS DOUBLE) / s.avgdl))) AS score
+  FROM tfc
+  JOIN dfq d ON d.term = tfc.term
+  JOIN dl ON dl.id = tfc.id
+  CROSS JOIN stats s
+  GROUP BY 1),
+win AS (
+  SELECT id, score6 FROM (
+    SELECT id, ROUND(score, 6) AS score6,
+           ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, id) AS wrank
+    FROM fp)
+  WHERE wrank <= {_RES_WINDOW}),
+qsl AS (SELECT * FROM (VALUES (1, '{_RES_PHRASE[0]}'),
+                              (2, '{_RES_PHRASE[1]}')) AS t(slot, term)),
+px AS (SELECT doc_id AS id, w, UNNEST(range(1, len(w) + 1)) AS pos
+       FROM toks WHERE doc_id IN (SELECT id FROM win)),
+tp AS (SELECT id, pos, w[pos] AS term FROM px),
+hit AS (SELECT t.id, q.slot, t.pos - q.slot AS anchor
+        FROM qsl q JOIN tp t USING (term)),
+st AS (SELECT id, slot, UNNEST(range(anchor - 1, anchor + 1)) AS strt
+       FROM hit),
+wins AS (SELECT id, strt, COUNT(DISTINCT slot) AS ns FROM st GROUP BY 1, 2),
+ptf AS (SELECT id, CAST(COUNT(*) AS DOUBLE) AS sec
+        FROM wins WHERE ns = 2 GROUP BY 1),
+comb AS (
+  SELECT w.id,
+         ROUND(w.score6 + {_RES_RW} * COALESCE(p.sec, 0.0), 6) AS score
+  FROM win w LEFT JOIN ptf p USING (id))
+SELECT CAST(0 AS BIGINT) AS query_id, id, score,
+       CAST(rnk AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rnk FROM comb)
+WHERE rnk <= {_DSL_K}
+"""
+
+
+EXTRA_QUERIES["dsl_rescore_topk"] = q_dsl_rescore_topk
+EXTRA_ORACLES["dsl_rescore_topk"] = _dsl_rescore_oracle()

@@ -141,8 +141,12 @@ def test_registry_row_counts():
 # mutations by streaming_log_sink across a sink restart, then the
 # corpus as a doc stream percolated across a checkpoint restart —
 # shares percolate_store_matches' fold-then-match oracle verbatim)
-EXPECTED_EXTRA = 130
-EXPECTED_EXTRA_ORACLED = 129
+# r12: + dsl_rescore_topk (ES rescore: phrase-rescore of the k-bounded
+# window, score_mode contract incl. non-matching docs keeping
+# query_weight·original, window ids broadcast into the second pass;
+# both passes replayed in one DuckDB statement) — exact-oracled
+EXPECTED_EXTRA = 131
+EXPECTED_EXTRA_ORACLED = 130
 
 
 def test_driver_window_holds_all_llm_queries():

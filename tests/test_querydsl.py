@@ -356,3 +356,166 @@ def test_match_phrase_slop_delegates(spark, docs):
         map(tuple, want.collect())
     )
     assert got.count() > 0
+
+
+# -- rescore (round 12) ------------------------------------------------------
+
+
+def test_rescore_phrase_total_mode(spark, docs):
+    """Phrase rescore promotes the window doc containing the exact
+    phrase; non-matching window docs keep query_weight * original."""
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    req = {
+        "query": {"match": {"terms": ["spark", "table"]}},
+        "size": 4,
+        "rescore": {
+            "window_size": 4,
+            "query": {
+                "rescore_query": {
+                    "match_phrase": {"terms": ["spark", "table"]}
+                },
+                "query_weight": 1.0,
+                "rescore_query_weight": 10.0,
+            },
+        },
+    }
+    got = {r["id"]: r for r in search_request(docs, req)["hits"].collect()}
+    plain = {
+        r["id"]: r["score"]
+        for r in search_dsl(docs, {"match": {"terms": ["spark", "table"]}}, 4).collect()
+    }
+    # doc 1 "spark table merge" contains the phrase once: +10.0
+    assert got[1]["score"] == pytest.approx(plain[1] + 10.0, abs=2e-6)
+    assert got[1]["rank"] == 1
+    # doc 2 "spark spark join" has no phrase: original score kept
+    assert got[2]["score"] == pytest.approx(plain[2], abs=2e-6)
+
+
+def test_rescore_match_modes(spark, docs):
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    plain = {
+        r["id"]: r["score"]
+        for r in search_dsl(docs, {"match": {"terms": ["table"]}}, 5).collect()
+    }
+    sec = {
+        r["id"]: r["score"]
+        for r in search_dsl(docs, {"match": {"terms": ["merge"]}}, 5).collect()
+    }
+    for mode, fn in (
+        ("total", lambda p, s: p + s),
+        ("multiply", lambda p, s: p * s),
+        ("avg", lambda p, s: (p + s) / 2),
+        ("max", max),
+        ("min", min),
+    ):
+        req = {
+            "query": {"match": {"terms": ["table"]}},
+            "size": 5,
+            "rescore": {
+                "window_size": 5,
+                "query": {
+                    "rescore_query": {"match": {"terms": ["merge"]}},
+                    "score_mode": mode,
+                },
+            },
+        }
+        got = {
+            r["id"]: r["score"]
+            for r in search_request(docs, req)["hits"].collect()
+        }
+        for did, p in plain.items():
+            want = fn(p, sec[did]) if did in sec else p
+            assert got[did] == pytest.approx(want, abs=5e-6), (mode, did)
+
+
+def test_rescore_window_bounds_second_pass(spark, docs):
+    """Only the window is rescored: with window_size=1 the phrase boost
+    cannot reach a doc outside the top-1 relevance page."""
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    # first pass by "spark": doc 2 ("spark spark join") ranks 1
+    req = {
+        "query": {"match": {"terms": ["spark"]}},
+        "size": 2,
+        "rescore": {
+            "window_size": 1,
+            "query": {
+                "rescore_query": {
+                    "match_phrase": {"terms": ["spark", "table"]}
+                },
+                "rescore_query_weight": 100.0,
+            },
+        },
+    }
+    rows = sorted(search_request(docs, req)["hits"].collect(),
+                  key=lambda r: r["rank"])
+    # doc 2 (top-1 by "spark", no phrase) is the only rescored doc and
+    # stays first; doc 1's phrase cannot leapfrog into the window, it
+    # follows in original order with its original score
+    assert [r["id"] for r in rows] == [2, 1]
+    plain = {
+        r["id"]: r["score"]
+        for r in search_dsl(docs, {"match": {"terms": ["spark"]}}, 2).collect()
+    }
+    assert rows[1]["score"] == plain[1]
+
+
+def test_rescore_plan_broadcasts_window(spark, docs):
+    """The window ids must broadcast into the secondary scorer's
+    restriction (k-bounded build side, the function_score discipline)."""
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    req = {
+        "query": {"match": {"terms": ["spark"]}},
+        "size": 2,
+        "rescore": {
+            "window_size": 2,
+            "query": {"rescore_query": {"match": {"terms": ["merge"]}}},
+        },
+    }
+    plan = (
+        search_request(docs, req)["hits"]
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi, BuildRight" in plan
+
+
+def test_rescore_validation(spark, docs):
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    with pytest.raises(ValueError, match="field sort"):
+        search_request(
+            docs,
+            {"query": {"match": {"terms": ["spark"]}},
+             "sort": [{"pop": "asc"}],
+             "rescore": {"window_size": 2, "query": {
+                 "rescore_query": {"match": {"terms": ["a"]}}}}},
+        )
+    with pytest.raises(ValueError, match="score_mode"):
+        search_request(
+            docs,
+            {"query": {"match": {"terms": ["spark"]}},
+             "rescore": {"query": {
+                 "rescore_query": {"match": {"terms": ["a"]}},
+                 "score_mode": "sum"}}},
+        )
+    with pytest.raises(ValueError, match="match or match_phrase"):
+        search_request(
+            docs,
+            {"query": {"match": {"terms": ["spark"]}},
+             "rescore": {"query": {
+                 "rescore_query": {"fuzzy": {"terms": ["a"]}}}}},
+        )
