@@ -211,6 +211,7 @@ def date_histogram(
     interval: str = "day",
     by: Sequence[str] | None = None,
     value_col: str | None = None,
+    extra_aggs=None,
 ) -> DataFrame:
     """ES ``date_histogram`` with CALENDAR intervals — per-bucket
     ``(bucket, n[, sum_v])`` where ``bucket`` is the interval start
@@ -223,6 +224,10 @@ def date_histogram(
 
     Scale: one hash aggregate keyed on (bucket, by) — map-side
     partial combine, exchange carries bucket cardinality only.
+
+    ``extra_aggs`` (round 12): pre-aliased aggregate Columns computed
+    per bucket in the SAME hash aggregate — ES sub-aggregations cost
+    no extra shuffle.
     """
     if interval not in _INTERVALS:
         raise ValueError(f"interval must be one of {_INTERVALS}")
@@ -233,6 +238,7 @@ def date_histogram(
         aggs.append(
             F.round(F.sum(F.col(value_col).cast("double")), 6).alias("sum_v")
         )
+    aggs.extend(extra_aggs or ())
     return df.groupBy(*keys).agg(*aggs)
 
 

@@ -148,6 +148,7 @@ def histogram_facet(
     *,
     width: float,
     origin: float = 0.0,
+    extra_aggs=None,
 ) -> DataFrame:
     """Fixed-interval histogram over a numeric column (round 10 — the
     ES ``histogram`` / ``date_histogram`` aggregation; timestamps are
@@ -160,6 +161,10 @@ def histogram_facet(
     Scale: a pure map-side bucket expression + one hash aggregate
     whose exchange cardinality is the BUCKET COUNT — map-side combine
     absorbs any value skew, the same shape as ``facet_counts``.
+
+    ``extra_aggs`` (round 12): pre-aliased aggregate Columns computed
+    per bucket IN THE SAME hash aggregate — ES sub-aggregations cost
+    no extra shuffle here (Catalyst prunes the untouched columns).
     """
     if width <= 0:
         raise ValueError("width must be > 0")
@@ -169,9 +174,9 @@ def histogram_facet(
     ) * F.lit(float(width))
     return (
         docs.filter(v.isNotNull())
-        .select(bucket.alias("bucket"))
+        .withColumn("bucket", bucket)
         .groupBy("bucket")
-        .agg(F.count("*").alias("count"))
+        .agg(F.count("*").alias("count"), *(extra_aggs or ()))
     )
 
 

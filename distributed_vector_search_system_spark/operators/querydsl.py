@@ -272,20 +272,73 @@ _AGG_KINDS = (
 _MATCH_SET_KINDS = ("match", "bool")
 
 
+#: metric node types allowed NESTED inside a bucket agg (terms /
+#: histogram / date_histogram) — each becomes one more aggregate
+#: expression in the bucket's OWN hash aggregate, so ES
+#: sub-aggregations cost no extra shuffle.  ``cardinality`` here is
+#: the exact per-bucket form (the oracle carrier; at serving scale
+#: prefer a top-level cardinality agg with exact=False).
+_SUB_AGG_KINDS = ("avg", "sum", "min", "max", "value_count", "cardinality")
+
+
+def _sub_agg_expr(name: str, spec: dict):
+    if not isinstance(spec, dict) or len(spec) != 1:
+        raise ValueError(
+            f"a sub-agg node is a single-key dict from {_SUB_AGG_KINDS}; "
+            f"got {spec!r}"
+        )
+    (kind,) = spec.keys()
+    field = spec[kind]["field"]
+    v = F.col(field)
+    if kind == "avg":
+        return F.round(F.avg(v.cast("double")), 6).alias(name)
+    if kind == "sum":
+        return F.round(F.sum(v.cast("double")), 6).alias(name)
+    if kind == "min":
+        return F.round(F.min(v.cast("double")), 6).alias(name)
+    if kind == "max":
+        return F.round(F.max(v.cast("double")), 6).alias(name)
+    if kind == "value_count":
+        return F.count(v).alias(name)
+    if kind == "cardinality":
+        return F.count_distinct(v).alias(name)
+    raise ValueError(
+        f"unknown sub-agg node type {kind!r} (know {_SUB_AGG_KINDS})"
+    )
+
+
 def _one_agg(restricted: DataFrame, spec: dict) -> DataFrame:
     """Translate one agg node over the (already match-set-restricted)
     docs frame.  Each kind delegates to the operator that carries its
-    oracle; output schemas are the operators' own."""
-    if not isinstance(spec, dict) or len(spec) != 1:
+    oracle; output schemas are the operators' own.
+
+    Bucket kinds (terms / histogram / date_histogram) accept an ES
+    nested ``"aggs"`` body of metric sub-aggregations
+    (:data:`_SUB_AGG_KINDS`) — one output column per sub-agg, computed
+    in the bucket's single hash aggregate."""
+    if not isinstance(spec, dict):
         raise ValueError(
             f"an agg node is a single-key dict from {_AGG_KINDS}; got {spec!r}"
         )
-    (kind,) = spec.keys()
+    kinds = set(spec) - {"aggs"}
+    if len(kinds) != 1:
+        raise ValueError(
+            f"an agg node is a single-key dict from {_AGG_KINDS} (plus an "
+            f"optional nested 'aggs'); got {spec!r}"
+        )
+    (kind,) = kinds
     body = spec[kind]
+    subs = spec.get("aggs") or {}
+    if subs and kind not in ("terms", "histogram", "date_histogram"):
+        raise ValueError(
+            f"nested aggs compose with bucket kinds only; {kind!r} is a "
+            "metric"
+        )
+    sub_cols = [_sub_agg_expr(name, s) for name, s in subs.items()]
     if kind == "terms":
         out = restricted.groupBy(
             F.col(body["field"]).alias("value")
-        ).agg(F.count("*").alias("n"))
+        ).agg(F.count("*").alias("n"), *sub_cols)
         size = body.get("size")
         if size is not None:
             # ES terms order: count desc, then key asc — bucket
@@ -301,6 +354,7 @@ def _one_agg(restricted: DataFrame, spec: dict) -> DataFrame:
             restricted, body["field"],
             width=float(body["interval"]),
             origin=float(body.get("offset", 0.0)),
+            extra_aggs=sub_cols,
         )
     if kind == "date_histogram":
         from .aggregations import date_histogram
@@ -308,6 +362,7 @@ def _one_agg(restricted: DataFrame, spec: dict) -> DataFrame:
         return date_histogram(
             restricted, body["field"],
             interval=body.get("calendar_interval", "day"),
+            extra_aggs=sub_cols,
         )
     if kind == "extended_stats":
         from .aggregations import extended_stats

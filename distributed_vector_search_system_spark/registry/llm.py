@@ -6452,3 +6452,57 @@ WHERE rnk <= {_DSL_K}
 
 EXTRA_QUERIES["dsl_rescore_topk"] = q_dsl_rescore_topk
 EXTRA_ORACLES["dsl_rescore_topk"] = _dsl_rescore_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 12: nested sub-aggregations (operators/querydsl._sub_agg_expr)
+# — ES metric aggs nested inside a terms bucket, computed in the
+# bucket's SINGLE hash aggregate (no second shuffle; plan-tested in
+# tests/test_querydsl.py).  The row drives the full request path:
+# bool-query match set → terms buckets over source → per-bucket
+# avg / min / max / value_count / exact cardinality.
+
+
+def q_dsl_terms_subaggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.querydsl import search_request
+
+    docs = load_table(spark, sf_dir, "documents")
+    return search_request(
+        docs,
+        {
+            "query": {"bool": {"must": [_DSL_MUST], "must_not": [_DSL_NOT]}},
+            "aggs": {
+                "by_source": {
+                    "terms": {"field": "source"},
+                    "aggs": {
+                        "avg_chars": {"avg": {"field": "n_chars"}},
+                        "min_chars": {"min": {"field": "n_chars"}},
+                        "max_chars": {"max": {"field": "n_chars"}},
+                        "n_langs": {"cardinality": {"field": "lang"}},
+                        "n_vals": {"value_count": {"field": "n_chars"}},
+                    },
+                }
+            },
+        },
+    )["aggregations"]["by_source"]
+
+
+def _dsl_terms_subaggs_oracle() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+adm AS (SELECT doc_id AS id FROM toks
+        WHERE list_contains(w, '{_DSL_MUST}')
+          AND NOT list_contains(w, '{_DSL_NOT}')),
+adocs AS (SELECT * FROM documents WHERE doc_id IN (SELECT id FROM adm))
+SELECT source AS value, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_chars,
+       ROUND(MIN(CAST(n_chars AS DOUBLE)), 6) AS min_chars,
+       ROUND(MAX(CAST(n_chars AS DOUBLE)), 6) AS max_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(n_chars) AS BIGINT) AS n_vals
+FROM adocs GROUP BY source
+"""
+
+
+EXTRA_QUERIES["dsl_terms_subaggs"] = q_dsl_terms_subaggs
+EXTRA_ORACLES["dsl_terms_subaggs"] = _dsl_terms_subaggs_oracle()

@@ -145,8 +145,11 @@ def test_registry_row_counts():
 # window, score_mode contract incl. non-matching docs keeping
 # query_weight·original, window ids broadcast into the second pass;
 # both passes replayed in one DuckDB statement) — exact-oracled
-EXPECTED_EXTRA = 131
-EXPECTED_EXTRA_ORACLED = 130
+# r12: + dsl_terms_subaggs (ES nested metric sub-aggregations inside a
+# terms bucket, computed in the bucket's single hash aggregate —
+# avg/min/max/value_count/exact-cardinality per bucket) — exact-oracled
+EXPECTED_EXTRA = 132
+EXPECTED_EXTRA_ORACLED = 131
 
 
 def test_driver_window_holds_all_llm_queries():

@@ -519,3 +519,101 @@ def test_rescore_validation(spark, docs):
              "rescore": {"query": {
                  "rescore_query": {"fuzzy": {"terms": ["a"]}}}}},
         )
+
+
+# -- nested sub-aggregations (round 12) --------------------------------------
+
+
+def test_terms_subaggs_one_aggregate(spark, docs):
+    """ES nested metric aggs: per-bucket avg/min/max/value_count/
+    cardinality computed in the bucket's SINGLE hash aggregate."""
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    docs2 = docs.withColumn(
+        "cat", F.when(F.col("doc_id") <= 2, "a").otherwise("b")
+    )
+    out = search_request(
+        docs2,
+        {
+            "query": {"match": {"terms": ["spark", "filter"]}},
+            "aggs": {
+                "cats": {
+                    "terms": {"field": "cat"},
+                    "aggs": {
+                        "avg_pop": {"avg": {"field": "pop"}},
+                        "max_pop": {"max": {"field": "pop"}},
+                        "n_ids": {"cardinality": {"field": "doc_id"}},
+                    },
+                }
+            },
+        },
+    )
+    agg = out["aggregations"]["cats"]
+    got = {r["value"]: r for r in agg.collect()}
+    # match set: docs 1,2,4 (spark) + 3,5 (filter) = all five
+    assert got["a"]["n"] == 2 and got["a"]["avg_pop"] == 250.0
+    assert got["a"]["max_pop"] == 400.0 and got["a"]["n_ids"] == 2
+    assert got["b"]["n"] == 3 and got["b"]["avg_pop"] == 400.0
+    # one hash-aggregate pair (partial + final), no second shuffle
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(value") <= 1
+
+
+def test_bucket_subaggs_histogram_and_date(spark):
+    from datetime import datetime
+
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark", datetime(2024, 1, 1), 10.0),
+            (2, "spark", datetime(2024, 1, 1, 9), 30.0),
+            (3, "spark", datetime(2024, 1, 2), 7.0),
+        ],
+        "doc_id long, text string, ts timestamp, v double",
+    )
+    out = search_request(
+        docs,
+        {
+            "query": {"match": {"terms": ["spark"]}},
+            "aggs": {
+                "daily": {
+                    "date_histogram": {"field": "ts"},
+                    "aggs": {"sum_v": {"sum": {"field": "v"}}},
+                },
+                "by_v": {
+                    "histogram": {"field": "v", "interval": 10.0},
+                    "aggs": {"n_ids": {"value_count": {"field": "doc_id"}}},
+                },
+            },
+        },
+    )
+    daily = {r["bucket"].day: r["sum_v"] for r in out["aggregations"]["daily"].collect()}
+    assert daily == {1: 40.0, 2: 7.0}
+    byv = {r["bucket"]: r["n_ids"] for r in out["aggregations"]["by_v"].collect()}
+    assert byv == {0.0: 1, 10.0: 1, 30.0: 1}
+
+
+def test_subaggs_validation(spark, docs):
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    with pytest.raises(ValueError, match="bucket kinds only"):
+        search_request(
+            docs,
+            {"query": {"match": {"terms": ["spark"]}},
+             "aggs": {"x": {"cardinality": {"field": "doc_id"},
+                            "aggs": {"y": {"avg": {"field": "pop"}}}}}},
+        )
+    with pytest.raises(ValueError, match="sub-agg"):
+        search_request(
+            docs,
+            {"query": {"match": {"terms": ["spark"]}},
+             "aggs": {"x": {"terms": {"field": "pop"},
+                            "aggs": {"y": {"percentiles": {"field": "pop"}}}}}},
+        )
