@@ -382,12 +382,109 @@ def _one_agg(restricted: DataFrame, spec: dict) -> DataFrame:
     raise ValueError(f"unknown agg node type {kind!r} (know {_AGG_KINDS})")
 
 
+def _query_scores(
+    docs: DataFrame, query: dict, *, doc_id_col: str, text_col: str
+) -> DataFrame:
+    """A match/bool node's FULL scored match set ``(id, score)`` —
+    every admissible doc with its BM25 score, not a page (the hybrid
+    fusion input; corpus statistics corpus-level as always)."""
+    from .retrieval import bm25_scores
+
+    kind = _node_type(query)
+    if kind not in _MATCH_SET_KINDS:
+        raise ValueError(
+            f"knn fusion requires a match-set query node "
+            f"({_MATCH_SET_KINDS}); got {kind!r}"
+        )
+    body = query[kind]
+    if kind == "match":
+        rank_terms = sorted(set(body["terms"]))
+        ids = None
+    else:
+        rank_terms = sorted({*body.get("must", ()), *body.get("should", ())})
+        if not rank_terms:
+            raise ValueError(
+                "bool queries need a positive clause (must / should) to "
+                "rank on"
+            )
+        ids = _match_ids(docs, query, doc_id_col=doc_id_col, text_col=text_col)
+    return bm25_scores(
+        docs, _one_query(docs.sparkSession, rank_terms),
+        doc_id_col=doc_id_col, text_col=text_col, filter_ids=ids,
+    ).select("id", "score")
+
+
+def _knn_fused(
+    docs: DataFrame,
+    vectors: DataFrame,
+    query: dict,
+    knn: dict,
+    k: int,
+    *,
+    doc_id_col: str,
+    text_col: str,
+    vector_id_col: str,
+    vector_col: str,
+) -> DataFrame:
+    """ES top-level ``knn`` alongside ``query`` (round 12): combined
+    score = BM25 + ``boost ·`` vector similarity, final top ``k``::
+
+        {"query_vector": [...], "k": 10, "boost": 1.0}
+
+    The knn leg is the exact top-``k`` by squared L2 (the engine's
+    native FAISS-flat semantics) converted to ES's ``l2_norm``
+    similarity score ``1 / (1 + d²)``; the query leg is the FULL
+    scored match set (exact — no per-shard approximation, an honest
+    superset of ES's collect-top-per-shard).  A doc in only one leg
+    contributes only that leg's score, the ES sum contract.
+
+    Scale: the knn leg is k-bounded; the fusion is a UNION of the two
+    legs' ``(id, contribution)`` rows + one hash aggregate (map-side
+    combine; no full-outer join shuffle), then the standard top-k cut.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.distance import rank_key, squared_l2
+    from .retrieval import _score_ranked
+
+    vec = [float(x) for x in knn["query_vector"]]
+    k_knn = int(knn.get("k", k))
+    boost = float(knn.get("boost", 1.0))
+    qv = F.array(*[F.lit(x) for x in vec])
+    scored_v = vectors.select(
+        F.lit(0).cast("long").alias("query_id"),
+        F.col(vector_id_col).alias("id"),
+        squared_l2(F.col(vector_col), qv).alias("_d"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        rank_key(F.col("_d")).asc(), F.col("id").asc()
+    )
+    knn_leg = (
+        scored_v.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k_knn)
+        .select("id", (F.lit(boost) / (F.lit(1.0) + F.col("_d"))).alias("_c"))
+    )
+    q_leg = _query_scores(
+        docs, query, doc_id_col=doc_id_col, text_col=text_col
+    ).select("id", F.col("score").alias("_c"))
+    combined = (
+        q_leg.unionByName(knn_leg)
+        .groupBy("id")
+        .agg(F.round(F.sum("_c"), 6).alias("score"))
+        .select(F.lit(0).cast("long").alias("query_id"), "id", "score")
+    )
+    return _score_ranked(combined, k, "score")
+
+
 def search_request(
     docs: DataFrame,
     request: dict,
     *,
     doc_id_col: str = "doc_id",
     text_col: str = "text",
+    vectors: DataFrame | None = None,
+    vector_id_col: str = "vec_id",
+    vector_col: str = "embedding",
 ) -> dict:
     """One full ES-shaped search request::
 
@@ -396,8 +493,11 @@ def search_request(
          "aggs":        {name: <agg node>, ...}, # over the MATCH SET
          "post_filter": <match | bool node>,     # hits only, not aggs
          "sort":        [{"field": "asc"|"desc"}, ...],  # field sort
+         "search_after": [v1, ..., last_id],     # sorted-page cursor
          "rescore":     {"window_size": N,       # second-pass re-rank
-                         "query": {...}}}        # (_apply_rescore)
+                         "query": {...}},        # (_apply_rescore)
+         "knn":         {"query_vector": [...],  # hybrid text+vector
+                         "k": 10, "boost": 1.0}} # (_knn_fused)
 
     Returns ``{"hits": DataFrame, "aggregations": {name: DataFrame}}``.
 
@@ -435,6 +535,7 @@ def search_request(
         raise ValueError("a search request requires a 'query' node")
     unknown = set(request) - {
         "query", "size", "aggs", "post_filter", "sort", "rescore",
+        "search_after", "knn",
     }
     if unknown:
         raise ValueError(f"unknown request keys {sorted(unknown)}")
@@ -444,6 +545,24 @@ def search_request(
     post_filter = request.get("post_filter")
     sort = request.get("sort")
     rescore = request.get("rescore")
+    knn = request.get("knn")
+    if knn is not None:
+        if sort is not None or rescore is not None or post_filter is not None:
+            raise ValueError(
+                "knn fusion composes with query + aggs only (sort / "
+                "rescore / post_filter do not apply to a hybrid page)"
+            )
+        if vectors is None:
+            raise ValueError(
+                "the knn section needs the vectors= frame "
+                f"(id {vector_id_col!r}, vector {vector_col!r})"
+            )
+    search_after = request.get("search_after")
+    if search_after is not None and sort is None:
+        raise ValueError(
+            "search_after requires a field sort (for the relevance-"
+            "ranked cursor use operators.pagination.search_after_topk)"
+        )
     if rescore is not None and sort is not None:
         # the ES contract: rescoring re-ranks by relevance; a field
         # sort discards relevance, so the combination is an error
@@ -485,11 +604,18 @@ def search_request(
         )
         hit_ids = hit_ids.join(pf, "id", "left_semi")
 
-    if sort is not None:
+    if knn is not None:
+        hits = _knn_fused(
+            docs, vectors, query, knn, k,
+            doc_id_col=doc_id_col, text_col=text_col,
+            vector_id_col=vector_id_col, vector_col=vector_col,
+        )
+    elif sort is not None:
         from pyspark.sql import Window
 
         keys = []
         fields = []
+        orders = []
         for s in sort:
             if not isinstance(s, dict) or len(s) != 1:
                 raise ValueError(
@@ -499,6 +625,7 @@ def search_request(
             if order not in ("asc", "desc"):
                 raise ValueError(f"sort order must be asc|desc; got {order!r}")
             fields.append(field)
+            orders.append(order)
             keys.append(
                 F.col(field).asc() if order == "asc" else F.col(field).desc()
             )
@@ -509,6 +636,29 @@ def search_request(
             F.col(doc_id_col).alias("id"),
             *fields,
         )
+        if search_after is not None:
+            # ES search_after: the cursor is the last row's sort-key
+            # tuple PLUS the id tiebreaker — resume STRICTLY after it.
+            # The predicate is a map-side lexicographic filter on the
+            # RAW rows below the top-k window (the composite_buckets
+            # cursor discipline: page N costs what page 1 costs), with
+            # each key's direction honored.
+            if len(search_after) != len(fields) + 1:
+                raise ValueError(
+                    "search_after takes one value per sort field plus "
+                    "the id tiebreaker"
+                )
+            pred = F.col("id") > F.lit(search_after[-1])
+            for (field, order), a in zip(
+                reversed(list(zip(fields, orders))), search_after[-2::-1]
+            ):
+                past = (
+                    F.col(field) > F.lit(a)
+                    if order == "asc"
+                    else F.col(field) < F.lit(a)
+                )
+                pred = past | ((F.col(field) == F.lit(a)) & pred)
+            base = base.filter(pred)
         w = Window.partitionBy("query_id").orderBy(*keys, F.col("id").asc())
         hits = (
             base.withColumn("rank", F.row_number().over(w))

@@ -6506,3 +6506,128 @@ FROM adocs GROUP BY source
 
 EXTRA_QUERIES["dsl_terms_subaggs"] = q_dsl_terms_subaggs
 EXTRA_ORACLES["dsl_terms_subaggs"] = _dsl_terms_subaggs_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 12: search_after on a FIELD SORT (the sorted-pagination half of
+# the cursor family; bm25_page2 is the relevance-ranked half).  Page 1
+# runs first and its last (sort value, id) tuple becomes the cursor;
+# the oracle replays the whole flow as rows 11..20 of the admissible
+# set's total (n_chars asc, id) order — which is exactly what a
+# correct strictly-after cursor must return.
+
+
+def q_dsl_sorted_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.querydsl import search_request
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = {
+        "query": {"bool": {"must": [_DSL_MUST], "must_not": [_DSL_NOT]}},
+        "sort": [{"n_chars": "asc"}],
+        "size": _DSL_K,
+    }
+    p1 = search_request(docs, base)["hits"]
+    last = p1.orderBy(F.col("rank").desc()).limit(1).collect()[0]
+    return search_request(
+        docs, {**base, "search_after": [last["n_chars"], last["id"]]}
+    )["hits"]
+
+
+def _dsl_sorted_page2_oracle() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+adm AS (SELECT doc_id AS id FROM toks
+        WHERE list_contains(w, '{_DSL_MUST}')
+          AND NOT list_contains(w, '{_DSL_NOT}')),
+srt AS (SELECT CAST(0 AS BIGINT) AS query_id, doc_id AS id, n_chars,
+               ROW_NUMBER() OVER (ORDER BY n_chars ASC, doc_id ASC) AS rn
+        FROM documents WHERE doc_id IN (SELECT id FROM adm))
+SELECT query_id, id, n_chars, CAST(rn - {_DSL_K} AS INT) AS rank
+FROM srt WHERE rn > {_DSL_K} AND rn <= {2 * _DSL_K}
+"""
+
+
+EXTRA_QUERIES["dsl_sorted_page2"] = q_dsl_sorted_page2
+EXTRA_ORACLES["dsl_sorted_page2"] = _dsl_sorted_page2_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 12: top-level knn + query hybrid (operators/querydsl.
+# _knn_fused) — the ES 8 request shape: combined = BM25 + boost ·
+# l2_norm similarity (1/(1+d²)), knn leg the exact squared-L2 top-k on
+# the shared id space, fusion one union + hash aggregate.  The query
+# vector is vec_id 7's embedding (a driver-side scalar fetch, the
+# probe-cell convention), referenced literally in the oracle.
+
+_KNN_HY_VID = 7
+_KNN_HY_K = 20
+_KNN_HY_BOOST = 2.0
+
+
+def q_dsl_knn_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.querydsl import search_request
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == _KNN_HY_VID).select(
+        "embedding"
+    ).collect()[0]["embedding"]
+    return search_request(
+        docs,
+        {
+            "query": {"match": {"terms": [_DSL_MUST]}},
+            "size": _DSL_K,
+            "knn": {
+                "query_vector": list(qv),
+                "k": _KNN_HY_K,
+                "boost": _KNN_HY_BOOST,
+            },
+        },
+        vectors=emb,
+    )["hits"]
+
+
+def _dsl_knn_hybrid_oracle() -> str:
+    from ..operators.retrieval import BM25_B, BM25_K1
+    from .vector import _SQL_SQ_L2
+
+    d = _SQL_SQ_L2.format(q="qe.qe", v="v.embedding")
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+dl AS (SELECT doc_id AS id, len(w) AS dl FROM toks),
+vx AS (SELECT doc_id AS id, UNNEST(w) AS term FROM toks),
+tfc AS (SELECT id, term, COUNT(*) AS tf FROM vx
+        WHERE term = '{_DSL_MUST}' GROUP BY 1, 2),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+dfq AS (SELECT term, COUNT(DISTINCT id) AS df FROM tfc GROUP BY 1),
+fp AS (
+  SELECT tfc.id,
+         SUM(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (tfc.tf * ({BM25_K1} + 1.0))
+             / (tfc.tf + {BM25_K1} * (1.0 - {BM25_B}
+                + {BM25_B} * CAST(dl.dl AS DOUBLE) / s.avgdl))) AS score
+  FROM tfc
+  JOIN dfq d ON d.term = tfc.term
+  JOIN dl ON dl.id = tfc.id
+  CROSS JOIN stats s
+  GROUP BY 1),
+qe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {_KNN_HY_VID}),
+vd AS (SELECT v.vec_id AS id, {d} AS dist FROM embeddings v CROSS JOIN qe),
+kt AS (SELECT id, dist FROM (
+         SELECT *, ROW_NUMBER() OVER (
+           ORDER BY round_even((dist) * 1e6, 0) / 1e6, id) AS rn
+         FROM vd)
+       WHERE rn <= {_KNN_HY_K}),
+contrib AS (
+  SELECT id, score AS c FROM fp
+  UNION ALL
+  SELECT id, {_KNN_HY_BOOST} / (1.0 + dist) FROM kt),
+comb AS (SELECT id, ROUND(SUM(c), 6) AS score FROM contrib GROUP BY 1)
+SELECT CAST(0 AS BIGINT) AS query_id, id, score, CAST(rnk AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rnk FROM comb)
+WHERE rnk <= {_DSL_K}
+"""
+
+
+EXTRA_QUERIES["dsl_knn_hybrid"] = q_dsl_knn_hybrid
+EXTRA_ORACLES["dsl_knn_hybrid"] = _dsl_knn_hybrid_oracle()

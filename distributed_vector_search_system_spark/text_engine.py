@@ -575,6 +575,9 @@ class TextEngine:
         request: dict,
         *,
         consistency: str = EVENTUAL,
+        vectors: DataFrame | None = None,
+        vector_id_col: str = "vec_id",
+        vector_col: str = "embedding",
     ) -> dict:
         """Execute one FULL ES-shaped request — ``query`` + ``aggs`` +
         ``post_filter`` + field ``sort`` — against ONE gated snapshot
@@ -589,6 +592,8 @@ class TextEngine:
         return _search_request(
             snap, request,
             doc_id_col=self._doc_id, text_col=self._text,
+            vectors=vectors,
+            vector_id_col=vector_id_col, vector_col=vector_col,
         )
 
     def explain(

@@ -148,8 +148,16 @@ def test_registry_row_counts():
 # r12: + dsl_terms_subaggs (ES nested metric sub-aggregations inside a
 # terms bucket, computed in the bucket's single hash aggregate —
 # avg/min/max/value_count/exact-cardinality per bucket) — exact-oracled
-EXPECTED_EXTRA = 132
-EXPECTED_EXTRA_ORACLED = 131
+# r12: + dsl_sorted_page2 (search_after on a FIELD SORT: strictly-
+# after lexicographic cursor incl. the id tiebreaker, filtered on raw
+# rows below the top-k window; oracle = rows 11..20 of the admissible
+# set's total order) — exact-oracled
+# r12: + dsl_knn_hybrid (ES top-level knn + query: BM25 + boost ·
+# l2_norm similarity 1/(1+d²), exact squared-L2 knn leg, union +
+# one-hash-aggregate fusion, no full-outer join — plan-locked) —
+# exact-oracled
+EXPECTED_EXTRA = 134
+EXPECTED_EXTRA_ORACLED = 133
 
 
 def test_driver_window_holds_all_llm_queries():

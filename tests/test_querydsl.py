@@ -617,3 +617,210 @@ def test_subaggs_validation(spark, docs):
              "aggs": {"x": {"terms": {"field": "pop"},
                             "aggs": {"y": {"percentiles": {"field": "pop"}}}}}},
         )
+
+
+# -- search_after on a field sort (round 12) ---------------------------------
+
+
+def test_search_after_resumes_sorted_page(spark, docs):
+    """Stateless sorted pagination: page 1's last (sort values, id)
+    tuple fed back as search_after yields exactly the next rows of the
+    full sorted list — asc and desc."""
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    for order, full_ids in (("asc", [5, 1, 4, 2, 3]), ("desc", [3, 2, 4, 1, 5])):
+        base = {
+            "query": {"match": {"terms": ["spark", "table", "filter", "words"]}},
+            "sort": [{"pop": order}],
+        }
+        p1 = sorted(
+            search_request(docs, {**base, "size": 2})["hits"].collect(),
+            key=lambda r: r["rank"],
+        )
+        assert [r["id"] for r in p1] == full_ids[:2]
+        cursor = [p1[-1]["pop"], p1[-1]["id"]]
+        p2 = sorted(
+            search_request(
+                docs, {**base, "size": 2, "search_after": cursor}
+            )["hits"].collect(),
+            key=lambda r: r["rank"],
+        )
+        assert [r["id"] for r in p2] == full_ids[2:4], order
+
+
+def test_search_after_tie_break_on_id(spark):
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "spark", 7) for i in range(1, 6)],
+        "doc_id long, text string, pop long",
+    )
+    base = {"query": {"match": {"terms": ["spark"]}}, "sort": [{"pop": "asc"}]}
+    p1 = sorted(
+        search_request(docs, {**base, "size": 2})["hits"].collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["id"] for r in p1] == [1, 2]
+    p2 = search_request(
+        docs, {**base, "size": 2, "search_after": [7, 2]}
+    )["hits"].collect()
+    assert sorted(r["id"] for r in p2) == [3, 4]
+
+
+def test_search_after_cursor_below_window(spark, docs):
+    """The cursor predicate filters RAW rows below the top-k window —
+    page N aggregates only rows past the cursor."""
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    hits = search_request(
+        docs,
+        {"query": {"match": {"terms": ["spark"]}},
+         "sort": [{"pop": "asc"}], "size": 2, "search_after": [100, 1]},
+    )["hits"]
+    plan = hits._jdf.queryExecution().optimizedPlan().toString()
+    win_pos = plan.index("Window")
+    # the lexicographic cursor filter must print BELOW the window
+    assert "pop" in plan[win_pos:] and "100" in plan[win_pos:]
+
+
+def test_search_after_validation(spark, docs):
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    with pytest.raises(ValueError, match="requires a field sort"):
+        search_request(
+            docs,
+            {"query": {"match": {"terms": ["spark"]}},
+             "search_after": [100, 1]},
+        )
+    with pytest.raises(ValueError, match="one value per sort field"):
+        search_request(
+            docs,
+            {"query": {"match": {"terms": ["spark"]}},
+             "sort": [{"pop": "asc"}], "search_after": [100]},
+        )
+
+
+# -- top-level knn hybrid (round 12) -----------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [(i, [float(i), float(i)]) for i in range(1, 6)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_knn_fusion_sum_contract(spark, docs, vectors):
+    """combined = bm25 + boost·(1/(1+d²)); one-leg docs keep the other
+    contribution at zero — the ES sum contract."""
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    req = {
+        "query": {"match": {"terms": ["filter"]}},     # docs 3, 5
+        "size": 5,
+        "knn": {"query_vector": [1.0, 1.0], "k": 2, "boost": 2.0},
+    }
+    got = {
+        r["id"]: r["score"]
+        for r in search_request(docs, req, vectors=vectors)["hits"].collect()
+    }
+    bm25 = {
+        r["id"]: r["score"]
+        for r in search_dsl(docs, {"match": {"terms": ["filter"]}}, 5).collect()
+    }
+    # knn top-2 for [1,1]: ids 1 (d=0) and 2 (d=2)
+    assert got[1] == pytest.approx(2.0 * 1.0, abs=2e-6)          # knn only
+    assert got[2] == pytest.approx(2.0 / 3.0, abs=2e-6)          # knn only
+    assert got[3] == pytest.approx(bm25[3], abs=2e-6)            # bm25 only
+    assert got[5] == pytest.approx(bm25[5], abs=2e-6)
+    assert set(got) == {1, 2, 3, 5}
+
+
+def test_knn_fusion_sums_shared_doc(spark, docs, vectors):
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    req = {
+        "query": {"match": {"terms": ["spark"]}},      # docs 1, 2, 4
+        "size": 5,
+        "knn": {"query_vector": [1.0, 1.0], "k": 1},   # doc 1 exactly
+    }
+    got = {
+        r["id"]: r["score"]
+        for r in search_request(docs, req, vectors=vectors)["hits"].collect()
+    }
+    bm25 = {
+        r["id"]: r["score"]
+        for r in search_dsl(docs, {"match": {"terms": ["spark"]}}, 5).collect()
+    }
+    assert got[1] == pytest.approx(bm25[1] + 1.0, abs=2e-6)      # both legs
+    assert got[1] > got[2]
+
+
+def test_knn_fusion_aggs_and_validation(spark, docs, vectors):
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    out = search_request(
+        docs,
+        {"query": {"match": {"terms": ["spark"]}},
+         "knn": {"query_vector": [1.0, 1.0], "k": 1},
+         "aggs": {"n": {"cardinality": {"field": "doc_id"}}}},
+        vectors=vectors,
+    )
+    # aggs stay on the QUERY match set (docs 1, 2, 4)
+    assert out["aggregations"]["n"].collect()[0]["n_distinct"] == 3
+    with pytest.raises(ValueError, match="vectors="):
+        search_request(
+            docs,
+            {"query": {"match": {"terms": ["spark"]}},
+             "knn": {"query_vector": [1.0, 1.0]}},
+        )
+    with pytest.raises(ValueError, match="query \\+ aggs only"):
+        search_request(
+            docs,
+            {"query": {"match": {"terms": ["spark"]}},
+             "knn": {"query_vector": [1.0, 1.0]},
+             "sort": [{"pop": "asc"}]},
+            vectors=vectors,
+        )
+    with pytest.raises(ValueError, match="match-set"):
+        search_request(
+            docs,
+            {"query": {"fuzzy": {"terms": ["sparkk"]}},
+             "knn": {"query_vector": [1.0, 1.0]}},
+            vectors=vectors,
+        )
+
+
+def test_knn_fusion_plan_partial_topk(spark, docs, vectors):
+    """Both the knn leg's top-k and the fused page must execute as
+    partial top-k (TakeOrderedAndProject / WindowGroupLimit), and the
+    fusion is ONE hash aggregate over the unioned contributions — no
+    full-outer join."""
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    hits = search_request(
+        docs,
+        {"query": {"match": {"terms": ["spark"]}},
+         "knn": {"query_vector": [1.0, 1.0], "k": 2}},
+        vectors=vectors,
+    )["hits"]
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("TakeOrderedAndProject") + plan.count(
+        "WindowGroupLimit"
+    ) >= 2
+    assert "FullOuter" not in plan and "SortMergeJoin" not in plan
