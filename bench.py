@@ -963,6 +963,12 @@ def _measure_scale(sf_dir: str) -> dict:
         from distributed_vector_search_system_spark.operators.retrieval import (
             bm25_topk as _bm25,
         )
+        from distributed_vector_search_system_spark.operators.phrase import (
+            phrase_slop_topk as _pslop,
+        )
+        from distributed_vector_search_system_spark.operators.querydsl import (
+            search_request as _sreq,
+        )
         from distributed_vector_search_system_spark.operators.spell import (
             spell_suggestions as _spellsug,
         )
@@ -979,6 +985,9 @@ def _measure_scale(sf_dir: str) -> dict:
                 F.array_join(F.slice(_tok("text"), 1, 8), " ").alias("qtext"),
             )
         )
+        # hoisted: the hybrid anchor's query vector is fetched once,
+        # not inside the timed lambda
+        _hyvec = [float(x) for x in q.limit(1).collect()[0]["qvec"]]
         return {
             "knn_fixedq_expr": lambda: knn(emb, q, 10),
             "knn_fixedq_numpy": lambda: knn(emb, q, 10, method="numpy"),
@@ -1178,6 +1187,51 @@ def _measure_scale(sf_dir: str) -> dict:
                 ev.select("event_type", "event_id", "value"),
                 3, "value", by=("event_type",), tie_col="event_id",
             ),
+            # round-12 anchors.  Sloppy phrase (slop=2): the positions
+            # explode is one row per corpus TOKEN (the positional-
+            # intersection class, ~linear); the start explode is the
+            # constant slop+1, never data-sized.
+            "slop_fixedq_phrase": lambda: _pslop(
+                docs,
+                docs.filter(F.col("doc_id").isin(_SCALE_QUERY_IDS)).select(
+                    F.col("doc_id").alias("query_id"),
+                    F.slice(_tok("text"), 2, 3).alias("phrase"),
+                ),
+                5, slop=2,
+            ),
+            # full request (query + aggs): the BM25 tokenize is the
+            # corpus-linear term; the copy-distinct up-scaler keeps the
+            # fixed term's match set in copy 0, so the match-set-
+            # restricted aggregates stay constant-sized — expect
+            # bm25_topk's growth class, no new exchange class.
+            "request_fixedq_aggs": lambda: _sreq(
+                docs,
+                {"query": {"match": {"terms": ["spark"]}},
+                 "aggs": {"by_source": {
+                     "terms": {"field": "source"},
+                     "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}},
+                 }}},
+            )["aggregations"]["by_source"],
+            # rescore: first pass = bm25's corpus-linear class; the
+            # second (phrase) pass tokenizes ONLY the k-bounded window
+            # — expect bm25_topk's class with the window cost constant.
+            "rescore_fixedq_phrase": lambda: _sreq(
+                docs,
+                {"query": {"match": {"terms": ["spark"]}}, "size": 10,
+                 "rescore": {"window_size": 30, "query": {
+                     "rescore_query": {"match_phrase": {
+                         "terms": ["table", "hash"], "slop": 1}},
+                     "rescore_query_weight": 0.5}}},
+            )["hits"],
+            # knn + query hybrid: the exact knn leg's scan is the
+            # knn_fixedq_expr class, the text leg bm25's; fusion adds
+            # one id-keyed hash aggregate over leg-bounded rows.
+            "knnhybrid_fixedq": lambda: _sreq(
+                docs,
+                {"query": {"match": {"terms": ["spark"]}}, "size": 10,
+                 "knn": {"query_vector": _hyvec, "k": 20, "boost": 2.0}},
+                vectors=emb,
+            )["hits"],
         }
 
     out: dict = {
@@ -1208,7 +1262,10 @@ def _measure_scale(sf_dir: str) -> dict:
             # scaling (VERDICT r11 item 7: knn_fixedq_numpy's 0.42 on a
             # 1.9-2.8 s base escaped the sub-second rule) — stamp any
             # sub-0.8 speedup regardless of base
-            row["noise_caveat"] = "speedup at 10x data; host/JIT state, ratio unreliable"
+            row["noise_caveat"] = (
+                f"speedup at {SCALE_COPIES}x data; host/JIT state, "
+                "ratio unreliable"
+            )
         out["queries"][name] = row
 
     for name in rows:

@@ -490,6 +490,8 @@ def search_request(
 
         {"query":       <query node>,            # required
          "size":        10,                      # hit-page size
+         "from":        0,                       # offset pagination
+         "highlight":   {"window": 8},           # per-hit snippets
          "aggs":        {name: <agg node>, ...}, # over the MATCH SET
          "post_filter": <match | bool node>,     # hits only, not aggs
          "sort":        [{"field": "asc"|"desc"}, ...],  # field sort
@@ -535,12 +537,20 @@ def search_request(
         raise ValueError("a search request requires a 'query' node")
     unknown = set(request) - {
         "query", "size", "aggs", "post_filter", "sort", "rescore",
-        "search_after", "knn",
+        "search_after", "knn", "from", "highlight",
     }
     if unknown:
         raise ValueError(f"unknown request keys {sorted(unknown)}")
     query = request["query"]
-    k = int(request.get("size", 10))
+    frm = int(request.get("from", 0))
+    if frm < 0:
+        raise ValueError("from must be >= 0")
+    # from+size pagination: every branch fetches the first from+size
+    # rows, the page is sliced off the top afterwards (rank stays the
+    # GLOBAL rank from+1..from+size — the informative convention; for
+    # deep pages prefer the stateless cursors: search_after here, the
+    # relevance cursor in operators.pagination)
+    k = frm + int(request.get("size", 10))
     aggs = request.get("aggs") or {}
     post_filter = request.get("post_filter")
     sort = request.get("sort")
@@ -562,6 +572,11 @@ def search_request(
         raise ValueError(
             "search_after requires a field sort (for the relevance-"
             "ranked cursor use operators.pagination.search_after_topk)"
+        )
+    if search_after is not None and frm:
+        raise ValueError(
+            "from does not compose with search_after (the cursor IS "
+            "the offset), per the ES contract"
         )
     if rescore is not None and sort is not None:
         # the ES contract: rescoring re-ranks by relevance; a field
@@ -697,8 +712,38 @@ def search_request(
             docs, hits, rescore, k,
             doc_id_col=doc_id_col, text_col=text_col,
         )
+    if frm:
+        hits = hits.filter(F.col("rank") > frm)
 
-    return {"hits": hits, "aggregations": aggregations}
+    out = {"hits": hits, "aggregations": aggregations}
+
+    highlight = request.get("highlight")
+    if highlight is not None:
+        # per-hit best-window snippets over the page (k-bounded by
+        # construction) — the gated engine's snippets discipline; the
+        # highlight terms are the query's positive terms
+        from .snippets import best_window_snippets
+
+        kind = _node_type(query)
+        if kind not in _MATCH_SET_KINDS:
+            raise ValueError(
+                "highlight needs the query's terms — use a match or "
+                "bool query node"
+            )
+        body = query[kind]
+        terms = sorted(
+            set(body["terms"])
+            if kind == "match"
+            else {*body.get("must", ()), *body.get("should", ())}
+        )
+        out["highlight"] = best_window_snippets(
+            docs, _one_query(docs.sparkSession, terms),
+            int(highlight.get("window", 8)),
+            hits=hits.select("query_id", "id"),
+            doc_id_col=doc_id_col, text_col=text_col,
+        )
+
+    return out
 
 
 _RESCORE_MODES = ("total", "multiply", "avg", "max", "min")

@@ -294,7 +294,7 @@ def test_request_validation(spark, docs):
         search_request(docs, {"aggs": {}})
     with pytest.raises(ValueError, match="unknown request keys"):
         search_request(
-            docs, {"query": {"match": {"terms": ["a"]}}, "from": 3}
+            docs, {"query": {"match": {"terms": ["a"]}}, "min_score": 3}
         )
     with pytest.raises(ValueError, match="match-set"):
         search_request(
@@ -824,3 +824,81 @@ def test_knn_fusion_plan_partial_topk(spark, docs, vectors):
         "WindowGroupLimit"
     ) >= 2
     assert "FullOuter" not in plan and "SortMergeJoin" not in plan
+
+
+# -- from + highlight (round 12) ---------------------------------------------
+
+
+def test_from_offset_slices_page(spark, docs):
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    full = _rows(
+        search_request(
+            docs, {"query": {"match": {"terms": ["spark", "table"]}},
+                   "size": 4}
+        )["hits"]
+    )
+    page2 = _rows(
+        search_request(
+            docs, {"query": {"match": {"terms": ["spark", "table"]}},
+                   "size": 2, "from": 2}
+        )["hits"]
+    )
+    assert page2 == full[2:4]                 # global ranks 3, 4
+    assert [r[3] for r in page2] == [3, 4]
+    # from composes with a field sort too
+    sorted_p2 = search_request(
+        docs,
+        {"query": {"match": {"terms": ["spark", "table", "filter", "words"]}},
+         "sort": [{"pop": "asc"}], "size": 2, "from": 2},
+    )["hits"].collect()
+    assert sorted(r["id"] for r in sorted_p2) == [2, 4]   # pop 250, 400
+
+
+def test_highlight_matches_snippets_operator(spark, docs):
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+    from distributed_vector_search_system_spark.operators.snippets import (
+        best_window_snippets,
+    )
+
+    out = search_request(
+        docs,
+        {"query": {"match": {"terms": ["spark", "table"]}},
+         "size": 3, "highlight": {"window": 3}},
+    )
+    want = best_window_snippets(
+        docs, _q(spark, ["spark", "table"]), 3,
+        hits=out["hits"].select("query_id", "id"),
+    )
+    got_rows = sorted(map(tuple, out["highlight"].collect()))
+    assert got_rows == sorted(map(tuple, want.collect()))
+    assert len(got_rows) == 3                 # one snippet per hit
+    assert all("spark" in r[-1] or "table" in r[-1] for r in got_rows)
+
+
+def test_from_and_highlight_validation(spark, docs):
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    with pytest.raises(ValueError, match="cursor IS the offset"):
+        search_request(
+            docs,
+            {"query": {"match": {"terms": ["spark"]}},
+             "sort": [{"pop": "asc"}], "from": 2,
+             "search_after": [100, 1]},
+        )
+    with pytest.raises(ValueError, match="from must be"):
+        search_request(
+            docs, {"query": {"match": {"terms": ["spark"]}}, "from": -1}
+        )
+    with pytest.raises(ValueError, match="highlight needs"):
+        search_request(
+            docs,
+            {"query": {"fuzzy": {"terms": ["sparkk"]}},
+             "highlight": {"window": 3}},
+        )
