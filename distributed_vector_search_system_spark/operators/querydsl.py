@@ -15,8 +15,11 @@ Supported nodes::
     {"match_phrase": {"terms": [...], "slop": 0}}        # phrase
                                                          # (slop>0 = sloppy)
     {"bool":      {"must": [...], "should": [...],
-                   "must_not": [...]}}                   # admissibility
-                                                         # + BM25 rank
+                   "must_not": [...],                    # admissibility
+                   "filter": [{"range": {f: {"gte": v}}},# + BM25 rank;
+                              {"term": {f: v}},          # filter = un-
+                              {"exists": {"field": f}}]}}# scored meta
+                                                         # predicates
     {"fuzzy":     {"terms": [...], "max_edits": 1,
                    "max_expansions": 10}}
     {"wildcard":  {"patterns": ["ta*", "t?ble"]}}
@@ -78,9 +81,62 @@ def _one_query(spark, terms: list[str]) -> DataFrame:
     )
 
 
+_FILTER_KINDS = ("range", "term", "exists")
+
+
+def _filter_predicate(filters) -> "F.Column":
+    """ES filter-context clauses → one ANDed metadata predicate
+    (round 12).  Supported::
+
+        {"range":  {field: {"gte"|"gt"|"lte"|"lt": v, ...}}}
+        {"term":   {field: value}}          # exact metadata equality
+        {"exists": {"field": name}}         # non-null
+
+    Pure map-side column expressions — Catalyst pushes them into the
+    scan (filter context never scores, the ES contract)."""
+    _RANGE_OPS = {
+        "gte": lambda c, v: c >= v,
+        "gt": lambda c, v: c > v,
+        "lte": lambda c, v: c <= v,
+        "lt": lambda c, v: c < v,
+    }
+    pred = F.lit(True)
+    for fnode in filters:
+        if not isinstance(fnode, dict) or len(fnode) != 1:
+            raise ValueError(
+                f"a filter clause is a single-key dict from "
+                f"{_FILTER_KINDS}; got {fnode!r}"
+            )
+        (kind,) = fnode.keys()
+        body = fnode[kind]
+        if kind == "range":
+            (field,) = body.keys()
+            bounds = body[field]
+            if not bounds or set(bounds) - set(_RANGE_OPS):
+                raise ValueError(
+                    f"range takes {sorted(_RANGE_OPS)} bounds; got {bounds!r}"
+                )
+            for op, v in bounds.items():
+                pred = pred & _RANGE_OPS[op](F.col(field), F.lit(v))
+        elif kind == "term":
+            (field,) = body.keys()
+            pred = pred & (F.col(field) == F.lit(body[field]))
+        elif kind == "exists":
+            pred = pred & F.col(body["field"]).isNotNull()
+        else:
+            raise ValueError(
+                f"unknown filter clause type {kind!r} (know {_FILTER_KINDS})"
+            )
+    return pred
+
+
 def _match_ids(docs, node, *, doc_id_col, text_col) -> DataFrame:
     """A node's MATCH SET as a one-column id frame (the boosting
-    negative / filter context)."""
+    negative / filter context).  A bool node's ``filter`` clauses
+    (metadata range/term/exists) restrict the universe BEFORE the text
+    constraints — scores never see them (idf/N/avgdl stay
+    corpus-level because ranking always re-scores via
+    ``bm25_scores(filter_ids=)`` over the UNfiltered corpus)."""
     from .boolean import boolean_matching_ids
 
     kind = _node_type(node)
@@ -91,6 +147,9 @@ def _match_ids(docs, node, *, doc_id_col, text_col) -> DataFrame:
             doc_id_col=doc_id_col, text_col=text_col,
         )
     if kind == "bool":
+        filters = body.get("filter", ())
+        if filters:
+            docs = docs.filter(_filter_predicate(filters))
         return boolean_matching_ids(
             docs,
             all_of=body.get("must", ()),

@@ -6631,3 +6631,74 @@ WHERE rnk <= {_DSL_K}
 
 EXTRA_QUERIES["dsl_knn_hybrid"] = q_dsl_knn_hybrid
 EXTRA_ORACLES["dsl_knn_hybrid"] = _dsl_knn_hybrid_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 12: bool FILTER CONTEXT (operators/querydsl._filter_predicate)
+# — ES's unscored metadata clauses (range / term / exists) ANDed into
+# the bool admissible set; surviving docs keep corpus-level BM25
+# scores (the filtered-search contract), and the predicate pushes to
+# the parquet scan (plan-tested).
+
+
+def q_dsl_bool_filter_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.querydsl import search_dsl
+
+    docs = load_table(spark, sf_dir, "documents")
+    return search_dsl(
+        docs,
+        {"bool": {
+            "must": [_DSL_MUST],
+            "must_not": [_DSL_NOT],
+            "filter": [
+                {"range": {"n_chars": {"gte": 150, "lt": 450}}},
+                {"term": {"lang": "en"}},
+                {"exists": {"field": "source"}},
+            ],
+        }},
+        _DSL_K,
+    )
+
+
+def _dsl_bool_filter_oracle() -> str:
+    from ..operators.retrieval import BM25_B, BM25_K1
+
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+meta AS (SELECT doc_id AS id FROM documents
+         WHERE n_chars >= 150 AND n_chars < 450
+           AND lang = 'en' AND source IS NOT NULL),
+adm AS (SELECT doc_id AS id FROM toks
+        WHERE list_contains(w, '{_DSL_MUST}')
+          AND NOT list_contains(w, '{_DSL_NOT}')
+          AND doc_id IN (SELECT id FROM meta)),
+dl AS (SELECT doc_id AS id, len(w) AS dl FROM toks),
+vx AS (SELECT doc_id AS id, UNNEST(w) AS term FROM toks),
+tfc AS (SELECT id, term, COUNT(*) AS tf FROM vx
+        WHERE term = '{_DSL_MUST}' GROUP BY 1, 2),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+dfq AS (SELECT term, COUNT(DISTINCT id) AS df FROM tfc GROUP BY 1),
+ds_scored AS (
+  SELECT CAST(0 AS BIGINT) AS query_id, tfc.id,
+         SUM(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (tfc.tf * ({BM25_K1} + 1.0))
+             / (tfc.tf + {BM25_K1} * (1.0 - {BM25_B}
+                + {BM25_B} * CAST(dl.dl AS DOUBLE) / s.avgdl))) AS score
+  FROM tfc
+  JOIN dfq d ON d.term = tfc.term
+  JOIN dl ON dl.id = tfc.id
+  CROSS JOIN stats s
+  WHERE tfc.id IN (SELECT id FROM adm)
+  GROUP BY 1, 2),
+ds_ranked AS (
+  SELECT query_id, id, score6,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score6 DESC, id) AS INT) AS drk
+  FROM (SELECT query_id, id, ROUND(score, 6) AS score6 FROM ds_scored))
+SELECT query_id, id, score6 AS score, drk AS rank
+FROM ds_ranked WHERE drk <= {_DSL_K}
+"""
+
+
+EXTRA_QUERIES["dsl_bool_filter_topk"] = q_dsl_bool_filter_topk
+EXTRA_ORACLES["dsl_bool_filter_topk"] = _dsl_bool_filter_oracle()

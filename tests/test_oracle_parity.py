@@ -156,8 +156,12 @@ def test_registry_row_counts():
 # l2_norm similarity 1/(1+d²), exact squared-L2 knn leg, union +
 # one-hash-aggregate fusion, no full-outer join — plan-locked) —
 # exact-oracled
-EXPECTED_EXTRA = 134
-EXPECTED_EXTRA_ORACLED = 133
+# r12: + dsl_bool_filter_topk (ES filter context: unscored metadata
+# range/term/exists clauses ANDed into the bool admissible set,
+# predicate pushed to the parquet scan, scores corpus-level) —
+# exact-oracled
+EXPECTED_EXTRA = 135
+EXPECTED_EXTRA_ORACLED = 134
 
 
 def test_driver_window_holds_all_llm_queries():

@@ -902,3 +902,88 @@ def test_from_and_highlight_validation(spark, docs):
             {"query": {"fuzzy": {"terms": ["sparkk"]}},
              "highlight": {"window": 3}},
         )
+
+
+# -- bool filter context (round 12) ------------------------------------------
+
+
+def test_bool_filter_context_restricts_without_scoring(spark, docs):
+    """range/term/exists metadata clauses restrict the admissible set;
+    surviving docs keep their corpus-level BM25 scores (filter context
+    never scores — the ES contract)."""
+    got = search_dsl(
+        docs,
+        {"bool": {"must": ["spark"],
+                  "filter": [{"range": {"pop": {"gte": 200}}}]}},
+        5,
+    )
+    rows = {r["id"]: r["score"] for r in got.collect()}
+    assert set(rows) == {2, 4}              # doc 1 (pop 100) filtered
+    plain = {
+        r["id"]: r["score"]
+        for r in search_dsl(docs, {"match": {"terms": ["spark"]}}, 5).collect()
+    }
+    assert rows[2] == plain[2] and rows[4] == plain[4]
+    # term + exists clauses AND together
+    got2 = search_dsl(
+        docs,
+        {"bool": {"must": ["spark"],
+                  "filter": [{"term": {"pop": 250}},
+                             {"exists": {"field": "text"}}]}},
+        5,
+    )
+    assert {r["id"] for r in got2.collect()} == {4}
+
+
+def test_bool_filter_composes_with_request(spark, docs):
+    """The filter clauses flow through the full request path: aggs
+    aggregate the FILTERED match set."""
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    out = search_request(
+        docs,
+        {"query": {"bool": {"should": ["spark", "filter"],
+                            "filter": [{"range": {"pop": {"lt": 500}}}]}},
+         "aggs": {"n": {"cardinality": {"field": "doc_id"}}}},
+    )
+    # match set: spark|filter docs {1,2,3,4,5} minus pop>=500 (doc 3)
+    assert out["aggregations"]["n"].collect()[0]["n_distinct"] == 4
+
+
+def test_bool_filter_pushes_to_scan(spark, tmp_path, docs):
+    """The metadata predicate must reach the parquet scan as
+    PushedFilters."""
+    path = str(tmp_path / "docs_pq")
+    docs.write.mode("overwrite").parquet(path)
+    pdocs = spark.read.parquet(path)
+    df = search_dsl(
+        pdocs,
+        {"bool": {"must": ["spark"],
+                  "filter": [{"range": {"pop": {"gte": 200}}}]}},
+        5,
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("GreaterThanOrEqual(pop,200)" in l for l in pushed), plan
+
+
+def test_bool_filter_validation(spark, docs):
+    with pytest.raises(ValueError, match="filter clause"):
+        search_dsl(
+            docs,
+            {"bool": {"must": ["spark"], "filter": [{"geo": {}}]}},
+            5,
+        )
+    with pytest.raises(ValueError, match="range takes"):
+        search_dsl(
+            docs,
+            {"bool": {"must": ["spark"],
+                      "filter": [{"range": {"pop": {"eq": 5}}}]}},
+            5,
+        )
