@@ -332,3 +332,59 @@ def cluster_balanced_sample(
         .filter(F.col("_crn") <= per_cluster_cap)
         .select("id", "cluster_id")
     )
+
+
+def budget_pack(
+    df: DataFrame,
+    budget_tokens: int,
+    *,
+    priority_col: str,
+    tokens_col: str,
+    by=("source",),
+    id_col: str = "doc_id",
+    allow_global: bool = False,
+) -> DataFrame:
+    """Token-budget packing, round 12 — the corpus-budgeting step of a
+    pretraining-data pipeline: within each ``by`` group, keep documents
+    in (``priority_col`` desc, ``id_col`` asc) order while the running
+    token total stays within ``budget_tokens`` (the greedy
+    best-quality-first prefix rule used to hit a fixed per-domain token
+    budget after dedup/filtering — see the C4 / Gopher / FineWeb
+    curation recipes; public contract only, no implementation
+    consulted).
+
+    A document is kept iff INCLUDING it keeps the group's cumulative
+    ``tokens_col`` ≤ ``budget_tokens`` (prefix semantics, not knapsack:
+    one over-budget doc blocks everything behind it — deterministic and
+    SQL-replayable, which a bin-packing heuristic is not).  Output =
+    the input columns + ``cum_tokens``.
+
+    Scale: one window partitioned by the group key — exactly the
+    shuffle a ``groupBy(by)`` pays; within a group the sort is the
+    group's doc count.  A GLOBAL pack (``by=()``) is a single
+    partition holding the whole corpus and is gated behind
+    ``allow_global=True`` (for corpus-scale global budgets, pack
+    per-group first, then trim group budgets driver-side — group
+    summaries are group-count-sized).
+    """
+    from pyspark.sql import Window
+
+    if budget_tokens < 1:
+        raise ValueError("budget_tokens must be >= 1")
+    by = tuple(by or ())
+    if not by and not allow_global:
+        raise ValueError(
+            "by=() packs the whole corpus in ONE partition; pass "
+            "allow_global=True only when the input is known-small"
+        )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(priority_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn(
+            "cum_tokens", F.sum(F.col(tokens_col).cast("long")).over(w)
+        )
+        .filter(F.col("cum_tokens") <= budget_tokens)
+    )

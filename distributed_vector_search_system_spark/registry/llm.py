@@ -6702,3 +6702,68 @@ FROM ds_ranked WHERE drk <= {_DSL_K}
 
 EXTRA_QUERIES["dsl_bool_filter_topk"] = q_dsl_bool_filter_topk
 EXTRA_ORACLES["dsl_bool_filter_topk"] = _dsl_bool_filter_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 12: token-budget packing (operators/sampling.budget_pack) —
+# the corpus-budgeting step: per source, keep the best-quality docs
+# (quality_score, id tiebreak) while the running token total stays
+# within the budget.  Window cum-sum replay; prefix semantics (an
+# over-budget doc blocks everything behind it).
+
+_PACK_BUDGET = 800
+
+
+def q_budget_pack_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import budget_pack
+
+    docs = load_table(spark, sf_dir, "documents")
+    prepared = docs.select(
+        "doc_id",
+        "source",
+        token_count("text").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+    )
+    return budget_pack(
+        prepared, _PACK_BUDGET,
+        priority_col="quality", tokens_col="n_tokens", by=("source",),
+    )
+
+
+def _budget_pack_oracle() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, {_TOKS} AS w, list_distinct({_TOKS}) AS dw, text
+  FROM documents
+),
+m AS (
+  SELECT doc_id, source, CAST(len(w) AS INT) AS n_tokens,
+    CASE WHEN len(dw) = 0 THEN 0.0
+         ELSE CAST(len(list_intersect(dw, [{_EN_STOP}])) AS DOUBLE) / CAST(len(dw) AS DOUBLE)
+    END AS stop_ratio,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+              / CAST(length(text) AS DOUBLE)
+    END AS dig_ratio
+  FROM t
+),
+q AS (
+  SELECT doc_id, source, n_tokens,
+         ROUND(LEAST(CAST(n_tokens AS DOUBLE), 300.0) / 300.0 * 0.2
+               + stop_ratio * 0.5 + (1.0 - dig_ratio) * 0.3, 6) AS quality
+  FROM m
+),
+c AS (
+  SELECT doc_id, source, n_tokens, quality,
+         SUM(CAST(n_tokens AS BIGINT)) OVER (
+           PARTITION BY source ORDER BY quality DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM q
+)
+SELECT doc_id, source, n_tokens, quality, cum_tokens
+FROM c WHERE cum_tokens <= {_PACK_BUDGET}
+"""
+
+
+EXTRA_QUERIES["budget_pack_by_source"] = q_budget_pack_by_source
+EXTRA_ORACLES["budget_pack_by_source"] = _budget_pack_oracle()

@@ -160,8 +160,12 @@ def test_registry_row_counts():
 # range/term/exists clauses ANDed into the bool admissible set,
 # predicate pushed to the parquet scan, scores corpus-level) —
 # exact-oracled
-EXPECTED_EXTRA = 135
-EXPECTED_EXTRA_ORACLED = 134
+# r12: + budget_pack_by_source (token-budget packing: per-source
+# greedy best-quality-first prefix under a fixed token budget — the
+# corpus-budgeting step; window cum-sum replay, 208/500 kept at
+# sf0.01) — exact-oracled
+EXPECTED_EXTRA = 136
+EXPECTED_EXTRA_ORACLED = 135
 
 
 def test_driver_window_holds_all_llm_queries():

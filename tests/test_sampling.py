@@ -224,3 +224,58 @@ def test_cluster_balanced_sample(spark):
 
     with _pytest.raises(ValueError):
         cluster_balanced_sample(vecs, cents, 0)
+
+
+# -- token-budget packing (round 12) -----------------------------------------
+
+
+def test_budget_pack_prefix_semantics(spark):
+    from distributed_vector_search_system_spark.operators.sampling import (
+        budget_pack,
+    )
+
+    rows = [
+        # (doc_id, source, quality, n_tokens)
+        (1, "a", 0.9, 40),
+        (2, "a", 0.8, 50),
+        (3, "a", 0.7, 20),   # 40+50+20 = 110 > 100: blocked
+        (4, "a", 0.6, 5),    # behind the blocker: also out (prefix rule)
+        (5, "b", 0.5, 100),  # exactly the budget: kept
+        (6, "b", 0.4, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, q double, n_tokens int"
+    )
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in budget_pack(
+            df, 100, priority_col="q", tokens_col="n_tokens"
+        ).collect()
+    }
+    assert got == {1: 40, 2: 90, 5: 100}
+
+
+def test_budget_pack_tie_break_and_global_gate(spark):
+    import pytest
+
+    from distributed_vector_search_system_spark.operators.sampling import (
+        budget_pack,
+    )
+
+    df = spark.createDataFrame(
+        [(2, "a", 0.5, 60), (1, "a", 0.5, 60)],
+        "doc_id long, source string, q double, n_tokens int",
+    )
+    got = [
+        r["doc_id"]
+        for r in budget_pack(
+            df, 60, priority_col="q", tokens_col="n_tokens"
+        ).collect()
+    ]
+    assert got == [1]                      # equal quality → lower id wins
+    with pytest.raises(ValueError, match="ONE partition"):
+        budget_pack(df, 60, priority_col="q", tokens_col="n_tokens", by=())
+    assert budget_pack(
+        df, 120, priority_col="q", tokens_col="n_tokens",
+        by=(), allow_global=True,
+    ).count() == 2
