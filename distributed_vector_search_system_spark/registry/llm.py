@@ -6767,3 +6767,43 @@ FROM c WHERE cum_tokens <= {_PACK_BUDGET}
 
 EXTRA_QUERIES["budget_pack_by_source"] = q_budget_pack_by_source
 EXTRA_ORACLES["budget_pack_by_source"] = _budget_pack_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 12 (close rotation): promote the six round-12 flagships into
+# the driver window — dsl_query_aggs (VERDICT item 2: query + aggs +
+# post_filter in one request), phrase_slop_topk (item 3: sloppy
+# phrase), percolate_stream_store (item 9: the push pipeline across
+# checkpoint restarts), dsl_rescore_topk (two-pass phrase rescore),
+# dsl_knn_hybrid (ES 8 text+vector fusion), dsl_bool_filter_topk
+# (metadata filter context).  Demote six long-green rows whose
+# families keep driver coverage: bm25_mlt_topk / bm25_prf_topk (query
+# understanding keeps spell_suggest + bm25_wildcard_topk),
+# bm25_sig_terms (analytics keeps events_percentiles /
+# events_date_histogram / docs_composite_page2), doc_facets (faceting
+# keeps dsl_query_aggs' terms agg + events_date_histogram),
+# events_top_hits (the metric-agg family keeps two driver rows), and
+# sparse_rescore_topk (sparse keeps store/engine/champion/synonym).
+# Every demoted row keeps the IDENTICAL DuckDB comparison in the
+# pytest tier.
+for _name in (
+    "dsl_query_aggs",
+    "phrase_slop_topk",
+    "percolate_stream_store",
+    "dsl_rescore_topk",
+    "dsl_knn_hybrid",
+    "dsl_bool_filter_topk",
+):
+    QUERIES[_name] = EXTRA_QUERIES.pop(_name)
+    ORACLES[_name] = EXTRA_ORACLES.pop(_name)
+for _name in (
+    "bm25_mlt_topk",
+    "bm25_prf_topk",
+    "bm25_sig_terms",
+    "doc_facets",
+    "events_top_hits",
+    "sparse_rescore_topk",
+):
+    EXTRA_QUERIES[_name] = QUERIES.pop(_name)
+    EXTRA_ORACLES[_name] = ORACLES.pop(_name)
+del _name

@@ -164,6 +164,12 @@ def test_registry_row_counts():
 # greedy best-quality-first prefix under a fixed token budget — the
 # corpus-budgeting step; window cum-sum replay, 208/500 kept at
 # sf0.01) — exact-oracled
+# r12 (close rotation): six round-12 flagships promoted into the
+# driver window (dsl_query_aggs, phrase_slop_topk,
+# percolate_stream_store, dsl_rescore_topk, dsl_knn_hybrid,
+# dsl_bool_filter_topk); six long-green rows demoted with identical
+# oracles (bm25_mlt_topk, bm25_prf_topk, bm25_sig_terms, doc_facets,
+# events_top_hits, sparse_rescore_topk) — counts unchanged.
 EXPECTED_EXTRA = 136
 EXPECTED_EXTRA_ORACLED = 135
 
