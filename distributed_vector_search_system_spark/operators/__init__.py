@@ -32,3 +32,6 @@ from .percolate import percolate, percolate_scored, percolate_stream  # noqa: F4
 from .synonyms import expand_query_terms, sparse_synonym_topk  # noqa: F401
 from .pagination import page_cursor, search_after  # noqa: F401
 from .rank_eval import mean_rank_eval, rank_eval  # noqa: F401
+from .querydsl import search_dsl, search_request  # noqa: F401
+from .phrase import phrase_slop_topk, phrase_topk, proximity_topk  # noqa: F401
+from .sampling import budget_pack, temperature_sample  # noqa: F401

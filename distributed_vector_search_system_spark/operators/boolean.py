@@ -55,12 +55,19 @@ def _combine(
     all_of: list[str],
     any_of: list[str],
     none_of: list[str],
+    min_should: int = 1,
 ) -> DataFrame:
     """``pairs``: distinct (id, term) restricted to the constraint
     vocabulary; ``universe``: one-column id frame (required when no
-    positive clause)."""
+    positive clause).  ``min_should`` (round 12): ES
+    ``minimum_should_match`` — the ``any_of`` clause requires at least
+    N DISTINCT matched terms instead of one (same conjunctive-
+    containment aggregate as ``all_of``; N greater than the list is
+    unsatisfiable and returns nothing, the ES contract)."""
     if not (all_of or any_of or none_of):
         raise ValueError("at least one of all_of / any_of / none_of required")
+    if min_should < 1:
+        raise ValueError("min_should must be >= 1")
     admissible: DataFrame | None = None
     if all_of:
         admissible = (
@@ -71,7 +78,16 @@ def _combine(
             .select("id")
         )
     if any_of:
-        hits = pairs.filter(F.col("term").isin(any_of)).select("id").distinct()
+        matched = pairs.filter(F.col("term").isin(any_of))
+        if min_should <= 1:
+            hits = matched.select("id").distinct()
+        else:
+            hits = (
+                matched.groupBy("id")
+                .agg(F.count_distinct("term").alias("_ns"))
+                .filter(F.col("_ns") >= min_should)
+                .select("id")
+            )
         admissible = hits if admissible is None else admissible.join(
             hits, "id", "left_semi"
         )
@@ -96,11 +112,13 @@ def boolean_matching_ids(
     none_of: Sequence[str] = (),
     doc_id_col: str = "doc_id",
     text_col: str = "text",
+    min_should: int = 1,
 ) -> DataFrame:
     """Admissible doc ids (one-column ``id`` frame) for the boolean
     constraint over the corpus text — the ad-hoc / oracle form.  Feed
     the result to ``bm25_scores(filter_ids=)``, the posting store's
-    ``search(filter_ids=)``, or snippets' ``hits=`` composition."""
+    ``search(filter_ids=)``, or snippets' ``hits=`` composition.
+    ``min_should``: ES ``minimum_should_match`` over ``any_of``."""
     all_of, any_of, none_of = _norm(all_of), _norm(any_of), _norm(none_of)
     vocab = sorted({*all_of, *any_of, *none_of})
     pairs = (
@@ -113,7 +131,7 @@ def boolean_matching_ids(
         else None
     )
     universe = docs.select(F.col(doc_id_col).alias("id"))
-    return _combine(pairs, universe, all_of, any_of, none_of)
+    return _combine(pairs, universe, all_of, any_of, none_of, min_should)
 
 
 def boolean_matching_ids_index(
@@ -123,12 +141,14 @@ def boolean_matching_ids_index(
     all_of: Sequence[str] = (),
     any_of: Sequence[str] = (),
     none_of: Sequence[str] = (),
+    min_should: int = 1,
 ) -> DataFrame:
     """The index-served form over a persisted posting index
     (``sources/posting_index.py`` layout): reads ONLY the constraint
     terms' posting rows via ``term IN`` pushdown.  Requires a positive
     clause (see module docstring).  Identical ids to the from-scratch
-    form over the same corpus (tested)."""
+    form over the same corpus (tested).  ``min_should``: ES
+    ``minimum_should_match`` over ``any_of``."""
     all_of, any_of, none_of = _norm(all_of), _norm(any_of), _norm(none_of)
     if not (all_of or any_of):
         raise ValueError(
@@ -141,4 +161,4 @@ def boolean_matching_ids_index(
         .select("id", "term")
         .distinct()
     )
-    return _combine(pairs, None, all_of, any_of, none_of)
+    return _combine(pairs, None, all_of, any_of, none_of, min_should)

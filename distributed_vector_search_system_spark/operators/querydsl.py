@@ -12,14 +12,17 @@ query (the ES request shape); the result is the repo's ranked page
 Supported nodes::
 
     {"match":     {"terms": [...]}}                      # BM25
+    {"multi_match": {"terms": [...],                     # several text
+                   "fields": ["title^2", "text"],        # fields, each
+                   "type": "best_fields"}}               # own stats
     {"match_phrase": {"terms": [...], "slop": 0}}        # phrase
                                                          # (slop>0 = sloppy)
     {"bool":      {"must": [...], "should": [...],
                    "must_not": [...],                    # admissibility
-                   "filter": [{"range": {f: {"gte": v}}},# + BM25 rank;
-                              {"term": {f: v}},          # filter = un-
-                              {"exists": {"field": f}}]}}# scored meta
-                                                         # predicates
+                   "minimum_should_match": 1,            # + BM25 rank;
+                   "filter": [{"range": {f: {"gte": v}}},# filter = un-
+                              {"term": {f: v}},          # scored meta
+                              {"exists": {"field": f}}]}}# predicates
     {"fuzzy":     {"terms": [...], "max_edits": 1,
                    "max_expansions": 10}}
     {"wildcard":  {"patterns": ["ta*", "t?ble"]}}
@@ -60,7 +63,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_LEAVES = ("match", "match_phrase", "bool", "fuzzy", "wildcard", "prefix")
+_LEAVES = (
+    "match", "match_phrase", "bool", "fuzzy", "wildcard", "prefix",
+    "multi_match",
+)
 _NODES = _LEAVES + ("function_score", "boosting")
 
 
@@ -156,6 +162,7 @@ def _match_ids(docs, node, *, doc_id_col, text_col) -> DataFrame:
             any_of=body.get("should", ()),
             none_of=body.get("must_not", ()),
             doc_id_col=doc_id_col, text_col=text_col,
+            min_should=int(body.get("minimum_should_match", 1)),
         )
     raise ValueError(
         f"{kind!r} cannot be used in a match-set context (negative "
@@ -224,6 +231,46 @@ def search_dsl(
         return _score_ranked(
             scored.withColumn("score", F.round("score", 6)), k, "score"
         )
+
+    if kind == "multi_match":
+        # ES multi_match (round 12): the same terms scored against
+        # SEVERAL text fields, each with its OWN corpus statistics
+        # (the multi_index_topk subtlety — a field's idf/avgdl come
+        # from that field's token stream) and an optional ^boost.
+        # best_fields (the ES default) takes the best single field's
+        # score per doc; most_fields sums the fields' scores — both
+        # one UNION of per-field legs + one hash aggregate.
+        from .retrieval import _score_ranked, bm25_scores
+
+        mtype = body.get("type", "best_fields")
+        if mtype not in ("best_fields", "most_fields"):
+            raise ValueError(
+                f"multi_match type must be best_fields|most_fields; "
+                f"got {mtype!r}"
+            )
+        fields = body.get("fields") or ()
+        if not fields:
+            raise ValueError("multi_match requires a non-empty fields list")
+        q = _one_query(spark, body["terms"])
+        legs = []
+        for spec in fields:
+            name, _, boost = str(spec).partition("^")
+            w = float(boost) if boost else 1.0
+            legs.append(
+                bm25_scores(
+                    docs, q, doc_id_col=doc_id_col, text_col=name
+                ).select(
+                    "query_id", "id", (F.col("score") * w).alias("_c")
+                )
+            )
+        allc = legs[0]
+        for leg in legs[1:]:
+            allc = allc.unionByName(leg)
+        combine = F.max("_c") if mtype == "best_fields" else F.sum("_c")
+        scored = allc.groupBy("query_id", "id").agg(
+            F.round(combine, 6).alias("score")
+        )
+        return _score_ranked(scored, k, "score")
 
     if kind == "fuzzy":
         from .fuzzy import bm25_fuzzy_topk

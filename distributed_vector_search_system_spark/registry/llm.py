@@ -6807,3 +6807,141 @@ for _name in (
     EXTRA_QUERIES[_name] = QUERIES.pop(_name)
     EXTRA_ORACLES[_name] = ORACLES.pop(_name)
 del _name
+
+
+# ---------------------------------------------------------------------------
+# round 12 (post-close): minimum_should_match (operators/boolean.
+# _combine min_should) — ES's "at least N of these" contract: the
+# should clause becomes a >= N distinct-matched-terms aggregate (the
+# all_of machinery generalized), unsatisfiable N returns nothing,
+# ranking unchanged (BM25 over the positive terms restricted to the
+# stricter set — corpus-level statistics as always).
+
+_MSM_TERMS = ("vector", "stream", "hash")
+
+
+def q_dsl_min_should_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.querydsl import search_dsl
+
+    docs = load_table(spark, sf_dir, "documents")
+    return search_dsl(
+        docs,
+        {"bool": {"should": list(_MSM_TERMS), "minimum_should_match": 2}},
+        _DSL_K,
+    )
+
+
+def _dsl_min_should_oracle() -> str:
+    from ..operators.retrieval import BM25_B, BM25_K1
+
+    terms_sql = ", ".join(f"'{t}'" for t in sorted(_MSM_TERMS))
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+adm AS (SELECT id FROM (
+          SELECT doc_id AS id, COUNT(DISTINCT term) AS ns
+          FROM (SELECT doc_id, UNNEST(list_distinct(w)) AS term FROM toks)
+          WHERE term IN ({terms_sql})
+          GROUP BY 1)
+        WHERE ns >= 2),
+dl AS (SELECT doc_id AS id, len(w) AS dl FROM toks),
+vx AS (SELECT doc_id AS id, UNNEST(w) AS term FROM toks),
+tfc AS (SELECT id, term, COUNT(*) AS tf FROM vx
+        WHERE term IN ({terms_sql}) GROUP BY 1, 2),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+dfq AS (SELECT term, COUNT(DISTINCT id) AS df FROM tfc GROUP BY 1),
+ds_scored AS (
+  SELECT CAST(0 AS BIGINT) AS query_id, tfc.id,
+         SUM(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (tfc.tf * ({BM25_K1} + 1.0))
+             / (tfc.tf + {BM25_K1} * (1.0 - {BM25_B}
+                + {BM25_B} * CAST(dl.dl AS DOUBLE) / s.avgdl))) AS score
+  FROM tfc
+  JOIN dfq d ON d.term = tfc.term
+  JOIN dl ON dl.id = tfc.id
+  CROSS JOIN stats s
+  WHERE tfc.id IN (SELECT id FROM adm)
+  GROUP BY 1, 2),
+ds_ranked AS (
+  SELECT query_id, id, score6,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score6 DESC, id) AS INT) AS drk
+  FROM (SELECT query_id, id, ROUND(score, 6) AS score6 FROM ds_scored))
+SELECT query_id, id, score6 AS score, drk AS rank
+FROM ds_ranked WHERE drk <= {_DSL_K}
+"""
+
+
+EXTRA_QUERIES["dsl_min_should_topk"] = q_dsl_min_should_topk
+EXTRA_ORACLES["dsl_min_should_topk"] = _dsl_min_should_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 12 (post-close): multi_match (querydsl) — the same terms
+# scored against several text fields, each with its OWN corpus
+# statistics and a ^boost; best_fields takes the best single field
+# per doc.  The fixture has one text column, so the row synthesizes
+# the classic second field — a title (the doc's first five tokens) —
+# exactly reproducible in SQL via list_slice.
+
+_MM_TERMS = ("spark", "table")
+_MM_TITLE_N = 5
+
+
+def q_dsl_multi_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens as _tokens
+    from ..operators.querydsl import search_dsl
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "title", F.array_join(F.slice(_tokens("text"), 1, _MM_TITLE_N), " ")
+    )
+    return search_dsl(
+        docs,
+        {"multi_match": {"terms": list(_MM_TERMS),
+                         "fields": ["title^2", "text"],
+                         "type": "best_fields"}},
+        _DSL_K,
+    )
+
+
+def _dsl_multi_match_oracle() -> str:
+    from ..operators.retrieval import BM25_B, BM25_K1
+
+    terms_sql = ", ".join(f"'{t}'" for t in sorted(_MM_TERMS))
+
+    def leg(ctes_prefix: str, wexpr: str, weight: float) -> str:
+        p = ctes_prefix
+        return f"""
+{p}tk AS (SELECT doc_id, {wexpr} AS w FROM toks),
+{p}dl AS (SELECT doc_id AS id, len(w) AS dl FROM {p}tk),
+{p}vx AS (SELECT doc_id AS id, UNNEST(w) AS term FROM {p}tk),
+{p}tf AS (SELECT id, term, COUNT(*) AS tf FROM {p}vx
+          WHERE term IN ({terms_sql}) GROUP BY 1, 2),
+{p}st AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl
+          FROM {p}dl),
+{p}df AS (SELECT term, COUNT(DISTINCT id) AS df FROM {p}tf GROUP BY 1),
+{p}sc AS (
+  SELECT t.id,
+         {weight} * SUM(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (t.tf * ({BM25_K1} + 1.0))
+             / (t.tf + {BM25_K1} * (1.0 - {BM25_B}
+                + {BM25_B} * CAST(l.dl AS DOUBLE) / s.avgdl))) AS c
+  FROM {p}tf t
+  JOIN {p}df d ON d.term = t.term
+  JOIN {p}dl l ON l.id = t.id
+  CROSS JOIN {p}st s
+  GROUP BY 1)"""
+
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+{leg("t_", f"list_slice(w, 1, {_MM_TITLE_N})", 2.0)},
+{leg("b_", "w", 1.0)},
+allc AS (SELECT id, c FROM t_sc UNION ALL SELECT id, c FROM b_sc),
+comb AS (SELECT id, ROUND(MAX(c), 6) AS score FROM allc GROUP BY 1)
+SELECT CAST(0 AS BIGINT) AS query_id, id, score, CAST(rnk AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rnk FROM comb)
+WHERE rnk <= {_DSL_K}
+"""
+
+
+EXTRA_QUERIES["dsl_multi_match_topk"] = q_dsl_multi_match_topk
+EXTRA_ORACLES["dsl_multi_match_topk"] = _dsl_multi_match_oracle()

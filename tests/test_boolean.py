@@ -103,3 +103,71 @@ def test_composes_with_bm25_filter_ids(spark):
     adm = boolean_matching_ids(docs, none_of=["cherry"])
     out = bm25_topk(docs, q, 10, filter_ids=adm)
     assert sorted(r["id"] for r in out.collect()) == [2, 3]
+
+
+# -- minimum_should_match (round 12) -----------------------------------------
+
+
+def test_min_should_counts_distinct_terms(spark):
+    from distributed_vector_search_system_spark.operators.boolean import (
+        boolean_matching_ids,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta"),
+            (3, "alpha alpha alpha"),   # duplicates count once
+            (4, "gamma"),
+            (5, "delta"),
+        ],
+        "doc_id long, text string",
+    )
+    terms = ["alpha", "beta", "gamma"]
+
+    def ids(n):
+        return {
+            r["id"]
+            for r in boolean_matching_ids(
+                docs, any_of=terms, min_should=n
+            ).collect()
+        }
+
+    assert ids(1) == {1, 2, 3, 4}
+    assert ids(2) == {1, 2}
+    assert ids(3) == {1}
+    assert ids(4) == set()              # unsatisfiable, the ES contract
+    import pytest
+
+    with pytest.raises(ValueError, match="min_should"):
+        boolean_matching_ids(docs, any_of=terms, min_should=0)
+
+
+def test_min_should_index_equals_scratch(spark, tmp_path):
+    from distributed_vector_search_system_spark.operators.boolean import (
+        boolean_matching_ids,
+        boolean_matching_ids_index,
+    )
+    from distributed_vector_search_system_spark.sources.posting_index import (
+        write_posting_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta"), (3, "beta gamma"),
+         (4, "alpha"), (5, "delta gamma")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "pidx")
+    write_posting_index(docs, path)
+    terms = ["alpha", "beta", "gamma"]
+    scratch = {
+        r["id"]
+        for r in boolean_matching_ids(docs, any_of=terms, min_should=2).collect()
+    }
+    served = {
+        r["id"]
+        for r in boolean_matching_ids_index(
+            spark, path, any_of=terms, min_should=2
+        ).collect()
+    }
+    assert scratch == served == {1, 2, 3}

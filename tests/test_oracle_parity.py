@@ -170,8 +170,17 @@ def test_registry_row_counts():
 # dsl_bool_filter_topk); six long-green rows demoted with identical
 # oracles (bm25_mlt_topk, bm25_prf_topk, bm25_sig_terms, doc_facets,
 # events_top_hits, sparse_rescore_topk) — counts unchanged.
-EXPECTED_EXTRA = 136
-EXPECTED_EXTRA_ORACLED = 135
+# r12 (post-close): + dsl_min_should_topk (ES minimum_should_match:
+# should requires >= N distinct matched terms — the all_of aggregate
+# generalized; unsatisfiable N returns nothing; scores untouched;
+# scratch == indexed boolean form tested) — exact-oracled
+# r12 (post-close): + dsl_multi_match_topk (ES multi_match: the same
+# terms scored against several text fields, each with its OWN corpus
+# statistics and a ^boost; best_fields/most_fields combine as one
+# union + hash aggregate; title field synthesized via list_slice) —
+# exact-oracled
+EXPECTED_EXTRA = 138
+EXPECTED_EXTRA_ORACLED = 137
 
 
 def test_driver_window_holds_all_llm_queries():

@@ -987,3 +987,96 @@ def test_bool_filter_validation(spark, docs):
                       "filter": [{"range": {"pop": {"eq": 5}}}]}},
             5,
         )
+
+
+def test_bool_minimum_should_match(spark, docs):
+    """ES minimum_should_match: should requires >= N distinct matched
+    terms; ranking unchanged (BM25 over all positive terms, restricted
+    to the stricter admissible set)."""
+    got1 = {
+        r["id"]
+        for r in search_dsl(
+            docs, {"bool": {"should": ["spark", "table", "filter"]}}, 5
+        ).collect()
+    }
+    assert got1 == {1, 2, 3, 4, 5}
+    got2 = search_dsl(
+        docs,
+        {"bool": {"should": ["spark", "table", "filter"],
+                  "minimum_should_match": 2}},
+        5,
+    )
+    assert {r["id"] for r in got2.collect()} == {1, 3, 4}
+    plain = {
+        r["id"]: r["score"]
+        for r in search_dsl(
+            docs, {"bool": {"should": ["spark", "table", "filter"]}}, 5
+        ).collect()
+    }
+    for r in got2.collect():
+        assert r["score"] == plain[r["id"]]     # scores untouched
+
+
+# -- multi_match (round 12, post-close) --------------------------------------
+
+
+def test_multi_match_per_field_stats_and_boost(spark):
+    from distributed_vector_search_system_spark.operators.retrieval import (
+        bm25_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark guide", "spark table merge words here"),
+            (2, "other title", "spark spark join"),
+            (3, "spark spark", "filter only words"),
+        ],
+        "doc_id long, title string, text string",
+    )
+    q = _q(spark, ["spark"])
+    t_leg = {
+        r["id"]: r["score"]
+        for r in bm25_scores(docs, q, text_col="title").collect()
+    }
+    b_leg = {
+        r["id"]: r["score"]
+        for r in bm25_scores(docs, q, text_col="text").collect()
+    }
+    best = search_dsl(
+        docs,
+        {"multi_match": {"terms": ["spark"],
+                         "fields": ["title^2", "text"]}},
+        5,
+    )
+    got = {r["id"]: r["score"] for r in best.collect()}
+    import pytest as _pt
+
+    for did in (1, 2, 3):
+        want = max(
+            2.0 * t_leg.get(did, float("-inf")),
+            b_leg.get(did, float("-inf")),
+        )
+        assert got[did] == _pt.approx(want, abs=2e-6), did
+    most = search_dsl(
+        docs,
+        {"multi_match": {"terms": ["spark"],
+                         "fields": ["title^2", "text"],
+                         "type": "most_fields"}},
+        5,
+    )
+    got_m = {r["id"]: r["score"] for r in most.collect()}
+    for did in (1, 2, 3):
+        want = 2.0 * t_leg.get(did, 0.0) + b_leg.get(did, 0.0)
+        assert got_m[did] == _pt.approx(want, abs=2e-6), did
+
+
+def test_multi_match_validation(spark, docs):
+    with pytest.raises(ValueError, match="fields"):
+        search_dsl(docs, {"multi_match": {"terms": ["a"], "fields": []}}, 3)
+    with pytest.raises(ValueError, match="best_fields"):
+        search_dsl(
+            docs,
+            {"multi_match": {"terms": ["a"], "fields": ["text"],
+                             "type": "cross_fields"}},
+            3,
+        )
