@@ -36,6 +36,8 @@ Supported nodes::
                    "boost_mode": "multiply" | "sum"}}
     {"boosting":  {"positive": <node>, "negative": <node>,
                    "negative_boost": 0.5}}
+    {"constant_score": {"filter": <match | bool node>,
+                   "boost": 1.0}}                        # unscored set
 
 ``bool`` semantics follow the repo's boolean layer (ES filter-context
 equivalents): ``must`` = every term present, ``should`` = at least one
@@ -67,7 +69,7 @@ _LEAVES = (
     "match", "match_phrase", "bool", "fuzzy", "wildcard", "prefix",
     "multi_match",
 )
-_NODES = _LEAVES + ("function_score", "boosting")
+_NODES = _LEAVES + ("function_score", "boosting", "constant_score")
 
 
 def _node_type(node: dict) -> str:
@@ -298,6 +300,25 @@ def search_dsl(
             max_expansions=body.get("max_expansions", 10),
             doc_id_col=doc_id_col, text_col=text_col,
         )
+
+    if kind == "constant_score":
+        # ES constant_score (round 12): every doc the inner filter
+        # admits scores exactly `boost` — filter-context matching with
+        # relevance switched off (cache-friendly in ES; here it simply
+        # skips the scoring chain entirely).  Ties resolve on id, so
+        # the page is the admissible set's first k ids.
+        from .retrieval import _score_ranked
+
+        boost = float(body.get("boost", 1.0))
+        ids = _match_ids(
+            docs, body["filter"], doc_id_col=doc_id_col, text_col=text_col
+        )
+        scored = ids.select(
+            F.lit(0).cast("long").alias("query_id"),
+            "id",
+            F.round(F.lit(boost), 6).alias("score"),
+        )
+        return _score_ranked(scored, k, "score")
 
     if kind == "function_score":
         from .scoring import (

@@ -6945,3 +6945,41 @@ WHERE rnk <= {_DSL_K}
 
 EXTRA_QUERIES["dsl_multi_match_topk"] = q_dsl_multi_match_topk
 EXTRA_ORACLES["dsl_multi_match_topk"] = _dsl_multi_match_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 12 (post-close): constant_score (querydsl) — filter-context
+# matching with relevance off: every admitted doc scores exactly
+# `boost`, ties resolve on id, so the page is the admissible set's
+# first k ids.
+
+
+def q_dsl_constant_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.querydsl import search_dsl
+
+    docs = load_table(spark, sf_dir, "documents")
+    return search_dsl(
+        docs,
+        {"constant_score": {
+            "filter": {"bool": {"must": [_DSL_MUST], "must_not": [_DSL_NOT]}},
+            "boost": 1.5,
+        }},
+        _DSL_K,
+    )
+
+
+def _dsl_constant_score_oracle() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+adm AS (SELECT doc_id AS id FROM toks
+        WHERE list_contains(w, '{_DSL_MUST}')
+          AND NOT list_contains(w, '{_DSL_NOT}'))
+SELECT CAST(0 AS BIGINT) AS query_id, id, CAST(1.5 AS DOUBLE) AS score,
+       CAST(rnk AS INT) AS rank
+FROM (SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS rnk FROM adm)
+WHERE rnk <= {_DSL_K}
+"""
+
+
+EXTRA_QUERIES["dsl_constant_score"] = q_dsl_constant_score
+EXTRA_ORACLES["dsl_constant_score"] = _dsl_constant_score_oracle()

@@ -179,8 +179,11 @@ def test_registry_row_counts():
 # statistics and a ^boost; best_fields/most_fields combine as one
 # union + hash aggregate; title field synthesized via list_slice) —
 # exact-oracled
-EXPECTED_EXTRA = 138
-EXPECTED_EXTRA_ORACLED = 137
+# r12 (post-close): + dsl_constant_score (ES constant_score:
+# filter-context matching with relevance off — every admitted doc
+# scores exactly boost, page = first k admissible ids) — exact-oracled
+EXPECTED_EXTRA = 139
+EXPECTED_EXTRA_ORACLED = 138
 
 
 def test_driver_window_holds_all_llm_queries():

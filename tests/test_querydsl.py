@@ -1080,3 +1080,23 @@ def test_multi_match_validation(spark, docs):
                              "type": "cross_fields"}},
             3,
         )
+
+
+def test_constant_score_node(spark, docs):
+    got = search_dsl(
+        docs,
+        {"constant_score": {
+            "filter": {"bool": {"must": ["spark"], "must_not": ["join"]}},
+            "boost": 1.5,
+        }},
+        5,
+    )
+    rows = sorted(got.collect(), key=lambda r: r["rank"])
+    assert [r["id"] for r in rows] == [1, 4]        # id order (tie on score)
+    assert all(r["score"] == 1.5 for r in rows)
+    with pytest.raises(ValueError, match="match-set"):
+        search_dsl(
+            docs,
+            {"constant_score": {"filter": {"fuzzy": {"terms": ["a"]}}}},
+            5,
+        )
