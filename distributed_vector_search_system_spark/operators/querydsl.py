@@ -565,6 +565,12 @@ def _knn_fused(
     superset of ES's collect-top-per-shard).  A doc in only one leg
     contributes only that leg's score, the ES sum contract.
 
+    ``vectors`` may instead be a PRE-SCORED ``(id, distance)`` frame
+    (detected by a ``distance`` column) — any ANN tier's output (the
+    partition-pruned IVF index, PQ/ADC, Matryoshka) plugs in as the
+    leg, which is the 100 TB serving shape; exactness is then that
+    tier's own measured-recall contract.
+
     Scale: the knn leg is k-bounded; the fusion is a UNION of the two
     legs' ``(id, contribution)`` rows + one hash aggregate (map-side
     combine; no full-outer join shuffle), then the standard top-k cut.
@@ -574,15 +580,26 @@ def _knn_fused(
     from ..functions.distance import rank_key, squared_l2
     from .retrieval import _score_ranked
 
-    vec = [float(x) for x in knn["query_vector"]]
     k_knn = int(knn.get("k", k))
     boost = float(knn.get("boost", 1.0))
-    qv = F.array(*[F.lit(x) for x in vec])
-    scored_v = vectors.select(
-        F.lit(0).cast("long").alias("query_id"),
-        F.col(vector_id_col).alias("id"),
-        squared_l2(F.col(vector_col), qv).alias("_d"),
-    )
+    if isinstance(vectors, DataFrame) and "distance" in vectors.columns:
+        # pre-scored ANN leg (the 100 TB path): ANY vector tier's
+        # ``(id, distance)`` output — the partition-pruned IVF index,
+        # PQ/ADC, Matryoshka — plugs in; exactness is then that
+        # tier's own measured-recall contract
+        scored_v = vectors.select(
+            F.lit(0).cast("long").alias("query_id"),
+            "id",
+            F.col("distance").cast("double").alias("_d"),
+        )
+    else:
+        vec = [float(x) for x in knn["query_vector"]]
+        qv = F.array(*[F.lit(x) for x in vec])
+        scored_v = vectors.select(
+            F.lit(0).cast("long").alias("query_id"),
+            F.col(vector_id_col).alias("id"),
+            squared_l2(F.col(vector_col), qv).alias("_d"),
+        )
     w = Window.partitionBy("query_id").orderBy(
         rank_key(F.col("_d")).asc(), F.col("id").asc()
     )

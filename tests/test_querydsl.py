@@ -1100,3 +1100,31 @@ def test_constant_score_node(spark, docs):
             {"constant_score": {"filter": {"fuzzy": {"terms": ["a"]}}}},
             5,
         )
+
+
+def test_knn_fusion_prescored_leg(spark, docs, vectors):
+    """A pre-scored (id, distance) frame — any ANN tier's output —
+    plugs in as the knn leg; with exact distances the fusion equals
+    the from-scratch form."""
+    from distributed_vector_search_system_spark.functions.distance import (
+        squared_l2,
+    )
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    req = {
+        "query": {"match": {"terms": ["spark"]}},
+        "size": 5,
+        "knn": {"query_vector": [1.0, 1.0], "k": 2, "boost": 2.0},
+    }
+    exact = search_request(docs, req, vectors=vectors)["hits"]
+    qv = F.array(F.lit(1.0), F.lit(1.0))
+    pre = vectors.select(
+        F.col("vec_id").alias("id"),
+        squared_l2(F.col("embedding"), qv).alias("distance"),
+    )
+    served = search_request(docs, req, vectors=pre)["hits"]
+    assert sorted(map(tuple, exact.collect())) == sorted(
+        map(tuple, served.collect())
+    )
