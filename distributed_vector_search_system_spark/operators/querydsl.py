@@ -648,6 +648,8 @@ def search_request(
         {"query":       <query node>,            # required
          "size":        10,                      # hit-page size
          "from":        0,                       # offset pagination
+         "fields":      ["source", "lang"],      # doc values on hits
+         "track_total_hits": true,               # exact match count
          "highlight":   {"window": 8},           # per-hit snippets
          "aggs":        {name: <agg node>, ...}, # over the MATCH SET
          "post_filter": <match | bool node>,     # hits only, not aggs
@@ -694,7 +696,8 @@ def search_request(
         raise ValueError("a search request requires a 'query' node")
     unknown = set(request) - {
         "query", "size", "aggs", "post_filter", "sort", "rescore",
-        "search_after", "knn", "from", "highlight",
+        "search_after", "knn", "from", "highlight", "fields",
+        "track_total_hits",
     }
     if unknown:
         raise ValueError(f"unknown request keys {sorted(unknown)}")
@@ -743,7 +746,11 @@ def search_request(
     # pass cuts it back to the page size
     page_k = max(k, int(rescore.get("window_size", k))) if rescore else k
 
-    needs_set = bool(aggs) or post_filter is not None or sort is not None
+    track_total = bool(request.get("track_total_hits"))
+    needs_set = (
+        bool(aggs) or post_filter is not None or sort is not None
+        or track_total
+    )
     if needs_set and _node_type(query) not in _MATCH_SET_KINDS:
         raise ValueError(
             "aggs / post_filter / sort require a match-set query node "
@@ -872,7 +879,27 @@ def search_request(
     if frm:
         hits = hits.filter(F.col("rank") > frm)
 
+    fields_req = request.get("fields")
+    if fields_req:
+        # doc-value fields on the page: hit ids (k-bounded) broadcast-
+        # semi-restrict the pruned attribute scan, then the surviving
+        # rows broadcast into a preserving left join — the collapse /
+        # function_score discipline; nothing corpus-sized shuffles
+        attrs = docs.select(
+            F.col(doc_id_col).alias("id"), *[str(c) for c in fields_req]
+        )
+        page_ids = hits.select("id").distinct()
+        attrs_sub = attrs.join(F.broadcast(page_ids), "id", "left_semi")
+        hits = hits.join(F.broadcast(attrs_sub), "id", "left")
+
     out = {"hits": hits, "aggregations": aggregations}
+
+    if track_total:
+        # ES track_total_hits: the EXACT size of the full match set,
+        # independent of the page — one count over the admissible ids
+        out["total_hits"] = match_ids.agg(
+            F.count("*").alias("total_hits")
+        )
 
     highlight = request.get("highlight")
     if highlight is not None:

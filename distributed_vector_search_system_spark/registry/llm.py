@@ -6983,3 +6983,120 @@ WHERE rnk <= {_DSL_K}
 
 EXTRA_QUERIES["dsl_constant_score"] = q_dsl_constant_score
 EXTRA_ORACLES["dsl_constant_score"] = _dsl_constant_score_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 12 (post-close): INDEXED analyzed retrieval — the index-time
+# analysis chain actually hitting a persisted index: the posting index
+# is WRITTEN over the stop+stem-analyzed text (that is what
+# "index-time" means operationally), pluralized queries are analyzed
+# query-side, and the unmodified indexed BM25 serves.  By the index's
+# exactness contract the results equal the from-scratch analyzed row,
+# so the row SHARES bm25_stemmed_topk's oracle verbatim (the
+# bm25_index_topk / phrase_index_topk precedent).
+
+_STEM_IDX_STATE: dict[str, str] = {}
+
+
+def _stemmed_posting_index(spark: SparkSession, sf_dir: str) -> str:
+    import os as _os
+    import tempfile
+
+    from ..functions.analysis import STOPWORDS_EN, analyze_text
+    from ..sources.posting_index import write_posting_index
+
+    path = _STEM_IDX_STATE.get(sf_dir)
+    if path is None:
+        name = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+        path = _os.path.join(
+            tempfile.gettempdir(), f"dvss_spark_stemidx_{_os.getpid()}", name
+        )
+        analyzed = load_table(spark, sf_dir, "documents").withColumn(
+            "text", analyze_text("text", stopwords=STOPWORDS_EN, stem=True)
+        )
+        write_posting_index(analyzed, path)
+        _STEM_IDX_STATE[sf_dir] = path
+    return path
+
+
+def q_bm25_stemmed_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.analysis import s_stem
+    from ..functions.text import tokens as _tokens
+    from ..sources.posting_index import bm25_search_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.filter(F.expr(_STEM_QPRED)).select(
+        F.col("doc_id").alias("query_id"),
+        F.transform(
+            F.array_distinct(F.slice(_tokens("text"), 1, 3)),
+            lambda t: s_stem(F.concat(t, F.lit("s"))),
+        ).alias("qterms"),
+    )
+    return bm25_search_index(
+        spark, _stemmed_posting_index(spark, sf_dir), q, _HYBRID_K
+    )
+
+
+EXTRA_QUERIES["bm25_stemmed_index_topk"] = q_bm25_stemmed_index_topk
+EXTRA_ORACLES["bm25_stemmed_index_topk"] = _bm25_stemmed_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 12 (post-close): doc-value fields + offset pagination on the
+# request path — hits carry requested metadata columns (hit ids
+# broadcast-semi-restrict the pruned attribute scan, the collapse
+# discipline) and `from` slices the global ranking (ranks 6..15 here).
+
+
+def q_dsl_fields_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.querydsl import search_request
+
+    docs = load_table(spark, sf_dir, "documents")
+    return search_request(
+        docs,
+        {"query": {"bool": {"must": [_DSL_MUST], "must_not": [_DSL_NOT]}},
+         "size": _DSL_K, "from": 5,
+         "fields": ["source", "n_chars"]},
+    )["hits"]
+
+
+def _dsl_fields_page_oracle() -> str:
+    from ..operators.retrieval import BM25_B, BM25_K1
+
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+adm AS (SELECT doc_id AS id FROM toks
+        WHERE list_contains(w, '{_DSL_MUST}')
+          AND NOT list_contains(w, '{_DSL_NOT}')),
+dl AS (SELECT doc_id AS id, len(w) AS dl FROM toks),
+vx AS (SELECT doc_id AS id, UNNEST(w) AS term FROM toks),
+tfc AS (SELECT id, term, COUNT(*) AS tf FROM vx
+        WHERE term = '{_DSL_MUST}' GROUP BY 1, 2),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+dfq AS (SELECT term, COUNT(DISTINCT id) AS df FROM tfc GROUP BY 1),
+ds_scored AS (
+  SELECT CAST(0 AS BIGINT) AS query_id, tfc.id,
+         SUM(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (tfc.tf * ({BM25_K1} + 1.0))
+             / (tfc.tf + {BM25_K1} * (1.0 - {BM25_B}
+                + {BM25_B} * CAST(dl.dl AS DOUBLE) / s.avgdl))) AS score
+  FROM tfc
+  JOIN dfq d ON d.term = tfc.term
+  JOIN dl ON dl.id = tfc.id
+  CROSS JOIN stats s
+  WHERE tfc.id IN (SELECT id FROM adm)
+  GROUP BY 1, 2),
+ds_ranked AS (
+  SELECT query_id, id, score6,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score6 DESC, id) AS INT) AS drk
+  FROM (SELECT query_id, id, ROUND(score, 6) AS score6 FROM ds_scored))
+SELECT r.query_id, r.id, r.score6 AS score, r.drk AS rank,
+       d.source, d.n_chars
+FROM ds_ranked r JOIN documents d ON d.doc_id = r.id
+WHERE r.drk > 5 AND r.drk <= {5 + _DSL_K}
+"""
+
+
+EXTRA_QUERIES["dsl_fields_page"] = q_dsl_fields_page
+EXTRA_ORACLES["dsl_fields_page"] = _dsl_fields_page_oracle()

@@ -182,8 +182,15 @@ def test_registry_row_counts():
 # r12 (post-close): + dsl_constant_score (ES constant_score:
 # filter-context matching with relevance off — every admitted doc
 # scores exactly boost, page = first k admissible ids) — exact-oracled
-EXPECTED_EXTRA = 139
-EXPECTED_EXTRA_ORACLED = 138
+# r12 (post-close): + bm25_stemmed_index_topk (the index-time analysis
+# chain actually hitting a persisted posting index written over the
+# analyzed text — shares bm25_stemmed_topk's oracle verbatim by the
+# index's exactness contract) and dsl_fields_page (doc-value fields on
+# the page + from-offset slicing: hit ids broadcast-semi-restrict the
+# pruned attribute scan; the request also gained track_total_hits) —
+# both exact-oracled
+EXPECTED_EXTRA = 141
+EXPECTED_EXTRA_ORACLED = 140
 
 
 def test_driver_window_holds_all_llm_queries():

@@ -1128,3 +1128,45 @@ def test_knn_fusion_prescored_leg(spark, docs, vectors):
     assert sorted(map(tuple, exact.collect())) == sorted(
         map(tuple, served.collect())
     )
+
+
+def test_fields_and_total_hits(spark, docs):
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    out = search_request(
+        docs,
+        {"query": {"match": {"terms": ["spark"]}},
+         "size": 2, "fields": ["pop"],
+         "track_total_hits": True},
+    )
+    rows = out["hits"].collect()
+    assert len(rows) == 2
+    got_fields = {(r["id"], r["pop"]) for r in rows}
+    assert got_fields <= {(1, 100), (2, 400), (4, 250)}
+    # the total counts the FULL match set, not the page
+    assert out["total_hits"].collect()[0]["total_hits"] == 3
+    plan = out["hits"]._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_fields_compose_with_sort_and_knn(spark, docs, vectors):
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    srt = search_request(
+        docs,
+        {"query": {"match": {"terms": ["spark"]}},
+         "sort": [{"pop": "desc"}], "size": 2, "fields": ["text"]},
+    )["hits"].collect()
+    assert all(r["text"] for r in srt)
+    hyb = search_request(
+        docs,
+        {"query": {"match": {"terms": ["spark"]}},
+         "knn": {"query_vector": [1.0, 1.0], "k": 1},
+         "size": 3, "fields": ["pop"]},
+        vectors=vectors,
+    )["hits"].collect()
+    assert all(r["pop"] is not None for r in hyb)
