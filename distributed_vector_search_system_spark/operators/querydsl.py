@@ -403,8 +403,10 @@ _AGG_KINDS = (
     "histogram",
     "date_histogram",
     "extended_stats",
+    "stats",
     "percentiles",
     "cardinality",
+    "significant_terms",
 )
 
 #: query node types that define a MATCH SET (aggs / post_filter /
@@ -447,7 +449,15 @@ def _sub_agg_expr(name: str, spec: dict):
     )
 
 
-def _one_agg(restricted: DataFrame, spec: dict) -> DataFrame:
+def _one_agg(
+    restricted: DataFrame,
+    spec: dict,
+    *,
+    docs: DataFrame = None,
+    match_ids: DataFrame = None,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
     """Translate one agg node over the (already match-set-restricted)
     docs frame.  Each kind delegates to the operator that carries its
     oracle; output schemas are the operators' own.
@@ -455,7 +465,10 @@ def _one_agg(restricted: DataFrame, spec: dict) -> DataFrame:
     Bucket kinds (terms / histogram / date_histogram) accept an ES
     nested ``"aggs"`` body of metric sub-aggregations
     (:data:`_SUB_AGG_KINDS`) — one output column per sub-agg, computed
-    in the bucket's single hash aggregate."""
+    in the bucket's single hash aggregate.  ``significant_terms``
+    additionally sees the UNrestricted ``docs`` (its background
+    statistics are corpus-level — the JLH contract) plus the match-id
+    frame as the foreground."""
     if not isinstance(spec, dict):
         raise ValueError(
             f"an agg node is a single-key dict from {_AGG_KINDS}; got {spec!r}"
@@ -519,6 +532,25 @@ def _one_agg(restricted: DataFrame, spec: dict) -> DataFrame:
         from .aggregations import cardinality
 
         return cardinality(restricted, body["field"])
+    if kind == "stats":
+        # the non-extended ES form: count / min / max / avg / sum
+        from .aggregations import extended_stats
+
+        return extended_stats(restricted, body["field"]).select(
+            "n", "min_v", "max_v", "avg_v", "sum_v"
+        )
+    if kind == "significant_terms":
+        # "what is this result set ABOUT": foreground = the match set,
+        # background = the WHOLE corpus (JLH needs the unrestricted
+        # frame — restricting it would make every term look ordinary)
+        from .facets import significant_terms
+
+        hits = match_ids.select(_zero_qid(), "id")
+        return significant_terms(
+            hits, docs, int(body.get("top_n", body.get("size", 10))),
+            min_fg_df=int(body.get("min_fg_df", 2)),
+            doc_id_col=doc_id_col, text_col=text_col,
+        )
     raise ValueError(f"unknown agg node type {kind!r} (know {_AGG_KINDS})")
 
 
@@ -772,7 +804,12 @@ def search_request(
             "left_semi",
         )
         aggregations = {
-            name: _one_agg(restricted, spec) for name, spec in aggs.items()
+            name: _one_agg(
+                restricted, spec,
+                docs=docs, match_ids=match_ids,
+                doc_id_col=doc_id_col, text_col=text_col,
+            )
+            for name, spec in aggs.items()
         }
 
     # the hit page's admissible set: match set ∩ post_filter set

@@ -7100,3 +7100,58 @@ WHERE r.drk > 5 AND r.drk <= {5 + _DSL_K}
 
 EXTRA_QUERIES["dsl_fields_page"] = q_dsl_fields_page
 EXTRA_ORACLES["dsl_fields_page"] = _dsl_fields_page_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 12 (post-close): significant_terms as a request AGGREGATION —
+# "what is this result set about" over the query's FULL match set
+# (foreground = every admissible doc, not a ranked page; background =
+# the whole corpus — the JLH contract), wired through search_request's
+# aggs body alongside the metric kinds.
+
+
+def q_dsl_request_sigterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.querydsl import search_request
+
+    docs = load_table(spark, sf_dir, "documents")
+    return search_request(
+        docs,
+        {"query": {"bool": {"must": [_DSL_MUST], "must_not": [_DSL_NOT]}},
+         "aggs": {"about": {"significant_terms":
+                            {"top_n": 10, "min_fg_df": 3}}}},
+    )["aggregations"]["about"]
+
+
+def _dsl_request_sigterms_oracle() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+adm AS (SELECT doc_id AS id FROM toks
+        WHERE list_contains(w, '{_DSL_MUST}')
+          AND NOT list_contains(w, '{_DSL_NOT}')),
+hset AS (SELECT CAST(0 AS BIGINT) AS query_id, id FROM adm),
+msz AS (SELECT query_id, COUNT(*) AS m FROM hset GROUP BY 1),
+dterms AS (SELECT doc_id AS id, UNNEST(list_distinct(w)) AS term FROM toks),
+fg AS (SELECT h.query_id, d.term, CAST(COUNT(*) AS BIGINT) AS fg_df
+       FROM dterms d JOIN hset h ON h.id = d.id
+       GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+bg AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS bg_df FROM dterms
+       WHERE term IN (SELECT DISTINCT term FROM fg) GROUP BY 1),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+sc AS (SELECT fg.query_id, fg.term, fg.fg_df, bg.bg_df,
+              ROUND((fg.fg_df / msz.m - bg.bg_df / nn.n)
+                    * (fg.fg_df / msz.m) / (bg.bg_df / nn.n), 6) AS jlh
+       FROM fg
+       JOIN bg ON bg.term = fg.term
+       JOIN msz ON msz.query_id = fg.query_id
+       CROSS JOIN nn),
+rk AS (SELECT query_id, term, fg_df, bg_df, jlh,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY jlh DESC, term) AS INT) AS rank
+       FROM sc)
+SELECT query_id, term, fg_df, bg_df, jlh, rank
+FROM rk WHERE rank <= 10
+"""
+
+
+EXTRA_QUERIES["dsl_request_sigterms"] = q_dsl_request_sigterms
+EXTRA_ORACLES["dsl_request_sigterms"] = _dsl_request_sigterms_oracle()

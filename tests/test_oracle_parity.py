@@ -189,8 +189,12 @@ def test_registry_row_counts():
 # the page + from-offset slicing: hit ids broadcast-semi-restrict the
 # pruned attribute scan; the request also gained track_total_hits) —
 # both exact-oracled
-EXPECTED_EXTRA = 141
-EXPECTED_EXTRA_ORACLED = 140
+# r12 (post-close): + dsl_request_sigterms (significant_terms as a
+# request aggregation over the query's FULL match set — foreground =
+# every admissible doc, background = the whole corpus; the aggs body
+# also gained the non-extended "stats" kind) — exact-oracled
+EXPECTED_EXTRA = 142
+EXPECTED_EXTRA_ORACLED = 141
 
 
 def test_driver_window_holds_all_llm_queries():

@@ -1170,3 +1170,35 @@ def test_fields_compose_with_sort_and_knn(spark, docs, vectors):
         vectors=vectors,
     )["hits"].collect()
     assert all(r["pop"] is not None for r in hyb)
+
+
+def test_stats_and_significant_terms_aggs(spark, docs):
+    from distributed_vector_search_system_spark.operators.facets import (
+        significant_terms,
+    )
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    out = search_request(
+        docs,
+        {"query": {"match": {"terms": ["spark"]}},
+         "aggs": {
+             "pops": {"stats": {"field": "pop"}},
+             "about": {"significant_terms": {"top_n": 3, "min_fg_df": 2}},
+         }},
+    )
+    st = out["aggregations"]["pops"].collect()[0]
+    assert st["n"] == 3 and st["sum_v"] == 750.0
+    assert sorted(out["aggregations"]["pops"].columns) == sorted(
+        ["n", "min_v", "max_v", "avg_v", "sum_v"]
+    )
+    got = out["aggregations"]["about"]
+    hits = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 4)], "query_id long, id long"
+    )
+    want = significant_terms(hits, docs, 3, min_fg_df=2)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert got.count() > 0
