@@ -775,6 +775,57 @@ class TextEngine:
         )
         self._on_perc_mutation()
 
+    def register_query_dsl(self, query_id: int, node: dict) -> None:
+        """Register a standing query from a query-DSL body (round 12 —
+        the percolator side of the DSL front door, ES's percolator
+        field storing a query document).  Supported: ``match`` (any-of,
+        min_match 1), ``bool`` with EITHER ``must`` (conjunctive,
+        min_match "all") OR ``should`` (+ ``minimum_should_match``),
+        plus ``must_not`` → the registry's veto terms.  A bool carrying
+        BOTH must and should does not map onto the registry's
+        single-clause row and raises (register two standing queries
+        instead).  Translation only — the stored row is exactly what
+        :meth:`register_query` stores, so every percolation path
+        (pull, gated, streaming, the LWW store) is unchanged."""
+        from .operators.querydsl import _node_type
+
+        kind = _node_type(node)
+        body = node[kind]
+        if kind == "match":
+            self.register_query(query_id, list(body["terms"]), min_match=1)
+            return
+        if kind != "bool":
+            raise ValueError(
+                "register_query_dsl takes a match or bool node; "
+                f"got {kind!r}"
+            )
+        must = list(body.get("must", ()))
+        should = list(body.get("should", ()))
+        none_terms = list(body.get("must_not", ())) or None
+        if body.get("filter"):
+            raise ValueError(
+                "standing queries match TEXT only; metadata filter "
+                "context does not percolate"
+            )
+        if must and should:
+            raise ValueError(
+                "the registry stores one clause per standing query: use "
+                "must (conjunctive) OR should (+ minimum_should_match), "
+                "or register two queries"
+            )
+        if must:
+            self.register_query(query_id, must, none_terms=none_terms)
+            return
+        if not should:
+            raise ValueError(
+                "a standing query needs a positive clause (must / should)"
+            )
+        self.register_query(
+            query_id, should,
+            none_terms=none_terms,
+            min_match=int(body.get("minimum_should_match", 1)),
+        )
+
     def unregister_query(self, query_id: int) -> None:
         """Tombstone unregister; absent id is a no-op (M2 semantics)."""
         self._perc_entries.append(

@@ -353,3 +353,41 @@ def test_describe_percolator_store(spark, tmp_path):
     s.compact(spark)
     d2 = describe_percolator_store(s, spark)
     assert not d2["dirty"] and d2["mutation_backlog_rows"] == 0
+
+
+def test_register_query_dsl_translation(spark, corpus):
+    """round 12: DSL-bodied registration stores exactly what the
+    positional form stores — percolation results identical."""
+    import pytest
+
+    e1 = TextEngine(spark, corpus)
+    e1.register_query(1, ["alpha"], min_match=1)
+    e1.register_query(2, ["beta", "gamma"], none_terms=["delta"])
+    e1.register_query(3, ["alpha", "beta", "gamma"], min_match=2)
+    want = _pairs(e1.percolate(consistency="strong"))
+
+    e2 = TextEngine(spark, corpus)
+    e2.register_query_dsl(1, {"match": {"terms": ["alpha"]}})
+    e2.register_query_dsl(
+        2, {"bool": {"must": ["beta", "gamma"], "must_not": ["delta"]}}
+    )
+    e2.register_query_dsl(
+        3, {"bool": {"should": ["alpha", "beta", "gamma"],
+                     "minimum_should_match": 2}}
+    )
+    got = _pairs(e2.percolate(consistency="strong"))
+    assert got == want and got
+
+    with pytest.raises(ValueError, match="one clause"):
+        e2.register_query_dsl(
+            9, {"bool": {"must": ["a"], "should": ["b"]}}
+        )
+    with pytest.raises(ValueError, match="TEXT only"):
+        e2.register_query_dsl(
+            9, {"bool": {"must": ["a"],
+                         "filter": [{"term": {"lang": "en"}}]}}
+        )
+    with pytest.raises(ValueError, match="positive clause"):
+        e2.register_query_dsl(9, {"bool": {"must_not": ["a"]}})
+    with pytest.raises(ValueError, match="match or bool"):
+        e2.register_query_dsl(9, {"fuzzy": {"terms": ["a"]}})
