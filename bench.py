@@ -967,6 +967,7 @@ def _measure_scale(sf_dir: str) -> dict:
             phrase_slop_topk as _pslop,
         )
         from distributed_vector_search_system_spark.operators.querydsl import (
+            msearch as _msearch,
             search_request as _sreq,
         )
         from distributed_vector_search_system_spark.operators.spell import (
@@ -986,8 +987,13 @@ def _measure_scale(sf_dir: str) -> dict:
             )
         )
         # hoisted: the hybrid anchor's query vector is fetched once,
-        # not inside the timed lambda
-        _hyvec = [float(x) for x in q.limit(1).collect()[0]["qvec"]]
+        # not inside the timed lambda; pinned to the smallest query_id
+        # so base and 10x runs time the SAME vector (ADVICE r12 item 5
+        # — an unordered limit(1) could pick different rows per run)
+        _hyvec = [
+            float(x)
+            for x in q.orderBy("query_id").limit(1).collect()[0]["qvec"]
+        ]
         return {
             "knn_fixedq_expr": lambda: knn(emb, q, 10),
             "knn_fixedq_numpy": lambda: knn(emb, q, 10, method="numpy"),
@@ -1230,6 +1236,34 @@ def _measure_scale(sf_dir: str) -> dict:
                 docs,
                 {"query": {"match": {"terms": ["spark"]}}, "size": 10,
                  "knn": {"query_vector": _hyvec, "k": 20, "boost": 2.0}},
+                vectors=emb,
+            )["hits"],
+            # batch msearch (round 13): 3 heterogeneous requests
+            # through ONE multi-query plan — the corpus tokenizes once
+            # for admissibility and once for scoring regardless of N,
+            # so expect bm25's corpus-linear class, NOT 3× it.
+            "msearch_fixedq_batch3": lambda: _msearch(
+                docs,
+                [
+                    {"query": {"match": {"terms": ["vector", "stream"]}},
+                     "size": 10},
+                    {"query": {"bool": {"must": ["spark", "data"],
+                                        "must_not": ["join"]}}, "size": 5},
+                    {"query": {"bool": {"should": ["scan", "sort",
+                                                   "filter"],
+                                        "minimum_should_match": 2}},
+                     "size": 8},
+                ],
+            )["hits"],
+            # pre-filtered knn (round 13): the label predicate is
+            # map-side on the vector frame — the knn leg keeps
+            # knn_fixedq_expr's scan class with ~10× less candidate
+            # mass past the filter.
+            "knnfiltered_fixedq": lambda: _sreq(
+                docs,
+                {"query": {"match": {"terms": ["spark"]}}, "size": 10,
+                 "knn": {"query_vector": _hyvec, "k": 20, "boost": 2.0,
+                         "filter": [{"term": {"label": 3}}]}},
                 vectors=emb,
             )["hits"],
         }
@@ -1620,6 +1654,36 @@ def main() -> None:
 
     repeats = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")), 1)
 
+    # host-state capture (round 13, VERDICT r12 item 7): the headline
+    # has drifted ±15% across driver runs with bit-identical code, and
+    # "host state" was asserted, not measured.  Record 1-min loadavg
+    # and a concurrent-Spark-JVM census at run start and end so the
+    # next drift is attributable from the artifact alone: a calm run
+    # shows load ≲ a few cores and zero foreign Spark processes.
+    def _host_state() -> dict:
+        try:
+            load = [round(x, 2) for x in os.getloadavg()]
+        except OSError:  # pragma: no cover - non-POSIX
+            load = []
+        procs = 0
+        try:
+            me = os.getpid()
+            for pid in os.listdir("/proc"):
+                if not pid.isdigit() or int(pid) == me:
+                    continue
+                try:
+                    with open(f"/proc/{pid}/cmdline", "rb") as f:
+                        cmd = f.read().decode("utf-8", "replace")
+                except OSError:
+                    continue
+                if "org.apache.spark" in cmd or "pyspark-shell" in cmd:
+                    procs += 1
+        except OSError:  # pragma: no cover - no /proc
+            procs = -1
+        return {"loadavg_1_5_15": load, "concurrent_spark_jvms": procs}
+
+    host_pre = _host_state()
+
     def _one_run() -> dict:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -1713,6 +1777,7 @@ def main() -> None:
         "lexical_maintenance": maint_section,
         "per_run_cold_totals": run_totals,
         "per_run_steady_totals": steady_run_totals,
+        "host_state": {"pre": host_pre, "post": _host_state()},
         "repeats": repeats,
         "sf": sf,
     }
@@ -1735,6 +1800,8 @@ def main() -> None:
         "retrieval_steady_total_sec": round(sum(retrieval_steady.values()), 4),
         "host_noise_spread": round(max(run_totals) / min(run_totals), 3),
         "noise_escalated": noise_escalated,
+        "host_load_1m_pre": (host_pre["loadavg_1_5_15"] or [None])[0],
+        "host_spark_jvms_pre": host_pre["concurrent_spark_jvms"],
         "repeats": repeats,
         "sf": sf,
         "detail_file": "BENCH_DETAIL.json",

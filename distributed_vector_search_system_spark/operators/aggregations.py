@@ -54,13 +54,38 @@ def _grouped(df: DataFrame, by: Sequence[str] | None):
 #: geometrically), never a full count of the corpus.
 EXACT_TIER_MAX_ROWS = 10_000_000
 
+#: probe cache (round 13, ADVICE r12 item 3): the guard's
+#: threshold-bounded CollectLimit probe is an eager Spark job, and a
+#: search_request with several exact agg nodes would otherwise probe
+#: the SAME restricted plan once per node.  Keyed by the analyzed
+#: plan's semantic hash + the threshold, so semantically-equal plans
+#: (including the same DataFrame object reused across agg nodes) probe
+#: once per process.  This is a foot-gun guard, not a semantics gate:
+#: if the data under an identical plan grows past the threshold later
+#: in the process, the cached verdict stands — callers who need a
+#: fresh probe clear the cache or pass max_exact_rows explicitly.
+_GUARD_PROBE_CACHE: dict[tuple[int, int], bool] = {}
+_GUARD_PROBE_CACHE_MAX = 512
+
 
 def _guard_exact_tier(
     df: DataFrame, what: str, max_exact_rows: int | None
 ) -> None:
     if max_exact_rows is None:
         return
-    if df.limit(max_exact_rows + 1).count() > max_exact_rows:
+    try:
+        key = (df.semanticHash(), max_exact_rows)
+    except Exception:  # pragma: no cover - connect-mode / analysis edge
+        key = None
+    if key is not None and key in _GUARD_PROBE_CACHE:
+        exceeds = _GUARD_PROBE_CACHE[key]
+    else:
+        exceeds = df.limit(max_exact_rows + 1).count() > max_exact_rows
+        if key is not None:
+            if len(_GUARD_PROBE_CACHE) >= _GUARD_PROBE_CACHE_MAX:
+                _GUARD_PROBE_CACHE.clear()
+            _GUARD_PROBE_CACHE[key] = exceeds
+    if exceeds:
         raise ValueError(
             f"exact {what} over more than {max_exact_rows:,} input rows "
             "is the oracle tier, not a serving plan (it buffers group "

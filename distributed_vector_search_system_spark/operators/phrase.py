@@ -160,45 +160,111 @@ def phrase_search_index(
     return _anchor_topk(qslot, positions, k)
 
 
+def _slop_pair_reqs(qslot: DataFrame) -> DataFrame:
+    """Hall-condition requirement table for one query batch (round 13,
+    ADVICE r12 item 1): per ``(query_id, term)``, every ordered slot
+    pair ``(_lo ≤ _hi)`` of that term's slots with ``_req`` = how many
+    of the term's slots fall inside ``[_lo, _hi]``.  Query-side only —
+    three joins over the RPC-bounded slot frame, broadcast downstream;
+    the pair count is ``Σ_t r_t(r_t+1)/2`` (``r_t`` = repeats of term
+    ``t``), a query constant."""
+    ts = qslot.select("query_id", "term", "_slot")
+    pairs = (
+        ts.select("query_id", "term", F.col("_slot").alias("_lo"))
+        .join(
+            ts.select("query_id", "term", F.col("_slot").alias("_hi")),
+            ["query_id", "term"],
+        )
+        .filter(F.col("_lo") <= F.col("_hi"))
+    )
+    return (
+        pairs.join(ts, ["query_id", "term"])
+        .filter(F.col("_slot").between(F.col("_lo"), F.col("_hi")))
+        .groupBy("query_id", "term", "_lo", "_hi")
+        .agg(F.count("*").alias("_req"))
+    )
+
+
 def _slop_anchor_topk(
     qslot: DataFrame, positions: DataFrame, k: int, slop: int
 ) -> DataFrame:
     """Sloppy back half (round 12, VERDICT r11 item 3): slot ``i`` at
     document position ``p`` votes the ADJUSTED anchor ``a = p − i``
-    (Lucene's ``pos − offset``); the sloppy phrase matches where ALL
-    slots' anchors fit in a window of width ``slop`` — the Lucene
-    SloppyPhraseScorer acceptance test (``end − start ≤ slop`` over
-    adjusted positions), under which an adjacent transposition costs 2
-    and ``slop=0`` degenerates to the exact-anchor intersection.
+    (Lucene's ``pos − offset``); the sloppy phrase matches at window
+    start ``s`` iff the slots admit an INJECTIVE assignment to
+    document positions with every adjusted anchor in ``[s, s+slop]``
+    — the Lucene SloppyPhraseScorer acceptance test (``end − start ≤
+    slop`` over adjusted positions, no two slots sharing one token
+    occurrence), under which an adjacent transposition costs 2 and
+    ``slop=0`` degenerates to the exact-anchor intersection.
 
-    ``phrase_tf`` counts the COVERING WINDOW STARTS (each hit of all
-    ``m`` slots inside ``[s, s+slop]`` counts start ``s``): a match
-    with anchor spread ``d`` is covered by ``slop + 1 − d`` starts, so
+    Repeated query terms (round 13, ADVICE r12 item 1): requiring one
+    anchor per slot lets a SINGLE token occurrence satisfy several
+    slots of a repeated term (doc ``xx aa yy`` would match ``"aa
+    aa"``); injectivity is what rules that out.  Slot ``i``'s feasible
+    positions for start ``s`` form the interval ``[s+i, s+slop+i]`` —
+    a STAIRCASE family over the term's slots (both endpoints increase
+    with ``i``), for which Hall's matching condition reduces exactly
+    to its contiguous-subrange instances: an injective assignment
+    exists iff for EVERY slot pair ``lo ≤ hi`` of every term, the
+    document has at least ``req`` (= the term's slots inside
+    ``[lo, hi]``) distinct positions of that term in ``[s+lo,
+    s+slop+hi]``.  (Span-counting is exact for the binding pairs —
+    consecutive slot gaps ≤ slop+1 make the union of the slot
+    intervals one gap-free span — and over-counting on non-binding
+    pairs is harmless because their constraint is implied by their
+    connected sub-runs.)  Singleton pairs subsume the old
+    every-slot-present test; phrases with no repeated term reduce to
+    it exactly, so non-repeat results are unchanged.
+
+    ``phrase_tf`` counts the COVERING WINDOW STARTS (each start ``s``
+    whose window admits a full injective match counts): a match with
+    anchor spread ``d`` is covered by ``slop + 1 − d`` starts, so
     tighter matches score higher — the monotone stand-in for Lucene's
     ``1/(1+matchLength)`` sloppy weight, and the same overlap
     convention as :func:`proximity_topk`.  The start explode is
-    bounded by the constant ``slop + 1``, never data-sized."""
-    hit = positions.join(F.broadcast(qslot), "term").select(
-        "query_id",
-        "id",
-        "_slot",
-        "_m",
-        (F.col("pos") - F.col("_slot")).alias("_anchor"),
+    bounded by the constant ``slop + 1`` and the pair fan-out by the
+    constant ``Σ_t r_t(r_t+1)/2`` — never data-sized."""
+    qterms = qslot.select("query_id", "term").distinct()
+    tpos = positions.join(F.broadcast(qterms), "term").select(
+        "query_id", "id", "term", "pos"
     )
-    starts = hit.select(
-        "query_id",
-        "id",
-        "_slot",
-        "_m",
-        F.explode(
-            F.sequence(F.col("_anchor") - slop, F.col("_anchor"))
-        ).alias("_start"),
+    cand = (
+        positions.join(F.broadcast(qslot), "term")
+        .select(
+            "query_id",
+            "id",
+            F.explode(
+                F.sequence(
+                    F.col("pos") - F.col("_slot") - slop,
+                    F.col("pos") - F.col("_slot"),
+                )
+            ).alias("_start"),
+        )
+        .distinct()
     )
-    wins = starts.groupBy("query_id", "id", "_start", "_m").agg(
-        F.count_distinct("_slot").alias("_ns")
+    reqs = _slop_pair_reqs(qslot)
+    npairs = reqs.groupBy("query_id").agg(F.count("*").alias("_np"))
+    have = (
+        cand.join(F.broadcast(reqs), "query_id")
+        .join(tpos, ["query_id", "id", "term"])
+        .filter(
+            F.col("pos").between(
+                F.col("_start") + F.col("_lo"),
+                F.col("_start") + F.lit(slop) + F.col("_hi"),
+            )
+        )
+        .groupBy("query_id", "id", "_start", "term", "_lo", "_hi", "_req")
+        .agg(F.count_distinct("pos").alias("_have"))
+    )
+    sat = (
+        have.filter(F.col("_have") >= F.col("_req"))
+        .groupBy("query_id", "id", "_start")
+        .agg(F.count("*").alias("_sat"))
     )
     freq = (
-        wins.filter(F.col("_ns") == F.col("_m"))
+        sat.join(F.broadcast(npairs), "query_id")
+        .filter(F.col("_sat") == F.col("_np"))
         .groupBy("query_id", "id")
         .agg(F.count("*").alias("phrase_tf"))
     )
@@ -224,10 +290,11 @@ def phrase_slop_topk(
     """ES ``match_phrase`` with ``slop`` (round 12): top-k documents by
     sloppy-phrase frequency — terms may sit up to ``slop`` adjusted
     positions apart (``slop ≥ 2`` admits an adjacent transposition,
-    the ES/Lucene contract; see :func:`_slop_anchor_topk` for the
-    acceptance test and the covering-start count).  ``slop=0`` returns
-    exactly :func:`phrase_topk`'s rows.  Input/output schemas match
-    :func:`phrase_topk`."""
+    the ES/Lucene contract), with repeated query terms requiring
+    DISTINCT token occurrences (the injective-assignment acceptance
+    test — see :func:`_slop_anchor_topk`; round 13, ADVICE r12
+    item 1).  ``slop=0`` returns exactly :func:`phrase_topk`'s rows.
+    Input/output schemas match :func:`phrase_topk`."""
     if slop < 0:
         raise ValueError("slop must be >= 0")
     positions = docs.select(

@@ -121,6 +121,8 @@ def bm25_scores(
     to the scored hits, so the filter never perturbs the statistics.
     ``filter_ids`` (one-column ``id`` frame) is the same restriction as
     a pre-materialized admissible set — the form the index paths take.
+    A ``(query_id, id)`` frame restricts PER QUERY (the msearch form,
+    round 13): query q's hits keep only q's own admissible ids.
     """
     toks = docs.select(
         F.col(doc_id_col).alias("id"), tokens(text_col).alias("_toks")
@@ -157,7 +159,18 @@ def bm25_scores(
         ).select(F.col(doc_id_col).alias("id"))
         hits = hits.join(match, "id", "left_semi")
     if filter_ids is not None:
-        hits = hits.join(filter_ids.select("id"), "id", "left_semi")
+        if "query_id" in filter_ids.columns:
+            # per-QUERY admissible pairs (round 13, the msearch form):
+            # each query restricts to its own match set in the same
+            # multi-query plan — the semi join keys on both columns,
+            # same pushdown discipline as the shared-id form
+            hits = hits.join(
+                filter_ids.select("query_id", "id"),
+                ["query_id", "id"],
+                "left_semi",
+            )
+        else:
+            hits = hits.join(filter_ids.select("id"), "id", "left_semi")
     # df (docs containing term) is unchanged by dropping OTHER terms'
     # rows, so it can be computed from the restricted postings; it is
     # deliberately computed BEFORE the where= restriction (corpus-level

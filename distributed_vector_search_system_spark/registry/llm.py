@@ -6198,13 +6198,20 @@ EXTRA_ORACLES["dsl_query_aggs"] = _dsl_query_aggs_oracle()
 # ---------------------------------------------------------------------------
 # round 12: sloppy phrase / proximity (operators/phrase.
 # phrase_slop_topk, VERDICT r11 item 3) — ES match_phrase with slop:
-# slot i votes the ADJUSTED anchor pos−i and the phrase matches where
-# all slots' anchors fit in a width-slop window (Lucene's acceptance
-# test; adjacent transposition costs 2).  phrase_tf counts covering
-# window starts (tighter match → more covering starts — the monotone
-# sloppy-weight stand-in).  Same deterministic corpus-derived phrase
-# set as phrase_topk; slop=2 so transpositions and one-gap insertions
-# actually change the result vs the exact row.
+# slot i votes the ADJUSTED anchor pos−i and the phrase matches at
+# start s iff the slots admit an INJECTIVE assignment to document
+# positions with all adjusted anchors in [s, s+slop] (Lucene's
+# acceptance test; adjacent transposition costs 2; repeated query
+# terms need DISTINCT token occurrences — round 13, ADVICE r12
+# item 1).  Injectivity is the Hall condition over each term's slot
+# pairs: for every lo ≤ hi, at least `req` (= the term's slots inside
+# [lo, hi]) distinct positions in [s+lo, s+slop+hi] — exact for the
+# staircase feasibility intervals (operators/phrase._slop_anchor_topk
+# docstring).  phrase_tf counts covering window starts (tighter match
+# → more covering starts — the monotone sloppy-weight stand-in).
+# Same deterministic corpus-derived phrase set as phrase_topk; slop=2
+# so transpositions and one-gap insertions actually change the result
+# vs the exact row.
 
 _SLOP = 2
 
@@ -6227,17 +6234,35 @@ qslot AS (SELECT query_id, len(phrase) AS m,
                  UNNEST(range(1, len(phrase) + 1)) AS slot, phrase
           FROM qs),
 qterm AS (SELECT query_id, m, slot, phrase[slot] AS term FROM qslot),
+qpr AS (SELECT a.query_id, a.term, a.slot AS lo, b.slot AS hi,
+               COUNT(*) AS req
+        FROM qterm a
+        JOIN qterm b ON b.query_id = a.query_id AND b.term = a.term
+                    AND a.slot <= b.slot
+        JOIN qterm c ON c.query_id = a.query_id AND c.term = a.term
+                    AND c.slot BETWEEN a.slot AND b.slot
+        GROUP BY 1, 2, 3, 4),
+npq AS (SELECT query_id, COUNT(*) AS np FROM qpr GROUP BY 1),
 px AS (SELECT doc_id AS id, w, UNNEST(range(1, len(w) + 1)) AS pos FROM toks),
 tp AS (SELECT id, pos, w[pos] AS term FROM px),
-hit AS (SELECT q.query_id, t.id, q.slot, q.m, t.pos - q.slot AS anchor
-        FROM qterm q JOIN tp t USING (term)),
-st AS (SELECT query_id, id, slot, m,
-              UNNEST(range(anchor - {_SLOP}, anchor + 1)) AS strt
-       FROM hit),
-wins AS (SELECT query_id, id, strt, m, COUNT(DISTINCT slot) AS ns
-         FROM st GROUP BY 1, 2, 3, 4),
-pf AS (SELECT query_id, id, COUNT(*) AS phrase_tf
-       FROM wins WHERE ns = m GROUP BY 1, 2)
+cand AS (SELECT DISTINCT query_id, id, strt FROM (
+           SELECT q.query_id, t.id,
+                  UNNEST(range(t.pos - q.slot - {_SLOP},
+                               t.pos - q.slot + 1)) AS strt
+           FROM qterm q JOIN tp t USING (term))),
+hv AS (SELECT c.query_id, c.id, c.strt, p.term, p.lo, p.hi, p.req,
+              COUNT(DISTINCT t.pos) AS have
+       FROM cand c
+       JOIN qpr p USING (query_id)
+       JOIN tp t ON t.id = c.id AND t.term = p.term
+               AND t.pos BETWEEN c.strt + p.lo
+                             AND c.strt + {_SLOP} + p.hi
+       GROUP BY 1, 2, 3, 4, 5, 6, 7),
+sat AS (SELECT query_id, id, strt, COUNT(*) AS sat FROM hv
+        WHERE have >= req GROUP BY 1, 2, 3),
+pf AS (SELECT s.query_id, s.id, COUNT(*) AS phrase_tf
+       FROM sat s JOIN npq n USING (query_id)
+       WHERE s.sat = n.np GROUP BY 1, 2)
 SELECT query_id, id, phrase_tf, rank FROM (
   SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                                     ORDER BY phrase_tf DESC, id) AS INT) AS rank
@@ -6631,6 +6656,296 @@ WHERE rnk <= {_DSL_K}
 
 EXTRA_QUERIES["dsl_knn_hybrid"] = q_dsl_knn_hybrid
 EXTRA_ORACLES["dsl_knn_hybrid"] = _dsl_knn_hybrid_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 13: PRE-FILTERED kNN + post_filter over hybrid hits (VERDICT
+# r12 items 2+3; operators/querydsl._knn_prefilter).  The ES 8
+# request shape "search MY documents": knn.filter restricts the
+# candidate vectors BEFORE the top-k cut (label = 3 — a map-side
+# predicate on the vector frame, PushedFilters-locked in
+# tests/test_querydsl.py), the text leg is the full "spark" match
+# set, fusion is the union + one hash aggregate, and post_filter then
+# restricts the FINAL fused hits by its own match set (docs without
+# "join") with scores untouched — the contract deviation VERDICT r12
+# item 3 flagged (ES allows post_filter with knn) closed.  Exact
+# replay: filter → top-k → fusion → post_filter → page.
+
+_KNF_VID = 7
+_KNF_K = 20
+_KNF_BOOST = 2.0
+_KNF_LABEL = 3
+
+
+def q_dsl_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.querydsl import search_request
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == _KNF_VID).select(
+        "embedding"
+    ).collect()[0]["embedding"]
+    return search_request(
+        docs,
+        {
+            "query": {"match": {"terms": [_DSL_MUST]}},
+            "size": _DSL_K,
+            "post_filter": {"bool": {"must_not": [_DSL_NOT]}},
+            "knn": {
+                "query_vector": list(qv),
+                "k": _KNF_K,
+                "boost": _KNF_BOOST,
+                "filter": [{"term": {"label": _KNF_LABEL}}],
+            },
+        },
+        vectors=emb,
+    )["hits"]
+
+
+def _dsl_knn_filtered_oracle() -> str:
+    from ..operators.retrieval import BM25_B, BM25_K1
+    from .vector import _SQL_SQ_L2
+
+    d = _SQL_SQ_L2.format(q="qe.qe", v="v.embedding")
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+dl AS (SELECT doc_id AS id, len(w) AS dl FROM toks),
+vx AS (SELECT doc_id AS id, UNNEST(w) AS term FROM toks),
+tfc AS (SELECT id, term, COUNT(*) AS tf FROM vx
+        WHERE term = '{_DSL_MUST}' GROUP BY 1, 2),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+dfq AS (SELECT term, COUNT(DISTINCT id) AS df FROM tfc GROUP BY 1),
+fp AS (
+  SELECT tfc.id,
+         SUM(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (tfc.tf * ({BM25_K1} + 1.0))
+             / (tfc.tf + {BM25_K1} * (1.0 - {BM25_B}
+                + {BM25_B} * CAST(dl.dl AS DOUBLE) / s.avgdl))) AS score
+  FROM tfc
+  JOIN dfq d ON d.term = tfc.term
+  JOIN dl ON dl.id = tfc.id
+  CROSS JOIN stats s
+  GROUP BY 1),
+qe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {_KNF_VID}),
+vd AS (SELECT v.vec_id AS id, {d} AS dist FROM embeddings v CROSS JOIN qe
+       WHERE v.label = {_KNF_LABEL}),
+kt AS (SELECT id, dist FROM (
+         SELECT *, ROW_NUMBER() OVER (
+           ORDER BY round_even((dist) * 1e6, 0) / 1e6, id) AS rn
+         FROM vd)
+       WHERE rn <= {_KNF_K}),
+contrib AS (
+  SELECT id, score AS c FROM fp
+  UNION ALL
+  SELECT id, {_KNF_BOOST} / (1.0 + dist) FROM kt),
+comb AS (SELECT id, ROUND(SUM(c), 6) AS score FROM contrib GROUP BY 1),
+pfset AS (SELECT doc_id AS id FROM toks
+          WHERE NOT list_contains(w, '{_DSL_NOT}')),
+surv AS (SELECT c.id, c.score FROM comb c JOIN pfset p ON p.id = c.id)
+SELECT CAST(0 AS BIGINT) AS query_id, id, score, CAST(rnk AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rnk FROM surv)
+WHERE rnk <= {_DSL_K}
+"""
+
+
+EXTRA_QUERIES["dsl_knn_filtered"] = q_dsl_knn_filtered
+EXTRA_ORACLES["dsl_knn_filtered"] = _dsl_knn_filtered_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 13: bucket-in-bucket sub-aggregations (VERDICT r12 item 3 —
+# operators/querydsl._nested_bucket_agg).  ES's most common faceting
+# shape, "per source, the language breakdown": a terms agg nested
+# inside a terms parent, long-format (value, by_lang, n, avg_chars) —
+# ONE hash aggregate over the composite (source, lang) key carrying
+# the grandchild metric; the parent's size=5 shaping (top sources by
+# TOTAL doc count, desc then key asc) re-aggregates the bucket-sized
+# composite output and semi-joins back, never re-scanning the match
+# set.  The query restricts to the bool match set first, so the whole
+# request path (match set → semi-join → composite aggregate → parent
+# shaping) is replayed in one statement.
+
+_NBK_SIZE = 5
+
+
+def q_dsl_nested_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.querydsl import search_request
+
+    docs = load_table(spark, sf_dir, "documents")
+    return search_request(
+        docs,
+        {
+            "query": {"bool": {"must": [_DSL_MUST], "must_not": [_DSL_NOT]}},
+            "aggs": {
+                "by_source": {
+                    "terms": {"field": "source", "size": _NBK_SIZE},
+                    "aggs": {
+                        "by_lang": {
+                            "terms": {"field": "lang"},
+                            "aggs": {
+                                "avg_chars": {"avg": {"field": "n_chars"}}
+                            },
+                        }
+                    },
+                }
+            },
+        },
+    )["aggregations"]["by_source"]
+
+
+def _dsl_nested_buckets_oracle() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+adm AS (SELECT doc_id AS id FROM toks
+        WHERE list_contains(w, '{_DSL_MUST}')
+          AND NOT list_contains(w, '{_DSL_NOT}')),
+adocs AS (SELECT * FROM documents WHERE doc_id IN (SELECT id FROM adm)),
+comp AS (SELECT source AS value, lang AS by_lang,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
+         FROM adocs GROUP BY 1, 2),
+keep AS (SELECT value FROM (
+           SELECT value, SUM(n) AS tot,
+                  ROW_NUMBER() OVER (ORDER BY SUM(n) DESC, value ASC) AS pr
+           FROM comp GROUP BY value)
+         WHERE pr <= {_NBK_SIZE})
+SELECT c.value, c.by_lang, c.n, c.avg_chars
+FROM comp c JOIN keep k ON k.value = c.value
+"""
+
+
+EXTRA_QUERIES["dsl_nested_buckets"] = q_dsl_nested_buckets
+EXTRA_ORACLES["dsl_nested_buckets"] = _dsl_nested_buckets_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 13: batch msearch (VERDICT r12 item 4 — operators/querydsl.
+# msearch).  THREE heterogeneous requests (a plain match, a bool with
+# must + must_not, a bool with minimum_should_match=2) answered
+# through ONE multi-query plan with real query_ids — the repo's Q6
+# batch-collapse thesis applied to the request front door.  The
+# oracle replays the whole batch in one statement: the constraint
+# lists as a VALUES relation, one admissibility aggregate over the
+# vocabulary-restricted (id, term) pairs, one shared-statistics BM25
+# score per (query, doc) restricted to each query's own admissible
+# set, and per-request page sizes from the meta VALUES.
+
+_MSR_REQS = [
+    {"query": {"match": {"terms": ["vector", "stream"]}}, "size": 10},
+    {"query": {"bool": {"must": ["spark", "data"],
+                        "must_not": ["join"]}}, "size": 5},
+    {"query": {"bool": {"should": ["scan", "sort", "filter"],
+                        "minimum_should_match": 2}}, "size": 8},
+]
+
+
+def q_dsl_msearch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.querydsl import msearch
+
+    docs = load_table(spark, sf_dir, "documents")
+    return msearch(docs, _MSR_REQS)["hits"]
+
+
+def _dsl_msearch_oracle() -> str:
+    from ..operators.retrieval import BM25_B, BM25_K1
+
+    return f"""
+WITH cons(query_id, term, role) AS (VALUES
+  (0, 'vector', 'should'), (0, 'stream', 'should'),
+  (1, 'spark', 'must'), (1, 'data', 'must'), (1, 'join', 'not'),
+  (2, 'scan', 'should'), (2, 'sort', 'should'), (2, 'filter', 'should')),
+qmeta(query_id, nm, ms, k) AS (VALUES (0, 0, 1, 10), (1, 2, 0, 5),
+                                      (2, 0, 2, 8)),
+toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+dl AS (SELECT doc_id AS id, len(w) AS dl FROM toks),
+vx AS (SELECT doc_id AS id, UNNEST(w) AS term FROM toks),
+pairs AS (SELECT DISTINCT id, term FROM vx
+          WHERE term IN (SELECT DISTINCT term FROM cons)),
+per AS (SELECT c.query_id, p.id,
+               COUNT(DISTINCT CASE WHEN c.role = 'must'
+                                   THEN c.term END) AS nmh,
+               COUNT(DISTINCT CASE WHEN c.role = 'should'
+                                   THEN c.term END) AS nsh,
+               COUNT(CASE WHEN c.role = 'not' THEN 1 END) AS nnh
+        FROM pairs p JOIN cons c USING (term) GROUP BY 1, 2),
+adm AS (SELECT per.query_id, per.id
+        FROM per JOIN qmeta m USING (query_id)
+        WHERE per.nmh = m.nm AND per.nsh >= m.ms AND per.nnh = 0),
+qt AS (SELECT DISTINCT query_id, term FROM cons WHERE role <> 'not'),
+tfc AS (SELECT id, term, COUNT(*) AS tf FROM vx
+        WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+dfq AS (SELECT term, COUNT(DISTINCT id) AS df FROM tfc GROUP BY 1),
+sc AS (
+  SELECT q.query_id, tfc.id,
+         ROUND(SUM(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (tfc.tf * ({BM25_K1} + 1.0))
+             / (tfc.tf + {BM25_K1} * (1.0 - {BM25_B}
+                + {BM25_B} * CAST(dl.dl AS DOUBLE) / s.avgdl))), 6) AS score
+  FROM tfc
+  JOIN qt q ON q.term = tfc.term
+  JOIN dfq d ON d.term = tfc.term
+  JOIN dl ON dl.id = tfc.id
+  CROSS JOIN stats s
+  WHERE (q.query_id, tfc.id) IN (SELECT (query_id, id) FROM adm)
+  GROUP BY 1, 2)
+SELECT CAST(query_id AS BIGINT) AS query_id, id, score,
+       CAST(rnk AS INT) AS rank
+FROM (SELECT sc.*, m.k, ROW_NUMBER() OVER (
+        PARTITION BY sc.query_id ORDER BY score DESC, id) AS rnk
+      FROM sc JOIN qmeta m USING (query_id))
+WHERE rnk <= k
+"""
+
+
+EXTRA_QUERIES["dsl_msearch"] = q_dsl_msearch
+EXTRA_ORACLES["dsl_msearch"] = _dsl_msearch_oracle()
+
+
+# round 13 (cont.): msearch's LABELED aggregations — two requests
+# sharing one agg body run as ONE grouped aggregate with query_id in
+# the group key (operators/querydsl._msearch_agg); the oracle replays
+# both requests' admissible sets and the per-request source counts in
+# one statement.
+
+_MSA_REQS = [
+    {"query": {"match": {"terms": ["vector", "stream"]}},
+     "aggs": {"by_source": {"terms": {"field": "source", "size": 5}}}},
+    {"query": {"bool": {"must": ["spark"], "must_not": ["join"]}},
+     "aggs": {"by_source": {"terms": {"field": "source", "size": 5}}}},
+]
+
+
+def q_dsl_msearch_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.querydsl import msearch
+
+    docs = load_table(spark, sf_dir, "documents")
+    return msearch(docs, _MSA_REQS)["aggregations"]["by_source"]
+
+
+def _dsl_msearch_aggs_oracle() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+adm AS (
+  SELECT 0 AS query_id, doc_id AS id FROM toks
+  WHERE list_contains(w, 'vector') OR list_contains(w, 'stream')
+  UNION ALL
+  SELECT 1 AS query_id, doc_id AS id FROM toks
+  WHERE list_contains(w, 'spark') AND NOT list_contains(w, 'join')),
+comp AS (SELECT a.query_id, d.source AS value,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM adm a JOIN documents d ON d.doc_id = a.id
+         GROUP BY 1, 2)
+SELECT CAST(query_id AS BIGINT) AS query_id, value, n
+FROM (SELECT comp.*, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY n DESC, value ASC) AS r
+      FROM comp)
+WHERE r <= 5
+"""
+
+
+EXTRA_QUERIES["dsl_msearch_aggs"] = q_dsl_msearch_aggs
+EXTRA_ORACLES["dsl_msearch_aggs"] = _dsl_msearch_aggs_oracle()
 
 
 # ---------------------------------------------------------------------------

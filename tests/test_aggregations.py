@@ -371,3 +371,39 @@ def test_engine_gated_agg_verbs_strong_parity(spark):
         r["term"] for r in e.rare_terms(1, consistency="strong").collect()
     }
     assert "singletonian" in st_rare
+
+
+def test_exact_tier_guard_probe_cached(spark, vals, monkeypatch):
+    """ADVICE r12 item 3: the guard's CollectLimit probe is cached per
+    (analyzed-plan semantic hash, threshold) — repeated exact calls on
+    the same plan, e.g. a search_request with several exact agg nodes,
+    probe once per process instead of running one eager job each."""
+    import pyspark.sql.classic.dataframe as _dfmod
+
+    from distributed_vector_search_system_spark.operators import (
+        aggregations as agg,
+    )
+
+    agg._GUARD_PROBE_CACHE.clear()
+    calls = {"n": 0}
+    orig = _dfmod.DataFrame.count
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(_dfmod.DataFrame, "count", counting)
+    agg._guard_exact_tier(vals, "percentiles", 5_000)
+    agg._guard_exact_tier(vals, "cardinality", 5_000)
+    agg._guard_exact_tier(vals, "percentiles", 5_000)
+    assert calls["n"] == 1                  # one probe, two cache hits
+    # a different threshold is a different question → fresh probe
+    agg._guard_exact_tier(vals, "percentiles", 7_000)
+    assert calls["n"] == 2
+    # the tripping verdict is cached too
+    with pytest.raises(ValueError, match="oracle tier"):
+        agg._guard_exact_tier(vals, "percentiles", 5)
+    with pytest.raises(ValueError, match="oracle tier"):
+        agg._guard_exact_tier(vals, "percentiles", 5)
+    assert calls["n"] == 3
+    agg._GUARD_PROBE_CACHE.clear()

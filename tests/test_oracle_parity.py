@@ -193,8 +193,18 @@ def test_registry_row_counts():
 # request aggregation over the query's FULL match set — foreground =
 # every admissible doc, background = the whole corpus; the aggs body
 # also gained the non-extended "stats" kind) — exact-oracled
-EXPECTED_EXTRA = 142
-EXPECTED_EXTRA_ORACLED = 141
+# r13: + dsl_knn_filtered (pre-filtered kNN: knn.filter restricts the
+# candidate vectors BEFORE the top-k cut, plus post_filter over the
+# fused hybrid hits — full filter → top-k → fusion → post_filter
+# replay), dsl_nested_buckets (bucket-in-bucket: terms-in-terms with a
+# grandchild metric in ONE composite hash aggregate + parent size
+# shaping), dsl_msearch (THREE heterogeneous requests through one
+# multi-query plan — constraints as a VALUES relation, one
+# admissibility aggregate, shared-statistics BM25, per-request k), and
+# dsl_msearch_aggs (same-named aggs across requests as ONE
+# query_id-labeled grouped aggregate) — all exact-oracled
+EXPECTED_EXTRA = 146
+EXPECTED_EXTRA_ORACLED = 145
 
 
 def test_driver_window_holds_all_llm_queries():

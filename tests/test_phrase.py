@@ -260,9 +260,27 @@ def test_phrase_and_proximity_randomized_batch(spark):
 # -- sloppy phrase (round 12, VERDICT r11 item 3) ----------------------------
 
 
+def _injective(slot_positions):
+    """Brute-force: does an assignment of DISTINCT positions to slots
+    exist (each slot from its own feasible set)?  Backtracking over
+    slots — the exact matching reference the operator's Hall-condition
+    test must agree with."""
+    def rec(i, used):
+        if i == len(slot_positions):
+            return True
+        return any(
+            p not in used and rec(i + 1, used | {p})
+            for p in slot_positions[i]
+        )
+
+    return rec(0, frozenset())
+
+
 def _naive_slop(phrase, qid, k, slop):
-    """Reference: anchors per slot; tf = covering window starts s where
-    every slot has an anchor in [s, s+slop]."""
+    """Reference (round 13, ADVICE r12 item 1): tf = covering window
+    starts s where the slots admit an INJECTIVE assignment to document
+    positions with every adjusted anchor in [s, s+slop] — one token
+    occurrence may satisfy only one slot of a repeated term."""
     hits = []
     for did, text in _DOCS:
         w = [t for t in text.lower().split() if t]
@@ -274,20 +292,60 @@ def _naive_slop(phrase, qid, k, slop):
             continue
         lo = min(min(s) for s in slot_anchors) - slop
         hi = max(max(s) for s in slot_anchors)
-        tf = sum(
-            1
-            for s in range(lo, hi + 1)
-            if all(
-                any(s <= a <= s + slop for a in anchors)
-                for anchors in slot_anchors
-            )
-        )
+        tf = 0
+        for s in range(lo, hi + 1):
+            feasible = [
+                {a + i for a in anchors if s <= a <= s + slop}
+                for i, anchors in enumerate(slot_anchors)
+            ]
+            if all(feasible) and _injective(feasible):
+                tf += 1
         if tf > 0:
             hits.append((tf, did))
     hits.sort(key=lambda t: (-t[0], t[1]))
     return sorted(
         (qid, did, n, rank + 1) for rank, (n, did) in enumerate(hits[:k])
     )
+
+
+def test_slop_repeated_terms_need_distinct_positions(spark):
+    """ADVICE r12 item 1's verified false positive: one 'aa' occurrence
+    must NOT satisfy both slots of the phrase "aa aa" — and two
+    occurrences must, even slop-separated."""
+    from distributed_vector_search_system_spark.operators.phrase import (
+        phrase_slop_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "xx aa yy"), (2, "aa xx aa"), (3, "aa aa zz")],
+        "doc_id long, text string",
+    )
+    q = _q(spark, ("aa", "aa"))
+    for slop in (0, 1, 2):
+        got = {r["id"] for r in phrase_slop_topk(docs, q, 5, slop=slop).collect()}
+        assert 1 not in got, f"single occurrence matched at slop={slop}"
+        assert 3 in got
+        assert (2 in got) == (slop >= 1)
+
+
+def test_slop_triple_repeat_injective(spark):
+    """Three repeated slots: 'bb bb' (two occurrences) must not match
+    "bb bb bb"; 'bb bb bb' must, and overlapping starts count per the
+    covering convention."""
+    from distributed_vector_search_system_spark.operators.phrase import (
+        phrase_slop_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "bb bb cc"), (2, "bb bb bb"), (3, "bb cc bb dd bb")],
+        "doc_id long, text string",
+    )
+    q = _q(spark, ("bb", "bb", "bb"))
+    assert {
+        r["id"] for r in phrase_slop_topk(docs, q, 5, slop=0).collect()
+    } == {2}
+    got4 = {r["id"] for r in phrase_slop_topk(docs, q, 5, slop=4).collect()}
+    assert got4 == {2, 3}
 
 
 def test_slop_zero_equals_exact(spark):
@@ -357,6 +415,7 @@ def test_slop_randomized_vs_naive(spark):
     phrases = [
         ("quick", "brown"), ("brown", "fox"), ("aa", "aa"),
         ("aa", "bb"), ("the", "dog"), ("quick", "brown", "fox"),
+        ("aa", "aa", "aa"), ("aa", "bb", "aa"), ("quick", "quick"),
     ]
     for slop in (0, 1, 2, 3):
         q = _q(spark, *phrases)

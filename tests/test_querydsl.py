@@ -787,7 +787,7 @@ def test_knn_fusion_aggs_and_validation(spark, docs, vectors):
             {"query": {"match": {"terms": ["spark"]}},
              "knn": {"query_vector": [1.0, 1.0]}},
         )
-    with pytest.raises(ValueError, match="query \\+ aggs only"):
+    with pytest.raises(ValueError, match="sort / rescore"):
         search_request(
             docs,
             {"query": {"match": {"terms": ["spark"]}},
@@ -1202,3 +1202,576 @@ def test_stats_and_significant_terms_aggs(spark, docs):
         map(tuple, want.collect())
     )
     assert got.count() > 0
+
+
+# -- round 13: ADVICE r12 fixes + persist / highlight extensions -------------
+
+
+def test_rescore_phrase_primary_maps_tf_to_score(spark, docs):
+    """ADVICE r12 item 4: a match_phrase primary reaches rescore with
+    phrase_tf — search_request must expose it as the first-pass score
+    (not die in an AnalysisException) and the rescore math applies."""
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+    from distributed_vector_search_system_spark.operators.retrieval import (
+        bm25_scores,
+    )
+
+    out = search_request(
+        docs,
+        {"query": {"match_phrase": {"terms": ["spark", "table"]}},
+         "size": 3,
+         "rescore": {
+             "window_size": 3,
+             "query": {"rescore_query": {"match": {"terms": ["merge"]}}},
+         }},
+    )["hits"]
+    got = {r["id"]: r["score"] for r in out.collect()}
+    # docs 1 ("spark table merge") and 4 ("merge sort spark table")
+    # contain the exact phrase once → first-pass score 1.0; both also
+    # match the rescore query, so total mode adds their BM25 "merge"
+    # score on top
+    sec = {
+        r["id"]: r["score"]
+        for r in bm25_scores(docs, _q(spark, ["merge"])).collect()
+    }
+    assert set(got) == {1, 4}
+    for did in (1, 4):
+        assert got[did] == pytest.approx(1.0 + sec[did], abs=1e-6)
+
+
+def test_rescore_scoreless_frame_clear_error(spark, docs):
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        _apply_rescore,
+    )
+
+    scoreless = docs.selectExpr(
+        "cast(0 as long) as query_id", "doc_id as id",
+        "cast(1 as long) as phrase_tf", "cast(1 as int) as rank",
+    )
+    with pytest.raises(ValueError, match="relevance-scored first pass"):
+        _apply_rescore(
+            docs, scoreless,
+            {"window_size": 3,
+             "query": {"rescore_query": {"match": {"terms": ["merge"]}}}},
+            3, doc_id_col="doc_id", text_col="text",
+        )
+
+
+def test_request_agg_approximate_tiers(spark, docs):
+    """ADVICE r12 item 2: the request body can pick the approximate
+    tier — exact=False (GK / HLL++) and ES's precision_threshold both
+    reach _one_agg; on this 3-value match set the sketches are exact,
+    so the numbers must agree with the exact tier."""
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    out = search_request(
+        docs,
+        {"query": {"match": {"terms": ["spark"]}},
+         "aggs": {
+             "card_hll": {"cardinality": {"field": "pop", "exact": False}},
+             "card_pt": {"cardinality": {"field": "pop",
+                                         "precision_threshold": 3000}},
+             "p50_gk": {"percentiles": {"field": "pop",
+                                        "percents": [50.0],
+                                        "exact": False}},
+         }},
+    )["aggregations"]
+    # match set = docs 1, 2, 4 → pop {100, 400, 250}
+    assert out["card_hll"].collect()[0][0] == 3
+    assert out["card_pt"].collect()[0][0] == 3
+    assert out["p50_gk"].collect()[0]["p50"] == 250.0
+    # the plans carry the sketch aggregates, not the exact ones
+    hll_plan = out["card_hll"]._jdf.queryExecution().optimizedPlan().toString()
+    assert "approx_count_distinct" in hll_plan
+    gk_plan = out["p50_gk"]._jdf.queryExecution().optimizedPlan().toString()
+    assert "percentile_approx" in gk_plan
+
+
+def test_highlight_multi_match_and_phrase(spark, docs):
+    """VERDICT r12 item 6: multi_match / match_phrase queries carry
+    terms, so they highlight — equivalently to the snippets operator
+    called with those terms."""
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+    from distributed_vector_search_system_spark.operators.snippets import (
+        best_window_snippets,
+    )
+
+    mm = search_request(
+        docs,
+        {"query": {"multi_match": {"terms": ["spark", "merge"],
+                                   "fields": ["text"]}},
+         "size": 3, "highlight": {"window": 3}},
+    )
+    want = best_window_snippets(
+        docs, _q(spark, ["merge", "spark"]), 3,
+        hits=mm["hits"].select("query_id", "id"),
+    )
+    assert sorted(map(tuple, mm["highlight"].collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    mp = search_request(
+        docs,
+        {"query": {"match_phrase": {"terms": ["spark", "table"]}},
+         "size": 3, "highlight": {"window": 3}},
+    )
+    snips = {r["id"]: r[-1] for r in mp["highlight"].collect()}
+    assert set(snips) == {r["id"] for r in mp["hits"].collect()}
+    assert all("spark" in s and "table" in s for s in snips.values())
+
+
+def test_persist_match_set_computes_once(spark, docs):
+    """VERDICT r12 item 5: persist_match_set=True caches the match-set
+    id frame — every aggregation and total_hits read one
+    InMemoryRelation instead of re-evaluating the match subtree — with
+    identical results, and the release handle unpersists."""
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    req = {
+        "query": {"bool": {"must": ["spark"], "must_not": ["join"]}},
+        "size": 3,
+        "track_total_hits": True,
+        "aggs": {
+            "by_pop": {"terms": {"field": "pop"}},
+            "pops": {"stats": {"field": "pop"}},
+        },
+    }
+    plain = search_request(docs, req)
+    cached = search_request(docs, req, persist_match_set=True)
+    try:
+        for name in ("by_pop", "pops"):
+            plan = (
+                cached["aggregations"][name]
+                ._jdf.queryExecution().optimizedPlan().toString()
+            )
+            assert "InMemoryRelation" in plan, name
+            assert sorted(map(tuple, cached["aggregations"][name].collect())) \
+                == sorted(map(tuple, plain["aggregations"][name].collect()))
+        th_plan = (
+            cached["total_hits"]._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert "InMemoryRelation" in th_plan
+        assert cached["total_hits"].collect()[0][0] \
+            == plain["total_hits"].collect()[0][0] == 2
+        assert _rows(cached["hits"]) == _rows(plain["hits"])
+    finally:
+        cached["release"]()
+    assert "release" not in plain
+
+
+# -- round 13: pre-filtered kNN + post_filter over hybrid hits ---------------
+
+
+@pytest.fixture(scope="module")
+def lvectors(spark):
+    rows = [(i, [float(i), float(i)], i % 2) for i in range(1, 6)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+
+
+def test_knn_prefilter_restricts_before_topk(spark, docs, lvectors):
+    """VERDICT r12 item 2: knn.filter restricts candidates BEFORE the
+    top-k cut — the page refills from below, it does not shrink."""
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    req = {
+        "query": {"match": {"terms": ["filter"]}},     # docs 3, 5
+        "size": 5,
+        "knn": {"query_vector": [1.0, 1.0], "k": 2, "boost": 2.0,
+                "filter": [{"term": {"label": 0}}]},   # even vec_ids
+    }
+    got = {
+        r["id"]: r["score"]
+        for r in search_request(docs, req, vectors=lvectors)["hits"].collect()
+    }
+    # unfiltered knn top-2 would be {1, 2}; label=0 keeps {2, 4} and
+    # the cut refills with 4 (d = 18) instead of shrinking to one row
+    assert got[2] == pytest.approx(2.0 / 3.0, abs=2e-6)
+    assert got[4] > 0.0 and 1 not in got
+    assert set(got) == {2, 3, 4, 5}
+
+
+def test_knn_prefilter_docs_metadata_and_node(spark, docs, lvectors):
+    """Filter fields that live on the DOCS frame (and full match/bool
+    nodes) restrict the candidates via an id semi-join."""
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    req = {
+        "query": {"match": {"terms": ["filter"]}},
+        "size": 5,
+        "knn": {"query_vector": [1.0, 1.0], "k": 2, "boost": 2.0,
+                "filter": [{"range": {"pop": {"gte": 200}}}]},
+    }
+    got = search_request(docs, req, vectors=lvectors)["hits"]
+    ids = {r["id"] for r in got.collect()}
+    # pop >= 200 keeps docs 2 (400), 3 (900), 4 (250) → knn top-2 of
+    # {2, 3, 4} is {2, 3}; text leg adds 3, 5
+    assert ids == {2, 3, 5}
+    node_req = {
+        "query": {"match": {"terms": ["filter"]}},
+        "size": 5,
+        "knn": {"query_vector": [1.0, 1.0], "k": 2, "boost": 2.0,
+                "filter": {"match": {"terms": ["spark"]}}},
+    }
+    node_ids = {
+        r["id"]
+        for r in search_request(docs, node_req, vectors=lvectors)[
+            "hits"
+        ].collect()
+    }
+    # "spark" matches docs 1, 2, 4 → knn top-2 = {1, 2}
+    assert node_ids == {1, 2, 3, 5}
+
+
+def test_knn_post_filter_restricts_hits_only(spark, docs, lvectors):
+    """VERDICT r12 item 3: post_filter now composes with knn — the
+    fused hit list is restricted by the post_filter's own match set
+    (scores unchanged, knn-only docs admissible), aggs unaffected."""
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    base = {
+        "query": {"match": {"terms": ["filter"]}},     # docs 3, 5
+        "size": 5,
+        "aggs": {"pops": {"stats": {"field": "pop"}}},
+        "knn": {"query_vector": [1.0, 1.0], "k": 2, "boost": 2.0},
+    }
+    plain = search_request(docs, base, vectors=lvectors)
+    pf = search_request(
+        docs,
+        {**base, "post_filter": {"bool": {"must_not": ["scan"]}}},
+        vectors=lvectors,
+    )
+    plain_scores = {r["id"]: r["score"] for r in plain["hits"].collect()}
+    pf_scores = {r["id"]: r["score"] for r in pf["hits"].collect()}
+    # doc 3 ("table scan filter") drops; everything else keeps its
+    # fused score — including knn-only docs 1 and 2
+    assert set(plain_scores) == {1, 2, 3, 5}
+    assert set(pf_scores) == {1, 2, 5}
+    for did, s in pf_scores.items():
+        assert s == pytest.approx(plain_scores[did], abs=1e-9)
+    # aggs still describe the UNfiltered match set
+    assert sorted(map(tuple, pf["aggregations"]["pops"].collect())) == sorted(
+        map(tuple, plain["aggregations"]["pops"].collect())
+    )
+    # sort / rescore still refuse
+    with pytest.raises(ValueError, match="sort / rescore"):
+        search_request(
+            docs, {**base, "sort": [{"pop": "asc"}]}, vectors=lvectors
+        )
+
+
+def test_knn_prefilter_pushes_to_vector_scan(spark, docs, lvectors, tmp_path):
+    """The vector-frame half of knn.filter must reach the parquet scan
+    as PushedFilters — the plan shape that composes with partition
+    pruning on the IVF tier."""
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    path = str(tmp_path / "vecs")
+    lvectors.write.parquet(path)
+    pv = spark.read.parquet(path)
+    req = {
+        "query": {"match": {"terms": ["filter"]}},
+        "size": 5,
+        "knn": {"query_vector": [1.0, 1.0], "k": 2,
+                "filter": [{"term": {"label": 0}}]},
+    }
+    hits = search_request(docs, req, vectors=pv)["hits"]
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("label" in p for p in pushed), plan
+
+
+# -- round 13: bucket-in-bucket sub-aggregations -----------------------------
+
+
+def test_nested_terms_in_terms(spark, docs):
+    """VERDICT r12 item 3: a terms agg nested inside a terms parent —
+    one hash aggregate over the composite key, long-format output."""
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    rows = [
+        (1, "spark a", "s1", "en", 10), (2, "spark b", "s1", "en", 20),
+        (3, "spark c", "s1", "de", 30), (4, "spark d", "s2", "en", 40),
+        (5, "other", "s3", "fr", 50),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, src string, lang string, nc long"
+    )
+    out = search_request(
+        d,
+        {"query": {"match": {"terms": ["spark"]}},
+         "aggs": {"by_src": {
+             "terms": {"field": "src"},
+             "aggs": {"by_lang": {
+                 "terms": {"field": "lang"},
+                 "aggs": {"avg_nc": {"avg": {"field": "nc"}}},
+             }},
+         }}},
+        doc_id_col="doc_id",
+    )["aggregations"]["by_src"]
+    assert out.columns == ["value", "by_lang", "n", "avg_nc"]
+    got = {(r["value"], r["by_lang"]): (r["n"], r["avg_nc"])
+           for r in out.collect()}
+    assert got == {
+        ("s1", "en"): (2, 15.0), ("s1", "de"): (1, 30.0),
+        ("s2", "en"): (1, 40.0),
+    }
+    # ONE hash-aggregate pass over the data: the composite aggregate
+    # plus nothing re-scanning the corpus (shaping aggregates read the
+    # composite output only — no parent size here, so exactly one)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate") <= 2       # partial + final
+
+
+def test_nested_parent_and_child_size_shaping(spark):
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    rows = [
+        (i, "x", f"s{i % 4}", f"l{i % 3}", i) for i in range(1, 25)
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, src string, lang string, nc long"
+    )
+    out = search_request(
+        d,
+        {"query": {"match": {"terms": ["x"]}},
+         "aggs": {"a": {
+             "terms": {"field": "src", "size": 2},
+             "aggs": {"l": {"terms": {"field": "lang", "size": 1}}},
+         }}},
+    )["aggregations"]["a"].collect()
+    parents = {r["value"] for r in out}
+    assert len(parents) == 2                 # parent top-2 by total
+    assert len(out) == 2                     # child top-1 per parent
+    for r in out:
+        assert r["n"] >= 1
+
+
+def test_nested_date_histogram_in_terms(spark):
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    rows = [
+        (1, "x", "a", "2024-01-01 05:00:00"),
+        (2, "x", "a", "2024-01-01 09:00:00"),
+        (3, "x", "a", "2024-01-02 05:00:00"),
+        (4, "x", "b", "2024-01-02 06:00:00"),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, g string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = search_request(
+        d,
+        {"query": {"match": {"terms": ["x"]}},
+         "aggs": {"daily": {
+             "terms": {"field": "g"},
+             "aggs": {"day": {"date_histogram": {
+                 "field": "ts", "calendar_interval": "day"}}},
+         }}},
+    )["aggregations"]["daily"]
+    got = {(r["value"], str(r["day"])[:10]): r["n"] for r in out.collect()}
+    assert got == {
+        ("a", "2024-01-01"): 2, ("a", "2024-01-02"): 1,
+        ("b", "2024-01-02"): 1,
+    }
+
+
+def test_nested_bucket_validation(spark, docs):
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    base = {"query": {"match": {"terms": ["spark"]}}}
+    with pytest.raises(ValueError, match="terms parent only"):
+        search_request(
+            docs,
+            {**base, "aggs": {"h": {
+                "histogram": {"field": "pop", "interval": 100.0},
+                "aggs": {"t": {"terms": {"field": "pop"}}},
+            }}},
+        )
+    with pytest.raises(ValueError, match="ONLY sub-agg"):
+        search_request(
+            docs,
+            {**base, "aggs": {"a": {
+                "terms": {"field": "pop"},
+                "aggs": {"t": {"terms": {"field": "pop"}},
+                         "m": {"avg": {"field": "pop"}}},
+            }}},
+        )
+    with pytest.raises(ValueError, match="third bucket level"):
+        search_request(
+            docs,
+            {**base, "aggs": {"a": {
+                "terms": {"field": "pop"},
+                "aggs": {"t": {"terms": {"field": "pop"},
+                               "aggs": {"u": {"terms": {"field": "pop"}}}}},
+            }}},
+        )
+
+
+# -- round 13: batch msearch -------------------------------------------------
+
+
+def test_msearch_equals_per_request_pages(spark, docs):
+    """Each request's page must equal the single-request search_dsl
+    result with its own size — heterogeneous match / bool / min_should
+    bodies through one plan."""
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        msearch,
+    )
+
+    requests = [
+        {"query": {"match": {"terms": ["spark", "table"]}}, "size": 3},
+        {"query": {"bool": {"must": ["spark"], "must_not": ["join"]}},
+         "size": 2},
+        {"query": {"bool": {"should": ["scan", "sort", "filter"],
+                            "minimum_should_match": 2}}, "size": 5},
+    ]
+    got = msearch(docs, requests)["hits"]
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["id"], r["score"])
+        )
+    for i, req in enumerate(requests):
+        want = search_dsl(docs, req["query"], req["size"])
+        w = sorted(
+            (r["rank"], r["id"], r["score"]) for r in want.collect()
+        )
+        assert sorted(by_q.get(i, [])) == w, f"request {i}"
+
+
+def test_msearch_one_plan_scan_count_independent_of_n(spark, docs):
+    """The batch thesis: adding requests must not add corpus scans —
+    the plan for 3 heterogeneous requests reads the docs relation
+    exactly as often as the plan for 1."""
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        msearch,
+    )
+
+    one = msearch(
+        docs, [{"query": {"match": {"terms": ["spark"]}}, "size": 3}]
+    )["hits"]._jdf.queryExecution().optimizedPlan().toString()
+    three = msearch(
+        docs,
+        [
+            {"query": {"match": {"terms": ["spark"]}}, "size": 3},
+            {"query": {"bool": {"must": ["table"], "must_not": ["join"]}},
+             "size": 2},
+            {"query": {"bool": {"should": ["scan", "sort"]}}, "size": 4},
+        ],
+    )["hits"]._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    def scans(plan):
+        return len(re.findall(r"LogicalRDD|Relation\b", plan))
+
+    assert scans(three) == scans(one)
+
+
+def test_msearch_labeled_aggs(spark, docs):
+    """Same-named aggs across requests run as ONE grouped aggregate
+    labeled by query_id; per-request values equal the single-request
+    search_request aggs."""
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        msearch,
+        search_request,
+    )
+
+    docs2 = docs.withColumn(
+        "cat", F.when(F.col("doc_id") <= 2, "a").otherwise("b")
+    )
+    agg = {"cats": {"terms": {"field": "cat"}},
+           "pops": {"stats": {"field": "pop"}}}
+    requests = [
+        {"query": {"match": {"terms": ["spark"]}}, "aggs": agg},
+        {"query": {"match": {"terms": ["filter"]}}, "aggs": agg},
+    ]
+    out = msearch(docs2, requests)
+    cats = out["aggregations"]["cats"]
+    assert set(cats.columns) == {"query_id", "value", "n"}
+    # one grouped aggregate regardless of request count — the labeled
+    # plan's aggregate count matches the single-request plan's
+    solo = msearch(docs2, requests[:1])["aggregations"]["cats"]
+    plan = cats._jdf.queryExecution().optimizedPlan().toString()
+    solo_plan = solo._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate") == solo_plan.count("Aggregate")
+    for i, req in enumerate(requests):
+        single = search_request(
+            docs2, {"query": req["query"], "aggs": agg}
+        )["aggregations"]
+        got_c = sorted(
+            (r["value"], r["n"])
+            for r in cats.filter(F.col("query_id") == i).collect()
+        )
+        want_c = sorted(
+            (r["value"], r["n"]) for r in single["cats"].collect()
+        )
+        assert got_c == want_c, f"request {i} cats"
+        got_p = (
+            out["aggregations"]["pops"]
+            .filter(F.col("query_id") == i)
+            .drop("query_id")
+            .collect()[0]
+        )
+        want_p = single["pops"].collect()[0]
+        assert tuple(got_p) == tuple(want_p), f"request {i} pops"
+
+
+def test_msearch_validation(spark, docs):
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        msearch,
+    )
+
+    with pytest.raises(ValueError, match="at least one request"):
+        msearch(docs, [])
+    with pytest.raises(ValueError, match="query/size/aggs only"):
+        msearch(
+            docs,
+            [{"query": {"match": {"terms": ["a"]}}, "sort": [{"pop": "asc"}]}],
+        )
+    with pytest.raises(ValueError, match="match-set node"):
+        msearch(docs, [{"query": {"fuzzy": {"terms": ["a"]}}}])
+    with pytest.raises(ValueError, match="single-request"):
+        msearch(
+            docs,
+            [{"query": {"bool": {
+                "must": ["spark"],
+                "filter": [{"range": {"pop": {"gte": 1}}}]}}}],
+        )
+    with pytest.raises(ValueError, match="positive clause"):
+        msearch(docs, [{"query": {"bool": {"must_not": ["spark"]}}}])
+    with pytest.raises(ValueError, match="two different bodies"):
+        msearch(
+            docs,
+            [
+                {"query": {"match": {"terms": ["spark"]}},
+                 "aggs": {"a": {"terms": {"field": "pop"}}}},
+                {"query": {"match": {"terms": ["table"]}},
+                 "aggs": {"a": {"terms": {"field": "doc_id"}}}},
+            ],
+        )
