@@ -402,6 +402,9 @@ _AGG_KINDS = (
     "terms",
     "histogram",
     "date_histogram",
+    "range",
+    "filters",
+    "missing",
     "extended_stats",
     "stats",
     "percentiles",
@@ -593,11 +596,55 @@ def _one_agg(
     (kind,) = kinds
     body = spec[kind]
     subs = spec.get("aggs") or {}
-    if subs and kind not in ("terms", "histogram", "date_histogram"):
+    if subs and kind not in (
+        "terms", "histogram", "date_histogram", "range", "filters",
+        "missing",
+    ):
         raise ValueError(
             f"nested aggs compose with bucket kinds only; {kind!r} is a "
             "metric"
         )
+    top_hit_subs = {
+        n: s
+        for n, s in subs.items()
+        if isinstance(s, dict) and "top_hits" in s
+    }
+    if top_hit_subs:
+        # ES top_hits sub-agg (round 13): per-bucket exemplar rows —
+        # "for each source, the 2 longest documents".  Delegates to
+        # the oracled top_hits operator with the parent field as the
+        # bucket key; the window's partial top-k (WindowGroupLimit)
+        # truncates per bucket before the exchange.
+        from .aggregations import top_hits
+
+        if kind != "terms":
+            raise ValueError(
+                "top_hits nests inside a terms parent only; the parent "
+                f"here is {kind!r}"
+            )
+        if len(subs) != 1:
+            raise ValueError(
+                "a top_hits sub-agg must be the parent's only sub-agg "
+                "(its rows are exemplars, not bucket metrics)"
+            )
+        ((_, th_spec),) = top_hit_subs.items()
+        th = th_spec["top_hits"]
+        sort = th.get("sort") or ()
+        if len(sort) != 1 or len(sort[0]) != 1:
+            raise ValueError(
+                "top_hits takes exactly one {field: 'asc'|'desc'} sort "
+                "entry (the determinism convention)"
+            )
+        (sort_col,), (order,) = sort[0].keys(), sort[0].values()
+        if order not in ("asc", "desc"):
+            raise ValueError(f"sort order must be asc|desc; got {order!r}")
+        fields = [str(c) for c in th.get("fields", (doc_id_col,))]
+        out_cols = list(dict.fromkeys([*fields, sort_col]))
+        return top_hits(
+            restricted, int(th.get("size", 3)), sort_col,
+            by=(body["field"],), tie_col=doc_id_col,
+            ascending=(order == "asc"),
+        ).select(F.col(body["field"]).alias("value"), *out_cols, "rank")
     bucket_subs = {
         n: s
         for n, s in subs.items()
@@ -649,6 +696,65 @@ def _one_agg(
             restricted, body["field"],
             interval=body.get("calendar_interval", "day"),
             extra_aggs=sub_cols,
+        )
+    if kind == "range":
+        # ES range agg (round 13): ranges are [from, to) and may
+        # OVERLAP — a doc lands in every range it satisfies, so the
+        # bucket key cannot be a single group-by expression.  Each
+        # doc's memberships become a map-side key ARRAY (one when()
+        # per range — the range list is a request constant), exploded
+        # and fed to ONE hash aggregate; sub-agg metrics ride along.
+        v = F.col(body["field"]).cast("double")
+        branches = []
+        for r in body["ranges"]:
+            frm, to = r.get("from"), r.get("to")
+            if frm is None and to is None:
+                raise ValueError("a range needs 'from' and/or 'to'")
+            key = r.get("key") or (
+                f"{'*' if frm is None else float(frm)}"
+                f"-{'*' if to is None else float(to)}"
+            )
+            cond = v.isNotNull()
+            if frm is not None:
+                cond = cond & (v >= float(frm))
+            if to is not None:
+                cond = cond & (v < float(to))
+            branches.append(F.when(cond, F.lit(key)))
+        tagged = restricted.withColumn(
+            "key", F.explode(F.array_compact(F.array(*branches)))
+        )
+        return tagged.groupBy("key").agg(
+            F.count("*").alias("n"), *sub_cols
+        )
+    if kind == "filters":
+        # ES filters agg (round 13): NAMED filter-context buckets
+        # ("cheap" / "mid" / "premium") — possibly overlapping, same
+        # membership-array explode + one hash aggregate as range.
+        # Each name maps to one clause or a clause list (ANDed), the
+        # _filter_predicate metadata grammar.
+        named = body["filters"]
+        if not named:
+            raise ValueError("filters needs at least one named filter")
+        branches = [
+            F.when(
+                _filter_predicate(cls if isinstance(cls, list) else [cls]),
+                F.lit(str(name)),
+            )
+            for name, cls in named.items()
+        ]
+        tagged = restricted.withColumn(
+            "key", F.explode(F.array_compact(F.array(*branches)))
+        )
+        return tagged.groupBy("key").agg(
+            F.count("*").alias("n"), *sub_cols
+        )
+    if kind == "missing":
+        # ES missing agg (round 13): the docs WITHOUT a value — the
+        # data-quality bucket every curation dashboard wants
+        return (
+            restricted.filter(F.col(body["field"]).isNull())
+            .groupBy()
+            .agg(F.count("*").alias("n"), *sub_cols)
         )
     if kind == "extended_stats":
         from .aggregations import extended_stats

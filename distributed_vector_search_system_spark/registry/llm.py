@@ -6949,6 +6949,132 @@ EXTRA_ORACLES["dsl_msearch_aggs"] = _dsl_msearch_aggs_oracle()
 
 
 # ---------------------------------------------------------------------------
+# round 13 (cont.): the remaining ES bucket-agg kinds — range /
+# filters / missing (operators/querydsl._one_agg).  ES ranges are
+# [from, to) and may OVERLAP (a doc lands in every range it
+# satisfies), so the bucket key is a map-side MEMBERSHIP ARRAY (one
+# when() per range — a request constant), exploded into ONE hash
+# aggregate with the sub-agg metric riding along; the oracle replays
+# the overlap as a UNION ALL of the range predicates in one
+# statement.  Deliberately overlapping bounds (200-400 vs 300-*)
+# prove per-range independence.
+
+_RNG_RANGES = ((None, 200.0), (200.0, 400.0), (300.0, None))
+
+
+def q_dsl_range_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.querydsl import search_request
+
+    docs = load_table(spark, sf_dir, "documents")
+    return search_request(
+        docs,
+        {
+            "query": {"bool": {"must": [_DSL_MUST], "must_not": [_DSL_NOT]}},
+            "aggs": {
+                "chars": {
+                    "range": {
+                        "field": "n_chars",
+                        "ranges": [
+                            {
+                                **({} if f is None else {"from": f}),
+                                **({} if t is None else {"to": t}),
+                            }
+                            for f, t in _RNG_RANGES
+                        ],
+                    },
+                    "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}},
+                }
+            },
+        },
+    )["aggregations"]["chars"]
+
+
+def _dsl_range_aggs_oracle() -> str:
+    legs = []
+    for f, t in _RNG_RANGES:
+        key = f"{'*' if f is None else f}-{'*' if t is None else t}"
+        conds = ["n_chars IS NOT NULL"]
+        if f is not None:
+            conds.append(f"CAST(n_chars AS DOUBLE) >= {f}")
+        if t is not None:
+            conds.append(f"CAST(n_chars AS DOUBLE) < {t}")
+        legs.append(
+            f"SELECT '{key}' AS key, doc_id, n_chars FROM adocs "
+            f"WHERE {' AND '.join(conds)}"
+        )
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+adm AS (SELECT doc_id AS id FROM toks
+        WHERE list_contains(w, '{_DSL_MUST}')
+          AND NOT list_contains(w, '{_DSL_NOT}')),
+adocs AS (SELECT * FROM documents WHERE doc_id IN (SELECT id FROM adm)),
+tagged AS ({union})
+SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
+FROM tagged GROUP BY key
+"""
+
+
+EXTRA_QUERIES["dsl_range_aggs"] = q_dsl_range_aggs
+EXTRA_ORACLES["dsl_range_aggs"] = _dsl_range_aggs_oracle()
+
+
+# round 13 (cont.): top_hits as a terms sub-aggregation — "per
+# source, the 2 longest documents" — delegating to the oracled
+# top_hits window operator with the parent field as the bucket key
+# (WindowGroupLimit truncates per bucket before the exchange).  The
+# oracle replays the per-bucket window in one statement.
+
+_THB_SIZE = 2
+
+
+def q_dsl_top_hits_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.querydsl import search_request
+
+    docs = load_table(spark, sf_dir, "documents")
+    return search_request(
+        docs,
+        {
+            "query": {"bool": {"must": [_DSL_MUST], "must_not": [_DSL_NOT]}},
+            "aggs": {
+                "longest": {
+                    "terms": {"field": "source"},
+                    "aggs": {
+                        "top": {
+                            "top_hits": {
+                                "size": _THB_SIZE,
+                                "sort": [{"n_chars": "desc"}],
+                            }
+                        }
+                    },
+                }
+            },
+        },
+    )["aggregations"]["longest"]
+
+
+def _dsl_top_hits_buckets_oracle() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+adm AS (SELECT doc_id AS id FROM toks
+        WHERE list_contains(w, '{_DSL_MUST}')
+          AND NOT list_contains(w, '{_DSL_NOT}')),
+adocs AS (SELECT * FROM documents WHERE doc_id IN (SELECT id FROM adm))
+SELECT source AS value, doc_id, n_chars, CAST(rn AS INT) AS rank
+FROM (SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM adocs)
+WHERE rn <= {_THB_SIZE}
+"""
+
+
+EXTRA_QUERIES["dsl_top_hits_buckets"] = q_dsl_top_hits_buckets
+EXTRA_ORACLES["dsl_top_hits_buckets"] = _dsl_top_hits_buckets_oracle()
+
+
+# ---------------------------------------------------------------------------
 # round 12: bool FILTER CONTEXT (operators/querydsl._filter_predicate)
 # — ES's unscored metadata clauses (range / term / exists) ANDed into
 # the bool admissible set; surviving docs keep corpus-level BM25

@@ -596,6 +596,25 @@ class TextEngine:
             vector_id_col=vector_id_col, vector_col=vector_col,
         )
 
+    def msearch(
+        self,
+        requests: list,
+        *,
+        consistency: str = EVENTUAL,
+    ) -> dict:
+        """Batch ``_msearch`` against ONE gated snapshot (round 13):
+        all N requests' hits and labeled aggregations read the same
+        generation — a STRONG batch can never mix pre- and
+        post-mutation corpora across its requests, the same
+        one-snapshot discipline as :meth:`search_request`
+        (operators/querydsl.msearch)."""
+        from .operators.querydsl import msearch as _msearch
+
+        snap = self._read_snapshot(consistency)
+        return _msearch(
+            snap, requests, doc_id_col=self._doc_id, text_col=self._text
+        )
+
     def explain(
         self,
         queries: DataFrame,

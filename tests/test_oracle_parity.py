@@ -203,8 +203,14 @@ def test_registry_row_counts():
 # admissibility aggregate, shared-statistics BM25, per-request k), and
 # dsl_msearch_aggs (same-named aggs across requests as ONE
 # query_id-labeled grouped aggregate) — all exact-oracled
-EXPECTED_EXTRA = 146
-EXPECTED_EXTRA_ORACLED = 145
+# r13 (cont.): + dsl_range_aggs (ES range buckets — [from, to) with
+# deliberate OVERLAP via a membership-array explode into one hash
+# aggregate; filters / missing share the shape, pytest-covered) and
+# dsl_top_hits_buckets (top_hits as a terms sub-agg — per-bucket
+# exemplar rows off the oracled window operator) — both exact-oracled;
+# TextEngine also gained the gated msearch batch verb
+EXPECTED_EXTRA = 148
+EXPECTED_EXTRA_ORACLED = 147
 
 
 def test_driver_window_holds_all_llm_queries():

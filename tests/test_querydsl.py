@@ -1775,3 +1775,122 @@ def test_msearch_validation(spark, docs):
                  "aggs": {"a": {"terms": {"field": "doc_id"}}}},
             ],
         )
+
+
+# -- round 13: range / filters / missing aggs + top_hits sub-agg -------------
+
+
+def test_range_agg_overlapping_buckets(spark):
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    rows = [(1, "x", 50), (2, "x", 150), (3, "x", 250), (4, "x", 350),
+            (5, "x", None)]
+    d = spark.createDataFrame(rows, "doc_id long, text string, pop long")
+    out = search_request(
+        d,
+        {"query": {"match": {"terms": ["x"]}},
+         "aggs": {"r": {
+             "range": {"field": "pop",
+                       "ranges": [{"to": 200},
+                                  {"from": 100, "to": 300},
+                                  {"from": 200, "key": "big"}]},
+             "aggs": {"avg_pop": {"avg": {"field": "pop"}}},
+         }}},
+    )["aggregations"]["r"]
+    got = {r["key"]: (r["n"], r["avg_pop"]) for r in out.collect()}
+    # overlap: doc 2 (150) is in both the first two ranges; null drops
+    assert got["*-200.0"] == (2, 100.0)
+    assert got["100.0-300.0"] == (2, 200.0)
+    assert got["big"] == (2, 300.0)
+
+
+def test_filters_and_missing_aggs(spark):
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    rows = [(1, "x", 50, "a"), (2, "x", 150, "b"), (3, "x", 250, None),
+            (4, "x", None, "a")]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, pop long, cat string"
+    )
+    out = search_request(
+        d,
+        {"query": {"match": {"terms": ["x"]}},
+         "aggs": {
+             "f": {"filters": {"filters": {
+                 "cheap": {"range": {"pop": {"lt": 200}}},
+                 "tagged": [{"exists": {"field": "cat"}},
+                            {"range": {"pop": {"gte": 100}}}],
+             }}},
+             "no_cat": {"missing": {"field": "cat"},
+                        "aggs": {"max_pop": {"max": {"field": "pop"}}}},
+         }},
+    )["aggregations"]
+    got = {r["key"]: r["n"] for r in out["f"].collect()}
+    assert got == {"cheap": 2, "tagged": 1}
+    miss = out["no_cat"].collect()[0]
+    assert miss["n"] == 1 and miss["max_pop"] == 250.0
+
+
+def test_top_hits_sub_agg_in_terms(spark):
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    rows = [(1, "x", 50, "a"), (2, "x", 150, "a"), (3, "x", 250, "b"),
+            (4, "x", 70, "b"), (5, "x", 70, "b")]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, pop long, cat string"
+    )
+    out = search_request(
+        d,
+        {"query": {"match": {"terms": ["x"]}},
+         "aggs": {"per_cat": {
+             "terms": {"field": "cat"},
+             "aggs": {"top": {"top_hits": {
+                 "size": 2, "sort": [{"pop": "desc"}]}}},
+         }}},
+    )["aggregations"]["per_cat"]
+    assert out.columns == ["value", "doc_id", "pop", "rank"]
+    got = sorted(map(tuple, out.collect()))
+    assert got == [("a", 1, 50, 2), ("a", 2, 150, 1),
+                   ("b", 3, 250, 1), ("b", 4, 70, 2)]
+    with pytest.raises(ValueError, match="only sub-agg"):
+        search_request(
+            d,
+            {"query": {"match": {"terms": ["x"]}},
+             "aggs": {"p": {
+                 "terms": {"field": "cat"},
+                 "aggs": {"top": {"top_hits": {"size": 1,
+                                               "sort": [{"pop": "desc"}]}},
+                          "m": {"avg": {"field": "pop"}}},
+             }}},
+        )
+
+
+def test_engine_msearch_gated(spark):
+    """The batch verb reads ONE gated snapshot: STRONG folds the
+    pending upsert into every request of the batch."""
+    from distributed_vector_search_system_spark.text_engine import TextEngine
+
+    base = spark.createDataFrame(
+        [(1, "spark merge", 10.0), (2, "spark join", 20.0)],
+        "doc_id long, text string, pop double",
+    )
+    e = TextEngine(spark, base)
+    e.upsert_doc(3, "spark spark merge", pop=30.0)
+    reqs = [
+        {"query": {"match": {"terms": ["spark"]}}, "size": 5},
+        {"query": {"bool": {"must": ["merge"]}}, "size": 5},
+    ]
+    ev = e.msearch(reqs)["hits"]
+    assert {(r["query_id"], r["id"]) for r in ev.collect()} == {
+        (0, 1), (0, 2), (1, 1)
+    }
+    st = e.msearch(reqs, consistency="strong")["hits"]
+    assert {(r["query_id"], r["id"]) for r in st.collect()} == {
+        (0, 1), (0, 2), (0, 3), (1, 1), (1, 3)
+    }
