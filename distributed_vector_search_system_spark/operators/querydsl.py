@@ -38,6 +38,8 @@ Supported nodes::
                    "negative_boost": 0.5}}
     {"constant_score": {"filter": <match | bool node>,
                    "boost": 1.0}}                        # unscored set
+    {"dis_max":   {"queries": [<match | bool nodes>],    # best clause
+                   "tie_breaker": 0.0}}                  # wins
 
 ``bool`` semantics follow the repo's boolean layer (ES filter-context
 equivalents): ``must`` = every term present, ``should`` = at least one
@@ -69,7 +71,9 @@ _LEAVES = (
     "match", "match_phrase", "bool", "fuzzy", "wildcard", "prefix",
     "multi_match",
 )
-_NODES = _LEAVES + ("function_score", "boosting", "constant_score")
+_NODES = _LEAVES + (
+    "function_score", "boosting", "constant_score", "dis_max",
+)
 
 
 def _node_type(node: dict) -> str:
@@ -331,6 +335,41 @@ def search_dsl(
             "id",
             F.round(F.lit(boost), 6).alias("score"),
         )
+        return _score_ranked(scored, k, "score")
+
+    if kind == "dis_max":
+        # ES dis_max (round 13): per doc, the BEST sub-query's score
+        # plus tie_breaker × the others' — the classic multi-clause
+        # disambiguator ("best field wins, near-ties nudge").  Honest
+        # subset: sub-queries are match / bool nodes (the full-scored-
+        # set kinds; a ranked-only node's page has no total score
+        # set to maximize over).  One UNION of the legs' (id, score)
+        # rows + ONE hash aggregate — max + tie·(sum − max) needs no
+        # per-leg join, the knn-fusion discipline.
+        from .retrieval import _score_ranked
+
+        subs = body.get("queries") or ()
+        if not subs:
+            raise ValueError("dis_max needs a non-empty 'queries' list")
+        tie = float(body.get("tie_breaker", 0.0))
+        if not 0.0 <= tie <= 1.0:
+            raise ValueError("tie_breaker must be in [0, 1]")
+        legs = [
+            _query_scores(
+                docs, sub, doc_id_col=doc_id_col, text_col=text_col
+            )
+            for sub in subs
+        ]
+        allc = legs[0]
+        for leg in legs[1:]:
+            allc = allc.unionByName(leg)
+        scored = allc.groupBy("id").agg(
+            F.round(
+                F.max("score")
+                + F.lit(tie) * (F.sum("score") - F.max("score")),
+                6,
+            ).alias("score")
+        ).select(_zero_qid(), "id", "score")
         return _score_ranked(scored, k, "score")
 
     if kind == "function_score":
@@ -1012,6 +1051,8 @@ def search_request(
          "from":        0,                       # offset pagination
          "fields":      ["source", "lang"],      # doc values on hits
          "track_total_hits": true,               # exact match count
+         "collapse":    {"field": "source",      # one best hit per
+                         "per_group": 1},        # group value
          "highlight":   {"window": 8},           # per-hit snippets
          "aggs":        {name: <agg node>, ...}, # over the MATCH SET
          "post_filter": <match | bool node>,     # hits only, not aggs
@@ -1066,7 +1107,7 @@ def search_request(
     unknown = set(request) - {
         "query", "size", "aggs", "post_filter", "sort", "rescore",
         "search_after", "knn", "from", "highlight", "fields",
-        "track_total_hits",
+        "track_total_hits", "collapse",
     }
     if unknown:
         raise ValueError(f"unknown request keys {sorted(unknown)}")
@@ -1115,10 +1156,24 @@ def search_request(
     # pass cuts it back to the page size
     page_k = max(k, int(rescore.get("window_size", k))) if rescore else k
 
+    collapse = request.get("collapse")
+    if collapse is not None:
+        if not isinstance(collapse, dict) or "field" not in collapse:
+            raise ValueError(
+                "collapse takes {'field': name, 'per_group': 1}"
+            )
+        if sort is not None or knn is not None or rescore is not None:
+            # ES's own limits: collapse re-ranks by relevance, and is
+            # rejected alongside rescore; the hybrid page has no
+            # full scored set to collapse exactly
+            raise ValueError(
+                "collapse composes with the relevance page only (not "
+                "sort / knn / rescore)"
+            )
     track_total = bool(request.get("track_total_hits"))
     needs_set = (
         bool(aggs) or post_filter is not None or sort is not None
-        or track_total
+        or track_total or collapse is not None
     )
     if needs_set and _node_type(query) not in _MATCH_SET_KINDS:
         raise ValueError(
@@ -1183,6 +1238,61 @@ def search_request(
             doc_id_col=doc_id_col, text_col=text_col,
             vector_id_col=vector_id_col, vector_col=vector_col,
             restrict_ids=pf,
+        )
+    elif collapse is not None:
+        # ES field collapsing (round 13): one best hit per group value
+        # (``per_group`` generalizes to N), exact over the FULL scored
+        # match set like ES — not a collapse of a pre-cut page, which
+        # would lose whole groups.  Inline rather than
+        # ``collapse.collapse_topk`` because that operator's attribute
+        # scan broadcasts k-bounded hit ids, while this set is
+        # match-set-sized: here the group attribute joins the scored
+        # set un-hinted (AQE picks the build side) and the per-group
+        # window's WindowGroupLimit truncates before the exchange.
+        # Output matches collapse_topk: (query_id, id, group, score,
+        # rank); NULL groups form their own "null" bucket.
+        from pyspark.sql import Window
+
+        from .retrieval import bm25_scores
+
+        body_q = query[_node_type(query)]
+        rank_terms = sorted(
+            {*body_q.get("must", ()), *body_q.get("should", ())}
+            if _node_type(query) == "bool"
+            else set(body_q["terms"])
+        )
+        if not rank_terms:
+            raise ValueError("collapse needs a positive clause to rank on")
+        per_group = int(collapse.get("per_group", 1))
+        if per_group < 1:
+            raise ValueError("per_group must be >= 1")
+        scored = bm25_scores(
+            docs, _one_query(docs.sparkSession, rank_terms),
+            doc_id_col=doc_id_col, text_col=text_col,
+            filter_ids=hit_ids,
+        ).withColumn("score", F.round("score", 6))
+        attrs = docs.select(
+            F.col(doc_id_col).alias("id"),
+            F.coalesce(
+                F.col(collapse["field"]).cast("string"), F.lit("null")
+            ).alias("group"),
+        )
+        joined = scored.join(attrs, "id")
+        wg = Window.partitionBy("query_id", "group").orderBy(
+            F.col("score").desc(), F.col("id").asc()
+        )
+        best = (
+            joined.withColumn("_g", F.row_number().over(wg))
+            .filter(F.col("_g") <= per_group)
+            .drop("_g")
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("id").asc()
+        )
+        hits = (
+            best.withColumn("rank", F.row_number().over(wq))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "id", "group", "score", "rank")
         )
     elif sort is not None:
         from pyspark.sql import Window

@@ -7075,6 +7075,157 @@ EXTRA_ORACLES["dsl_top_hits_buckets"] = _dsl_top_hits_buckets_oracle()
 
 
 # ---------------------------------------------------------------------------
+# round 13 (cont.): dis_max (operators/querydsl.search_dsl) — ES's
+# best-clause-wins compound: per doc, max leg score + tie_breaker ×
+# the other legs' ("best field wins, near-ties nudge").  Legs here
+# are a plain match and a bool with a veto — one UNION of the legs'
+# full scored sets + ONE hash aggregate (max + tie·(sum−max)), no
+# per-leg join.  The oracle replays both BM25 legs off shared corpus
+# statistics and the dis_max combine in one statement.
+
+_DM_TIE = 0.3
+_DM_TERMS = ("table", "hash")
+
+
+def q_dsl_dis_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.querydsl import search_dsl
+
+    docs = load_table(spark, sf_dir, "documents")
+    return search_dsl(
+        docs,
+        {
+            "dis_max": {
+                "queries": [
+                    {"match": {"terms": list(_DM_TERMS)}},
+                    {"bool": {"must": [_DSL_MUST],
+                              "must_not": [_DSL_NOT]}},
+                ],
+                "tie_breaker": _DM_TIE,
+            }
+        },
+        _DSL_K,
+    )
+
+
+def _dsl_dis_max_oracle() -> str:
+    from ..operators.retrieval import BM25_B, BM25_K1
+
+    w_expr = (
+        f"LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))"
+        f" * (tfc.tf * ({BM25_K1} + 1.0))"
+        f" / (tfc.tf + {BM25_K1} * (1.0 - {BM25_B}"
+        f" + {BM25_B} * CAST(dl.dl AS DOUBLE) / s.avgdl))"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+dl AS (SELECT doc_id AS id, len(w) AS dl FROM toks),
+vx AS (SELECT doc_id AS id, UNNEST(w) AS term FROM toks),
+tfc AS (SELECT id, term, COUNT(*) AS tf FROM vx
+        WHERE term IN ('{_DM_TERMS[0]}', '{_DM_TERMS[1]}', '{_DSL_MUST}')
+        GROUP BY 1, 2),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+dfq AS (SELECT term, COUNT(DISTINCT id) AS df FROM tfc GROUP BY 1),
+leg1 AS (
+  SELECT tfc.id, SUM({w_expr}) AS score
+  FROM tfc
+  JOIN dfq d ON d.term = tfc.term
+  JOIN dl ON dl.id = tfc.id
+  CROSS JOIN stats s
+  WHERE tfc.term IN ('{_DM_TERMS[0]}', '{_DM_TERMS[1]}')
+  GROUP BY 1),
+adm AS (SELECT doc_id AS id FROM toks
+        WHERE list_contains(w, '{_DSL_MUST}')
+          AND NOT list_contains(w, '{_DSL_NOT}')),
+leg2 AS (
+  SELECT tfc.id, SUM({w_expr}) AS score
+  FROM tfc
+  JOIN dfq d ON d.term = tfc.term
+  JOIN dl ON dl.id = tfc.id
+  CROSS JOIN stats s
+  WHERE tfc.term = '{_DSL_MUST}'
+    AND tfc.id IN (SELECT id FROM adm)
+  GROUP BY 1),
+unioned AS (SELECT * FROM leg1 UNION ALL SELECT * FROM leg2),
+comb AS (SELECT id,
+                ROUND(MAX(score)
+                      + {_DM_TIE} * (SUM(score) - MAX(score)), 6) AS score
+         FROM unioned GROUP BY 1)
+SELECT CAST(0 AS BIGINT) AS query_id, id, score, CAST(rnk AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rnk FROM comb)
+WHERE rnk <= {_DSL_K}
+"""
+
+
+EXTRA_QUERIES["dsl_dis_max"] = q_dsl_dis_max
+EXTRA_ORACLES["dsl_dis_max"] = _dsl_dis_max_oracle()
+
+
+# round 13 (cont.): field collapsing through the request front door —
+# "size" best hits, at most one per source, EXACT over the full
+# scored match set like ES (a collapse of a pre-cut page would lose
+# whole groups).  The oracle replays BM25 → round → per-(group)
+# window → global re-rank in one statement.
+
+_CLP_K = 10
+
+
+def q_dsl_collapse_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.querydsl import search_request
+
+    docs = load_table(spark, sf_dir, "documents")
+    return search_request(
+        docs,
+        {
+            "query": {"match": {"terms": [_DSL_MUST]}},
+            "size": _CLP_K,
+            "collapse": {"field": "source"},
+        },
+    )["hits"]
+
+
+def _dsl_collapse_page_oracle() -> str:
+    from ..operators.retrieval import BM25_B, BM25_K1
+
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+dl AS (SELECT doc_id AS id, len(w) AS dl FROM toks),
+vx AS (SELECT doc_id AS id, UNNEST(w) AS term FROM toks),
+tfc AS (SELECT id, term, COUNT(*) AS tf FROM vx
+        WHERE term = '{_DSL_MUST}' GROUP BY 1, 2),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+dfq AS (SELECT term, COUNT(DISTINCT id) AS df FROM tfc GROUP BY 1),
+sc AS (
+  SELECT tfc.id,
+         ROUND(SUM(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (tfc.tf * ({BM25_K1} + 1.0))
+             / (tfc.tf + {BM25_K1} * (1.0 - {BM25_B}
+                + {BM25_B} * CAST(dl.dl AS DOUBLE) / s.avgdl))), 6) AS score
+  FROM tfc
+  JOIN dfq d ON d.term = tfc.term
+  JOIN dl ON dl.id = tfc.id
+  CROSS JOIN stats s
+  GROUP BY 1),
+grp AS (SELECT sc.id, COALESCE(CAST(d.source AS VARCHAR), 'null') AS "group",
+               sc.score
+        FROM sc JOIN documents d ON d.doc_id = sc.id),
+best AS (SELECT * FROM (
+           SELECT grp.*, ROW_NUMBER() OVER (
+             PARTITION BY "group" ORDER BY score DESC, id ASC) AS gr
+           FROM grp)
+         WHERE gr <= 1)
+SELECT CAST(0 AS BIGINT) AS query_id, id, "group", score,
+       CAST(rnk AS INT) AS rank
+FROM (SELECT best.*, ROW_NUMBER() OVER (ORDER BY score DESC, id ASC) AS rnk
+      FROM best)
+WHERE rnk <= {_CLP_K}
+"""
+
+
+EXTRA_QUERIES["dsl_collapse_page"] = q_dsl_collapse_page
+EXTRA_ORACLES["dsl_collapse_page"] = _dsl_collapse_page_oracle()
+
+
+# ---------------------------------------------------------------------------
 # round 12: bool FILTER CONTEXT (operators/querydsl._filter_predicate)
 # — ES's unscored metadata clauses (range / term / exists) ANDed into
 # the bool admissible set; surviving docs keep corpus-level BM25

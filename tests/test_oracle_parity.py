@@ -209,8 +209,13 @@ def test_registry_row_counts():
 # dsl_top_hits_buckets (top_hits as a terms sub-agg — per-bucket
 # exemplar rows off the oracled window operator) — both exact-oracled;
 # TextEngine also gained the gated msearch batch verb
-EXPECTED_EXTRA = 148
-EXPECTED_EXTRA_ORACLED = 147
+# r13 (cont.): + dsl_dis_max (best-clause-wins compound: one UNION of
+# the legs' full scored sets + one hash aggregate, max + tie·(sum−max))
+# and dsl_collapse_page (field collapsing through the request front
+# door — exact over the FULL scored match set, per-group window below
+# the global re-rank) — both exact-oracled
+EXPECTED_EXTRA = 150
+EXPECTED_EXTRA_ORACLED = 149
 
 
 def test_driver_window_holds_all_llm_queries():

@@ -1894,3 +1894,116 @@ def test_engine_msearch_gated(spark):
     assert {(r["query_id"], r["id"]) for r in st.collect()} == {
         (0, 1), (0, 2), (0, 3), (1, 1), (1, 3)
     }
+
+
+# -- round 13: dis_max + collapse --------------------------------------------
+
+
+def test_dis_max_best_clause_and_tie_breaker(spark, docs):
+    """dis_max = max leg score + tie_breaker × the rest — verified
+    against the legs' own bm25_scores."""
+    from distributed_vector_search_system_spark.operators.retrieval import (
+        bm25_scores,
+    )
+
+    legs = [
+        {"match": {"terms": ["table"]}},
+        {"bool": {"must": ["spark"], "must_not": ["join"]}},
+    ]
+    got = {
+        r["id"]: r["score"]
+        for r in search_dsl(
+            docs, {"dis_max": {"queries": legs, "tie_breaker": 0.3}}, 5
+        ).collect()
+    }
+    l1 = {
+        r["id"]: r["score"]
+        for r in bm25_scores(docs, _q(spark, ["table"])).collect()
+    }
+    adm = {1, 4}                    # spark present, join absent
+    l2 = {
+        r["id"]: r["score"]
+        for r in bm25_scores(docs, _q(spark, ["spark"])).collect()
+        if r["id"] in adm
+    }
+    for did in set(l1) | set(l2):
+        scores = [s for s in (l1.get(did), l2.get(did)) if s is not None]
+        want = max(scores) + 0.3 * (sum(scores) - max(scores))
+        assert got[did] == pytest.approx(want, abs=2e-6), did
+    # tie_breaker=0: pure max
+    got0 = {
+        r["id"]: r["score"]
+        for r in search_dsl(
+            docs, {"dis_max": {"queries": legs, "tie_breaker": 0.0}}, 5
+        ).collect()
+    }
+    for did in got0:
+        scores = [s for s in (l1.get(did), l2.get(did)) if s is not None]
+        assert got0[did] == pytest.approx(max(scores), abs=2e-6)
+    with pytest.raises(ValueError, match="tie_breaker"):
+        search_dsl(docs, {"dis_max": {"queries": legs, "tie_breaker": 2}}, 5)
+    with pytest.raises(ValueError, match="non-empty"):
+        search_dsl(docs, {"dis_max": {"queries": []}}, 5)
+
+
+def test_collapse_one_best_hit_per_group(spark):
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+    from distributed_vector_search_system_spark.operators.collapse import (
+        collapse_topk,
+    )
+    from distributed_vector_search_system_spark.operators.retrieval import (
+        bm25_scores,
+    )
+
+    rows = [
+        (1, "spark spark merge", "a"), (2, "spark", "a"),
+        (3, "spark table", "b"), (4, "spark spark spark", "b"),
+        (5, "other", "c"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    out = search_request(
+        d,
+        {"query": {"match": {"terms": ["spark"]}},
+         "size": 3, "collapse": {"field": "src"}},
+    )["hits"]
+    assert out.columns == ["query_id", "id", "group", "score", "rank"]
+    # equivalence with the oracled collapse operator over the full
+    # scored set (small here, so its broadcast contract holds)
+    scored = bm25_scores(d, _q(spark, ["spark"])).withColumn(
+        "score", F.round("score", 6)
+    )
+    want = collapse_topk(scored, d, "src", 3)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    groups = [r["group"] for r in out.collect()]
+    assert len(groups) == len(set(groups)) == 2      # one per group a/b
+    with pytest.raises(ValueError, match="relevance page only"):
+        search_request(
+            d,
+            {"query": {"match": {"terms": ["spark"]}},
+             "collapse": {"field": "src"}, "sort": [{"doc_id": "asc"}]},
+        )
+
+
+def test_collapse_with_post_filter_and_per_group(spark):
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    rows = [
+        (1, "spark spark merge", "a"), (2, "spark", "a"),
+        (3, "spark table", "b"), (4, "spark spark spark", "b"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    out = search_request(
+        d,
+        {"query": {"match": {"terms": ["spark"]}}, "size": 4,
+         "collapse": {"field": "src", "per_group": 2},
+         "post_filter": {"bool": {"must": ["spark"],
+                                  "must_not": ["table"]}}},
+    )["hits"]
+    ids = {r["id"] for r in out.collect()}
+    assert ids == {1, 2, 4}          # doc 3 post-filtered; 2 per group
