@@ -7747,3 +7747,47 @@ FROM rk WHERE rank <= 10
 
 EXTRA_QUERIES["dsl_request_sigterms"] = q_dsl_request_sigterms
 EXTRA_ORACLES["dsl_request_sigterms"] = _dsl_request_sigterms_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round-13 close rotation (VERDICT r12 item 1, the established
+# policy): promote the round-12 addendum flagships — none of that
+# capability was independently verified — and demote six long-green
+# rows whose families keep driver coverage:
+# - bm25_stemmed_topk → bm25_stemmed_index_topk (the same analysis
+#   chain, now exercised through the persisted posting index);
+# - multi_index_topk → dsl_multi_match_topk (the per-field-statistics
+#   subtlety carried through the DSL front door, with ^boosts);
+# - bm25_page2 → dsl_sorted_page2 (the pagination family swaps the
+#   relevance cursor for the sorted search_after cursor);
+# - dsl_bool_topk → dsl_min_should_topk (minimum_should_match
+#   generalizes the bool row; dsl_bool_filter_topk stays too);
+# - events_percentiles → dsl_terms_subaggs (analytics keeps
+#   events_date_histogram + docs_composite_page2; the percentile math
+#   keeps its identical DuckDB comparison in the pytest tier);
+# - bm25_explain → dsl_request_sigterms (significant_terms regains a
+#   driver row after bm25_sig_terms's r12 demotion; explain is
+#   translation-only and stays pytest-locked).
+# Every demoted row keeps the IDENTICAL DuckDB comparison in the
+# pytest tier; the window stays exactly 50.
+for _name in (
+    "dsl_multi_match_topk",
+    "dsl_min_should_topk",
+    "dsl_terms_subaggs",
+    "dsl_sorted_page2",
+    "dsl_request_sigterms",
+    "bm25_stemmed_index_topk",
+):
+    QUERIES[_name] = EXTRA_QUERIES.pop(_name)
+    ORACLES[_name] = EXTRA_ORACLES.pop(_name)
+for _name in (
+    "bm25_stemmed_topk",
+    "multi_index_topk",
+    "bm25_page2",
+    "dsl_bool_topk",
+    "events_percentiles",
+    "bm25_explain",
+):
+    EXTRA_QUERIES[_name] = QUERIES.pop(_name)
+    EXTRA_ORACLES[_name] = ORACLES.pop(_name)
+del _name
