@@ -72,7 +72,7 @@ _LEAVES = (
     "multi_match",
 )
 _NODES = _LEAVES + (
-    "function_score", "boosting", "constant_score", "dis_max",
+    "function_score", "boosting", "constant_score", "dis_max", "ids",
 )
 
 
@@ -106,7 +106,7 @@ def _zero_qid(id_col: str = "id"):
     return (c - c).cast("long").alias("query_id")
 
 
-_FILTER_KINDS = ("range", "term", "exists")
+_FILTER_KINDS = ("range", "term", "terms", "exists")
 
 
 def _filter_predicate(filters) -> "F.Column":
@@ -115,6 +115,7 @@ def _filter_predicate(filters) -> "F.Column":
 
         {"range":  {field: {"gte"|"gt"|"lte"|"lt": v, ...}}}
         {"term":   {field: value}}          # exact metadata equality
+        {"terms":  {field: [v1, v2, ...]}}  # IN-list (round 13)
         {"exists": {"field": name}}         # non-null
 
     Pure map-side column expressions — Catalyst pushes them into the
@@ -146,6 +147,12 @@ def _filter_predicate(filters) -> "F.Column":
         elif kind == "term":
             (field,) = body.keys()
             pred = pred & (F.col(field) == F.lit(body[field]))
+        elif kind == "terms":
+            (field,) = body.keys()
+            values = list(body[field])
+            if not values:
+                raise ValueError("terms takes a non-empty value list")
+            pred = pred & F.col(field).isin(values)
         elif kind == "exists":
             pred = pred & F.col(body["field"]).isNotNull()
         else:
@@ -337,6 +344,25 @@ def search_dsl(
         )
         return _score_ranked(scored, k, "score")
 
+    if kind == "ids":
+        # ES ids query (round 13): fetch THESE documents — a
+        # constant-score page over the listed ids (absent ids are
+        # silently skipped, the ES contract), ties on id.  The id
+        # list is RPC-bounded, so the isin predicate pushes to the
+        # scan like any term filter.
+        from .retrieval import _score_ranked
+
+        values = list(body.get("values") or ())
+        if not values:
+            raise ValueError("ids needs a non-empty 'values' list")
+        boost = float(body.get("boost", 1.0))
+        scored = docs.filter(F.col(doc_id_col).isin(values)).select(
+            _zero_qid(doc_id_col),
+            F.col(doc_id_col).alias("id"),
+            F.round(F.lit(boost), 6).alias("score"),
+        )
+        return _score_ranked(scored, k, "score")
+
     if kind == "dis_max":
         # ES dis_max (round 13): per doc, the BEST sub-query's score
         # plus tie_breaker × the others' — the classic multi-clause
@@ -444,11 +470,18 @@ _AGG_KINDS = (
     "range",
     "filters",
     "missing",
+    "filter",
+    "global",
     "extended_stats",
     "stats",
     "percentiles",
     "cardinality",
     "significant_terms",
+    "avg",
+    "sum",
+    "min",
+    "max",
+    "value_count",
 )
 
 #: query node types that define a MATCH SET (aggs / post_filter /
@@ -637,7 +670,7 @@ def _one_agg(
     subs = spec.get("aggs") or {}
     if subs and kind not in (
         "terms", "histogram", "date_histogram", "range", "filters",
-        "missing",
+        "missing", "filter", "global",
     ):
         raise ValueError(
             f"nested aggs compose with bucket kinds only; {kind!r} is a "
@@ -795,6 +828,26 @@ def _one_agg(
             .groupBy()
             .agg(F.count("*").alias("n"), *sub_cols)
         )
+    if kind == "filter":
+        # ES filter agg (round 13): ONE further-narrowed bucket with
+        # its sub-agg metrics — the single-bucket sibling of filters;
+        # the body is one filter-context clause or a clause list
+        return (
+            restricted.filter(
+                _filter_predicate(body if isinstance(body, list) else [body])
+            )
+            .groupBy()
+            .agg(F.count("*").alias("n"), *sub_cols)
+        )
+    if kind == "global":
+        # ES global agg (round 13): metrics over the WHOLE corpus,
+        # ignoring the query — the faceting companion ("matched 12 of
+        # 10M; corpus-wide avg for comparison")
+        return docs.groupBy().agg(F.count("*").alias("n"), *sub_cols)
+    if kind in ("avg", "sum", "min", "max", "value_count"):
+        # top-level single-metric aggs (round 13): one aggregate
+        # expression, column named "value" (the ES response shape)
+        return restricted.groupBy().agg(_sub_agg_expr("value", {kind: body}))
     if kind == "extended_stats":
         from .aggregations import extended_stats
 
@@ -1053,6 +1106,10 @@ def search_request(
          "track_total_hits": true,               # exact match count
          "collapse":    {"field": "source",      # one best hit per
                          "per_group": 1},        # group value
+         "min_score":   1.5,                     # score floor on hits
+         "explain":     true,                    # per-term BM25 decomp
+         "suggest":     {name: {"text": "...",   # term suggester
+                         "term": {"max_edits": 2, "size": 3}}},
          "highlight":   {"window": 8},           # per-hit snippets
          "aggs":        {name: <agg node>, ...}, # over the MATCH SET
          "post_filter": <match | bool node>,     # hits only, not aggs
@@ -1107,7 +1164,8 @@ def search_request(
     unknown = set(request) - {
         "query", "size", "aggs", "post_filter", "sort", "rescore",
         "search_after", "knn", "from", "highlight", "fields",
-        "track_total_hits", "collapse",
+        "track_total_hits", "collapse", "min_score", "suggest",
+        "explain",
     }
     if unknown:
         raise ValueError(f"unknown request keys {sorted(unknown)}")
@@ -1156,6 +1214,23 @@ def search_request(
     # pass cuts it back to the page size
     page_k = max(k, int(rescore.get("window_size", k))) if rescore else k
 
+    min_score = request.get("min_score")
+    if min_score is not None:
+        min_score = float(min_score)
+        if sort is not None:
+            # a field sort skips scoring entirely — there is no score
+            # to threshold (the ES behavior: min_score needs scores)
+            raise ValueError("min_score does not apply to a field sort")
+    explain = bool(request.get("explain"))
+    if explain and (sort is not None or knn is not None):
+        raise ValueError(
+            "explain decomposes BM25 relevance — it does not apply to "
+            "a field sort or the knn hybrid page"
+        )
+    if explain and _node_type(query) not in _MATCH_SET_KINDS:
+        raise ValueError(
+            f"explain requires a match-set query node ({_MATCH_SET_KINDS})"
+        )
     collapse = request.get("collapse")
     if collapse is not None:
         if not isinstance(collapse, dict) or "field" not in collapse:
@@ -1389,6 +1464,13 @@ def search_request(
             docs, hits, rescore, k,
             doc_id_col=doc_id_col, text_col=text_col,
         )
+    if min_score is not None:
+        # ES min_score (round 13): drop hits scoring below the
+        # threshold.  Every scored page here is rank-ordered by score
+        # desc, so the filter keeps a PREFIX of ranks — ranks stay
+        # contiguous with no re-rank, and it commutes with the from
+        # slice below.
+        hits = hits.filter(F.col("score") >= F.lit(min_score))
     if frm:
         hits = hits.filter(F.col("rank") > frm)
 
@@ -1411,10 +1493,22 @@ def search_request(
 
     if track_total:
         # ES track_total_hits: the EXACT size of the full match set,
-        # independent of the page — one count over the admissible ids
-        out["total_hits"] = match_ids.agg(
-            F.count("*").alias("total_hits")
-        )
+        # independent of the page — one count over the admissible ids.
+        # Under min_score the total counts the SCORE-QUALIFIED set
+        # (the ES contract: min_score affects the total), so it counts
+        # the full scored set past the threshold instead.
+        if min_score is not None:
+            out["total_hits"] = (
+                _query_scores(
+                    docs, query, doc_id_col=doc_id_col, text_col=text_col
+                )
+                .filter(F.round("score", 6) >= F.lit(min_score))
+                .agg(F.count("*").alias("total_hits"))
+            )
+        else:
+            out["total_hits"] = match_ids.agg(
+                F.count("*").alias("total_hits")
+            )
 
     highlight = request.get("highlight")
     if highlight is not None:
@@ -1431,6 +1525,61 @@ def search_request(
             hits=hits.select("query_id", "id"),
             doc_id_col=doc_id_col, text_col=text_col,
         )
+
+    if explain:
+        # ES ?explain=true (round 13): the per-term BM25 decomposition
+        # of every hit on the page — the k-bounded pairs frame feeds
+        # the oracled bm25_explain operator (weights sum back to the
+        # ranked score, its tested contract)
+        from .termvectors import bm25_explain
+
+        body_q = query[_node_type(query)]
+        rank_terms = sorted(
+            {*body_q.get("must", ()), *body_q.get("should", ())}
+            if _node_type(query) == "bool"
+            else set(body_q["terms"])
+        )
+        out["explanation"] = bm25_explain(
+            docs, _one_query(docs.sparkSession, rank_terms),
+            hits.select("query_id", "id"),
+            doc_id_col=doc_id_col, text_col=text_col,
+        )
+
+    suggest = request.get("suggest")
+    if suggest is not None:
+        # ES suggest section (round 13): the term suggester —
+        # "did you mean" candidates from the corpus vocabulary via the
+        # oracled spell operator; each named suggester gets its own
+        # frame (query_id 0, the request convention)
+        from .fuzzy import corpus_vocabulary
+        from .spell import spell_suggestions
+
+        vocab = corpus_vocabulary(
+            docs, doc_id_col=doc_id_col, text_col=text_col
+        )
+        out["suggest"] = {}
+        for name, body in suggest.items():
+            if not isinstance(body, dict) or "term" not in body:
+                raise ValueError(
+                    f"suggester {name!r}: only the 'term' suggester is "
+                    "implemented — {'text': ..., 'term': {...}}"
+                )
+            text = body.get("text")
+            if not text:
+                raise ValueError(f"suggester {name!r} needs 'text'")
+            term = body["term"]
+            from ..functions.text import tokens as _tokens
+
+            sq = docs.sparkSession.createDataFrame(
+                [(0, str(text))], "query_id long, qtext string"
+            ).select("query_id", _tokens("qtext").alias("qterms"))
+            out["suggest"][name] = spell_suggestions(
+                vocab, sq,
+                max_edits=int(term.get("max_edits", 2)),
+                top_n=int(term.get("size", 3)),
+                min_df=int(term.get("min_doc_freq", 1)),
+                suggest_mode=term.get("suggest_mode", "missing"),
+            )
 
     return out
 

@@ -7226,6 +7226,116 @@ EXTRA_ORACLES["dsl_collapse_page"] = _dsl_collapse_page_oracle()
 
 
 # ---------------------------------------------------------------------------
+# round 13 addendum: the filter agg (ES's single-bucket narrow: "of
+# the matches, the long ones — count and average") + the terms
+# IN-list filter clause, both through the request front door in one
+# row: a bool query whose filter context uses the new terms clause,
+# then a filter agg with metric sub-aggs over the match set.
+
+_FAG_MIN_CHARS = 300
+_FAG_LANGS = ("en", "de")
+
+
+def q_dsl_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.querydsl import search_request
+
+    docs = load_table(spark, sf_dir, "documents")
+    return search_request(
+        docs,
+        {
+            "query": {"bool": {
+                "must": [_DSL_MUST],
+                "filter": [{"terms": {"lang": list(_FAG_LANGS)}}],
+            }},
+            "aggs": {
+                "long_docs": {
+                    "filter": [
+                        {"range": {"n_chars": {"gte": _FAG_MIN_CHARS}}}
+                    ],
+                    "aggs": {
+                        "avg_chars": {"avg": {"field": "n_chars"}},
+                        "max_chars": {"max": {"field": "n_chars"}},
+                    },
+                }
+            },
+        },
+    )["aggregations"]["long_docs"]
+
+
+def _dsl_filter_agg_oracle() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w, lang, n_chars FROM documents),
+adm AS (SELECT doc_id AS id FROM toks
+        WHERE lang IN ('{_FAG_LANGS[0]}', '{_FAG_LANGS[1]}')
+          AND list_contains(w, '{_DSL_MUST}')),
+adocs AS (SELECT * FROM documents WHERE doc_id IN (SELECT id FROM adm))
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_chars,
+       ROUND(MAX(CAST(n_chars AS DOUBLE)), 6) AS max_chars
+FROM adocs WHERE n_chars >= {_FAG_MIN_CHARS}
+"""
+
+
+EXTRA_QUERIES["dsl_filter_agg"] = q_dsl_filter_agg
+EXTRA_ORACLES["dsl_filter_agg"] = _dsl_filter_agg_oracle()
+
+
+# round 13 addendum (cont.): min_score — the ES score floor.  Every
+# scored page is rank-ordered by score desc, so the floor keeps a
+# PREFIX of ranks (no re-rank needed — asserted in tests); with
+# track_total_hits the total counts the score-qualified set, the ES
+# contract.  One replay: BM25, round, floor, rank, page.
+
+_MSC_FLOOR = 1.0
+
+
+def q_dsl_min_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.querydsl import search_request
+
+    docs = load_table(spark, sf_dir, "documents")
+    return search_request(
+        docs,
+        {
+            "query": {"match": {"terms": [_DSL_MUST]}},
+            "size": _DSL_K,
+            "min_score": _MSC_FLOOR,
+        },
+    )["hits"]
+
+
+def _dsl_min_score_oracle() -> str:
+    from ..operators.retrieval import BM25_B, BM25_K1
+
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+dl AS (SELECT doc_id AS id, len(w) AS dl FROM toks),
+vx AS (SELECT doc_id AS id, UNNEST(w) AS term FROM toks),
+tfc AS (SELECT id, term, COUNT(*) AS tf FROM vx
+        WHERE term = '{_DSL_MUST}' GROUP BY 1, 2),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+dfq AS (SELECT term, COUNT(DISTINCT id) AS df FROM tfc GROUP BY 1),
+sc AS (
+  SELECT tfc.id,
+         ROUND(SUM(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (tfc.tf * ({BM25_K1} + 1.0))
+             / (tfc.tf + {BM25_K1} * (1.0 - {BM25_B}
+                + {BM25_B} * CAST(dl.dl AS DOUBLE) / s.avgdl))), 6) AS score
+  FROM tfc
+  JOIN dfq d ON d.term = tfc.term
+  JOIN dl ON dl.id = tfc.id
+  CROSS JOIN stats s
+  GROUP BY 1)
+SELECT CAST(0 AS BIGINT) AS query_id, id, score, CAST(rnk AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rnk FROM sc)
+WHERE rnk <= {_DSL_K} AND score >= {_MSC_FLOOR}
+"""
+
+
+EXTRA_QUERIES["dsl_min_score_topk"] = q_dsl_min_score_topk
+EXTRA_ORACLES["dsl_min_score_topk"] = _dsl_min_score_oracle()
+
+
+# ---------------------------------------------------------------------------
 # round 12: bool FILTER CONTEXT (operators/querydsl._filter_predicate)
 # — ES's unscored metadata clauses (range / term / exists) ANDed into
 # the bool admissible set; surviving docs keep corpus-level BM25

@@ -214,8 +214,17 @@ def test_registry_row_counts():
 # and dsl_collapse_page (field collapsing through the request front
 # door — exact over the FULL scored match set, per-group window below
 # the global re-rank) — both exact-oracled
-EXPECTED_EXTRA = 150
-EXPECTED_EXTRA_ORACLED = 149
+# r13 addendum: + dsl_filter_agg (the single-bucket filter agg with
+# metric sub-aggs, driven through a bool whose filter context uses the
+# new terms IN-list clause); ids query node, global agg, and top-level
+# metric agg kinds are pytest-covered
+# r13 addendum (cont.): + dsl_min_score_topk (the ES score floor —
+# rank-prefix semantics, score-qualified total); the suggest section
+# (term suggester via the oracled spell operator) and explain=true
+# (per-term BM25 decomposition of the page) are pytest-equivalence
+# covered, as translation-only layers over driver-green operators
+EXPECTED_EXTRA = 152
+EXPECTED_EXTRA_ORACLED = 151
 
 
 def test_driver_window_holds_all_llm_queries():

@@ -2007,3 +2007,172 @@ def test_collapse_with_post_filter_and_per_group(spark):
     )["hits"]
     ids = {r["id"] for r in out.collect()}
     assert ids == {1, 2, 4}          # doc 3 post-filtered; 2 per group
+
+
+# -- round 13 addendum: terms clause, ids node, filter/global/metric aggs ----
+
+
+def test_terms_filter_clause_in_list(spark, docs):
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    out = search_request(
+        docs,
+        {"query": {"bool": {
+            "must": ["spark"],
+            "filter": [{"terms": {"pop": [100, 250]}}]}},
+         "size": 5},
+    )["hits"]
+    assert {r["id"] for r in out.collect()} == {1, 4}
+    with pytest.raises(ValueError, match="non-empty value list"):
+        search_request(
+            docs,
+            {"query": {"bool": {"must": ["spark"],
+                                "filter": [{"terms": {"pop": []}}]}}},
+        )
+
+
+def test_terms_clause_in_knn_filter(spark, docs, lvectors):
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    req = {
+        "query": {"match": {"terms": ["filter"]}},
+        "size": 5,
+        "knn": {"query_vector": [1.0, 1.0], "k": 2, "boost": 2.0,
+                "filter": [{"terms": {"label": [0]}}]},
+    }
+    got = {
+        r["id"]
+        for r in search_request(docs, req, vectors=lvectors)["hits"].collect()
+    }
+    assert got == {2, 3, 4, 5}       # same as the term-clause test
+
+
+def test_ids_query_node(spark, docs):
+    got = search_dsl(docs, {"ids": {"values": [4, 2, 99]}}, 5)
+    rows = [(r["id"], r["score"], r["rank"]) for r in got.collect()]
+    assert sorted(rows) == [(2, 1.0, 1), (4, 1.0, 2)]   # 99 absent, id order
+    with pytest.raises(ValueError, match="non-empty 'values'"):
+        search_dsl(docs, {"ids": {"values": []}}, 5)
+
+
+def test_filter_global_and_metric_aggs(spark, docs):
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    out = search_request(
+        docs,
+        {"query": {"match": {"terms": ["spark"]}},     # docs 1, 2, 4
+         "aggs": {
+             "big": {"filter": [{"range": {"pop": {"gte": 200}}}],
+                     "aggs": {"avg_pop": {"avg": {"field": "pop"}}}},
+             "corpus": {"global": {},
+                        "aggs": {"avg_pop": {"avg": {"field": "pop"}}}},
+             "mean_pop": {"avg": {"field": "pop"}},
+             "n_pop": {"value_count": {"field": "pop"}},
+         }},
+    )["aggregations"]
+    big = out["big"].collect()[0]
+    assert big["n"] == 2 and big["avg_pop"] == 325.0    # docs 2, 4
+    corpus = out["corpus"].collect()[0]
+    assert corpus["n"] == 5 and corpus["avg_pop"] == 340.0
+    assert out["mean_pop"].columns == ["value"]
+    assert out["mean_pop"].collect()[0]["value"] == 250.0
+    assert out["n_pop"].collect()[0]["value"] == 3
+
+
+# -- round 13 addendum: min_score / explain / suggest ------------------------
+
+
+def test_min_score_floors_page_and_total(spark, docs):
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    base = {"query": {"match": {"terms": ["spark", "table"]}}, "size": 5,
+            "track_total_hits": True}
+    plain = search_request(docs, base)
+    scores = sorted(
+        (r["score"] for r in plain["hits"].collect()), reverse=True
+    )
+    assert len(scores) >= 3
+    cut = scores[1]                              # keep the top two
+    floored = search_request(docs, {**base, "min_score": cut})
+    kept = [(r["rank"], r["score"]) for r in floored["hits"].collect()]
+    assert len(kept) == 2
+    assert sorted(r for r, _ in kept) == [1, 2]  # contiguous prefix ranks
+    assert all(s >= cut for _, s in kept)
+    assert plain["total_hits"].collect()[0][0] == len(scores)
+    assert floored["total_hits"].collect()[0][0] == 2
+    with pytest.raises(ValueError, match="field sort"):
+        search_request(
+            docs,
+            {"query": {"match": {"terms": ["spark"]}},
+             "sort": [{"pop": "asc"}], "min_score": 1.0},
+        )
+
+
+def test_explain_decomposes_page_scores(spark, docs):
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    out = search_request(
+        docs,
+        {"query": {"bool": {"must": ["spark"], "should": ["table"]}},
+         "size": 3, "explain": True},
+    )
+    hits = {r["id"]: r["score"] for r in out["hits"].collect()}
+    expl = {}
+    for r in out["explanation"].collect():
+        expl.setdefault(r["id"], 0.0)
+        expl[r["id"]] += r["weight"]
+    assert set(expl) == set(hits)
+    for did, s in hits.items():
+        assert expl[did] == pytest.approx(s, abs=1e-5), did
+    with pytest.raises(ValueError, match="match-set query node"):
+        search_request(
+            docs,
+            {"query": {"fuzzy": {"terms": ["sparkk"]}}, "explain": True},
+        )
+
+
+def test_suggest_term_suggester(spark, docs):
+    from distributed_vector_search_system_spark.operators.fuzzy import (
+        corpus_vocabulary,
+    )
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+    from distributed_vector_search_system_spark.operators.spell import (
+        spell_suggestions,
+    )
+
+    out = search_request(
+        docs,
+        {"query": {"match": {"terms": ["spark"]}},
+         "suggest": {"fix": {"text": "sperk tabel",
+                             "term": {"max_edits": 2, "size": 2}}}},
+    )
+    got = out["suggest"]["fix"]
+    q = spark.createDataFrame(
+        [(0, ["sperk", "tabel"])], "query_id long, qterms array<string>"
+    )
+    want = spell_suggestions(
+        corpus_vocabulary(docs), q, max_edits=2, top_n=2
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    sugg = {(r["source_term"], r["suggestion"]) for r in got.collect()}
+    assert ("sperk", "spark") in sugg and ("tabel", "table") in sugg
+    with pytest.raises(ValueError, match="term"):
+        search_request(
+            docs,
+            {"query": {"match": {"terms": ["spark"]}},
+             "suggest": {"p": {"text": "x", "phrase": {}}}},
+        )
