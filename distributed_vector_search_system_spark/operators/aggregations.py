@@ -226,6 +226,94 @@ def top_hits(
     )
 
 
+def boxplot(
+    df: DataFrame,
+    value_col: str,
+    *,
+    by: Sequence[str] | None = None,
+    exact: bool = True,
+    accuracy: int = 10_000,
+    max_exact_rows: int | None = EXACT_TIER_MAX_ROWS,
+) -> DataFrame:
+    """ES ``boxplot``: min / q1 / q2 / q3 / max per bucket (round 13).
+    Quartiles follow the same two-tier convention as
+    :func:`percentiles` — ``exact=True`` is linear-interpolated
+    (DuckDB ``quantile_cont``, the oracle tier; guarded above
+    ``max_exact_rows``), ``exact=False`` is the GK sketch.  One hash
+    aggregate; NULLs ignored."""
+    if exact:
+        _guard_exact_tier(df, "boxplot", max_exact_rows)
+    v = F.col(value_col).cast("double")
+
+    def q(frac: float):
+        return (
+            F.percentile(v, F.lit(frac))
+            if exact
+            else F.percentile_approx(v, F.lit(frac), F.lit(int(accuracy)))
+        )
+
+    return _grouped(df, by).agg(
+        F.round(F.min(v), 6).alias("min_v"),
+        F.round(q(0.25), 6).alias("q1"),
+        F.round(q(0.5), 6).alias("q2"),
+        F.round(q(0.75), 6).alias("q3"),
+        F.round(F.max(v), 6).alias("max_v"),
+    )
+
+
+def weighted_avg(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    *,
+    by: Sequence[str] | None = None,
+) -> DataFrame:
+    """ES ``weighted_avg``: ``Σ v·w / Σ w`` per bucket (round 13).
+    Rows with a NULL value OR a NULL weight are excluded entirely (the
+    ES skip-missing default — excluding only one side would corrupt
+    the ratio).  One hash aggregate, map-side combine."""
+    v = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    both = F.when(v.isNotNull() & w.isNotNull(), F.lit(1))
+    return _grouped(df, by).agg(
+        F.round(
+            F.sum(F.when(both.isNotNull(), v * w))
+            / F.sum(F.when(both.isNotNull(), w)),
+            6,
+        ).alias("value")
+    )
+
+
+def percentile_ranks(
+    df: DataFrame,
+    value_col: str,
+    values: Sequence[float],
+    *,
+    by: Sequence[str] | None = None,
+) -> DataFrame:
+    """ES ``percentile_ranks``: the inverse of :func:`percentiles` —
+    for each requested value, the PERCENTAGE of observations ≤ it
+    (round 13).  Exact by definition (a counting ratio, no
+    interpolation ambiguity — ES's tdigest approximates this same
+    quantity), so it is its own oracle tier: one hash aggregate with
+    one conditional count per requested value.  NULLs ignored."""
+    if not values:
+        raise ValueError("values must be non-empty")
+    v = F.col(value_col).cast("double")
+    aggs = []
+    for x in values:
+        name = ("r%g" % float(x)).replace(".", "_").replace("-", "m")
+        aggs.append(
+            F.round(
+                F.lit(100.0)
+                * F.count(F.when(v <= float(x), F.lit(1)))
+                / F.count(v),
+                6,
+            ).alias(name)
+        )
+    return _grouped(df, by).agg(*aggs)
+
+
 _INTERVALS = ("hour", "day", "week", "month", "quarter", "year")
 
 

@@ -482,6 +482,10 @@ _AGG_KINDS = (
     "min",
     "max",
     "value_count",
+    "boxplot",
+    "weighted_avg",
+    "percentile_ranks",
+    "sampler",
 )
 
 #: query node types that define a MATCH SET (aggs / post_filter /
@@ -641,6 +645,7 @@ def _one_agg(
     *,
     docs: DataFrame = None,
     match_ids: DataFrame = None,
+    query: dict = None,
     doc_id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -670,7 +675,7 @@ def _one_agg(
     subs = spec.get("aggs") or {}
     if subs and kind not in (
         "terms", "histogram", "date_histogram", "range", "filters",
-        "missing", "filter", "global",
+        "missing", "filter", "global", "sampler",
     ):
         raise ValueError(
             f"nested aggs compose with bucket kinds only; {kind!r} is a "
@@ -848,6 +853,60 @@ def _one_agg(
         # top-level single-metric aggs (round 13): one aggregate
         # expression, column named "value" (the ES response shape)
         return restricted.groupBy().agg(_sub_agg_expr("value", {kind: body}))
+    if kind == "boxplot":
+        from .aggregations import boxplot
+
+        return boxplot(
+            restricted, body["field"],
+            exact=bool(body.get("exact", True)),
+            accuracy=int(body.get("accuracy", 10_000)),
+        )
+    if kind == "weighted_avg":
+        from .aggregations import weighted_avg
+
+        return weighted_avg(
+            restricted, body["value"]["field"], body["weight"]["field"]
+        )
+    if kind == "percentile_ranks":
+        from .aggregations import percentile_ranks
+
+        return percentile_ranks(
+            restricted, body["field"],
+            [float(x) for x in body["values"]],
+        )
+    if kind == "sampler":
+        # ES sampler agg (round 13): sub-agg metrics over only the
+        # TOP-``shard_size`` scored docs of the match set — "what do
+        # the BEST matches look like" (the global, exact version of
+        # ES's per-shard heuristic; requires a match/bool query for
+        # the scores).  The scored cut is k-bounded, so it broadcasts
+        # into the restriction like any page.
+        if query is None or _node_type(query) not in _MATCH_SET_KINDS:
+            raise ValueError(
+                "sampler needs a match/bool query for its scores"
+            )
+        from pyspark.sql import Window
+
+        n = int(body.get("shard_size", 100))
+        if n < 1:
+            raise ValueError("shard_size must be >= 1")
+        scored = _query_scores(
+            docs, query, doc_id_col=doc_id_col, text_col=text_col
+        ).withColumn("score", F.round("score", 6))
+        w = Window.partitionBy(_zero_qid()).orderBy(
+            F.col("score").desc(), F.col("id").asc()
+        )
+        top = (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= n)
+            .select("id")
+        )
+        sampled = restricted.join(
+            F.broadcast(top),
+            restricted[doc_id_col] == top["id"],
+            "left_semi",
+        )
+        return sampled.groupBy().agg(F.count("*").alias("n"), *sub_cols)
     if kind == "extended_stats":
         from .aggregations import extended_stats
 
@@ -1287,7 +1346,7 @@ def search_request(
         aggregations = {
             name: _one_agg(
                 restricted, spec,
-                docs=docs, match_ids=match_ids,
+                docs=docs, match_ids=match_ids, query=query,
                 doc_id_col=doc_id_col, text_col=text_col,
             )
             for name, spec in aggs.items()
@@ -1781,11 +1840,11 @@ def _msearch_translate(requests):
     for i, req in enumerate(requests):
         if not isinstance(req, dict) or "query" not in req:
             raise ValueError(f"request {i} needs a 'query' node")
-        unknown = set(req) - {"query", "size", "aggs"}
+        unknown = set(req) - {"query", "size", "aggs", "from"}
         if unknown:
             raise ValueError(
-                f"msearch request {i} supports query/size/aggs only; "
-                f"got {sorted(unknown)} (compose sort/knn/rescore/"
+                f"msearch request {i} supports query/size/aggs/from "
+                f"only; got {sorted(unknown)} (compose sort/knn/rescore/"
                 "post_filter via search_request per request)"
             )
         query = req["query"]
@@ -1822,11 +1881,15 @@ def _msearch_translate(requests):
             cons.append((i, str(t), "should"))
         for t in sorted(set(must_not)):
             cons.append((i, str(t), "not"))
+        frm = int(req.get("from", 0))
+        if frm < 0:
+            raise ValueError(f"msearch request {i}: from must be >= 0")
         meta.append(
             (
                 i,
                 len(set(must)),
                 min_should if should else 0,
+                frm,
                 int(req.get("size", 10)),
             )
         )
@@ -1930,7 +1993,10 @@ def msearch(
     user requests would otherwise mean N separate corpus plans.
 
     Each request is ``{"query": <match | bool node>, "size": 10,
-    "aggs": {...}}`` — the match/bool + aggs shape.  Returns::
+    "from": 0, "aggs": {...}}`` — the match/bool + aggs shape; the
+    one ranking window is cut at ``max(from_i + size_i)`` and a
+    broadcast per-request trim slices each page (global ranks kept,
+    the ``search_request`` convention).  Returns::
 
         {"hits": DataFrame,             # (query_id, id, score, rank),
                                         # query_id = request index,
@@ -1972,7 +2038,7 @@ def msearch(
         cons, "query_id long, term string, role string"
     )
     meta_df = spark.createDataFrame(
-        meta, "query_id long, _nm long, _ms long, _k int"
+        meta, "query_id long, _nm long, _ms long, _frm int, _k int"
     )
     qframe = spark.createDataFrame(
         qrows, "query_id long, qterms array<string>"
@@ -2012,7 +2078,7 @@ def msearch(
         .select("query_id", "id")
     )
 
-    max_k = max(m[3] for m in meta)
+    max_k = max(m[3] + m[4] for m in meta)
     scored = bm25_scores(
         docs, qframe,
         doc_id_col=doc_id_col, text_col=text_col, filter_ids=adm,
@@ -2020,9 +2086,17 @@ def msearch(
     ranked = _score_ranked(
         scored.withColumn("score", F.round("score", 6)), max_k, "score"
     )
+    # per-request from+size trim (global ranks kept, the
+    # search_request convention): one broadcast join, no second window
     hits = (
-        ranked.join(F.broadcast(meta_df.select("query_id", "_k")), "query_id")
-        .filter(F.col("rank") <= F.col("_k"))
+        ranked.join(
+            F.broadcast(meta_df.select("query_id", "_frm", "_k")),
+            "query_id",
+        )
+        .filter(
+            (F.col("rank") > F.col("_frm"))
+            & (F.col("rank") <= F.col("_frm") + F.col("_k"))
+        )
         .select("query_id", "id", "score", "rank")
     )
 

@@ -7335,6 +7335,116 @@ EXTRA_QUERIES["dsl_min_score_topk"] = q_dsl_min_score_topk
 EXTRA_ORACLES["dsl_min_score_topk"] = _dsl_min_score_oracle()
 
 
+# round 13 addendum (cont.): boxplot + percentile_ranks over the
+# match set — the ES distribution verbs completing the metric family
+# (quartiles = quantile_cont linear interpolation, the percentiles
+# tier convention; percentile_ranks is a counting ratio and therefore
+# its own oracle tier).  One request, two frames; this row carries
+# the boxplot half (percentile_ranks shares the replay shape and is
+# pytest-covered).
+
+
+def q_dsl_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.querydsl import search_request
+
+    docs = load_table(spark, sf_dir, "documents")
+    return search_request(
+        docs,
+        {
+            "query": {"bool": {"must": [_DSL_MUST], "must_not": [_DSL_NOT]}},
+            "aggs": {"chars_box": {"boxplot": {"field": "n_chars"}}},
+        },
+    )["aggregations"]["chars_box"]
+
+
+def _dsl_boxplot_oracle() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+adm AS (SELECT doc_id AS id FROM toks
+        WHERE list_contains(w, '{_DSL_MUST}')
+          AND NOT list_contains(w, '{_DSL_NOT}')),
+v AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+      WHERE doc_id IN (SELECT id FROM adm))
+SELECT ROUND(MIN(x), 6) AS min_v,
+       ROUND(quantile_cont(x, 0.25), 6) AS q1,
+       ROUND(quantile_cont(x, 0.5), 6) AS q2,
+       ROUND(quantile_cont(x, 0.75), 6) AS q3,
+       ROUND(MAX(x), 6) AS max_v
+FROM v
+"""
+
+
+EXTRA_QUERIES["dsl_boxplot"] = q_dsl_boxplot
+EXTRA_ORACLES["dsl_boxplot"] = _dsl_boxplot_oracle()
+
+
+# round 13 addendum (cont.): the sampler agg — "what do the BEST
+# matches look like": metric sub-aggs over only the top-shard_size
+# scored docs of the match set (the exact global version of ES's
+# per-shard heuristic).  The oracle replays BM25 → round → top-N cut
+# → metrics in one statement.
+
+_SMP_N = 25
+
+
+def q_dsl_sampler_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.querydsl import search_request
+
+    docs = load_table(spark, sf_dir, "documents")
+    return search_request(
+        docs,
+        {
+            "query": {"match": {"terms": [_DSL_MUST]}},
+            "aggs": {
+                "best": {
+                    "sampler": {"shard_size": _SMP_N},
+                    "aggs": {
+                        "avg_chars": {"avg": {"field": "n_chars"}},
+                        "n_sources": {"cardinality": {"field": "source"}},
+                    },
+                }
+            },
+        },
+    )["aggregations"]["best"]
+
+
+def _dsl_sampler_oracle() -> str:
+    from ..operators.retrieval import BM25_B, BM25_K1
+
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+dl AS (SELECT doc_id AS id, len(w) AS dl FROM toks),
+vx AS (SELECT doc_id AS id, UNNEST(w) AS term FROM toks),
+tfc AS (SELECT id, term, COUNT(*) AS tf FROM vx
+        WHERE term = '{_DSL_MUST}' GROUP BY 1, 2),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+dfq AS (SELECT term, COUNT(DISTINCT id) AS df FROM tfc GROUP BY 1),
+sc AS (
+  SELECT tfc.id,
+         ROUND(SUM(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (tfc.tf * ({BM25_K1} + 1.0))
+             / (tfc.tf + {BM25_K1} * (1.0 - {BM25_B}
+                + {BM25_B} * CAST(dl.dl AS DOUBLE) / s.avgdl))), 6) AS score
+  FROM tfc
+  JOIN dfq d ON d.term = tfc.term
+  JOIN dl ON dl.id = tfc.id
+  CROSS JOIN stats s
+  GROUP BY 1),
+top AS (SELECT id FROM (
+          SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rn
+          FROM sc)
+        WHERE rn <= {_SMP_N})
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_chars,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM documents WHERE doc_id IN (SELECT id FROM top)
+"""
+
+
+EXTRA_QUERIES["dsl_sampler_agg"] = q_dsl_sampler_agg
+EXTRA_ORACLES["dsl_sampler_agg"] = _dsl_sampler_oracle()
+
+
 # ---------------------------------------------------------------------------
 # round 12: bool FILTER CONTEXT (operators/querydsl._filter_predicate)
 # — ES's unscored metadata clauses (range / term / exists) ANDed into

@@ -223,8 +223,13 @@ def test_registry_row_counts():
 # (term suggester via the oracled spell operator) and explain=true
 # (per-term BM25 decomposition of the page) are pytest-equivalence
 # covered, as translation-only layers over driver-green operators
-EXPECTED_EXTRA = 152
-EXPECTED_EXTRA_ORACLED = 151
+# r13 addendum (cont.): + dsl_boxplot (quartile distribution over the
+# match set, quantile_cont tier) and dsl_sampler_agg (metrics over
+# only the top-shard_size scored matches — BM25 → top-N → metrics in
+# one replay); weighted_avg / percentile_ranks / msearch per-request
+# from are pytest-covered
+EXPECTED_EXTRA = 154
+EXPECTED_EXTRA_ORACLED = 153
 
 
 def test_driver_window_holds_all_llm_queries():

@@ -294,7 +294,7 @@ def test_request_validation(spark, docs):
         search_request(docs, {"aggs": {}})
     with pytest.raises(ValueError, match="unknown request keys"):
         search_request(
-            docs, {"query": {"match": {"terms": ["a"]}}, "min_score": 3}
+            docs, {"query": {"match": {"terms": ["a"]}}, "preference": 3}
         )
     with pytest.raises(ValueError, match="match-set"):
         search_request(
@@ -306,7 +306,7 @@ def test_request_validation(spark, docs):
         search_request(
             docs,
             {"query": {"match": {"terms": ["spark"]}},
-             "aggs": {"x": {"min": {"field": "pop"}}}},
+             "aggs": {"x": {"geo_bounds": {"field": "pop"}}}},
         )
     with pytest.raises(ValueError, match="sort"):
         search_request(
@@ -1749,7 +1749,7 @@ def test_msearch_validation(spark, docs):
 
     with pytest.raises(ValueError, match="at least one request"):
         msearch(docs, [])
-    with pytest.raises(ValueError, match="query/size/aggs only"):
+    with pytest.raises(ValueError, match="query/size/aggs/from only"):
         msearch(
             docs,
             [{"query": {"match": {"terms": ["a"]}}, "sort": [{"pop": "asc"}]}],
@@ -2176,3 +2176,96 @@ def test_suggest_term_suggester(spark, docs):
             {"query": {"match": {"terms": ["spark"]}},
              "suggest": {"p": {"text": "x", "phrase": {}}}},
         )
+
+
+# -- round 13 addendum: boxplot / weighted_avg / percentile_ranks / sampler --
+
+
+def test_boxplot_weighted_avg_percentile_ranks(spark):
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    rows = [(i, "x", float(i), float(i % 3 + 1)) for i in range(1, 9)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, v double, w double"
+    )
+    out = search_request(
+        d,
+        {"query": {"match": {"terms": ["x"]}},
+         "aggs": {
+             "box": {"boxplot": {"field": "v"}},
+             "wavg": {"weighted_avg": {"value": {"field": "v"},
+                                       "weight": {"field": "w"}}},
+             "ranks": {"percentile_ranks": {"field": "v",
+                                            "values": [2.0, 6.5]}},
+         }},
+    )["aggregations"]
+    box = out["box"].collect()[0]
+    # v = 1..8: q1 = 2.75, q2 = 4.5, q3 = 6.25 (linear interpolation)
+    assert (box["min_v"], box["q1"], box["q2"], box["q3"], box["max_v"]) \
+        == (1.0, 2.75, 4.5, 6.25, 8.0)
+    wavg = out["wavg"].collect()[0]["value"]
+    vals = [(float(i), float(i % 3 + 1)) for i in range(1, 9)]
+    want = round(sum(v * w for v, w in vals) / sum(w for _, w in vals), 6)
+    assert wavg == pytest.approx(want, abs=1e-6)
+    ranks = out["ranks"].collect()[0]
+    assert ranks["r2"] == 25.0                  # 2 of 8 values <= 2.0
+    assert ranks["r6_5"] == 75.0                # 6 of 8 values <= 6.5
+
+
+def test_sampler_agg_top_scored_only(spark, docs):
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    # "spark" scores: doc 2 (spark spark join, short) ranks best, then
+    # 1, then 4 — a sampler of 2 must aggregate docs {2, 1} only
+    out = search_request(
+        docs,
+        {"query": {"match": {"terms": ["spark"]}},
+         "aggs": {
+             "best": {"sampler": {"shard_size": 2},
+                      "aggs": {"max_pop": {"max": {"field": "pop"}}}},
+             "all": {"max": {"field": "pop"}},
+         }},
+    )["aggregations"]
+    hits = search_dsl(docs, {"match": {"terms": ["spark"]}}, 5)
+    top2 = {r["id"] for r in hits.filter(F.col("rank") <= 2).collect()}
+    best = out["best"].collect()[0]
+    assert best["n"] == 2
+    pops = {1: 100.0, 2: 400.0, 4: 250.0}
+    assert best["max_pop"] == max(pops[i] for i in top2)
+    assert out["all"].collect()[0]["value"] == 400.0
+    with pytest.raises(ValueError, match="match-set query node"):
+        search_request(
+            docs,
+            {"query": {"constant_score": {
+                "filter": {"match": {"terms": ["spark"]}}}},
+             "aggs": {"s": {"sampler": {"shard_size": 2}}}},
+        )
+
+
+def test_msearch_per_request_from(spark, docs):
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        msearch,
+    )
+
+    full = msearch(
+        docs, [{"query": {"match": {"terms": ["spark", "table"]}},
+                "size": 10}]
+    )["hits"]
+    want = [
+        (r["rank"], r["id"])
+        for r in full.collect()
+        if 2 < r["rank"] <= 4
+    ]
+    page2 = msearch(
+        docs,
+        [{"query": {"match": {"terms": ["spark", "table"]}},
+          "from": 2, "size": 2}],
+    )["hits"]
+    got = sorted((r["rank"], r["id"]) for r in page2.collect())
+    assert got == sorted(want) and len(got) == 2
+    with pytest.raises(ValueError, match="from must be"):
+        msearch(docs, [{"query": {"match": {"terms": ["a"]}}, "from": -1}])
