@@ -73,6 +73,7 @@ _LEAVES = (
 )
 _NODES = _LEAVES + (
     "function_score", "boosting", "constant_score", "dis_max", "ids",
+    "more_like_this",
 )
 
 
@@ -363,6 +364,36 @@ def search_dsl(
         )
         return _score_ranked(scored, k, "score")
 
+    if kind == "more_like_this":
+        # ES more_like_this (round 13 addendum): "find documents like
+        # THIS one" — delegates to the oracled MLT operator (tf-idf
+        # representative-term selection from the seed, df gates, BM25
+        # second pass, seed excluded).  The DSL node takes ONE like id
+        # (its page is the single-query contract, query_id remapped to
+        # 0); the multi-seed batch form is the operator itself /
+        # bm25_mlt_topk, multi-query-native.
+        from .mlt import bm25_mlt_topk
+
+        like = body.get("like_ids") or ()
+        if len(like) != 1:
+            raise ValueError(
+                "more_like_this takes exactly one like id in the DSL "
+                "(use operators.mlt.bm25_mlt_topk for multi-seed "
+                "batches)"
+            )
+        seeds = spark.createDataFrame([(like[0],)], "seed_id long")
+        page = bm25_mlt_topk(
+            docs, seeds, k,
+            max_query_terms=int(body.get("max_query_terms", 10)),
+            min_df=int(body.get("min_doc_freq", 1)),
+            max_df=body.get("max_doc_freq"),
+            include_seed=bool(body.get("include", False)),
+            doc_id_col=doc_id_col, text_col=text_col,
+        )
+        return page.select(
+            _zero_qid(), "id", F.round("score", 6).alias("score"), "rank"
+        )
+
     if kind == "dis_max":
         # ES dis_max (round 13): per doc, the BEST sub-query's score
         # plus tie_breaker × the others' — the classic multi-clause
@@ -486,6 +517,7 @@ _AGG_KINDS = (
     "weighted_avg",
     "percentile_ranks",
     "sampler",
+    "multi_terms",
 )
 
 #: query node types that define a MATCH SET (aggs / post_filter /
@@ -639,6 +671,30 @@ def _nested_bucket_agg(
     return comp
 
 
+def _apply_pipeline(out: DataFrame, pipeline, default_of: str) -> DataFrame:
+    """ES pipeline aggs over a bucket series (round 13 addendum):
+    ``{"pipeline": {"of": "n", "window": 3}}`` on a histogram /
+    date_histogram node appends ``cum_sum`` / ``deriv`` /
+    ``moving_avg`` via the oracled ``pipeline_aggs`` operator — the
+    windows run over the BUCKET-sized output ordered by bucket key (a
+    single global series is one partition by construction, the
+    operator's documented shape)."""
+    if pipeline is None:
+        return out
+    from .aggregations import pipeline_aggs
+
+    of = str(pipeline.get("of", default_of))
+    if of not in out.columns:
+        raise ValueError(
+            f"pipeline 'of' must name a bucket column ({out.columns}); "
+            f"got {of!r}"
+        )
+    return pipeline_aggs(
+        out, of, order_col="bucket",
+        window=int(pipeline.get("window", 3)),
+    )
+
+
 def _one_agg(
     restricted: DataFrame,
     spec: dict,
@@ -664,18 +720,24 @@ def _one_agg(
         raise ValueError(
             f"an agg node is a single-key dict from {_AGG_KINDS}; got {spec!r}"
         )
-    kinds = set(spec) - {"aggs"}
+    kinds = set(spec) - {"aggs", "pipeline"}
     if len(kinds) != 1:
         raise ValueError(
             f"an agg node is a single-key dict from {_AGG_KINDS} (plus an "
-            f"optional nested 'aggs'); got {spec!r}"
+            f"optional nested 'aggs' / 'pipeline'); got {spec!r}"
         )
     (kind,) = kinds
     body = spec[kind]
+    pipeline = spec.get("pipeline")
+    if pipeline is not None and kind not in ("histogram", "date_histogram"):
+        raise ValueError(
+            "pipeline aggs run over an ordered bucket series — they "
+            f"compose with histogram / date_histogram, not {kind!r}"
+        )
     subs = spec.get("aggs") or {}
     if subs and kind not in (
         "terms", "histogram", "date_histogram", "range", "filters",
-        "missing", "filter", "global", "sampler",
+        "missing", "filter", "global", "sampler", "multi_terms",
     ):
         raise ValueError(
             f"nested aggs compose with bucket kinds only; {kind!r} is a "
@@ -760,20 +822,22 @@ def _one_agg(
     if kind == "histogram":
         from .facets import histogram_facet
 
-        return histogram_facet(
+        out = histogram_facet(
             restricted, body["field"],
             width=float(body["interval"]),
             origin=float(body.get("offset", 0.0)),
             extra_aggs=sub_cols,
         )
+        return _apply_pipeline(out, pipeline, "count")
     if kind == "date_histogram":
         from .aggregations import date_histogram
 
-        return date_histogram(
+        out = date_histogram(
             restricted, body["field"],
             interval=body.get("calendar_interval", "day"),
             extra_aggs=sub_cols,
         )
+        return _apply_pipeline(out, pipeline, "n")
     if kind == "range":
         # ES range agg (round 13): ranges are [from, to) and may
         # OVERLAP — a doc lands in every range it satisfies, so the
@@ -874,6 +938,22 @@ def _one_agg(
             restricted, body["field"],
             [float(x) for x in body["values"]],
         )
+    if kind == "multi_terms":
+        # ES multi_terms (round 13 addendum): terms over a COMPOSITE
+        # of several fields — one hash aggregate keyed on the field
+        # tuple, long format (one column per field), the ES order
+        # contract (count desc, then the key tuple asc) applied to the
+        # bucket-count-sized output only
+        fields = [str(t["field"]) for t in body.get("terms", ())]
+        if len(fields) < 2:
+            raise ValueError("multi_terms needs at least two fields")
+        out = restricted.groupBy(*fields).agg(F.count("*").alias("n"), *sub_cols)
+        size = body.get("size")
+        if size is not None:
+            out = out.orderBy(
+                F.col("n").desc(), *[F.col(f).asc() for f in fields]
+            ).limit(int(size))
+        return out
     if kind == "sampler":
         # ES sampler agg (round 13): sub-agg metrics over only the
         # TOP-``shard_size`` scored docs of the match set — "what do

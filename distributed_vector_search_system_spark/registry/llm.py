@@ -7445,6 +7445,114 @@ EXTRA_QUERIES["dsl_sampler_agg"] = q_dsl_sampler_agg
 EXTRA_ORACLES["dsl_sampler_agg"] = _dsl_sampler_oracle()
 
 
+# round 13 addendum (cont.): multi_terms — terms over a COMPOSITE of
+# fields ("per (source, lang)") in one hash aggregate on the field
+# tuple, the ES order contract (count desc, key tuple asc) applied to
+# bucket-count-sized output only.
+
+_MTR_SIZE = 8
+
+
+def q_dsl_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.querydsl import search_request
+
+    docs = load_table(spark, sf_dir, "documents")
+    return search_request(
+        docs,
+        {
+            "query": {"bool": {"must": [_DSL_MUST], "must_not": [_DSL_NOT]}},
+            "aggs": {
+                "sl": {
+                    "multi_terms": {
+                        "terms": [{"field": "source"}, {"field": "lang"}],
+                        "size": _MTR_SIZE,
+                    },
+                    "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}},
+                }
+            },
+        },
+    )["aggregations"]["sl"]
+
+
+def _dsl_multi_terms_oracle() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+adm AS (SELECT doc_id AS id FROM toks
+        WHERE list_contains(w, '{_DSL_MUST}')
+          AND NOT list_contains(w, '{_DSL_NOT}')),
+adocs AS (SELECT * FROM documents WHERE doc_id IN (SELECT id FROM adm)),
+comp AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n,
+                ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
+         FROM adocs GROUP BY 1, 2)
+SELECT source, lang, n, avg_chars
+FROM (SELECT comp.*, ROW_NUMBER() OVER (
+        ORDER BY n DESC, source ASC, lang ASC) AS r FROM comp)
+WHERE r <= {_MTR_SIZE}
+"""
+
+
+EXTRA_QUERIES["dsl_multi_terms"] = q_dsl_multi_terms
+EXTRA_ORACLES["dsl_multi_terms"] = _dsl_multi_terms_oracle()
+
+
+# round 13 addendum (cont.): pipeline aggs through the request — a
+# histogram over n_chars with cum_sum / derivative / moving_avg
+# appended by the oracled pipeline_aggs operator (ordered windows over
+# the BUCKET-sized series; a global series is one partition by
+# construction).  Full replay: match set → buckets → window columns.
+
+_PLH_WIDTH = 100.0
+_PLH_WIN = 3
+
+
+def q_dsl_pipeline_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.querydsl import search_request
+
+    docs = load_table(spark, sf_dir, "documents")
+    return search_request(
+        docs,
+        {
+            "query": {"bool": {"must": [_DSL_MUST], "must_not": [_DSL_NOT]}},
+            "aggs": {
+                "h": {
+                    "histogram": {"field": "n_chars",
+                                  "interval": _PLH_WIDTH},
+                    "pipeline": {"window": _PLH_WIN},
+                }
+            },
+        },
+    )["aggregations"]["h"]
+
+
+def _dsl_pipeline_histogram_oracle() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+adm AS (SELECT doc_id AS id FROM toks
+        WHERE list_contains(w, '{_DSL_MUST}')
+          AND NOT list_contains(w, '{_DSL_NOT}')),
+adocs AS (SELECT * FROM documents WHERE doc_id IN (SELECT id FROM adm)
+            AND n_chars IS NOT NULL),
+b AS (SELECT FLOOR(CAST(n_chars AS DOUBLE) / {_PLH_WIDTH}) * {_PLH_WIDTH}
+               AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS count
+      FROM adocs GROUP BY 1)
+SELECT bucket, count,
+       ROUND(SUM(CAST(count AS DOUBLE)) OVER (
+         ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         6) AS cum_sum,
+       ROUND(CAST(count AS DOUBLE) - LAG(CAST(count AS DOUBLE), 1) OVER (
+         ORDER BY bucket), 6) AS deriv,
+       ROUND(AVG(CAST(count AS DOUBLE)) OVER (
+         ORDER BY bucket ROWS BETWEEN {_PLH_WIN - 1} PRECEDING
+         AND CURRENT ROW), 6) AS moving_avg
+FROM b
+"""
+
+
+EXTRA_QUERIES["dsl_pipeline_histogram"] = q_dsl_pipeline_histogram
+EXTRA_ORACLES["dsl_pipeline_histogram"] = _dsl_pipeline_histogram_oracle()
+
+
 # ---------------------------------------------------------------------------
 # round 12: bool FILTER CONTEXT (operators/querydsl._filter_predicate)
 # — ES's unscored metadata clauses (range / term / exists) ANDed into

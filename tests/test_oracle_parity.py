@@ -228,8 +228,14 @@ def test_registry_row_counts():
 # only the top-shard_size scored matches — BM25 → top-N → metrics in
 # one replay); weighted_avg / percentile_ranks / msearch per-request
 # from are pytest-covered
-EXPECTED_EXTRA = 154
-EXPECTED_EXTRA_ORACLED = 153
+# r13 post-close addendum: + dsl_multi_terms (composite-field terms,
+# one hash aggregate on the tuple + grandchild metric) and
+# dsl_pipeline_histogram (cum_sum / derivative / moving_avg appended
+# to a histogram via the oracled pipeline_aggs — windows over the
+# bucket-sized series); the more_like_this DSL node is pytest-
+# equivalence covered over the oracled bm25_mlt_topk
+EXPECTED_EXTRA = 156
+EXPECTED_EXTRA_ORACLED = 155
 
 
 def test_driver_window_holds_all_llm_queries():

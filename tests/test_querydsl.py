@@ -2269,3 +2269,82 @@ def test_msearch_per_request_from(spark, docs):
     assert got == sorted(want) and len(got) == 2
     with pytest.raises(ValueError, match="from must be"):
         msearch(docs, [{"query": {"match": {"terms": ["a"]}}, "from": -1}])
+
+
+# -- round 13 addendum: more_like_this node, multi_terms, pipeline aggs ------
+
+
+def test_more_like_this_node_delegates(spark, docs):
+    from distributed_vector_search_system_spark.operators.mlt import (
+        bm25_mlt_topk,
+    )
+
+    got = search_dsl(
+        docs,
+        {"more_like_this": {"like_ids": [1], "max_query_terms": 5}},
+        3,
+    )
+    seeds = spark.createDataFrame([(1,)], "seed_id long")
+    want = bm25_mlt_topk(docs, seeds, 3, max_query_terms=5)
+    assert sorted((r["id"], r["rank"]) for r in got.collect()) == sorted(
+        (r["id"], r["rank"]) for r in want.collect()
+    )
+    assert all(r["query_id"] == 0 for r in got.collect())
+    assert 1 not in {r["id"] for r in got.collect()}   # seed excluded
+    with pytest.raises(ValueError, match="exactly one like id"):
+        search_dsl(docs, {"more_like_this": {"like_ids": [1, 2]}}, 3)
+
+
+def test_multi_terms_agg(spark):
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    rows = [(1, "x", "a", "p"), (2, "x", "a", "p"), (3, "x", "a", "q"),
+            (4, "x", "b", "p"), (5, "x", "b", "p"), (6, "x", "b", "p")]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, s string, l string"
+    )
+    out = search_request(
+        d,
+        {"query": {"match": {"terms": ["x"]}},
+         "aggs": {"sl": {"multi_terms": {
+             "terms": [{"field": "s"}, {"field": "l"}], "size": 2}}}},
+    )["aggregations"]["sl"]
+    got = [(r["s"], r["l"], r["n"]) for r in out.collect()]
+    assert sorted(got, key=lambda t: (-t[2], t[0], t[1])) == [
+        ("b", "p", 3), ("a", "p", 2)
+    ]
+    with pytest.raises(ValueError, match="at least two fields"):
+        search_request(
+            d,
+            {"query": {"match": {"terms": ["x"]}},
+             "aggs": {"sl": {"multi_terms": {"terms": [{"field": "s"}]}}}},
+        )
+
+
+def test_histogram_pipeline_aggs(spark):
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_request,
+    )
+
+    rows = [(i, "x", v) for i, v in enumerate([5, 15, 15, 25, 25, 25])]
+    d = spark.createDataFrame(rows, "doc_id long, text string, v long")
+    out = search_request(
+        d,
+        {"query": {"match": {"terms": ["x"]}},
+         "aggs": {"h": {"histogram": {"field": "v", "interval": 10.0},
+                        "pipeline": {"window": 2}}}},
+    )["aggregations"]["h"]
+    got = {r["bucket"]: (r["count"], r["cum_sum"], r["deriv"],
+                         r["moving_avg"]) for r in out.collect()}
+    assert got[0.0] == (1, 1.0, None, 1.0)
+    assert got[10.0] == (2, 3.0, 1.0, 1.5)
+    assert got[20.0] == (3, 6.0, 1.0, 2.5)
+    with pytest.raises(ValueError, match="histogram / date_histogram"):
+        search_request(
+            d,
+            {"query": {"match": {"terms": ["x"]}},
+             "aggs": {"t": {"terms": {"field": "v"},
+                            "pipeline": {"window": 2}}}},
+        )
