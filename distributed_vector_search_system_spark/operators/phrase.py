@@ -401,3 +401,77 @@ def proximity_topk(
     return freq.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def phrase_prefix_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    max_expansions: int = 10,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """ES ``match_phrase_prefix`` (round 13 addendum) — the
+    search-as-you-type phrase: the phrase's LAST element is a PREFIX,
+    expanded to the alphabetically-first ``max_expansions`` vocabulary
+    terms (the Lucene first-in-term-dictionary contract), and a
+    document matches where the fixed slots plus ANY completion form
+    the exact contiguous phrase.  Exact (slop=0) only — the
+    autocomplete case; a sloppy prefix phrase has no clean Lucene
+    contract to replay.
+
+    The disjunction costs NOTHING extra in the anchor intersection:
+    the expanded slot becomes one broadcast (slot, term) row per
+    completion, and at a fixed (doc, anchor) the last slot's position
+    holds ONE token, which equals at most one completion — so the
+    per-anchor vote count test ``count(*) == m`` from
+    :func:`_anchor_topk` is unchanged (any completion satisfies the
+    slot, two cannot double-vote).
+
+    Scale: the vocabulary scan shares the corpus tokenize the
+    from-scratch phrase pays anyway; the expansion is per-query
+    top-``max_expansions`` over the PREFIX-matched vocabulary only (a
+    ranked window over a vocabulary-restricted frame, then broadcast
+    like every slot frame).  ``phrase_tf`` counts anchors of the
+    completed phrase, the :func:`phrase_topk` convention; single-slot
+    phrases degrade to prefix term search ranked by tf.
+
+    Returns ``(query_id, id, phrase_tf, rank)``."""
+    if max_expansions < 1:
+        raise ValueError("max_expansions must be >= 1")
+    positions = docs.select(
+        F.col(doc_id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "term"),
+    )
+    qfix = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.size(F.col(phrase_col)).alias("_m"),
+        F.posexplode(F.expr(f"slice({phrase_col}, 1, size({phrase_col}) - 1)"))
+        .alias("_slot", "term"),
+    )
+    qpre = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.size(F.col(phrase_col)).alias("_m"),
+        (F.size(F.col(phrase_col)) - 1).alias("_slot"),
+        F.element_at(F.col(phrase_col), -1).alias("_prefix"),
+    )
+    vocab = positions.select("term").distinct()
+    expanded = (
+        vocab.join(
+            F.broadcast(qpre),
+            F.col("term").startswith(F.col("_prefix")),
+        )
+        .withColumn(
+            "_xr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("term").asc())
+            ),
+        )
+        .filter(F.col("_xr") <= max_expansions)
+        .select("query_id", "_m", "_slot", "term")
+    )
+    qslot = qfix.unionByName(expanded)
+    return _anchor_topk(qslot, positions, k)

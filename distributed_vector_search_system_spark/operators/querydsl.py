@@ -68,8 +68,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _LEAVES = (
-    "match", "match_phrase", "bool", "fuzzy", "wildcard", "prefix",
-    "multi_match",
+    "match", "match_phrase", "match_phrase_prefix", "bool", "fuzzy",
+    "wildcard", "prefix", "multi_match",
 )
 _NODES = _LEAVES + (
     "function_score", "boosting", "constant_score", "dis_max", "ids",
@@ -234,6 +234,23 @@ def search_dsl(
             )
         return phrase_topk(
             docs, q, k, doc_id_col=doc_id_col, text_col=text_col
+        )
+
+    if kind == "match_phrase_prefix":
+        # search-as-you-type (round 13 addendum): the last element is
+        # a PREFIX completed from the corpus vocabulary — the
+        # disjunction rides the exact anchor intersection for free
+        # (operators/phrase.phrase_prefix_topk)
+        from .phrase import phrase_prefix_topk
+
+        q = spark.createDataFrame(
+            [(0, [str(t) for t in body["terms"]])],
+            "query_id long, phrase array<string>",
+        )
+        return phrase_prefix_topk(
+            docs, q, k,
+            max_expansions=int(body.get("max_expansions", 10)),
+            doc_id_col=doc_id_col, text_col=text_col,
         )
 
     if kind == "bool":

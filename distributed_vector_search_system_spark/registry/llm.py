@@ -7553,6 +7553,82 @@ EXTRA_QUERIES["dsl_pipeline_histogram"] = q_dsl_pipeline_histogram
 EXTRA_ORACLES["dsl_pipeline_histogram"] = _dsl_pipeline_histogram_oracle()
 
 
+# round 13 addendum (cont.): match_phrase_prefix — search-as-you-type
+# (operators/phrase.phrase_prefix_topk).  The last phrase element is a
+# PREFIX completed to the alphabetically-first max_expansions
+# vocabulary terms (the Lucene term-dictionary contract); the
+# disjunction rides the exact anchor intersection unchanged because
+# one document position holds one token and so matches at most one
+# completion.  Queries are corpus-derived (2 fixed tokens + the third
+# token's 3-char prefix); the oracle replays vocabulary → ranked
+# expansion → slot union → anchor votes in one statement.
+
+_PPX_PRED = "doc_id % 100 = 17"
+_PPX_K = 5
+_PPX_EXP = 5
+
+
+def q_phrase_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+    from ..operators.phrase import phrase_prefix_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = (
+        docs.select(
+            F.col("doc_id").alias("query_id"), tokens("text").alias("w")
+        )
+        .filter(F.expr(_PPX_PRED.replace("doc_id", "query_id")))
+        .filter(F.size("w") >= 3)
+        .select(
+            "query_id",
+            F.array(
+                F.col("w")[0],
+                F.col("w")[1],
+                F.substring(F.col("w")[2], 1, 3),
+            ).alias("phrase"),
+        )
+    )
+    return phrase_prefix_topk(docs, q, _PPX_K, max_expansions=_PPX_EXP)
+
+
+def _phrase_prefix_oracle() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+qs AS (SELECT doc_id AS query_id, w[1] AS t1, w[2] AS t2,
+              substr(w[3], 1, 3) AS pfx
+       FROM toks WHERE {_PPX_PRED} AND len(w) >= 3),
+vocab AS (SELECT DISTINCT term FROM
+            (SELECT UNNEST(w) AS term FROM toks)),
+exp AS (SELECT query_id, term FROM (
+          SELECT q.query_id, v.term,
+                 ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                    ORDER BY v.term ASC) AS r
+          FROM qs q JOIN vocab v ON starts_with(v.term, q.pfx))
+        WHERE r <= {_PPX_EXP}),
+qslot AS (SELECT query_id, 1 AS slot, t1 AS term FROM qs
+          UNION ALL SELECT query_id, 2, t2 FROM qs
+          UNION ALL SELECT query_id, 3, term FROM exp),
+px AS (SELECT doc_id AS id, w, UNNEST(range(1, len(w) + 1)) AS pos FROM toks),
+tp AS (SELECT id, pos, w[pos] AS term FROM px),
+hit AS (SELECT q.query_id, t.id, q.slot, t.pos - q.slot AS anchor
+        FROM qslot q JOIN tp t USING (term)),
+anch AS (SELECT query_id, id, anchor, COUNT(*) AS ns
+         FROM hit GROUP BY 1, 2, 3),
+pf AS (SELECT query_id, id, COUNT(*) AS phrase_tf
+       FROM anch WHERE ns = 3 GROUP BY 1, 2)
+SELECT query_id, id, phrase_tf, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY phrase_tf DESC, id) AS INT)
+              AS rank
+  FROM pf)
+WHERE rank <= {_PPX_K}
+"""
+
+
+EXTRA_QUERIES["phrase_prefix_topk"] = q_phrase_prefix_topk
+EXTRA_ORACLES["phrase_prefix_topk"] = _phrase_prefix_oracle()
+
+
 # ---------------------------------------------------------------------------
 # round 12: bool FILTER CONTEXT (operators/querydsl._filter_predicate)
 # — ES's unscored metadata clauses (range / term / exists) ANDed into

@@ -234,8 +234,14 @@ def test_registry_row_counts():
 # to a histogram via the oracled pipeline_aggs — windows over the
 # bucket-sized series); the more_like_this DSL node is pytest-
 # equivalence covered over the oracled bm25_mlt_topk
-EXPECTED_EXTRA = 156
-EXPECTED_EXTRA_ORACLED = 155
+# r13 post-close addendum (cont.): + phrase_prefix_topk
+# (match_phrase_prefix, search-as-you-type — prefix completed to the
+# alphabetically-first max_expansions vocabulary terms; the
+# disjunction rides the exact anchor intersection unchanged) — exact
+# vocabulary→expansion→anchor replay; the DSL node is equivalence-
+# tested
+EXPECTED_EXTRA = 157
+EXPECTED_EXTRA_ORACLED = 156
 
 
 def test_driver_window_holds_all_llm_queries():

@@ -7,6 +7,7 @@ scratch==indexed equality, and the indexed plan's term pushdown."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from distributed_vector_search_system_spark.operators.phrase import (
@@ -463,3 +464,102 @@ def test_slop_plan_join_below_topk_window(spark):
     # plan trees print children BELOW parents: the broadcast position
     # join must appear after (= below) the window operator
     assert plan.index("BroadcastHashJoin") > plan.index("Window [")
+
+
+# -- match_phrase_prefix (round 13 addendum) ---------------------------------
+
+
+def test_phrase_prefix_completes_last_term(spark):
+    from distributed_vector_search_system_spark.operators.phrase import (
+        phrase_prefix_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "quick brown fox"),
+            (2, "quick brother hood"),
+            (3, "quick zebra brown"),
+            (4, "brown quick"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(0, ["quick", "bro"])], "query_id long, phrase array<string>"
+    )
+    got = {r["id"]: r["phrase_tf"] for r in
+           phrase_prefix_topk(docs, q, 5).collect()}
+    # "quick bro*" matches "quick brown" (1) and "quick brother" (2);
+    # doc 3 has no completion adjacent, doc 4 is wrong order
+    assert got == {1: 1, 2: 1}
+
+
+def test_phrase_prefix_max_expansions_alphabetical(spark):
+    from distributed_vector_search_system_spark.operators.phrase import (
+        phrase_prefix_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x ba"), (2, "x bb"), (3, "x bc"), (4, "x bd"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(0, ["x", "b"])], "query_id long, phrase array<string>"
+    )
+    # alphabetically-first 2 completions: ba, bb → docs 1, 2 only
+    got = {r["id"] for r in
+           phrase_prefix_topk(docs, q, 5, max_expansions=2).collect()}
+    assert got == {1, 2}
+    with pytest.raises(ValueError, match="max_expansions"):
+        phrase_prefix_topk(docs, q, 5, max_expansions=0)
+
+
+def test_phrase_prefix_single_token_and_tf(spark):
+    from distributed_vector_search_system_spark.operators.phrase import (
+        phrase_prefix_topk,
+        phrase_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "car cart car"), (2, "cargo dog")],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(0, ["car"])], "query_id long, phrase array<string>"
+    )
+    got = {r["id"]: r["phrase_tf"] for r in
+           phrase_prefix_topk(docs, q, 5).collect()}
+    # prefix "car" completes to car/cargo/cart: doc 1 has 3 matching
+    # tokens, doc 2 one
+    assert got == {1: 3, 2: 1}
+    # a FULL last term still matches exactly like phrase_topk when the
+    # vocabulary holds no extension... here it does (cargo, cart), so
+    # prefix semantics are a superset of the exact phrase
+    exact = {r["id"]: r["phrase_tf"] for r in
+             phrase_topk(docs, q, 5).collect()}
+    assert exact == {1: 2}
+
+
+def test_phrase_prefix_dsl_node(spark):
+    from distributed_vector_search_system_spark.operators.phrase import (
+        phrase_prefix_topk,
+    )
+    from distributed_vector_search_system_spark.operators.querydsl import (
+        search_dsl,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "quick brown fox"), (2, "quick brother")],
+        "doc_id long, text string",
+    )
+    got = search_dsl(
+        docs, {"match_phrase_prefix": {"terms": ["quick", "br"]}}, 5
+    )
+    q = spark.createDataFrame(
+        [(0, ["quick", "br"])], "query_id long, phrase array<string>"
+    )
+    want = phrase_prefix_topk(docs, q, 5)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
