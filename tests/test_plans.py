@@ -146,7 +146,13 @@ def test_no_unpartitioned_windows_anywhere(spark, sf_smoke):
     # plan test (test_chunking.test_pack_sequences_corpus_window_is_
     # partitioned) asserts exactly that: the corpus-wide running sum is
     # partitionBy the bucket key and the global window sees only _gsum.
-    exempt = {"corpus_pack"}
+    # dsl_pipeline_histogram (round-13 mid-build addendum) appends ES
+    # pipeline aggs (cum_sum / deriv / moving_avg) to a GLOBAL
+    # histogram: a single bucket series is one partition by
+    # construction, and the windows run over the POST-AGGREGATE
+    # bucket-count-sized frame, never the corpus — locked by
+    # test_pipeline_histogram_windows_above_bucket_aggregate below.
+    exempt = {"corpus_pack", "dsl_pipeline_histogram"}
     flagged = []
     for name, fn in sorted(registry.all_queries().items()):
         if name in exempt:
@@ -158,6 +164,22 @@ def test_no_unpartitioned_windows_anywhere(spark, sf_smoke):
                 flagged.append(name)
                 break
     assert not flagged, flagged
+
+
+def test_pipeline_histogram_windows_above_bucket_aggregate(spark, sf_smoke):
+    """dsl_pipeline_histogram's exemption contract (see
+    test_no_unpartitioned_windows_anywhere): its unpartitioned pipeline
+    windows may only ever see the HISTOGRAM BUCKET series — every
+    Window node's subtree must contain the bucket HashAggregate, so the
+    ordered single-partition pass runs over bucket-count rows, not
+    corpus rows."""
+    df = registry.all_queries()["dsl_pipeline_histogram"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    windows = list(_node_subtrees(plan, r"\bWindow\b"))
+    assert windows, plan
+    for line, sub in windows:
+        body = "\n".join(sub)
+        assert "HashAggregate" in body, (line, plan)
 
 
 def test_knn_quantized_phase1_never_scans_float_column(spark, sf_smoke):
