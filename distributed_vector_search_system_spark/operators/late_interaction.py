@@ -121,6 +121,7 @@ def maxsim_ivf_topk(
     query_id_col: str = "query_id",
     query_vectors_col: str = "qvecs",
     round_scores: int = 6,
+    materialize_candidates: bool = True,
 ) -> DataFrame:
     """Two-stage MaxSim — the 100 TB serving shape of
     :func:`maxsim_topk` (the ColBERT gather-then-rescore plan),
@@ -190,9 +191,36 @@ def maxsim_ivf_topk(
         F.expr(f"query_id div {_TOKEN_LEG}").alias("query_id"),
         F.col("id").alias(doc_id_col),
     ).distinct()
-    toks = bounded_gather(
-        spark, token_store_path, cands.select(doc_id_col), id_col=doc_id_col
-    )
+    # The candidate frame feeds TWO consumers — the token-store gather
+    # and the re-score pair join — and each consumer re-evaluates the
+    # whole gather subtree (the IVF probe + per-token window cut) in
+    # its own plan branch.  Materialize it once: it is k-bounded by
+    # construction (≤ query tokens × gather (query_id, doc_id) pairs,
+    # never corpus-sized), so the checkpoint is a tiny local write that
+    # halves the expensive stage-1 work and truncates the combined
+    # plan.  localCheckpoint (not persist): a fresh invocation always
+    # recomputes from the parquet inputs — nothing is memoized across
+    # calls.  The store fetch then switches from the DPP form
+    # (bounded_gather) to the STATIC literal form (lookup_ids): an
+    # RDD-backed build side no longer triggers Spark's dynamic
+    # partition pruning, and the ids are already materialized
+    # driver-adjacent, so the literal ``id_bucket IN (…)``
+    # PartitionFilter is both safe (k-bounded list) and strictly
+    # earlier pruning than DPP's runtime subquery.
+    # ``materialize_candidates=False`` keeps the single lazy composed
+    # plan (bounded_gather + DPP — used by the plan-shape tests to lock
+    # both phases' pruning in one explain, and by callers that must not
+    # run an eager job at construction).
+    if materialize_candidates:
+        from ..sources.rerank_store import lookup_ids
+
+        cands = cands.localCheckpoint(eager=True)
+        ids = [r[0] for r in cands.select(doc_id_col).distinct().collect()]
+        toks = lookup_ids(spark, token_store_path, ids, id_col=doc_id_col)
+    else:
+        toks = bounded_gather(
+            spark, token_store_path, cands.select(doc_id_col), id_col=doc_id_col
+        )
     return score_pairs(
         toks, cands, qtok, k,
         doc_id_col=doc_id_col, vector_col=vector_col,

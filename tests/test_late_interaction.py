@@ -167,7 +167,14 @@ def test_two_stage_plan_prunes_both_phases(spark, sf_oracle):
 
     idx, store, cents = _layout(spark, sf_oracle)
     q = _queries_arr(spark, sf_oracle)
-    df = maxsim_ivf_topk(spark, idx, store, q, 5, cents, n_probe=2, gather=4)
+    # materialize_candidates=False keeps one lazy composed plan so both
+    # phases' pruning is visible in a single explain (the default
+    # materializes the k-bounded candidate frame, which truncates
+    # phase 1 out of the final plan — locked separately below)
+    df = maxsim_ivf_topk(
+        spark, idx, store, q, 5, cents, n_probe=2, gather=4,
+        materialize_candidates=False,
+    )
     plan = df._jdf.queryExecution().explainString(
         df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"
@@ -176,6 +183,44 @@ def test_two_stage_plan_prunes_both_phases(spark, sf_oracle):
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert any("cell_id" in l for l in pf), plan
     assert any("dynamicpruning" in l for l in pf), plan
+
+
+def test_two_stage_default_materializes_candidates_once(spark, sf_oracle):
+    """The default path checkpoints the k-bounded candidate frame, so
+    the final plan (a) prunes the token store to candidate buckets via
+    the STATIC literal PartitionFilter (an RDD-backed frame no longer
+    triggers DPP, so the ids are collected and pushed as literals) and
+    (b) contains NO IVF probe subtree — the gather ran exactly once at
+    construction instead of once per consumer branch."""
+    from distributed_vector_search_system_spark.operators.late_interaction import (
+        maxsim_ivf_topk,
+    )
+
+    idx, store, cents = _layout(spark, sf_oracle)
+    q = _queries_arr(spark, sf_oracle)
+    df = maxsim_ivf_topk(spark, idx, store, q, 5, cents, n_probe=2, gather=4)
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    # literal bucket pruning on the token store: id_bucket IN (…), which
+    # Catalyst folds to an equality when only one bucket is hit
+    assert any(
+        "id_bucket" in l and (" IN " in l or " = " in l) for l in pf
+    ), plan
+    # phase 1 (the cell_id-pruned probe) must NOT appear: it was
+    # evaluated once into the checkpointed candidate frame
+    assert not any("cell_id" in l for l in pf), plan
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
+    # results must be identical to the unmaterialized composition
+    lazy = maxsim_ivf_topk(
+        spark, idx, store, q, 5, cents, n_probe=2, gather=4,
+        materialize_candidates=False,
+    )
+    key = lambda r: (r["query_id"], r["rank"], r["id"], r["maxsim"])  # noqa: E731
+    assert sorted(map(key, df.collect())) == sorted(map(key, lazy.collect()))
 
 
 def test_two_stage_partial_probe_is_plausible(spark, sf_oracle):
