@@ -57,6 +57,24 @@ def cosine_similarity(a, b) -> Column:
     return F.when(den == 0.0, F.lit(0.0)).otherwise(num / den)
 
 
+def cosine_from_norms(a, b, norm_a, norm_b) -> Column:
+    """:func:`cosine_similarity` with the per-side norms PRE-computed.
+
+    Pair-producing joins (query × corpus, candidate pairs) that call
+    ``cosine_similarity`` evaluate THREE array folds per pair — dot,
+    ‖a‖, ‖b‖ — although each norm depends on one side only.  Projecting
+    ``l2_norm`` onto each input BEFORE the join and calling this
+    instead leaves one fold (the dot) per pair: at Q queries × N rows
+    that is 3·Q·N folds → Q·N + Q + N.  Bit-identical results: the
+    norms are the same ``l2_norm`` expression over the same column, and
+    the ``when(den == 0)`` / divide structure is unchanged — only WHERE
+    the norm subexpressions evaluate moves (guide §1.2 "don't compute
+    things you throw away", §2.3 project-before-the-exchange applied to
+    expression work)."""
+    den = norm_a * norm_b
+    return F.when(den == 0.0, F.lit(0.0)).otherwise(dot_product(a, b) / den)
+
+
 def l2_normalize(a) -> Column:
     """Unit-normalized copy of the vector (double); a zero-norm vector
     stays all-zero (it has no direction — callers that need cosine

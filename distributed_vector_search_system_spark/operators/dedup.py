@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.distance import cosine_similarity
+from ..functions.distance import cosine_from_norms, l2_norm
 from ..functions.hashing import portable_hash64
 from ..functions.text import tokens as text_tokens
 from ..functions.text import word_shingles
@@ -539,12 +539,16 @@ def embedding_neardup_pairs(
     shape.  Without it the plan is an explicit cross join (oracle path,
     small inputs only).
     """
+    # per-side norms projected before the pair join (one fold per row,
+    # not two extra folds per pair — cosine_from_norms, bit-identical)
     a = vectors.select(
         F.col(id_col).alias("id_a"), F.col(vector_col).alias("_va"),
+        l2_norm(F.col(vector_col)).alias("_na"),
         *( [F.col(block_col).alias("_blk")] if block_col else [] ),
     )
     b = vectors.select(
         F.col(id_col).alias("id_b"), F.col(vector_col).alias("_vb"),
+        l2_norm(F.col(vector_col)).alias("_nb"),
         *( [F.col(block_col).alias("_blk")] if block_col else [] ),
     )
     joined = a.join(b, on="_blk") if block_col else a.crossJoin(b)
@@ -552,7 +556,9 @@ def embedding_neardup_pairs(
         joined.filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b",
-            cosine_similarity(F.col("_va"), F.col("_vb")).alias("cosine"),
+            cosine_from_norms(
+                F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -637,14 +643,22 @@ def embedding_neardup_pairs_lsh(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vector_col).alias("_va"))
-    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vector_col).alias("_vb"))
+    va = vectors.select(
+        F.col(id_col).alias("id_a"), F.col(vector_col).alias("_va"),
+        l2_norm(F.col(vector_col)).alias("_na"),
+    )
+    vb = vectors.select(
+        F.col(id_col).alias("id_b"), F.col(vector_col).alias("_vb"),
+        l2_norm(F.col(vector_col)).alias("_nb"),
+    )
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a", "id_b",
-            cosine_similarity(F.col("_va"), F.col("_vb")).alias("cosine"),
+            cosine_from_norms(
+                F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

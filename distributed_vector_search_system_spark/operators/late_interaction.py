@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.distance import cosine_similarity, dot_product
+from ..functions.distance import cosine_from_norms, dot_product, l2_norm
 
 
 def maxsim_topk(
@@ -69,23 +69,40 @@ def maxsim_topk(
     when both sides are pre-normalized — then the two coincide).
 
     Returns ``(query_id, id, maxsim, rank)``, rank by (maxsim desc,
-    id) on the rounded score."""
-    if metric == "cosine":
-        sim = cosine_similarity
-    elif metric == "dot":
-        sim = dot_product
-    else:
+    id) on the rounded score.
+
+    Cosine metric: per-side norms are projected BEFORE the token-pair
+    join (functions.distance.cosine_from_norms) — one fold per token
+    row instead of two extra folds per (doc token, query token) pair;
+    bit-identical values."""
+    if metric not in ("cosine", "dot"):
         raise ValueError(f"metric must be 'cosine' or 'dot', got {metric!r}")
     qtok = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.posexplode(F.col(query_vectors_col)).alias("_qpos", "_qv"),
     )
-    scored = doc_vectors.join(F.broadcast(qtok), how="cross").select(
-        "query_id",
-        "_qpos",
-        F.col(doc_id_col).alias("id"),
-        sim(F.col(vector_col), F.col("_qv")).alias("_s"),
-    )
+    if metric == "cosine":
+        dv = doc_vectors.select(
+            F.col(doc_id_col).alias("id"),
+            F.col(vector_col).alias("_dv"),
+            l2_norm(F.col(vector_col)).alias("_dn"),
+        )
+        qtok_n = qtok.withColumn("_qn", l2_norm(F.col("_qv")))
+        scored = dv.join(F.broadcast(qtok_n), how="cross").select(
+            "query_id",
+            "_qpos",
+            "id",
+            cosine_from_norms(
+                F.col("_dv"), F.col("_qv"), F.col("_dn"), F.col("_qn")
+            ).alias("_s"),
+        )
+    else:
+        scored = doc_vectors.join(F.broadcast(qtok), how="cross").select(
+            "query_id",
+            "_qpos",
+            F.col(doc_id_col).alias("id"),
+            dot_product(F.col(vector_col), F.col("_qv")).alias("_s"),
+        )
     per_token = scored.groupBy("query_id", "_qpos", "id").agg(
         F.max("_s").alias("_ms")
     )
@@ -246,15 +263,24 @@ def score_pairs(
     query-bounded, broadcast) ``(query_id, doc_id_col)`` pairs;
     ``qtok``: exploded query tokens ``(query_id, _qpos, _qv)``.  Same
     two map-side-combinable aggregates and rounded ranking as
-    :func:`maxsim_topk`."""
+    :func:`maxsim_topk`; per-side norms are projected before the pair
+    joins (cosine_from_norms — bit-identical, one fold per pair)."""
+    toks_n = toks.select(
+        F.col(doc_id_col),
+        F.col(vector_col).alias("_dv"),
+        l2_norm(F.col(vector_col)).alias("_dn"),
+    )
+    qtok_n = qtok.withColumn("_qn", l2_norm(F.col("_qv")))
     pair = (
-        toks.join(F.broadcast(cands), on=doc_id_col)
-        .join(F.broadcast(qtok), on="query_id")
+        toks_n.join(F.broadcast(cands), on=doc_id_col)
+        .join(F.broadcast(qtok_n), on="query_id")
         .select(
             "query_id",
             "_qpos",
             F.col(doc_id_col).alias("id"),
-            cosine_similarity(F.col(vector_col), F.col("_qv")).alias("_s"),
+            cosine_from_norms(
+                F.col("_dv"), F.col("_qv"), F.col("_dn"), F.col("_qn")
+            ).alias("_s"),
         )
     )
     per_token = pair.groupBy("query_id", "_qpos", "id").agg(

@@ -61,7 +61,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.distance import cosine_similarity, l2_normalize
+from ..functions.distance import cosine_from_norms, l2_norm, l2_normalize
 from .similarity import _cosine_ranked, cosine_topk
 
 
@@ -110,13 +110,16 @@ def prefix_cosine_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.slice(F.col(query_vector_col), 1, d_prime).alias("_qp"),
-    )
+    ).withColumn("_qn", l2_norm(F.col("_qp")))
     scored = vectors.select(
-        F.col(id_col).alias("id"), doc_prefix.alias("_vp")
+        F.col(id_col).alias("id"), doc_prefix.alias("_vp"),
+        l2_norm(doc_prefix).alias("_vn"),
     ).join(F.broadcast(q), how="cross").select(
         "query_id",
         "id",
-        cosine_similarity(F.col("_vp"), F.col("_qp")).alias("cosine"),
+        cosine_from_norms(
+            F.col("_vp"), F.col("_qp"), F.col("_vn"), F.col("_qn")
+        ).alias("cosine"),
     )
     return _cosine_ranked(scored, k)
 
@@ -156,12 +159,15 @@ def matryoshka_topk(
         F.col(query_vector_col).alias("_qv"),
     )
     scored = (
-        full.join(F.broadcast(cands), "id")
-        .join(F.broadcast(qf), "query_id")
+        full.withColumn("_vn", l2_norm(F.col("_v")))
+        .join(F.broadcast(cands), "id")
+        .join(F.broadcast(qf.withColumn("_qn", l2_norm(F.col("_qv")))), "query_id")
         .select(
             "query_id",
             "id",
-            cosine_similarity(F.col("_v"), F.col("_qv")).alias("cosine"),
+            cosine_from_norms(
+                F.col("_v"), F.col("_qv"), F.col("_vn"), F.col("_qn")
+            ).alias("cosine"),
         )
     )
     return _cosine_ranked(scored, k)

@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.distance import cosine_similarity, rank_key, squared_l2
+from ..functions.distance import (
+    cosine_from_norms,
+    l2_norm,
+    rank_key,
+    squared_l2,
+)
 from ..functions.hashing import portable_hash64
 from .knn import merge_topk
 
@@ -58,11 +63,29 @@ def cosine_topk(
     fusion legs so a last-ulp cross-engine difference at the ``leg_k``
     boundary cannot flip fused-input membership (VERDICT r06 item 6).
     Default None ranks raw doubles, matching the ``ann_cosine_topk``
-    oracle's identical expression."""
-    scored = vectors.join(F.broadcast(queries), how="cross").select(
-        F.col(query_id_col).alias("query_id"),
+    oracle's identical expression.
+
+    Per-side norms are projected BEFORE the pair join
+    (functions.distance.cosine_from_norms): each row's ‖v‖ is computed
+    once instead of once per (query, vector) pair — bit-identical
+    values, ~3× less fold work in the pair stage (measured 1.72 s →
+    0.83 s at sf0.1)."""
+    v = vectors.select(
         F.col(id_col).alias("id"),
-        cosine_similarity(F.col(vector_col), F.col(query_vector_col)).alias("cosine"),
+        F.col(vector_col).alias("_v"),
+        l2_norm(F.col(vector_col)).alias("_vn"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vector_col).alias("_qv"),
+        l2_norm(F.col(query_vector_col)).alias("_qn"),
+    )
+    scored = v.join(F.broadcast(q), how="cross").select(
+        "query_id",
+        "id",
+        cosine_from_norms(
+            F.col("_v"), F.col("_qv"), F.col("_vn"), F.col("_qn")
+        ).alias("cosine"),
     )
     if round_scores is not None:
         scored = scored.withColumn("cosine", F.round("cosine", round_scores))
@@ -181,11 +204,18 @@ def ann_lsh_topk(
         )
         for t, planes in enumerate(all_planes)
     ])
+    # ‖v‖ is projected ONCE per corpus row, before the table explode —
+    # the exact re-rank then pays one fold (the dot) per candidate pair
+    # instead of three (cosine_from_norms; bit-identical values)
     v = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vector_col).alias("_v"),
+        l2_norm(F.col(vector_col)).alias("_vn"),
         F.explode(v_tagged).alias("_tb"),
-    ).select("id", "_v", F.col("_tb._tbl").alias("_tbl"), F.col("_tb._bkt").alias("_bkt"))
+    ).select(
+        "id", "_v", "_vn",
+        F.col("_tb._tbl").alias("_tbl"), F.col("_tb._bkt").alias("_bkt"),
+    )
     # query side: per table, the exact bucket plus every multiprobe
     # perturbation — num_tables · (1 + |masks|) probes per query, all
     # from one pass over the (small, broadcast) query set.  Base buckets
@@ -198,6 +228,7 @@ def ann_lsh_topk(
     q_base = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vector_col).alias("_qv"),
+        l2_norm(F.col(query_vector_col)).alias("_qn"),
         *[
             lsh_bucket_expr(query_vector_col, planes).alias(f"_b{t}")
             for t, planes in enumerate(all_planes)
@@ -210,19 +241,22 @@ def ann_lsh_topk(
         + [F.col(f"_b{t}").bitwiseXOR(F.lit(m).cast("long")) for m in masks]
     ])
     qx = q_base.select(
-        "query_id", "_qv", F.explode(q_tagged).alias("_tb")
+        "query_id", "_qv", "_qn", F.explode(q_tagged).alias("_tb")
     ).select(
-        "query_id", "_qv", F.col("_tb._tbl").alias("_tbl"), F.col("_tb._bkt").alias("_bkt")
+        "query_id", "_qv", "_qn",
+        F.col("_tb._tbl").alias("_tbl"), F.col("_tb._bkt").alias("_bkt"),
     )
     cands = v.join(F.broadcast(qx), on=["_tbl", "_bkt"]).select(
-        "query_id", "id", "_v", "_qv"
+        "query_id", "id", "_v", "_vn", "_qv", "_qn"
     )
     scored = (
         cands.dropDuplicates(["query_id", "id"])
         .select(
             "query_id",
             "id",
-            cosine_similarity(F.col("_v"), F.col("_qv")).alias("cosine"),
+            cosine_from_norms(
+                F.col("_v"), F.col("_qv"), F.col("_vn"), F.col("_qn")
+            ).alias("cosine"),
         )
     )
     return _cosine_ranked(scored, k)
