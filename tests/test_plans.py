@@ -29,14 +29,22 @@ def _plan(df) -> str:
 
 def test_knn_partial_topk_below_shuffle(spark, sf_smoke):
     """Per-partition WindowGroupLimit must fire before the exchange so the
-    shuffle carries ≤ k·partitions rows per query, not the full cross join."""
+    shuffle carries ≤ k·partitions rows per query, not the full cross join.
+    knn_batch serves from the Arrow/GEMM tier (round 13): the corpus
+    stays map-side in MapInPandas (queries ride the broadcast closure),
+    so no join may appear at all — and the vectors table still never
+    shuffles by query_id before ranking."""
     plan = _plan(registry.queries()["knn_batch"](spark, sf_smoke))
     assert "WindowGroupLimit" in plan
     # partial (Partial mode runs per input partition, pre-shuffle) + final
     assert plan.count("WindowGroupLimit") >= 2, plan
-    # the query set is the broadcast side — never shuffle the vectors table
-    # by query_id before ranking
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # GEMM tier: per-batch kernel, partials-only shuffle, no join node
+    assert "MapInPandas" in plan, plan
+    assert "Join" not in plan, plan
+    # the expr tier keeps the broadcast contract: query set broadcast,
+    # vectors never shuffled by query_id before ranking
+    expr_plan = _plan(registry.queries()["knn_single"](spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in expr_plan or "BroadcastHashJoin" in expr_plan
 
 
 def test_knn_scan_prunes_columns(spark, sf_smoke):
