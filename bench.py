@@ -458,10 +458,12 @@ def _measure_once(sf_dir: str) -> dict:
         bucketed_mutation_tables,
         cosine_ivf_index,
         cosine_ivfpq_index,
+        ivfbin_index,
         ivfpq_index,
         persisted_ivf_index,
         pq_tier,
         quantized_tier,
+        sq8_index,
         trained_ivf_index,
     )
     from distributed_vector_search_system_spark.session import get_spark
@@ -514,6 +516,18 @@ def _measure_once(sf_dir: str) -> dict:
     _build("ivfpq_index", ivfpq_index)
     _build("cosine_ivfpq_index", cosine_ivfpq_index)
     _build("bucketed_mutation_tables", bucketed_mutation_tables)
+    # Measurement-consistency fix (round 13): the round-9 sq8/ivfbin
+    # rungs were never added to this build list, so their one-time index
+    # materialization (memoized per process) landed INSIDE their cold
+    # query timings — the only two fast-tier rows whose cold number was
+    # build+query while the other ten were query-only (r12:
+    # ann_sq8_topk 3.40 cold vs 1.10 steady, the gap being the build).
+    # Build them up front like every other tier and record the seconds
+    # in tier_build_sec; the queries keep their entries — their cold
+    # number simply stops double-counting the write path, per this
+    # file's own "BUILD time is a write-path cost" contract.
+    _build("sq8_index", sq8_index)
+    _build("ivfbin_index", ivfbin_index)
     for name in fast:
         _time(name)
     # the indexed retrieval rows' one-time posting-index build must not
