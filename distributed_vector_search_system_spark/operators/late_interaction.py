@@ -139,6 +139,7 @@ def maxsim_ivf_topk(
     query_vectors_col: str = "qvecs",
     round_scores: int = 6,
     materialize_candidates: bool = True,
+    max_candidate_ids: int = 1_000_000,
 ) -> DataFrame:
     """Two-stage MaxSim — the 100 TB serving shape of
     :func:`maxsim_topk` (the ColBERT gather-then-rescore plan),
@@ -169,6 +170,16 @@ def maxsim_ivf_topk(
     doc-id tie-break (the hybrid-leg convention), the final ranking on
     the ``round_scores``-rounded MaxSim sum — both replayable in SQL
     (registry row ``maxsim_ivf_topk``).
+
+    ``materialize_candidates=True`` (the serving/bench default) runs
+    eager Spark jobs at DataFrame-construction time (a localCheckpoint
+    of the k-bounded candidate frame + one driver collect of its ids),
+    and localCheckpoint output is NOT fault-tolerant: on a real cluster
+    a lost executor makes the checkpointed blocks unrecoverable and the
+    query must be rebuilt (ADVICE r13).  Library callers embedding this
+    frame in a larger lazy plan, or running where executor loss is
+    routine, should pass ``materialize_candidates=False`` — the single
+    lazy DPP-pruned plan, fully recomputable from storage.
 
     ``query_id`` contract: a NON-NEGATIVE integral column (< 2^43).
     Query-token legs route through the shared IVF machinery under the
@@ -233,6 +244,21 @@ def maxsim_ivf_topk(
 
         cands = cands.localCheckpoint(eager=True)
         ids = [r[0] for r in cands.select(doc_id_col).distinct().collect()]
+        # enforce the k-bounded claim instead of assuming it (VERDICT
+        # r13 item 8): the list is ≤ queries × tokens × gather by
+        # construction, and the literal-IN store fetch (plus this
+        # driver-held list) only makes sense at that size.  A breach
+        # means the caller's query set is corpus-sized — the DPP form
+        # (materialize_candidates=False) is the right plan there.
+        if len(ids) > max_candidate_ids:
+            raise ValueError(
+                f"maxsim_ivf_topk materialized {len(ids):,} candidate "
+                f"ids (> max_candidate_ids={max_candidate_ids:,}); the "
+                "candidate set is supposed to be k-bounded (queries × "
+                "tokens × gather).  Pass materialize_candidates=False "
+                "(lazy DPP gather) for corpus-sized query sets, or "
+                "raise max_candidate_ids deliberately."
+            )
         toks = lookup_ids(spark, token_store_path, ids, id_col=doc_id_col)
     else:
         toks = bounded_gather(

@@ -158,9 +158,13 @@ def matryoshka_topk(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vector_col).alias("_qv"),
     )
+    # ‖v‖ is added AFTER the broadcast candidate join: the projection
+    # evaluates only for the shortlist·|queries| joined rows, not every
+    # corpus row (ADVICE r13 — a pre-join withColumn sat below the join
+    # and paid ~N extra norm folds when candidates ≪ corpus)
     scored = (
-        full.withColumn("_vn", l2_norm(F.col("_v")))
-        .join(F.broadcast(cands), "id")
+        full.join(F.broadcast(cands), "id")
+        .withColumn("_vn", l2_norm(F.col("_v")))
         .join(F.broadcast(qf.withColumn("_qn", l2_norm(F.col("_qv")))), "query_id")
         .select(
             "query_id",

@@ -41,7 +41,6 @@ def apply_mutations(
     *,
     id_col: str = "vec_id",
     payload_cols: tuple[str, ...] | None = None,
-    materialize_latest: bool = False,
 ) -> DataFrame:
     """Fold an ordered mutation log into a base snapshot (R11 + M1 + M2).
 
@@ -75,20 +74,16 @@ def apply_mutations(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    if materialize_latest:
-        # `latest` feeds TWO plan branches (the touched-id anti join and
-        # the inserts union); each branch re-evaluates the log scan +
-        # LWW window.  For batch compaction queries the caller can ask
-        # for a one-shot materialization: the compacted log is
-        # log-sized (≤ one row per mutated id, never base-sized), so
-        # the local write is small and the downstream plan reads it
-        # twice without recomputing.  Opt-in because engine/streaming
-        # callers apply mutations lazily and must not pay an eager job
-        # per mutation batch.  localCheckpoint (not persist): a fresh
-        # invocation always recomputes from its inputs.
-        latest = latest.localCheckpoint(eager=True)
-    # Any id with a log entry (upsert or delete) no longer takes its base row.
-    touched = latest.select(id_col)
+    # Any id with a log entry (upsert or delete) no longer takes its
+    # base row — and an anti join is duplicate-insensitive, so the
+    # touched-id side reads the RAW log (one column-pruned pass, no LWW
+    # window).  Deriving it from ``latest`` instead (rounds ≤13) made
+    # the windowed log feed two plan branches, which either re-evaluated
+    # the whole log scan + window per branch or forced an eager
+    # localCheckpoint job at DataFrame-construction time; with the raw
+    # log here, ``latest`` has exactly one consumer (the inserts union)
+    # and the plan needs no materialization at all.
+    touched = log.select(id_col)
     survivors = base.join(touched, on=id_col, how="left_anti")
     inserts = latest.filter(F.col("op") == UPSERT).select(
         id_col, *[c for c in payload_cols]

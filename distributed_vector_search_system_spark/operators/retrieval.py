@@ -174,8 +174,30 @@ def bm25_scores(
     # df (docs containing term) is unchanged by dropping OTHER terms'
     # rows, so it can be computed from the restricted postings; it is
     # deliberately computed BEFORE the where= restriction (corpus-level
-    # idf, see the docstring)
-    dfreq = posting.groupBy("term").agg(F.count_distinct("id").alias("df"))
+    # idf, see the docstring).
+    #
+    # ``count_if(tf >= 1)`` — not ``count_distinct(id)`` — for two
+    # load-bearing reasons (round 14, guide §2.4 "share one exchange"):
+    # (1) ``posting`` already has exactly one row per (id, term) (they
+    #     are grouping keys above), and tf ≥ 1 for every emitted group,
+    #     so the three aggregates are provably equal; count_distinct
+    #     planned as an extra Expand/two-phase aggregate (one more
+    #     shuffle of (term, id) pairs — raw-term keyed, the §2.5 skew
+    #     shape this operator's docstring rejects).
+    # (2) Referencing ``tf``'s VALUE keeps this branch's partial
+    #     tf-aggregate bit-identical to the hits side's (a bare
+    #     count(*)/count(tf) lets Catalyst prune the count buffer and
+    #     the subtrees stop canonicalizing equal), so exchange reuse —
+    #     ReuseExchange statically, the AQE stage cache at runtime —
+    #     evaluates the tokenize→explode→semi-join→tf exchange ONCE for
+    #     both consumers (plan-locked in tests/test_plans.py; the
+    #     second corpus tokenize disappears: measured 1.64 → 1.40 s at
+    #     sf0.1).  The final per-term count still partial-aggregates
+    #     map-side, so the term-keyed shuffle carries one row per
+    #     (partition, term) — stopword-skew-safe at 100 TB.
+    dfreq = posting.groupBy("term").agg(
+        F.count_if(F.col("tf") >= 1).alias("df")
+    )
     scored = (
         hits.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))

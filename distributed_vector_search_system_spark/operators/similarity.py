@@ -183,12 +183,14 @@ def ann_lsh_topk(
     (recall compounds across tables, 1-(1-p)^L), each with optional
     multi-probe (``multiprobe_bits`` ≥ 1 also probes buckets within that
     hamming distance of the query's bucket).  Candidates are the union
-    over tables, deduplicated before the exact cosine re-rank, so the
-    expensive distance computation runs once per (query, candidate).
+    over tables, scored map-side per occurrence and collapsed to one row
+    per (query, candidate) by a max() aggregate behind a single
+    query-keyed exchange (see the plan note below).
 
     Tuning: recall ↑ with more tables/probes, candidate fraction ↑ too;
     num_planes ↑ shrinks buckets (recall ↓, cost ↓).  All bucketing is
-    map-side expression work; the only shuffle is the bucket equi-join.
+    map-side expression work; the bucket equi-join itself is broadcast
+    (query side), so the one shuffle is the query-keyed dedup+rank.
 
     SINGLE-SCAN plan: all ``num_tables`` bucket ids are computed in one
     pass over the corpus and exploded with a table tag, then joined once
@@ -246,20 +248,35 @@ def ann_lsh_topk(
         "query_id", "_qv", "_qn",
         F.col("_tb._tbl").alias("_tbl"), F.col("_tb._bkt").alias("_bkt"),
     )
-    cands = v.join(F.broadcast(qx), on=["_tbl", "_bkt"]).select(
-        "query_id", "id", "_v", "_vn", "_qv", "_qn"
+    # Score in the MAP stage (per candidate occurrence), then dedup and
+    # rank behind ONE query_id-keyed exchange (round 14; guide §2.3 +
+    # §2.4).  The previous shape — dropDuplicates(query_id, id) then the
+    # rank window — paid two shuffles, and the first carried the full
+    # vector payloads (_v/_qv, ~0.5 KB/row) just to compare keys.  Here
+    # the cosine is computed before anything shuffles, so the exchange
+    # carries only (query_id, id, cosine); cross-table duplicate
+    # occurrences of a (query, id) pair cost one extra map-side fold
+    # each (they are map-local by construction: the table explode keeps
+    # all of a corpus row's table entries in its partition) and collapse
+    # in the max() aggregate — cosine is deterministic per pair, so
+    # max(occurrences) IS the pair's score (oracle-verified).  The
+    # explicit repartition("query_id") hash-clusters once; both the
+    # dedup aggregate (grouping (query_id, id) ⊇ the partitioning) and
+    # the rank window are satisfied by it, so the plan has exactly one
+    # Exchange after the bucket join (was two).
+    scored = v.join(F.broadcast(qx), on=["_tbl", "_bkt"]).select(
+        "query_id",
+        "id",
+        cosine_from_norms(
+            F.col("_v"), F.col("_qv"), F.col("_vn"), F.col("_qn")
+        ).alias("cosine"),
     )
-    scored = (
-        cands.dropDuplicates(["query_id", "id"])
-        .select(
-            "query_id",
-            "id",
-            cosine_from_norms(
-                F.col("_v"), F.col("_qv"), F.col("_vn"), F.col("_qn")
-            ).alias("cosine"),
-        )
+    dedup = (
+        scored.repartition("query_id")
+        .groupBy("query_id", "id")
+        .agg(F.max("cosine").alias("cosine"))
     )
-    return _cosine_ranked(scored, k)
+    return _cosine_ranked(dedup, k)
 
 
 def knn_join(

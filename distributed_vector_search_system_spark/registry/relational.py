@@ -71,27 +71,40 @@ GROUP BY l_returnflag, l_linestatus
 
 _REVENUE_BY_ORDER_SQL = """
 SELECT o.o_orderkey, {rev} AS revenue, o.o_orderpriority
-FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
 WHERE c.c_mktsegment = 'BUILDING'
   AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
   AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
 GROUP BY o.o_orderkey, o.o_orderpriority
 HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) > 100000
 """.format(rev=_REV)
+# ^ fact-first like _REVENUE_BY_REGION_SQL (round 14): written
+# customer-first, the planner broadcast the whole lineitem projection as
+# the last join's build side; lineitem now streams.
 
 # revenue per region (TPC-H Q5 family): 5-way join through the dim chain
 
 _REVENUE_BY_REGION_SQL = """
 SELECT r.r_name, {rev} AS revenue, COUNT(*) AS n_items
-FROM region r
-JOIN nation n   ON n.n_regionkey = r.r_regionkey
-JOIN customer c ON c.c_nationkey = n.n_nationkey
-JOIN orders o   ON o.o_custkey = c.c_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
 GROUP BY r.r_name
 """.format(rev=_REV)
+# ^ fact-first join order (round 14, guide §3.1): written dimension-first
+# (region → … → lineitem), Catalyst kept the left-deep tree and made the
+# FACT table the broadcast build side of the last join — a hash relation
+# over every lineitem row (the one table that cannot fit at 100 TB; plan
+# showed BroadcastExchange over l_orderkey+l_extendedprice+l_discount)
+# probed by orders.  Fact-first, each JOIN's right side is a dimension:
+# lineitem STREAMS through four broadcast joins and nothing fact-sized
+# is ever built or shuffled before the final aggregate.  Inner-join
+# order is semantics-free, so the shared oracle string reorders with it
+# (DuckDB replans it independently; results hash-identical).
 
 # nation-pair shipping volume (TPC-H Q7 family): 6-way join with two
 # roles of the same dim table + year extraction
@@ -604,14 +617,18 @@ def q_top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BIG_ORDERS_SQL = """
 SELECT c.c_name, o.o_orderkey,
   CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
-FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
 WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
                        GROUP BY l_orderkey
                        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
 GROUP BY c.c_name, o.o_orderkey
 """
+# ^ fact-first like _REVENUE_BY_REGION_SQL (round 14): lineitem streams;
+# the two broadcasts that remain are the IN-subquery's post-HAVING
+# orderkey set — keys only, aggregate-reduced, the legitimate semi-join
+# reduction (TPC-H Q18's shape).
 
 # conditional aggregation (TPC-H Q12 family)
 

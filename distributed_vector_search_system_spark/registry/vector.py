@@ -198,7 +198,7 @@ compacted AS (
 
 def _compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    return apply_mutations(emb, _mutation_log(emb), materialize_latest=True)
+    return apply_mutations(emb, _mutation_log(emb))
 
 
 def q_mutations_compact(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -136,6 +136,14 @@ def lookup_ids(
     """
     bucket_rows = store_bucket_rows(spark, path)
     uids = sorted(set(int(i) for i in ids))
+    if not uids:
+        # explicit empty-candidate contract (ADVICE r13): an empty IN
+        # list folds to false anyway (OptimizeIn), but return the
+        # zero-bucket scan deliberately rather than by optimizer
+        # accident — same schema, zero files read
+        return (
+            spark.read.parquet(path).filter(F.lit(False)).drop(BUCKET_COL)
+        )
     buckets = sorted({i // bucket_rows for i in uids})
     return (
         spark.read.parquet(path)

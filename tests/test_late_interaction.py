@@ -223,6 +223,29 @@ def test_two_stage_default_materializes_candidates_once(spark, sf_oracle):
     assert sorted(map(key, df.collect())) == sorted(map(key, lazy.collect()))
 
 
+def test_two_stage_candidate_collect_is_guarded(spark, sf_oracle):
+    """The materialized path's driver-held id list is BOUNDED, not
+    assumed bounded (VERDICT r13 item 8): a cap breach raises with the
+    lazy-DPP escape hatch named, and the default cap admits normal
+    serving sizes."""
+    import pytest
+
+    from distributed_vector_search_system_spark.operators.late_interaction import (
+        maxsim_ivf_topk,
+    )
+
+    idx, store, cents = _layout(spark, sf_oracle)
+    q = _queries_arr(spark, sf_oracle)
+    with pytest.raises(ValueError, match="materialize_candidates=False"):
+        maxsim_ivf_topk(
+            spark, idx, store, q, 5, cents, n_probe=2, gather=4,
+            max_candidate_ids=1,
+        )
+    # the default cap admits the normal candidate set
+    out = maxsim_ivf_topk(spark, idx, store, q, 5, cents, n_probe=2, gather=4)
+    assert out.count() > 0
+
+
 def test_two_stage_partial_probe_is_plausible(spark, sf_oracle):
     """Partial probes return k contiguously-ranked rows per query whose
     scores are genuine MaxSim values (each returned doc's score equals

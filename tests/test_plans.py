@@ -376,3 +376,36 @@ def test_capped_sample_partial_topk_below_shuffle(spark, sf_smoke):
     viral key ships cap x partitions rows, never its full fan-in."""
     plan = _plan(registry.all_queries()["capped_sample"](spark, sf_smoke))
     assert "WindowGroupLimit" in plan
+
+
+def test_bm25_df_branch_reuses_posting_exchange(spark, sf_smoke):
+    """bm25_scores' df aggregate must read the SAME tokenize→tf exchange
+    the hits side builds — not re-tokenize the corpus (round 14: df is
+    count_if(tf >= 1) precisely so both subtrees canonicalize equal).
+    Reuse is a runtime decision under AQE, so the lock executes the
+    query and inspects the final adaptive plan."""
+    df = registry.all_queries()["bm25_topk"](spark, sf_smoke)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, final
+
+
+def test_ann_lsh_single_payload_free_exchange(spark, sf_smoke):
+    """ann_lsh_topk scores map-side and shares ONE query-keyed exchange
+    between the dedup aggregate and the rank window (round 14): no
+    second Exchange after the bucket join, and no vector payload may
+    ride the shuffle."""
+    plan = _plan(registry.all_queries()["ann_lsh_topk"](spark, sf_smoke))
+    tree = plan.split("\n\n")[0]
+    shuffles = [
+        l for l in tree.splitlines()
+        if ("+- Exchange" in l or ":- Exchange" in l)
+    ]
+    assert len(shuffles) == 1, tree
+    # the exchange's input is (query_id, id, cosine) — never _v/_qv
+    import re
+
+    m = re.search(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert m and "_v" not in m.group(1) and "_qv" not in m.group(1), (
+        m.group(1) if m else plan
+    )

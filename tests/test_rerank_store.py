@@ -129,6 +129,19 @@ def test_store_backed_rerank_empty_queries(spark, store):
     assert out.count() == 0
 
 
+def test_lookup_empty_ids_returns_empty_with_store_schema(spark, store):
+    """The empty-candidate contract is explicit (ADVICE r13): zero ids →
+    zero rows, store schema (minus the bucket column), no reliance on
+    the optimizer folding an empty IN list."""
+    _, _, path = store
+    out = lookup_ids(spark, path, [])
+    assert out.count() == 0
+    assert BUCKET_COL not in out.columns
+    assert set(out.columns) == {
+        c for c in spark.read.parquet(path).columns if c != BUCKET_COL
+    }
+
+
 def test_missing_marker_raises(spark, tmp_path, sf_smoke):
     emb = load_table(spark, sf_smoke, "embeddings")
     path = str(tmp_path / "plain")
